@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Event-stream analytics on the `events` table — batch versions of the
+  * streaming jobs (graft.streaming runs the same aggregations with
+  * readStream + watermark; batch-parity is the correctness anchor,
+  * SURVEY.md §5.2 item 6).
+  */
+object EventQueries {
+
+  /** JSON scalar functions over the props column. */
+  def jsonProps(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        col("value"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"),
+        round(avg("k"), 4).as("avg_k"),
+        min("k").as("min_k"),
+        max("k").as("max_k"))
+      .orderBy("event_type")
+
+  /** Tumbling 5-minute window aggregation (batch form of the streaming
+    * job; `window()` is the same expression Structured Streaming uses).
+    */
+  def tumblingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"))
+      .select(
+        col("window.start").as("w_start"),
+        col("window.end").as("w_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("w_start", "event_type")
+
+  /** Sessionization via window functions: a session breaks after 30
+    * minutes of inactivity. Pure timestamp comparisons (no float epoch
+    * math) so both engines agree bit-exactly.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val flagged = Tables(spark, dir, "events")
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum("new_sess").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+    flagged
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("ts").as("sess_start"),
+        max("ts").as("sess_end"),
+        round(sum("value"), 2).as("sum_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_json_props" -> jsonProps,
+    "events_tumbling_window" -> tumblingWindow,
+    "events_sessionize" -> sessionize)
+
+  val oracle: Map[String, String] = Map(
+    "events_json_props" ->
+      """SELECT event_type, count(*) AS n_events,
+round(sum(value), 2) AS sum_value,
+round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type""",
+    "events_tumbling_window" ->
+      """SELECT time_bucket(INTERVAL '5 minutes', ts) AS w_start,
+time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS w_end,
+event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2, 3 ORDER BY w_start, event_type""",
+    "events_sessionize" ->
+      """WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+      OR ts > lag(ts) OVER w + INTERVAL '30 minutes' THEN 1 ELSE 0 END
+      AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, value,
+    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, count(*) AS n_events,
+  min(ts) AS sess_start, max(ts) AS sess_end,
+  round(sum(value), 2) AS sum_value
+FROM sess GROUP BY user_id, session_id
+ORDER BY user_id, session_id""")
+}

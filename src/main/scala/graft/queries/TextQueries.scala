@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.text.{Stopwords, TextOps}
+
+/** Text-analysis queries over the `documents` table — the reference's
+  * keyword pipeline (SURVEY.md §2.1 O13-O21) generalized to a corpus
+  * table, plus quality/token statistics a training-data pipeline needs.
+  *
+  * Scale posture: every query is scan -> narrow per-row array ops ->
+  * single hash aggregation. The only shuffle is the final groupBy; the
+  * per-document distinct happens BEFORE explode so the exchange carries
+  * distinct (doc, word) pairs, not raw token multiplicity.
+  */
+object TextQueries {
+
+  private val stop = Stopwords.english
+  private val stopSql = Stopwords.sqlInList(stop)
+
+  /** Flagship: corpus keyword frequency, top 100. The reference's
+    * "inverted keyword index" (word_count.py:63-65) + the count its
+    * README name promises, as one declarative plan.
+    */
+  def keywordTopK(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    docs
+      .select(explode(TextOps.keywords(col("text"), stop)).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(100)
+  }
+
+  /** Inverted index (word -> doc), the reference's exact v1 output shape
+    * (word_count.py:63-65) on the harness corpus. Kept unaggregated to
+    * exercise generator + projection; deterministic via sort keys in the
+    * oracle comparison (driver sorts rows).
+    */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    docs.select(
+      explode(TextOps.keywords(col("text"), stop)).as("word"),
+      col("doc_id"))
+  }
+
+  /** Per-document quality statistics: token counts, stopword ratio,
+    * mean token length — the "quality scoring" text-analysis operator.
+    */
+  def qualityStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val toks = TextOps.tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      col("n_chars"),
+      TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+      size(TextOps.distinctTokens(col("text"))).cast("long").as("n_distinct"),
+      size(filter(toks, t => t.isin(stop.map(s => s: Any): _*)))
+        .cast("long").as("n_stop"),
+      round(
+        size(filter(toks, t => t.isin(stop.map(s => s: Any): _*))).cast("double") /
+          greatest(TextOps.tokenCount(col("text")), lit(1)).cast("double"),
+        4).as("stop_ratio"))
+  }
+
+  /** Corpus statistics grouped by language. */
+  def langStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    docs
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 4).as("avg_chars"),
+        sum(TextOps.tokenCount(col("text")).cast("long")).as("total_tokens"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy("lang")
+  }
+
+  /** Token counting per source: whitespace tokens and BPE-ish subword
+    * units (both codegen'd regex built-ins, no UDF).
+    */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    docs
+      .groupBy("source")
+      .agg(
+        sum(TextOps.tokenCount(col("text")).cast("long")).as("ws_tokens"),
+        sum(TextOps.bpeishCount(col("text")).cast("long")).as("bpe_tokens"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("source")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_keyword_topk" -> keywordTopK,
+    "text_inverted_index" -> invertedIndex,
+    "text_quality_stats" -> qualityStats,
+    "text_lang_stats" -> langStats,
+    "text_token_counts" -> tokenCounts)
+
+  private val tokSql =
+    raw"string_split_regex(lower(regexp_replace(text, '[^a-zA-Z ]', ' ', 'g')), '\s+')"
+
+  val oracle: Map[String, String] = Map(
+    "text_keyword_topk" ->
+      raw"""WITH tok AS (
+  SELECT doc_id, unnest($tokSql) AS word FROM documents
+), dw AS (
+  SELECT DISTINCT doc_id, word FROM tok
+  WHERE word <> '' AND word NOT IN $stopSql
+)
+SELECT word, count(*) AS cnt FROM dw GROUP BY word
+ORDER BY cnt DESC, word LIMIT 100""",
+    "text_inverted_index" ->
+      raw"""WITH tok AS (
+  SELECT doc_id, unnest($tokSql) AS word FROM documents
+)
+SELECT DISTINCT word, doc_id FROM tok
+WHERE word <> '' AND word NOT IN $stopSql""",
+    "text_quality_stats" ->
+      raw"""WITH tok AS (
+  SELECT doc_id, unnest($tokSql) AS word FROM documents
+), agg AS (
+  SELECT doc_id,
+         count(*) FILTER (WHERE word <> '') AS n_tokens,
+         count(DISTINCT word) FILTER (WHERE word <> '') AS n_distinct,
+         count(*) FILTER (WHERE word <> '' AND word IN $stopSql) AS n_stop
+  FROM tok GROUP BY doc_id
+)
+SELECT d.doc_id, d.n_chars,
+       COALESCE(a.n_tokens, 0) AS n_tokens,
+       COALESCE(a.n_distinct, 0) AS n_distinct,
+       COALESCE(a.n_stop, 0) AS n_stop,
+       round(COALESCE(a.n_stop, 0) / GREATEST(COALESCE(a.n_tokens, 0), 1), 4) AS stop_ratio
+FROM documents d LEFT JOIN agg a USING (doc_id)""",
+    "text_lang_stats" ->
+      raw"""WITH tc AS (
+  SELECT doc_id, lang, source, n_chars,
+         len(list_filter($tokSql, w -> w <> '')) AS n_tokens
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       count(DISTINCT source) AS n_sources
+FROM tc GROUP BY lang ORDER BY lang""",
+    "text_token_counts" ->
+      raw"""WITH tc AS (
+  SELECT source,
+         len(list_filter($tokSql, w -> w <> '')) AS ws,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe
+  FROM documents
+)
+SELECT source, CAST(sum(ws) AS BIGINT) AS ws_tokens,
+       CAST(sum(bpe) AS BIGINT) AS bpe_tokens, count(*) AS n_docs
+FROM tc GROUP BY source ORDER BY source""")
+}
