@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Dedup
+
+/** Deduplication operators registered against the `documents` table.
+  * Exact + shingle-Jaccard are DuckDB-oracle checked; MinHash-LSH and
+  * SimHash use engine-specific hashes (xxhash64) so they get rows-only
+  * driver checks plus containment/agreement unit tests (DedupSpec).
+  */
+object DedupQueries {
+
+  /** Exact dedup: md5 digest groupBy — the only shuffle is on digest. */
+  def exactMd5(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .groupBy(md5(col("text")).as("digest"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("copies"))
+      .orderBy("digest")
+
+  def shingleJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(Tables(spark, dir, "documents"),
+        "doc_id", "text", threshold = 0.2, dfCap = 50)
+      .orderBy("ida", "idb")
+
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(Tables(spark, dir, "documents"),
+        "doc_id", "text", threshold = 0.5)
+      .orderBy("ida", "idb")
+
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables(spark, dir, "documents"),
+        "doc_id", "text", maxHamming = 3)
+      .orderBy("ida", "idb")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact_md5" -> exactMd5,
+    "dedup_shingle_jaccard" -> shingleJaccard,
+    "dedup_minhash_lsh" -> minhashLsh,
+    "dedup_simhash" -> simhashPairs)
+
+  private val tokSql =
+    raw"list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z ]', ' ', 'g')), '\s+'), w -> w <> '')"
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact_md5" ->
+      """SELECT md5(text) AS digest, min(doc_id) AS keep_id,
+count(*) AS copies
+FROM documents GROUP BY md5(text) ORDER BY digest""",
+    "dedup_shingle_jaccard" ->
+      raw"""WITH toks AS (
+  SELECT doc_id, $tokSql AS ws FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(len(ws) - 1, 1)),
+    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shs
+  FROM toks WHERE len(ws) >= 3
+), ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+df AS (SELECT s FROM ex GROUP BY s HAVING count(*) BETWEEN 2 AND 50),
+exc AS (SELECT ex.doc_id, ex.s FROM ex JOIN df USING (s)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+  FROM exc a JOIN exc b ON a.s = b.s AND a.doc_id < b.doc_id
+), verified AS (
+  SELECT ida, idb,
+    round(CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE) /
+      (CAST(len(x.shs) AS DOUBLE) + CAST(len(y.shs) AS DOUBLE)
+        - CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE)), 6) AS jaccard
+  FROM cand JOIN sh x ON x.doc_id = ida JOIN sh y ON y.doc_id = idb
+)
+SELECT ida, idb, jaccard FROM verified WHERE jaccard >= 0.2
+ORDER BY ida, idb""")
+}

@@ -1,0 +1,60 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Similarity
+
+/** Similarity-search operators on the `embeddings` table. Brute-force
+  * cosine top-k is DuckDB-oracle checked (bit-exact fold parity, see
+  * VectorOps); the LSH variants use seeded random hyperplanes so they
+  * get rows-only driver checks plus recall unit tests (SimilaritySpec).
+  */
+object SimilarityQueries {
+
+  private def queriesSubset(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings").where(col("vec_id") < 10)
+
+  def cosineTopK(spark: SparkSession, dir: String): DataFrame =
+    Similarity.cosineTopK(
+      Tables(spark, dir, "embeddings"), queriesSubset(spark, dir), k = 5)
+
+  def annLshTopK(spark: SparkSession, dir: String): DataFrame =
+    Similarity.annLshTopK(
+      Tables(spark, dir, "embeddings"), queriesSubset(spark, dir), k = 5)
+
+  /** Threshold/LSH shape tuned to the corpus: pairwise cosine tops out
+    * near 0.5-0.6, so 0.4 marks the "suspiciously similar" tail; 16
+    * tables x 6 bits gives ~0.65 recall at that threshold.
+    */
+  def cosineDupPairs(spark: SparkSession, dir: String): DataFrame =
+    Similarity.cosineDupPairs(
+      Tables(spark, dir, "embeddings"), threshold = 0.4,
+      tables = 16, bitsPerTable = 6)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_cosine_topk" -> cosineTopK,
+    "sim_ann_lsh_topk" -> annLshTopK,
+    "sim_cosine_dup_pairs" -> cosineDupPairs)
+
+  private val dotSql = (a: String, b: String) =>
+    s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+
+  val oracle: Map[String, String] = Map(
+    "sim_cosine_topk" ->
+      s"""WITH q AS (
+  SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 10
+), pairs AS (
+  SELECT qid, e.vec_id,
+    round(${dotSql("qemb", "e.embedding")} /
+      (sqrt(${dotSql("qemb", "qemb")}) * sqrt(${dotSql("e.embedding", "e.embedding")})), 6) AS sim
+  FROM q, embeddings e WHERE e.vec_id <> qid
+), ranked AS (
+  SELECT qid, vec_id, sim,
+    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+  FROM pairs
+)
+SELECT qid, vec_id, sim, rank FROM ranked WHERE rank <= 5
+ORDER BY qid, rank""")
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Agreement tests for the hash-based dedup operators (which have no
+  * DuckDB oracle): MinHash-LSH results must agree with exact blocking
+  * Jaccard at the same threshold on the planted near-dups, and SimHash
+  * band blocking must be complete within its Hamming guarantee.
+  */
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = Tables(spark, sfDir, "documents")
+
+  test("minhash-lsh finds every strong near-dup pair (jaccard >= 0.8)") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 0.8)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.5)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "test corpus should contain planted near-dups")
+    assert(exact.subsetOf(lsh),
+      s"LSH missed strong pairs: ${exact -- lsh}")
+  }
+
+  test("minhash-lsh reported jaccard values are exact (match blocking verify)") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    lsh.foreach { case (pair, j) =>
+      assert(exact.get(pair).contains(j), s"jaccard mismatch for $pair")
+    }
+  }
+
+  test("simhash band blocking is complete for hamming <= 3") {
+    // every pair the operator reports is within the bound, and any pair
+    // within hamming 3 must share one of the 4 16-bit bands (pigeonhole)
+    val sig = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val reported = Dedup.simhashPairs(docs, "doc_id", "text", 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    reported.foreach { case ((a, b), h) =>
+      assert(java.lang.Long.bitCount(sig(a) ^ sig(b)) == h && h <= 3)
+    }
+    val ids = sig.keys.toSeq.sorted
+    val expected = for {
+      i <- ids; j <- ids if i < j
+      if java.lang.Long.bitCount(sig(i) ^ sig(j)) <= 3
+    } yield (i, j)
+    assert(expected.toSet == reported.keySet,
+      s"band blocking disagreement: missing=${expected.toSet -- reported.keySet}")
+  }
+
+  test("exact dedup digest groups cover every document once") {
+    val out = graft.queries.DedupQueries.exactMd5(spark, sfDir)
+    val total = out.agg(sum("copies")).collect()(0).getLong(0)
+    assert(total == docs.count())
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val emb = Tables(spark, sfDir, "embeddings")
+  private lazy val queries = emb.where(col("vec_id") < 10)
+
+  test("vector ops match driver-side double math") {
+    val row = emb.where(col("vec_id") === 0)
+      .select(
+        VectorOps.dot(col("embedding"), col("embedding")).as("d"),
+        VectorOps.norm(col("embedding")).as("n"))
+      .collect()(0)
+    val v = emb.where(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).map(_.toDouble)
+    val expected = v.foldLeft(0.0)((acc, x) => acc + x * x)
+    assert(row.getDouble(0) == expected)
+    assert(row.getDouble(1) == math.sqrt(expected))
+  }
+
+  test("brute-force topk: k per query, self excluded, descending sims") {
+    val rows = Similarity.cosineTopK(emb, queries, 5).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 10 && byQ.values.forall(_.length == 5))
+    rows.foreach(r => assert(r.getLong(0) != r.getLong(1)))
+    byQ.values.foreach { g =>
+      val sims = g.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("lsh ann recall vs brute force is useful and results are a subset") {
+    val exact = Similarity.cosineTopK(emb, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.annLshTopK(emb, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    info(s"ANN recall@5 = $recall")
+    assert(recall >= 0.2, s"recall collapsed: $recall")
+  }
+
+  test("cosine dup pairs are symmetric-free and above threshold") {
+    val rows = graft.queries.SimilarityQueries.cosineDupPairs(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.4)
+    }
+  }
+}
