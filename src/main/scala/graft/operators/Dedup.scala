@@ -18,42 +18,94 @@ import graft.text.TextOps
   *    never a cross join — then exact-verified.
   *  - SimHash: 64-bit fingerprint, 16-bit band blocking, Hamming-verified.
   *
-  * All per-document math is codegen'd higher-order expressions; the plan
-  * is scan -> narrow transforms -> explode -> hash join(s).
+  * Per-document array math runs in compiled one-pass Scala UDFs (see
+  * the shingleUdf note — interpreted higher-order lambdas re-evaluate
+  * inner subtrees per element); the plan around them is scan -> narrow
+  * transforms -> explode -> hash join(s).
   */
 object Dedup {
 
-  /** Word n-gram shingles of a token array (1-based element_at).
-    * Empty array (typed) when the doc has fewer than n tokens.
+  /** Distinct word 3-gram shingles of a token array.
+    *
+    * A Scala UDF on purpose: the higher-order-function formulation
+    * (transform(sequence(...), i -> element_at(tokens, i))) re-evaluates
+    * the `tokens` subtree once per lambda ELEMENT in Spark's interpreted
+    * eval path (higher-order fns don't codegen), which measured as
+    * ~180 full re-tokenizations per document. The UDF evaluates its
+    * child once and runs compiled code.
     */
-  def shingles(tokens: Column, n: Int): Column =
-    when(size(tokens) >= n,
-      array_distinct(transform(
-        sequence(lit(1), size(tokens) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(k => element_at(tokens, i + k)): _*))))
-      .otherwise(array().cast("array<string>"))
+  private def hash64(s: String): Long =
+    (scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c).toLong << 32) |
+      (scala.util.hashing.MurmurHash3.stringHash(s, 0x5bd1e995).toLong & 0xffffffffL)
 
-  /** (doc_id, shs) with distinct word-3-gram shingles per document. */
+  /** Shingles are emitted as SORTED 64-bit hashes, not strings: the
+    * inverted-index shuffle carries 8-byte keys instead of ~20-byte
+    * strings, and the verify step intersects two sorted long arrays
+    * with a linear merge instead of building string hash sets.
+    * Collisions (~n²/2^64) would only perturb a Jaccard count by 1.
+    */
+  private val shingleUdf = udf { toks: Seq[String] =>
+    if (toks == null || toks.size < 3) Array.empty[Long]
+    else toks.sliding(3).map(w => hash64(w.mkString(" ")))
+      .toArray.distinct.sorted
+  }
+
+  /** (doc_id, shs) with distinct word-3-gram shingles per document.
+    *
+    * The trailing hash repartition is a deliberate materialization
+    * barrier: higher-order array expressions don't codegen and
+    * CollapseProject would otherwise push the whole
+    * tokenize->shingle chain through the downstream self-joins,
+    * re-tokenizing the document once per CANDIDATE PAIR (measured: turns
+    * a 2s stage into minutes at sf0.1). The exchange pins the arrays to
+    * computed-once rows — and hash-partitioning by doc_id is also the
+    * layout the verify joins want.
+    */
   def shingled(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(
       col(idCol).as("doc_id"),
-      shingles(TextOps.tokens(col(textCol)), 3).as("shs"))
+      shingleUdf(TextOps.tokens(col(textCol))).as("shs"))
       .where(size(col("shs")) > 0)
+      .repartition(col("doc_id"))
 
-  private def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    inter / (size(a).cast("double") + size(b).cast("double") - inter)
+  /** Set Jaccard via linear merge of the sorted hash arrays (the verify
+    * hot loop; interpreted `array_intersect` cost ~50µs/pair). The
+    * output is an integer-count division, bit-identical to the oracle's
+    * `len(list_intersect(..)) / (na + nb - inter)`.
+    */
+  // Array params, not Seq: Spark's Scala-2.13 deserializer materializes
+  // Seq as List, making indexed access O(i) and .length O(n) — the merge
+  // degraded to O(n²) per pair (measured 46s -> the join cost vanished
+  // once profiled). Array unpacks to a primitive array, O(1) throughout.
+  private val jaccardUdf = udf { (a: Array[Long], b: Array[Long]) =>
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < a.length && j < b.length) {
+      val x = a(i)
+      val y = b(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (a.length.toDouble + b.length.toDouble - inter.toDouble)
   }
 
   /** Exact-verify candidate (ida, idb) pairs against the shingle sets,
     * keeping pairs with Jaccard >= threshold.
     */
   def verifyJaccard(pairs: DataFrame, sh: DataFrame, threshold: Double): DataFrame =
+    // broadcast: the doc->shingles table is tiny next to the candidate
+    // pair table (UDF output has no stats, so without the hint Spark
+    // sort-merge-joins and shuffles pairs x ~500B arrays — measured 41s
+    // vs 4s at sf0.1). At petabyte corpus scale the planner would flip
+    // this to a shuffle join via AQE; the hint is right whenever
+    // candidate pairs outnumber docs.
     pairs
-      .join(sh.select(col("doc_id").as("ida"), col("shs").as("sha")), "ida")
-      .join(sh.select(col("doc_id").as("idb"), col("shs").as("shb")), "idb")
+      .join(broadcast(sh.select(col("doc_id").as("ida"), col("shs").as("sha"))), "ida")
+      .join(broadcast(sh.select(col("doc_id").as("idb"), col("shs").as("shb"))), "idb")
       .select(col("ida"), col("idb"),
-        round(jaccard(col("sha"), col("shb")), 6).as("jaccard"))
+        round(jaccardUdf(col("sha"), col("shb")), 6).as("jaccard"))
       .where(col("jaccard") >= threshold)
 
   /** Near-dup pairs via inverted-index blocking + exact Jaccard.
@@ -79,8 +131,7 @@ object Dedup {
   private val MersennePrime = 2147483647L // 2^31 - 1
 
   /** MinHash signature params (a, b) for h_i(x) = (a*x + b) mod p.
-    * Deterministic seed so runs and tests are reproducible. Inputs are
-    * first reduced mod p (< 2^31) so a*x stays < 2^62: no ANSI overflow.
+    * Deterministic seed so runs and tests are reproducible.
     */
   private def perms(numPerm: Int): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(42)
@@ -89,29 +140,38 @@ object Dedup {
         rnd.nextInt(Int.MaxValue).toLong))
   }
 
-  /** (doc_id, sig) MinHash signatures from shingle sets. */
-  def minhashSignatures(sh: DataFrame, numPerm: Int): DataFrame = {
-    val hx = transform(col("shs"), s => pmod(xxhash64(s), lit(MersennePrime)))
-    val sig = array(perms(numPerm).map { case (a, b) =>
-      array_min(transform(col("hx"),
-        x => pmod(x * lit(a) + lit(b), lit(MersennePrime))))
-    }: _*)
-    sh.withColumn("hx", hx).select(col("doc_id"), sig.as("sig"))
+  /** One-pass UDF: shingle set -> banded MinHash bucket keys. Base
+    * hashes via MurmurHash3 (deterministic across JVMs), k=bands*rows
+    * permutation mins, band key = ordered hash of its signature rows
+    * tagged with the band index in the high 32 bits so bands never
+    * collide with each other.
+    */
+  private def minhashBandUdf(bands: Int, rowsPerBand: Int) = {
+    val ps = perms(bands * rowsPerBand)
+    udf { shs: Array[Long] =>
+      val base = shs.map(h => java.lang.Math.floorMod(h, MersennePrime))
+      val sig = ps.map { case (a, b) =>
+        var m = Long.MaxValue
+        base.foreach { x => val h = (a * x + b) % MersennePrime; if (h < m) m = h }
+        m
+      }
+      Array.tabulate(bands) { j =>
+        val h = scala.util.hashing.MurmurHash3.orderedHash(
+          sig.slice(j * rowsPerBand, (j + 1) * rowsPerBand))
+        (j.toLong << 32) | (h.toLong & 0xffffffffL)
+      }
+    }
   }
 
   /** MinHash-LSH near-dup pairs: band the signature, bucket-join, then
-    * exact-verify Jaccard >= threshold. numPerm = bands * rowsPerBand.
+    * exact-verify Jaccard >= threshold.
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     val sh = shingled(docs, idCol, textCol)
-    val sig = minhashSignatures(sh, bands * rowsPerBand)
-    val bandKeys = sig.select(
+    val bandKeys = sh.select(
       col("doc_id"),
-      explode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
-        .as("bkey"))
+      explode(minhashBandUdf(bands, rowsPerBand)(col("shs"))).as("bkey"))
     val cand = bandKeys.as("a").join(bandKeys.as("b"),
         col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
@@ -120,19 +180,34 @@ object Dedup {
   }
 
   /** 64-bit SimHash over token hashes: bit j is the sign of the sum of
-    * (+1/-1) votes from each token's hash bit j. Built with SQL lambda
-    * expressions because shiftright's shift amount must be an expression
-    * (the Scala functions API only takes a literal Int).
+    * (+1/-1) votes from each distinct token's hash bit j. One UDF pass
+    * (the lambda-expression formulation re-evaluates the token-hash
+    * array once per BIT in interpreted eval — 64x slower). The 64-bit
+    * token hash combines two seeded MurmurHash3 words.
     */
+  private val simhashUdf = udf { toks: Seq[String] =>
+    val votes = new Array[Int](64)
+    toks.distinct.foreach { t =>
+      val h = (scala.util.hashing.MurmurHash3.stringHash(t, 0x9747b28c).toLong << 32) |
+        (scala.util.hashing.MurmurHash3.stringHash(t, 0x5bd1e995).toLong & 0xffffffffL)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
       .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
       .where(size(col("toks")) > 0)
-      .withColumn("hx", expr("transform(array_distinct(toks), t -> xxhash64(t))"))
-      .select(col("doc_id"), expr(
-        """aggregate(sequence(0, 63), 0L, (acc, j) ->
-          |  acc + if(aggregate(hx, 0L, (a, x) -> a + (shiftright(x, j) & 1L) * 2 - 1) > 0,
-          |           shiftleft(1L, j), 0L))""".stripMargin).as("simhash"))
+      .select(col("doc_id"), simhashUdf(col("toks")).as("simhash"))
+      .repartition(col("doc_id"))
 
   /** SimHash near-dup pairs: 4 x 16-bit band blocking (a pair within
     * Hamming distance <= 3 shares at least one exact band by pigeonhole;

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column conventions + the decode/feature plumbing for
+  * binary payloads (images/audio/video) in a training-data lake.
+  *
+  * Layout convention: one parquet table with
+  *   id BIGINT, payload BINARY, meta STRUCT<kind, mime, n_bytes>
+  * — payloads stay opaque bytes in columnar storage (parquet keeps the
+  * binary column contiguous and prunable; scans that don't touch
+  * `payload` never read those pages).
+  *
+  * The decode step is a clearly-marked STUB (this container ships no
+  * image/audio codecs): [[StubDecoder]] produces deterministic fake
+  * features from the bytes. The Spark-side plumbing — schema, typed
+  * Dataset boundary, per-partition decoder init, batch iteration — is
+  * the real, tested part; a libjpeg/ffmpeg decoder would replace ONLY
+  * the StubDecoder body. (This is the Scala analogue of a Pandas UDF
+  * over mapInPandas: mapPartitions gives the same one-init-per-batch
+  * shape without a Python worker boundary.)
+  */
+object Multimodal {
+
+  final case class MediaRow(id: Long, payload: Array[Byte], kind: String)
+  final case class MediaFeatures(id: Long, kind: String, n_bytes: Int,
+    checksum: Long, feature: Array[Float])
+
+  /** Pack a text corpus as a multimodal table (text bytes standing in
+    * for opaque media payloads in the harness).
+    */
+  def packDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        lit("text").as("kind"),
+        lit("text/plain").as("mime"),
+        octet_length(encode(col("text"), "UTF-8")).as("n_bytes")).as("meta"))
+
+  /** STUB media decoder — deterministic fake in place of the codec. */
+  object StubDecoder {
+    /** One decoder instance per partition (mirrors per-partition model
+      * init, the fix for the reference's per-element client setup, D5).
+      */
+    def open(): StubDecoder = new StubDecoder
+  }
+
+  final class StubDecoder {
+    /** ??? in spirit: a real implementation would decode pixels/samples.
+      * The fake: FNV-1a checksum + an 8-dim byte-histogram feature, so
+      * tests get stable, content-sensitive values.
+      */
+    def decode(payload: Array[Byte]): (Long, Array[Float]) = {
+      var h = 0xcbf29ce484222325L
+      val hist = new Array[Float](8)
+      var i = 0
+      while (i < payload.length) {
+        h = (h ^ (payload(i) & 0xffL)) * 0x100000001b3L
+        hist((payload(i) & 0xff) >>> 5) += 1f
+        i += 1
+      }
+      val n = math.max(payload.length, 1).toFloat
+      (h, hist.map(_ / n))
+    }
+  }
+
+  /** Decode/feature-extract over payload batches: one decoder per
+    * partition, streaming iteration (never materializes a partition).
+    */
+  def extractFeatures(packed: DataFrame): Dataset[MediaFeatures] = {
+    val spark = packed.sparkSession
+    import spark.implicits._
+    packed
+      .select(col("id"), col("payload"), col("meta.kind").as("kind"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        val decoder = StubDecoder.open()
+        rows.map { r =>
+          val (checksum, feature) = decoder.decode(r.payload)
+          MediaFeatures(r.id, r.kind, r.payload.length, checksum, feature)
+        }
+      }
+  }
+
+  /** Frame-sampling stub for video-like payloads: every strideth byte
+    * window becomes a "frame" (slice plumbing is real; a codec would
+    * replace the windowing).
+    */
+  def sampleFrames(packed: DataFrame, frameBytes: Int, stride: Int): DataFrame =
+    packed.select(
+      col("id"),
+      posexplode(sequence(lit(0),
+        greatest((octet_length(col("payload")) - frameBytes).cast("int"), lit(0)),
+        lit(stride))))
+      .toDF("id", "frame_idx", "offset")
+      .withColumn("frame_idx", col("frame_idx").cast("long"))
+}

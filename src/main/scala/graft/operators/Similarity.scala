@@ -11,9 +11,10 @@ import graft.functions.VectorOps
   * Scale posture: the query set is always the broadcast side (ANN
   * queries are few, the corpus is the 100 TB side), so brute force is a
   * single pass over the corpus with no shuffle before the per-query
-  * top-k. The LSH variant prunes that pass to bucket-join candidates:
-  * corpus and queries are hashed to sign-pattern buckets and candidates
-  * come from an equi-join on (table, bucket) — never a cross join.
+  * top-k. The LSH variants prune that pass via bucket equi-joins, and
+  * candidate joins carry ONLY (qid, vec_id) — embeddings are fetched
+  * back by key after dedup so the wide float arrays never ride the
+  * candidate shuffle.
   */
 object Similarity {
 
@@ -22,11 +23,21 @@ object Similarity {
     * so ranking is stable across engines (ties broken by vec_id).
     */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    // norms computed once per vector BEFORE the pair fan-out (same value
+    // as per-pair recompute, so oracle parity is unaffected)
     val q = broadcast(queries.select(
-      col("vec_id").as("qid"), col("embedding").as("qemb")))
-    val sims = corpus.join(q, col("vec_id") =!= col("qid"))
+      col("vec_id").as("qid"), col("embedding").as("qemb"),
+      VectorOps.norm(col("embedding")).as("qnrm")))
+    val c = corpus.select(col("vec_id"), col("embedding"),
+      VectorOps.norm(col("embedding")).as("nrm"))
+    val sims = c.join(q, col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        round(VectorOps.cosine(col("qemb"), col("embedding")), 6).as("sim"))
+        round(VectorOps.dot(col("qemb"), col("embedding")) /
+          (col("qnrm") * col("nrm")), 6).as("sim"))
+    topK(sims, k)
+  }
+
+  private def topK(sims: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
     sims
       .select(col("qid"), col("vec_id"), col("sim"),
@@ -38,68 +49,84 @@ object Similarity {
   /** Deterministic random hyperplanes: tables x bitsPerTable planes of
     * `dim` components in [-1, 1). Seeded so plans are reproducible.
     */
-  private def planes(tables: Int, bitsPerTable: Int, dim: Int): Seq[Seq[Seq[Double]]] = {
+  private def planes(tables: Int, bitsPerTable: Int, dim: Int): Array[Array[Array[Float]]] = {
     val rnd = new scala.util.Random(42)
-    Seq.fill(tables, bitsPerTable, dim)(rnd.nextDouble() * 2 - 1)
+    Array.fill(tables, bitsPerTable, dim)((rnd.nextDouble() * 2 - 1).toFloat)
   }
 
-  /** Sign-bit bucket ids, one per table, for an embedding column. */
-  private def bucketCols(emb: Column, pl: Seq[Seq[Seq[Double]]]): Column =
-    array(pl.map { table =>
-      table.zipWithIndex.map { case (plane, b) =>
-        when(VectorOps.dot(emb, typedLit(plane)) > 0, lit(1L << b))
-          .otherwise(lit(0L))
-      }.reduce(_ + _)
-    }: _*)
+  /** All sign-bit bucket ids in one compiled pass (one UDF call per row,
+    * not one per plane).
+    */
+  private def bucketsUdf(pl: Array[Array[Array[Float]]]) = udf { v: Array[Float] =>
+    pl.map { table =>
+      var bucket = 0L
+      var b = 0
+      while (b < table.length) {
+        val plane = table(b)
+        var acc = 0.0
+        var i = 0
+        val n = math.min(plane.length, v.length)
+        while (i < n) { acc += plane(i).toDouble * v(i).toDouble; i += 1 }
+        if (acc > 0) bucket |= (1L << b)
+        b += 1
+      }
+      bucket
+    }
+  }
+
+  private def bucketed(df: DataFrame, idAs: String,
+      pl: Array[Array[Array[Float]]]): DataFrame =
+    df.select(col("vec_id").as(idAs),
+        posexplode(bucketsUdf(pl)(col("embedding"))))
+      .toDF(idAs, "tbl", "bucket")
 
   /** LSH-pruned ANN: random-hyperplane bucketing -> candidate equi-join
-    * on (table, bucket) -> exact cosine re-rank, top-k per query.
+    * on (table, bucket), ids only -> fetch embeddings by key -> exact
+    * cosine re-rank, top-k per query.
     */
   def annLshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       tables: Int = 16, bitsPerTable: Int = 6, dim: Int = 64): DataFrame = {
     val pl = planes(tables, bitsPerTable, dim)
-    def buckets(df: DataFrame, idAs: String, embAs: String): DataFrame =
-      df.select(
-          col("vec_id").as(idAs), col("embedding").as(embAs),
-          posexplode(bucketCols(col("embedding"), pl)))
-        .toDF(idAs, embAs, "tbl", "bucket")
-    val cb = buckets(corpus, "vec_id", "emb")
-    val qb = broadcast(buckets(queries, "qid", "qemb"))
-    val cand = cb.join(qb,
-        cb("tbl") === qb("tbl") && cb("bucket") === qb("bucket") &&
-          col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("qemb"), col("vec_id"), col("emb"))
-      .dropDuplicates("qid", "vec_id")
-    val sims = cand.select(col("qid"), col("vec_id"),
-      round(VectorOps.cosine(col("qemb"), col("emb")), 6).as("sim"))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
-    sims
-      .select(col("qid"), col("vec_id"), col("sim"),
-        row_number().over(w).cast("long").as("rank"))
-      .where(col("rank") <= k)
-      .orderBy("qid", "rank")
+    val cand = bucketed(corpus, "vec_id", pl)
+      .join(broadcast(bucketed(queries, "qid", pl)), Seq("tbl", "bucket"))
+      .where(col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id").distinct()
+    val q = broadcast(queries.select(
+      col("vec_id").as("qid"), col("embedding").as("qemb"),
+      VectorOps.norm(col("embedding")).as("qnrm")))
+    val sims = cand
+      .join(q, "qid")
+      .join(corpus.select(col("vec_id"), col("embedding"),
+        VectorOps.norm(col("embedding")).as("nrm")), "vec_id")
+      .select(col("qid"), col("vec_id"),
+        round(VectorOps.dot(col("qemb"), col("embedding")) /
+          (col("qnrm") * col("nrm")), 6).as("sim"))
+    topK(sims, k)
   }
 
   /** Embedding-cosine near-dup pairs (the embedding flavor of dedup):
-    * LSH-bucket candidates, keep pairs with cosine >= threshold.
+    * LSH-bucket candidates (ids only), fetch vectors after dedup, keep
+    * pairs with cosine >= threshold.
     */
   def cosineDupPairs(corpus: DataFrame, threshold: Double,
-      tables: Int = 8, bitsPerTable: Int = 8, dim: Int = 64): DataFrame = {
+      tables: Int = 16, bitsPerTable: Int = 6, dim: Int = 64): DataFrame = {
     val pl = planes(tables, bitsPerTable, dim)
-    val b = corpus.select(
-        col("vec_id"), col("embedding"),
-        posexplode(bucketCols(col("embedding"), pl)))
-      .toDF("vec_id", "embedding", "tbl", "bucket")
+    val b = bucketed(corpus, "vec_id", pl)
     val cand = b.as("a").join(b.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(
-        col("a.vec_id").as("ida"), col("a.embedding").as("ea"),
-        col("b.vec_id").as("idb"), col("b.embedding").as("eb"))
-      .dropDuplicates("ida", "idb")
+      .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"))
+      .distinct()
+    val e = (side: String) => corpus.select(
+      col("vec_id").as(side),
+      col("embedding").as(s"emb_$side"),
+      VectorOps.norm(col("embedding")).as(s"nrm_$side"))
     cand
+      .join(e("ida"), "ida")
+      .join(e("idb"), "idb")
       .select(col("ida"), col("idb"),
-        round(VectorOps.cosine(col("ea"), col("eb")), 6).as("cosine"))
+        round(VectorOps.dot(col("emb_ida"), col("emb_idb")) /
+          (col("nrm_ida") * col("nrm_idb")), 6).as("cosine"))
       .where(col("cosine") >= threshold)
       .orderBy("ida", "idb")
   }

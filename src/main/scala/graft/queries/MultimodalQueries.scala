@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Multimodal
+import graft.text.{Fingerprint, LangId}
+
+/** Multimodal-column plumbing and the remaining text-analysis operators
+  * (language-ID, winnowing fingerprints) registered for the driver.
+  * `multimodal_meta` is oracle-checked; decode/langid/fingerprint use
+  * engine-side compiled code with no SQL equivalent (rows-only + specs).
+  */
+object MultimodalQueries {
+
+  /** Binary payload metadata (oracle-checked: byte lengths etc.). */
+  def meta(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.packDocuments(Tables(spark, dir, "documents"))
+      .select(
+        col("id"), col("meta.kind").as("kind"),
+        col("meta.mime").as("mime"),
+        col("meta.n_bytes").cast("long").as("n_bytes"))
+      .orderBy("id")
+
+  /** Stubbed decode + feature extraction (per-partition decoder init). */
+  def features(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(
+        Multimodal.packDocuments(Tables(spark, dir, "documents")))
+      .toDF()
+      .orderBy("id")
+
+  /** Frame-sampling plumbing over binary payloads. */
+  def frames(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+        Multimodal.packDocuments(Tables(spark, dir, "documents")),
+        frameBytes = 64, stride = 50)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_frames"), max("offset").as("last_offset"))
+      .orderBy("id")
+
+  /** Language-ID confusion counts against the labeled lang column. */
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("lang"), LangId.langOf(col("text")).as("predicted"))
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "predicted")
+
+  /** Winnowing-fingerprint copy candidates: docs sharing >= 5
+    * fingerprints (explode -> equi-join on fingerprint, never pairwise).
+    */
+  def fingerprintPairs(spark: SparkSession, dir: String): DataFrame = {
+    val fp = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(Fingerprint.fingerprints(col("text"))).as("fp"))
+      .repartition(col("doc_id"))
+    val pairs = fp.as("a").join(fp.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .agg(count(lit(1)).as("shared_fp"))
+      .where(col("shared_fp") >= 5)
+      .orderBy("ida", "idb")
+    pairs
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_meta" -> meta,
+    "multimodal_features" -> features,
+    "multimodal_frames" -> frames,
+    "text_langid" -> langId,
+    "text_fingerprint_pairs" -> fingerprintPairs)
+
+  val oracle: Map[String, String] = Map(
+    "multimodal_meta" ->
+      """SELECT doc_id AS id, 'text' AS kind, 'text/plain' AS mime,
+CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents ORDER BY id""")
+}

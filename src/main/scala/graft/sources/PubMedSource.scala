@@ -1,0 +1,133 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 for the reference's paged PubMed ingest (SURVEY.md §2.1
+  * O1/O2/O4/O5): one input partition per (year, month), each reading the
+  * month's 10k-record pages with bounded retry — the fetch stage as a
+  * *source returning rows* instead of the reference's foreach side-effect
+  * (driver-serial esearch loop + unbounded retry,
+  * spark-pubmed/job_pubmed_submit.py:31-79).
+  *
+  * The page fetcher is pluggable for the zero-egress harness: `path`
+  * points at a directory of page blobs named
+  * `{year}_{month}_num_{retstart}` (the reference's GCS object naming,
+  * job_pubmed_submit.py:40). An HTTP fetcher would slot into
+  * [[PubMedMonthReader.fetchPage]] with the same bounded-backoff loop.
+  *
+  * Usage: spark.read.format("pubmed").option("path", dir)
+  *   .option("beginYear", 1999).option("endYear", 2000).load()
+  */
+class PubMedSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "pubmed"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PubMedSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new PubMedTable(properties.asScala.toMap)
+}
+
+object PubMedSource {
+  val schema: StructType = StructType(Seq(
+    StructField("year", IntegerType, nullable = false),
+    StructField("month", IntegerType, nullable = false),
+    StructField("retstart", LongType, nullable = false),
+    StructField("content", StringType)))
+}
+
+class PubMedTable(props: Map[String, String]) extends Table with SupportsRead {
+  override def name(): String = s"pubmed(${props.getOrElse("path", "")})"
+  override def schema(): StructType = PubMedSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new PubMedScanBuilder(
+      options.getOrDefault("path", props.getOrElse("path", "")),
+      options.getOrDefault("beginYear", props.getOrElse("beginYear", "1990")).toInt,
+      options.getOrDefault("endYear", props.getOrElse("endYear", "1991")).toInt)
+}
+
+/** endYear is exclusive, matching the reference's CLI contract
+  * ("1990 will load until 1989 only", spark-pubmed-word-count/README.md).
+  */
+class PubMedScanBuilder(path: String, beginYear: Int, endYear: Int)
+    extends ScanBuilder with Scan with Batch {
+  override def build(): Scan = this
+  override def readSchema(): StructType = PubMedSource.schema
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    (for {
+      year <- beginYear until endYear
+      month <- 1 to 12
+    } yield PubMedMonthPartition(year, month, path): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PubMedMonthReader(p.asInstanceOf[PubMedMonthPartition])
+    }
+}
+
+case class PubMedMonthPartition(year: Int, month: Int, path: String)
+  extends InputPartition
+
+/** Reads one month's pages. Bounded exponential backoff replaces the
+  * reference's `while True: sleep(3)` (job_pubmed_submit.py:47-51, D6).
+  */
+class PubMedMonthReader(p: PubMedMonthPartition)
+    extends PartitionReader[InternalRow] {
+
+  private val maxAttempts = 4
+  private val pages: Iterator[java.io.File] = {
+    val dir = new java.io.File(p.path)
+    val prefix = s"${p.year}_${p.month}_num_"
+    Option(dir.listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.startsWith(prefix))
+      .sortBy(f => f.getName.stripPrefix(prefix).toLongOption.getOrElse(0L))
+      .iterator
+  }
+  private var current: InternalRow = _
+
+  private def fetchPage(f: java.io.File): String = {
+    var attempt = 0
+    var delayMs = 250L
+    while (true) {
+      try {
+        return new String(java.nio.file.Files.readAllBytes(f.toPath),
+          java.nio.charset.StandardCharsets.UTF_8)
+      } catch {
+        case e: java.io.IOException =>
+          attempt += 1
+          if (attempt >= maxAttempts) throw e
+          Thread.sleep(delayMs)
+          delayMs *= 2
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  override def next(): Boolean =
+    if (!pages.hasNext) false
+    else {
+      val f = pages.next()
+      val retstart = f.getName.stripPrefix(s"${p.year}_${p.month}_num_")
+        .toLongOption.getOrElse(0L)
+      current = InternalRow(p.year, p.month, retstart,
+        UTF8String.fromString(fetchPage(f)))
+      true
+    }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+
+  private lazy val packed =
+    Multimodal.packDocuments(Tables(spark, sfDir, "documents"))
+
+  test("packed payload roundtrips the text bytes") {
+    val row = packed
+      .join(Tables(spark, sfDir, "documents"),
+        col("id") === col("doc_id"))
+      .select(decode(col("payload"), "UTF-8").as("roundtrip"), col("text"))
+      .limit(20).collect()
+    row.foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+
+  test("meta matches payload sizes") {
+    val bad = packed
+      .where(col("meta.n_bytes") =!= octet_length(col("payload")))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("feature extraction is deterministic and content-sensitive") {
+    val f1 = Multimodal.extractFeatures(packed).collect()
+      .map(r => r.id -> r.checksum).toMap
+    val f2 = Multimodal.extractFeatures(packed).collect()
+      .map(r => r.id -> r.checksum).toMap
+    assert(f1 == f2)
+    assert(f1.values.toSet.size > 1) // different payloads -> different sums
+  }
+
+  test("features histogram is a probability-ish vector") {
+    Multimodal.extractFeatures(packed).collect().take(50).foreach { f =>
+      assert(f.feature.length == 8)
+      assert(math.abs(f.feature.sum - 1.0f) < 1e-3)
+    }
+  }
+
+  test("frame sampling produces strided offsets") {
+    val frames = Multimodal.sampleFrames(packed, frameBytes = 64, stride = 50)
+    val one = frames.where(col("id") === 0).orderBy("frame_idx").collect()
+    assert(one.nonEmpty)
+    one.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(1) == i && r.getInt(2) == i * 50)
+    }
+  }
+}

@@ -30,11 +30,12 @@ def main():
         files = glob.glob(f"{out}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no parquet output"); n_fail += 1; continue
+        if name not in oracle:
+            n = con.sql(f"SELECT count(*) FROM read_parquet({files!r})").fetchone()[0]
+            print(f"ok   {name}: rows-only ({n} rows)"); n_pass += 1
+            continue
         mine = norm(con.sql(
             f"SELECT * FROM read_parquet({files!r})").df())
-        if name not in oracle:
-            print(f"ok   {name}: rows-only ({len(mine)} rows)"); n_pass += 1
-            continue
         try:
             ref = norm(con.sql(oracle[name]).df())
         except Exception as e:
