@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{DedupQueries, EventQueries, MultimodalQueries, PipelineQueries, Relational, SimilarityQueries, TextQueries}
+import graft.queries.{Coverage, DedupQueries, EventQueries, MultimodalQueries, PipelineQueries, Relational, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every implemented operator registers a query here; SQL-expressible
@@ -19,12 +19,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextQueries.queries ++ EventQueries.queries ++
       DedupQueries.queries ++ SimilarityQueries.queries ++
-      PipelineQueries.queries ++ MultimodalQueries.queries
+      PipelineQueries.queries ++ MultimodalQueries.queries ++
+      Coverage.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ TextQueries.oracle ++ EventQueries.oracle ++
       DedupQueries.oracle ++ SimilarityQueries.oracle ++
-      PipelineQueries.oracle ++ MultimodalQueries.oracle
+      PipelineQueries.oracle ++ MultimodalQueries.oracle ++
+      Coverage.oracle
 }

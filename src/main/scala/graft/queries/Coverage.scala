@@ -1,0 +1,289 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, MapType, StringType}
+
+import graft.Tables
+import graft.streaming.EventStreams
+import graft.text.{Stopwords, TextOps}
+
+/** Second relational/text coverage wave: statistical + approximate
+  * aggregates, cube/grouping sets, map functions, date arithmetic,
+  * analytic window functions, collect_set, cross join, union-by-name,
+  * sliding windows (the batch twin of the streaming job), and TF-IDF.
+  */
+object Coverage {
+
+  /** Statistical aggregates per segment. */
+  def aggStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "customer")
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("c_nationkey")).as("n_nations"),
+        round(stddev_samp(col("c_acctbal")), 4).as("sd_bal"),
+        round(var_samp(col("c_acctbal")), 4).as("var_bal"),
+        round(percentile(col("c_acctbal"), lit(0.5)), 4).as("median_bal"),
+        round(min("c_acctbal"), 2).as("min_bal"),
+        round(max("c_acctbal"), 2).as("max_bal"))
+      .orderBy("c_mktsegment")
+
+  /** CUBE with subtotal markers. */
+  def aggCube(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"))
+      .orderBy("status", "priority")
+
+  /** Explicit GROUPING SETS ((status), (priority)). */
+  def aggGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("revenue"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("revenue"))
+      .orderBy("status", "priority")
+
+  /** Map functions over parsed JSON props. */
+  def mapFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val m = from_json(col("props"), MapType(StringType, LongType))
+    Tables(spark, dir, "events")
+      .select(
+        col("event_id"),
+        element_at(map_keys(m), 1).as("first_key"),
+        element_at(m, "k").as("k_val"),
+        size(m).cast("long").as("n_entries"),
+        element_at(map_values(m), 1).as("first_val"))
+  }
+
+  /** Date arithmetic: add_months, date_add, last_day, datediff,
+    * day-of-week, make_date.
+    */
+  def dateArith(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        add_months(col("o_orderdate"), 3).as("plus3m"),
+        date_add(col("o_orderdate"), 30).as("plus30d"),
+        last_day(col("o_orderdate")).as("month_end"),
+        datediff(col("o_orderdate"), make_date(lit(2020), lit(1), lit(1)))
+          .cast("long").as("days_since_2020"),
+        dayofweek(col("o_orderdate")).cast("long").as("dow"))
+
+  /** Analytic window functions: lead, first/last value, ntile,
+    * percent_rank, cume_dist.
+    */
+  def windowAnalytics(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables(spark, dir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        lead("o_totalprice", 1).over(w).as("next_price"),
+        first("o_totalprice").over(wFull).as("first_price"),
+        last("o_totalprice").over(wFull).as("last_price"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cdist"))
+  }
+
+  /** collect_set flattened to a deterministic string (array payloads
+    * hash differently across engines; the string form is parity-safe).
+    */
+  def collectNations(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables(spark, dir, "nation")
+    val r = Tables(spark, dir, "region")
+    n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name")
+      .agg(
+        concat_ws(",", array_sort(collect_set(col("n_name")))).as("nations"),
+        countDistinct(col("n_name")).as("n_nations"))
+      .orderBy("r_name")
+  }
+
+  /** Approximate distinct (HLL) vs exact — rows-only (HLL sketches are
+    * engine-specific); CoverageSpec asserts the error bound.
+    */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("exact"),
+        approx_count_distinct(col("l_partkey")).as("approx"))
+      .orderBy("l_returnflag")
+
+  /** Cross join (tiny dims only — the grid shape, not a data blowup). */
+  def crossGrid(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables(spark, dir, "region").select("r_name")
+    val seg = Tables(spark, dir, "customer").select("c_mktsegment").distinct()
+    r.crossJoin(seg).orderBy("r_name", "c_mktsegment")
+  }
+
+  /** unionByName across differently-shaped account tables. */
+  def unionAccounts(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer").select(
+      col("c_name").as("name"), col("c_acctbal").as("acctbal"),
+      lit("customer").as("side"))
+    val s = Tables(spark, dir, "supplier").select(
+      lit("supplier").as("side"), col("s_name").as("name"),
+      col("s_acctbal").as("acctbal"))
+    c.unionByName(s)
+      .orderBy(col("acctbal").desc, col("name"))
+      .limit(20)
+  }
+
+  /** Sliding windows, batch twin of EventStreams.slidingCounts. */
+  def slidingWindow(spark: SparkSession, dir: String): DataFrame =
+    EventStreams.slidingCounts(Tables(spark, dir, "events"))
+      .orderBy("w_start", "event_type")
+
+  /** TF-IDF top-3 terms per document (first 50 docs): two aggregations
+    * + a broadcast join of the document-frequency table, window top-k.
+    */
+  def tfidfTop(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val nDocs = docs.count() // small driver-side scalar; at scale use a
+    // computed literal from a prior pass or approx count
+    val words = docs.select(
+      col("doc_id"),
+      explode(TextOps.tokens(col("text"))).as("word"))
+      .where(!col("word").isin(Stopwords.english: _*))
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = words.groupBy("word")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val scored = tf.join(broadcast(df), "word")
+      .select(col("doc_id"), col("word"),
+        round(col("tf") * (log((lit(nDocs.toDouble) + 1.0) /
+          (col("df") + 1.0)) + 1.0), 6).as("tfidf"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("word"))
+    scored
+      .where(col("doc_id") < 50)
+      .select(col("doc_id"), col("word"), col("tfidf"),
+        row_number().over(w).cast("long").as("rank"))
+      .where(col("rank") <= 3)
+      .orderBy("doc_id", "rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_stats" -> aggStats,
+    "agg_cube" -> aggCube,
+    "agg_grouping_sets" -> aggGroupingSets,
+    "agg_approx_distinct" -> approxDistinct,
+    "map_funcs" -> mapFuncs,
+    "date_arith" -> dateArith,
+    "window_analytics" -> windowAnalytics,
+    "agg_collect_nations" -> collectNations,
+    "join_cross_grid" -> crossGrid,
+    "setop_union_accounts" -> unionAccounts,
+    "events_sliding_window" -> slidingWindow,
+    "text_tfidf_top" -> tfidfTop)
+
+  private val stopSql = Stopwords.sqlInList(Stopwords.english)
+
+  val oracle: Map[String, String] = Map(
+    "agg_stats" ->
+      """SELECT c_mktsegment, count(*) AS n,
+count(DISTINCT c_nationkey) AS n_nations,
+round(stddev_samp(c_acctbal), 4) AS sd_bal,
+round(var_samp(c_acctbal), 4) AS var_bal,
+round(quantile_cont(c_acctbal, 0.5), 4) AS median_bal,
+round(min(c_acctbal), 2) AS min_bal, round(max(c_acctbal), 2) AS max_bal
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "agg_cube" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+COALESCE(o_orderpriority, 'ALL') AS priority, count(*) AS n_orders
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY status, priority""",
+    "agg_grouping_sets" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+COALESCE(o_orderpriority, 'ALL') AS priority, count(*) AS n_orders,
+round(sum(o_totalprice), 2) AS revenue
+FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+ORDER BY status, priority""",
+    "map_funcs" ->
+      """SELECT event_id, 'k' AS first_key,
+CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+CAST(1 AS BIGINT) AS n_entries,
+CAST(json_extract_string(props, '$.k') AS BIGINT) AS first_val
+FROM events""",
+    "date_arith" ->
+      """SELECT o_orderkey,
+CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus30d,
+last_day(CAST(o_orderdate AS DATE)) AS month_end,
+date_diff('day', DATE '2020-01-01', CAST(o_orderdate AS DATE)) AS days_since_2020,
+CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow
+FROM orders""",
+    "window_analytics" ->
+      """SELECT o_custkey, o_orderkey,
+lead(o_totalprice, 1) OVER w AS next_price,
+first_value(o_totalprice) OVER wf AS first_price,
+last_value(o_totalprice) OVER wf AS last_price,
+CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+percent_rank() OVER w AS pct_rank,
+cume_dist() OVER w AS cdist
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
+    "agg_collect_nations" ->
+      """SELECT r_name,
+array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations,
+count(DISTINCT n_name) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name""",
+    "join_cross_grid" ->
+      """SELECT r_name, c_mktsegment FROM region
+CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer) s
+ORDER BY r_name, c_mktsegment""",
+    "setop_union_accounts" ->
+      """SELECT name, acctbal, side FROM (
+  SELECT c_name AS name, c_acctbal AS acctbal, 'customer' AS side
+  FROM customer
+  UNION ALL
+  SELECT s_name, s_acctbal, 'supplier' FROM supplier)
+ORDER BY acctbal DESC, name LIMIT 20""",
+    "events_sliding_window" ->
+      """SELECT time_bucket(INTERVAL '5 minutes', ts)
+  - k * INTERVAL '5 minutes' AS w_start,
+time_bucket(INTERVAL '5 minutes', ts) + (2 - k) * INTERVAL '5 minutes'
+  AS w_end,
+event_type, count(*) AS n_events
+FROM events CROSS JOIN (VALUES (0), (1)) AS s(k)
+GROUP BY 1, 2, 3 ORDER BY w_start, event_type""",
+    "text_tfidf_top" ->
+      raw"""WITH words AS (
+  SELECT doc_id,
+    unnest(list_filter(string_split_regex(lower(regexp_replace(text,
+      '[^a-zA-Z ]', ' ', 'g')), '\s+'), w -> w <> '')) AS word
+  FROM documents
+), filt AS (SELECT doc_id, word FROM words WHERE word NOT IN $stopSql),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM filt GROUP BY doc_id, word),
+idf AS (SELECT word, count(DISTINCT doc_id) AS df FROM filt GROUP BY word),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, word,
+    round(tf * (ln((n.n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+  FROM tf JOIN idf USING (word) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, word, tfidf,
+    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word)
+      AS rank
+  FROM scored WHERE doc_id < 50
+)
+SELECT doc_id, word, tfidf, rank FROM ranked WHERE rank <= 3
+ORDER BY doc_id, rank""")
+}

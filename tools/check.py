@@ -50,8 +50,13 @@ def main():
         for c in mine.columns:
             a, b = mine[c], ref[c]
             try:
-                eq = (a.astype(object).where(a.notna(), None) ==
-                      b.astype(object).where(b.notna(), None))
+                def isna(x):
+                    try: return bool(pd.isna(x))
+                    except (TypeError, ValueError): return False
+                eq = pd.Series(
+                    [(isna(x) and isna(y)) or
+                     (not isna(x) and not isna(y) and x == y)
+                     for x, y in zip(a, b)], index=a.index)
                 if not eq.all():
                     i = eq[~eq].index[0]
                     bad.append(f"{c}[{i}]: {a[i]!r} vs {b[i]!r}")
