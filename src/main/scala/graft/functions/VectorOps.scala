@@ -3,13 +3,10 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Vector math over `ArrayType(FloatType)` embedding columns.
-  *
-  * Implemented as compiled Scala UDFs rather than higher-order
-  * `aggregate`/`zip_with` expressions: higher-order functions don't
-  * participate in whole-stage codegen and their interpreted eval costs
-  * ~1µs per element — a UDF evaluates its children once and runs a tight
-  * JIT'd loop (measured ~4x faster on the pair fan-outs).
+/** Vector math over `ArrayType(FloatType)` embedding columns, built on
+  * the native [[DotProduct]] codegen expression (no UDF serde, stays in
+  * whole-stage codegen; the earlier higher-order-function formulation
+  * was interpreted and ~1µs/element).
   *
   * Determinism: a sequential left fold with float->double cast BEFORE
   * each multiply — the exact op sequence DuckDB's
@@ -19,21 +16,12 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  // Array params, not Seq: Spark's Scala-2.13 deserializer gives Seq as
-  // List (O(i) apply), silently quadratic in an indexed loop.
-  private val dotUdf = udf { (a: Array[Float], b: Array[Float]) =>
-    val n = math.min(a.length, b.length)
-    var acc = 0.0
-    var i = 0
-    while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
-    acc
-  }
-
-  /** Dot product with double accumulation. */
-  def dot(a: Column, b: Column): Column = dotUdf(a, b)
+  /** Dot product with double accumulation (native codegen expression). */
+  def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftx.DotProduct.column(a, b)
 
   /** L2 norm (same fold order as `dot` for cross-engine parity). */
-  def norm(a: Column): Column = sqrt(dotUdf(a, a))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
