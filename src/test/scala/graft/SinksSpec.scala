@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SkewJoin
+import graft.sources.Sinks
+
+class SinksSpec extends SparkSpec {
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-sink").toString
+
+  test("partitioned write creates partition dirs and roundtrips") {
+    val out = tmpDir()
+    val orders = Tables(spark, sfDir, "orders")
+      .withColumn("year", year(col("o_orderdate")))
+    Sinks.writePartitioned(orders, out, Seq("year"), chunks = 2)
+    val dirs = new java.io.File(out).listFiles().map(_.getName)
+      .filter(_.startsWith("year="))
+    assert(dirs.nonEmpty)
+    val back = spark.read.parquet(out)
+    assert(back.count() == orders.count())
+    // partition pruning: a year filter must prune to one partition dir
+    val pruned = back.where(col("year") === 2023)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(back.select("year").distinct().count() > 1)
+    assert(pruned.count() ==
+      orders.where(year(col("o_orderdate")) === 2023).count())
+  }
+
+  test("idempotent re-run: second overwrite write equals first") {
+    val out = tmpDir()
+    val df = Tables(spark, sfDir, "region")
+    Sinks.writePartitioned(df, out, Seq("r_name"))
+    val first = spark.read.parquet(out).collect().map(_.toSeq).toSet
+    Sinks.writePartitioned(df, out, Seq("r_name"))
+    val second = spark.read.parquet(out).collect().map(_.toSeq).toSet
+    assert(first == second)
+  }
+
+  test("headerless csv matches the reference output contract") {
+    val out = tmpDir() + "/csv"
+    val kw = graft.queries.PipelineQueries.pubmedGoldenV1(spark, sfDir)
+    Sinks.writeKeywordCsv(kw, out)
+    val lines = spark.read.text(out).collect().map(_.getString(0)).sorted
+    assert(lines.length == 7)
+    assert(lines.contains("man,123456") && lines.contains("article,123456"))
+  }
+
+  test("notYetWritten anti-joins against sink contents") {
+    val out = tmpDir() + "/sink"
+    val nations = Tables(spark, sfDir, "nation")
+    // empty sink: everything pending
+    val all = Sinks.notYetWritten(spark, nations, out, Seq("n_nationkey"))
+    assert(all.count() == nations.count())
+    // write half, expect the other half pending
+    nations.where(col("n_nationkey") < 12).write.parquet(out)
+    val pending = Sinks.notYetWritten(spark, nations, out, Seq("n_nationkey"))
+    assert(pending.count() == nations.where(col("n_nationkey") >= 12).count())
+  }
+
+  test("salted join equals plain join") {
+    val li = Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+    val o = Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val plain = li.join(o, Seq("o_orderkey"))
+      .groupBy("o_orderpriority").agg(sum("l_quantity").as("q"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val salted = SkewJoin.saltedJoin(li, o, "o_orderkey", salts = 8)
+      .groupBy("o_orderpriority").agg(sum("l_quantity").as("q"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(plain.keySet == salted.keySet)
+    plain.foreach { case (k, v) => assert(math.abs(salted(k) - v) < 1e-6) }
+  }
+}
