@@ -37,6 +37,38 @@ object Similarity {
     topK(sims, k)
   }
 
+  /** Map-side-combining top-k via the typed [[TopKAggregator]]: only k
+    * rows per (partition, qid) reach the shuffle, versus the window
+    * variant shuffling every candidate. Identical output (same
+    * tie-break) — registered as its own query so the oracle pins the
+    * equivalence.
+    */
+  def cosineTopKAgg(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val q = broadcast(queries.select(
+      col("vec_id").as("qid"), col("embedding").as("qemb"),
+      VectorOps.norm(col("embedding")).as("qnrm")))
+    val c = corpus.select(col("vec_id"), col("embedding"),
+      VectorOps.norm(col("embedding")).as("nrm"))
+    val sims = c.join(q, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(VectorOps.dot(col("qemb"), col("embedding")) /
+          (col("qnrm") * col("nrm")), 6).as("sim"))
+    val agg = new graft.functions.TopKAggregator(k)
+    sims.as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => graft.functions.ScoredId(r._2, r._3))
+      .agg(agg.toColumn)
+      .flatMap { case (qid, top) =>
+        top.iterator.zipWithIndex.map { case (s, i) =>
+          (qid, s.id, s.sim, (i + 1).toLong)
+        }
+      }
+      .toDF("qid", "vec_id", "sim", "rank")
+      .orderBy("qid", "rank")
+  }
+
   private def topK(sims: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
     sims

@@ -47,8 +47,10 @@ object MultimodalQueries {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("lang", "predicted")
 
-  /** Winnowing-fingerprint copy candidates: docs sharing >= 5
-    * fingerprints (explode -> equi-join on fingerprint, never pairwise).
+  /** Winnowing-fingerprint copy candidates: docs sharing >= 30
+    * fingerprints (explode -> equi-join on fingerprint, never pairwise);
+    * threshold tuned to the tiny-vocab corpus where cross-boundary
+    * 7-grams repeat heavily.
     */
   def fingerprintPairs(spark: SparkSession, dir: String): DataFrame = {
     val fp = Tables(spark, dir, "documents")
@@ -59,7 +61,7 @@ object MultimodalQueries {
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
       .agg(count(lit(1)).as("shared_fp"))
-      .where(col("shared_fp") >= 5)
+      .where(col("shared_fp") >= 30)
       .orderBy("ida", "idb")
     pairs
   }

@@ -20,6 +20,10 @@ object SimilarityQueries {
     Similarity.cosineTopK(
       Tables(spark, dir, "embeddings"), queriesSubset(spark, dir), k = 5)
 
+  def cosineTopKAgg(spark: SparkSession, dir: String): DataFrame =
+    Similarity.cosineTopKAgg(
+      Tables(spark, dir, "embeddings"), queriesSubset(spark, dir), k = 5)
+
   def annLshTopK(spark: SparkSession, dir: String): DataFrame =
     Similarity.annLshTopK(
       Tables(spark, dir, "embeddings"), queriesSubset(spark, dir), k = 5)
@@ -35,6 +39,7 @@ object SimilarityQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_topk" -> cosineTopK,
+    "sim_cosine_topk_agg" -> cosineTopKAgg,
     "sim_ann_lsh_topk" -> annLshTopK,
     "sim_cosine_dup_pairs" -> cosineDupPairs)
 
@@ -43,6 +48,23 @@ object SimilarityQueries {
 
   val oracle: Map[String, String] = Map(
     "sim_cosine_topk" ->
+      s"""WITH q AS (
+  SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 10
+), pairs AS (
+  SELECT qid, e.vec_id,
+    round(${dotSql("qemb", "e.embedding")} /
+      (sqrt(${dotSql("qemb", "qemb")}) * sqrt(${dotSql("e.embedding", "e.embedding")})), 6) AS sim
+  FROM q, embeddings e WHERE e.vec_id <> qid
+), ranked AS (
+  SELECT qid, vec_id, sim,
+    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+  FROM pairs
+)
+SELECT qid, vec_id, sim, rank FROM ranked WHERE rank <= 5
+ORDER BY qid, rank"""
+  ) ++ Map(
+    // identical semantics via the typed aggregator — same oracle shape
+    "sim_cosine_topk_agg" ->
       s"""WITH q AS (
   SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 10
 ), pairs AS (

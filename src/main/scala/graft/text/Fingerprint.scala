@@ -21,9 +21,11 @@ object Fingerprint {
       text.toLowerCase.replaceAll("[^a-z0-9]", "")
     if (s.length < k) Seq.empty
     else {
-      // rolling k-gram hashes
+      // rolling k-gram hashes; outgoing char carries weight Base^k
+      // AFTER the multiply-add step (caught by the GraftProps winnowing
+      // guarantee property: Base^(k-1) made hashes offset-dependent)
       var pow = 1L
-      (1 until k).foreach(_ => pow = mulmod(pow, Base))
+      (0 until k).foreach(_ => pow = mulmod(pow, Base))
       var h = 0L
       val hashes = new Array[Long](s.length - k + 1)
       s.indices.foreach { i =>

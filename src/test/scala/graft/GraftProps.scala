@@ -1,0 +1,99 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.sources.Asn1
+import graft.text.{Fingerprint, LangId, Lemmatizer}
+
+/** Property-based invariants (SURVEY.md §5.2 item 4) over the pure
+  * engine functions — no SparkSession needed, so hundreds of cases run
+  * in milliseconds.
+  */
+object GraftProps extends Properties("graft") {
+
+  private val word: Gen[String] =
+    Gen.choose(1, 12).flatMap(n => Gen.stringOfN(n, Gen.alphaLowerChar))
+
+  private val sentence: Gen[String] =
+    Gen.choose(1, 40).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+
+  // --- lemmatizer ------------------------------------------------------
+
+  property("noun lemma is never empty and never grows except e-restore") =
+    forAll(word) { w =>
+      val l = Lemmatizer.noun(w)
+      l.nonEmpty && l.length <= w.length + 1
+    }
+
+  property("lemmatizer is deterministic") = forAll(word) { w =>
+    Lemmatizer.noun(w) == Lemmatizer.noun(w) &&
+      Lemmatizer.verb(w) == Lemmatizer.verb(w)
+  }
+
+  property("sub-4-letter words only change via the exception table") =
+    forAll(Gen.stringOfN(3, Gen.alphaLowerChar)) { w =>
+      val l = Lemmatizer.noun(w)
+      l == w || l != w.dropRight(1) // never bare suffix-stripped
+    }
+
+  // --- asn.1 roundtrip -------------------------------------------------
+
+  private val abstractText: Gen[String] = Gen.oneOf(
+    sentence,
+    sentence.map(s => s"""with "quoted" parts: $s"""),
+    sentence.map(s => s + " 100% of 5-FU {braces} , commas"))
+
+  private val article: Gen[(Long, Option[String])] = for {
+    pmid <- Gen.choose(1L, 99999999L)
+    abs <- Gen.option(abstractText)
+  } yield (pmid, abs)
+
+  private def render(arts: Seq[(Long, Option[String])]): String =
+    arts.map { case (pmid, abs) =>
+      val absField = abs
+        .map(a => s"""    abstract "${a.replace("\"", "\"\"")}" ,\n""")
+        .getOrElse("")
+      s"""Pubmed-entry ::= {
+         |  pmid $pmid ,
+         |  medent {
+         |    em std { year 1999 , month 1 } ,
+         |$absField    status ok
+         |  }
+         |}""".stripMargin
+    }.mkString("\n")
+
+  property("asn1 parse inverts rendering (pmids + abstracts)") =
+    forAll(Gen.choose(1, 5).flatMap(n => Gen.listOfN(n, article))) { arts =>
+      val parsed = Asn1.articles(render(arts))
+      parsed.map(_.pmid) == arts.map(_._1) &&
+        parsed.map(_.abstractText) == arts.map(_._2)
+    }
+
+  // --- winnowing fingerprints -----------------------------------------
+
+  property("identical docs share all fingerprints") = forAll(sentence) { s =>
+    Fingerprint.winnow(s) == Fingerprint.winnow(s)
+  }
+
+  property("a long shared substring yields a shared fingerprint") =
+    forAll(sentence, sentence, sentence) { (prefix, shared0, suffix) =>
+      // winnowing guarantee holds for normalized length >= k + w - 1
+      val shared = shared0 + " sharedcorematerialxyz " + shared0
+      val a = Fingerprint.winnow(prefix + " " + shared)
+      val b = Fingerprint.winnow(shared + " " + suffix)
+      Prop(a.toSet.intersect(b.toSet).nonEmpty) :| "no shared fingerprint"
+    }
+
+  // --- langid ----------------------------------------------------------
+
+  property("langid is deterministic and total") = forAll(sentence) { s =>
+    val l = LangId.detect(s)
+    l == LangId.detect(s) && l.nonEmpty
+  }
+
+  property("langid of empty-ish text is undetermined") =
+    forAll(Gen.oneOf("", " ", "1 2 3 !!")) { s =>
+      LangId.detect(s) == "und"
+    }
+}
