@@ -70,10 +70,32 @@ object EventQueries {
       .orderBy("user_id", "session_id")
   }
 
+  /** As-of join: each click matched to the user's most recent purchase
+    * at-or-before the click (single-shuffle union+window composition,
+    * oracle = DuckDB's native ASOF JOIN).
+    */
+  def asofClickPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables(spark, dir, "events")
+    val clicks = events.where(col("event_type") === "click")
+      .select("event_id", "user_id", "ts", "value")
+    val purchases = events.where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    graft.operators.AsOfJoin.asOf(clicks, purchases, "user_id", "ts")
+      .select(
+        col("left.event_id").as("click_id"),
+        col("left.user_id").as("user_id"),
+        col("right.event_id").as("purchase_id"),
+        round(col("right.value"), 2).as("purchase_value"),
+        (unix_micros(col("left.ts")) - unix_micros(col("right.ts")))
+          .as("gap_us"))
+      .orderBy("click_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_json_props" -> jsonProps,
     "events_tumbling_window" -> tumblingWindow,
-    "events_sessionize" -> sessionize)
+    "events_sessionize" -> sessionize,
+    "events_asof_join" -> asofClickPurchase)
 
   val oracle: Map[String, String] = Map(
     "events_json_props" ->
@@ -107,5 +129,13 @@ SELECT user_id, session_id, count(*) AS n_events,
   min(ts) AS sess_start, max(ts) AS sess_end,
   round(sum(value), 2) AS sum_value
 FROM sess GROUP BY user_id, session_id
-ORDER BY user_id, session_id""")
+ORDER BY user_id, session_id""",
+    "events_asof_join" ->
+      """SELECT c.event_id AS click_id, c.user_id,
+p.event_id AS purchase_id, round(p.value, 2) AS purchase_value,
+epoch_us(c.ts) - epoch_us(p.ts) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+ORDER BY click_id""")
 }

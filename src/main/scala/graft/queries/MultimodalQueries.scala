@@ -47,21 +47,25 @@ object MultimodalQueries {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("lang", "predicted")
 
-  /** Winnowing-fingerprint copy candidates: docs sharing >= 30
-    * fingerprints (explode -> equi-join on fingerprint, never pairwise);
-    * threshold tuned to the tiny-vocab corpus where cross-boundary
-    * 7-grams repeat heavily.
+  /** Winnowing-fingerprint copy candidates: docs sharing >= 15 RARE
+    * fingerprints (document frequency <= 20). The df-cap is the same
+    * blocking bargain as shingle dedup: discriminative fingerprints
+    * drive the join, corpus-wide 7-grams (ubiquitous in the tiny-vocab
+    * harness corpus) never create quadratic buckets.
     */
   def fingerprintPairs(spark: SparkSession, dir: String): DataFrame = {
     val fp = Tables(spark, dir, "documents")
       .select(col("doc_id"),
         explode(Fingerprint.fingerprints(col("text"))).as("fp"))
       .repartition(col("doc_id"))
-    val pairs = fp.as("a").join(fp.as("b"),
+    val rare = fp.groupBy("fp").agg(count(lit(1)).as("df"))
+      .where(col("df").between(2, 20))
+    val fpr = fp.join(broadcast(rare.select("fp")), "fp")
+    val pairs = fpr.as("a").join(fpr.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
       .agg(count(lit(1)).as("shared_fp"))
-      .where(col("shared_fp") >= 30)
+      .where(col("shared_fp") >= 15)
       .orderBy("ida", "idb")
     pairs
   }
