@@ -79,6 +79,24 @@ object EventStreams {
       }
   }
 
+  /** External-service egress via foreachBatch — the ONLY place the
+    * engine keeps a foreach-style side effect (SURVEY.md O8: the
+    * reference's per-element upload closures become declarative sinks;
+    * true external egress gets the micro-batch hook). The handler
+    * receives (batchDF, batchId); batchId is stable across retries so
+    * handlers can be idempotent (write-once per id).
+    */
+  def toExternalSink(df: DataFrame, name: String)(
+      handler: (DataFrame, Long) => Unit): Unit = {
+    val q = df.writeStream
+      .queryName(name)
+      .outputMode(OutputMode.Update())
+      .foreachBatch(handler)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Output-mode helper used by the spec: run a streaming DataFrame to
     * completion against a memory sink and return the result table.
     */

@@ -31,13 +31,24 @@ object LangId {
       "han yu pin yin ci yu xi tong ke yi ping gu zhe xie nei rong zu gou " +
       "jian dan de shi bie zhong wen wen ben"))
 
-  private def trigramCounts(s: String): Map[String, Int] = {
+  private def trigramCounts(s: String): collection.Map[String, Int] = {
     val clean = s.toLowerCase.replaceAll("[^a-z ]", " ").replaceAll("\\s+", " ")
     if (clean.length < 3) Map.empty
-    else clean.sliding(3).toSeq.groupBy(identity).map { case (k, v) => k -> v.size }
+    else {
+      // single pass with a mutable map — sliding+groupBy allocated a
+      // Seq per trigram occurrence and dominated the corpus scan
+      val m = new collection.mutable.HashMap[String, Int]()
+      var i = 0
+      while (i + 3 <= clean.length) {
+        val g = clean.substring(i, i + 3)
+        m.update(g, m.getOrElse(g, 0) + 1)
+        i += 1
+      }
+      m
+    }
   }
 
-  private val profiles: Map[String, (Map[String, Int], Double)] =
+  private val profiles: Map[String, (collection.Map[String, Int], Double)] =
     seeds.map { case (lang, text) =>
       val c = trigramCounts(text)
       lang -> (c, math.sqrt(c.values.map(v => v.toDouble * v).sum))

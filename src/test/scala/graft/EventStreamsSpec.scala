@@ -112,6 +112,21 @@ class EventStreamsSpec extends SparkSpec {
       Seq(1L, 2L, 3L))
   }
 
+  test("foreachBatch external sink receives batches with stable ids") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val base = new Timestamp(1704067200000L)
+    val stream = MemoryStream[EventRow]
+    stream.addData(Seq(
+      EventRow(1, base, 1, "click", 1.0), EventRow(2, base, 2, "view", 2.0)))
+    val received = collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    EventStreams.toExternalSink(stream.toDF(), "ext_sink") { (batch, id) =>
+      received += ((id, batch.count()))
+    }
+    assert(received.nonEmpty && received.map(_._2).sum == 2)
+    assert(received.map(_._1).distinct.length == received.length)
+  }
+
   test("mapGroupsWithState running totals accumulate across triggers") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
