@@ -27,6 +27,20 @@ class BucketingSpec extends SparkSpec {
   }
 
   test("bucketed tables join without an exchange") {
+    // the shared session ignores warehouse.dir config; clear both the
+    // catalog entries and any orphaned managed-table directories from
+    // prior JVMs, or saveAsTable fails with LOCATION_ALREADY_EXISTS
+    Seq("orders_b", "lineitem_b").foreach { t =>
+      bspark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        bspark.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:"), t)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      if (loc.exists()) rm(loc)
+    }
     val orders = Tables(bspark, sfDir, "orders")
     val lineitem = Tables(bspark, sfDir, "lineitem")
     orders.write.mode("overwrite")
