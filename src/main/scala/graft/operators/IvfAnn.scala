@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** IVF (inverted-file) approximate nearest neighbor — the second scale
+  * path next to hyperplane LSH (Similarity.annLshTopK).
+  *
+  * Standard IVF shape: centroids are trained on a SAMPLE collected to
+  * the driver (k * dim floats — tiny), then shipped back as literals;
+  * every corpus vector is assigned to its nearest centroid in one
+  * distributed pass; a query probes only the `nprobe` nearest centroid
+  * lists, so the exact-rerank join touches ~nprobe/k of the corpus.
+  * Deterministic end to end: seeded sampling by vec_id, fixed Lloyd
+  * iterations, ties broken by index.
+  */
+object IvfAnn {
+
+  /** Lloyd's k-means on a driver-side sample (deterministic). */
+  def trainCentroids(corpus: DataFrame, k: Int, sampleMod: Int = 1,
+      iters: Int = 5): Array[Array[Double]] = {
+    val sample = corpus
+      .where(pmod(col("vec_id"), lit(sampleMod)) === 0)
+      .select("embedding")
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.length >= k, s"sample ${sample.length} < k=$k")
+    var centroids = sample.take(k).map(_.clone())
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(k)(new Array[Double](centroids(0).length))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        val c = nearest(v, centroids)
+        counts(c) += 1
+        var i = 0
+        while (i < v.length) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = Array.tabulate(k) { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }
+    }
+    centroids
+  }
+
+  private def nearest(v: Array[Double], cs: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      var d = 0.0
+      var i = 0
+      val cv = cs(c)
+      while (i < v.length) { val x = v(i) - cv(i); d += x * x; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private def assignUdf(cs: Array[Array[Double]]) = udf { v: Array[Float] =>
+    nearest(v.map(_.toDouble), cs)
+  }
+
+  /** Ranks of the nprobe nearest centroids for a query vector. */
+  private def probeUdf(cs: Array[Array[Double]], nprobe: Int) =
+    udf { v: Array[Float] =>
+      val vd = v.map(_.toDouble)
+      cs.indices
+        .map { c =>
+          var d = 0.0
+          var i = 0
+          while (i < vd.length) { val x = vd(i) - cs(c)(i); d += x * x; i += 1 }
+          (d, c)
+        }
+        .sorted.take(nprobe).map(_._2).toArray
+    }
+
+  /** IVF top-k: assign corpus once, probe nprobe lists per query,
+    * exact cosine rerank. Candidate join carries ids + list id only.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cs = trainCentroids(corpus, nlist)
+    val assigned = corpus.select(
+      col("vec_id"), col("embedding"),
+      VectorOps.norm(col("embedding")).as("nrm"),
+      assignUdf(cs)(col("embedding")).as("list_id"))
+    val probed = broadcast(queries.select(
+      col("vec_id").as("qid"), col("embedding").as("qemb"),
+      VectorOps.norm(col("embedding")).as("qnrm"),
+      explode(probeUdf(cs, nprobe)(col("embedding"))).as("list_id")))
+    val sims = assigned.join(probed,
+        Seq("list_id")).where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(VectorOps.dot(col("qemb"), col("embedding")) /
+          (col("qnrm") * col("nrm")), 6).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+    sims
+      .select(col("qid"), col("vec_id"), col("sim"),
+        row_number().over(w).cast("long").as("rank"))
+      .where(col("rank") <= k)
+      .orderBy("qid", "rank")
+  }
+}

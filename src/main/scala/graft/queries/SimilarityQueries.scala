@@ -24,6 +24,10 @@ object SimilarityQueries {
     Similarity.cosineTopKAgg(
       Tables(spark, dir, "embeddings"), queriesSubset(spark, dir), k = 5)
 
+  def annIvfTopK(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.IvfAnn.ivfTopK(
+      Tables(spark, dir, "embeddings"), queriesSubset(spark, dir), k = 5)
+
   def annLshTopK(spark: SparkSession, dir: String): DataFrame =
     Similarity.annLshTopK(
       Tables(spark, dir, "embeddings"), queriesSubset(spark, dir), k = 5)
@@ -41,6 +45,7 @@ object SimilarityQueries {
     "sim_cosine_topk" -> cosineTopK,
     "sim_cosine_topk_agg" -> cosineTopKAgg,
     "sim_ann_lsh_topk" -> annLshTopK,
+    "sim_ann_ivf_topk" -> annIvfTopK,
     "sim_cosine_dup_pairs" -> cosineDupPairs)
 
   private val dotSql = (a: String, b: String) =>

@@ -44,6 +44,16 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, s"recall collapsed: $recall")
   }
 
+  test("ivf ann recall vs brute force is useful") {
+    val exact = Similarity.cosineTopK(emb, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = graft.operators.IvfAnn.ivfTopK(emb, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    info(s"IVF recall@5 = $recall")
+    assert(recall >= 0.3, s"recall collapsed: $recall")
+  }
+
   test("cosine dup pairs are symmetric-free and above threshold") {
     val rows = graft.queries.SimilarityQueries.cosineDupPairs(spark, sfDir)
       .collect()
