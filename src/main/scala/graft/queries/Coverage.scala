@@ -144,6 +144,17 @@ object Coverage {
       .limit(20)
   }
 
+  /** Pivot: status columns per priority (missing combos filled 0 to
+    * match the oracle's FILTER counts).
+    */
+  def aggPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+      .na.fill(0)
+      .orderBy("o_orderpriority")
+
   /** Sliding windows, batch twin of EventStreams.slidingCounts. */
   def slidingWindow(spark: SparkSession, dir: String): DataFrame =
     EventStreams.slidingCounts(Tables(spark, dir, "events"))
@@ -182,6 +193,7 @@ object Coverage {
     "agg_cube" -> aggCube,
     "agg_grouping_sets" -> aggGroupingSets,
     "agg_approx_distinct" -> approxDistinct,
+    "agg_pivot_status" -> aggPivot,
     "map_funcs" -> mapFuncs,
     "date_arith" -> dateArith,
     "window_analytics" -> windowAnalytics,
@@ -213,6 +225,12 @@ COALESCE(o_orderpriority, 'ALL') AS priority, count(*) AS n_orders,
 round(sum(o_totalprice), 2) AS revenue
 FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
 ORDER BY status, priority""",
+    "agg_pivot_status" ->
+      """SELECT o_orderpriority,
+count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+count(*) FILTER (WHERE o_orderstatus = 'P') AS P
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "map_funcs" ->
       """SELECT event_id, 'k' AS first_key,
 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
