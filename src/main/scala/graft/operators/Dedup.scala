@@ -68,28 +68,14 @@ object Dedup {
       .where(size(col("shs")) > 0)
       .repartition(col("doc_id"))
 
-  /** Set Jaccard via linear merge of the sorted hash arrays (the verify
-    * hot loop; interpreted `array_intersect` cost ~50µs/pair). The
-    * output is an integer-count division, bit-identical to the oracle's
+  /** Set Jaccard via linear merge of the sorted hash arrays — the
+    * native codegen expression [[org.apache.spark.sql.graftx.JaccardSorted]]
+    * (no serde, stays in whole-stage codegen across the candidate-pair
+    * fan-out). Integer-count division, bit-identical to the oracle's
     * `len(list_intersect(..)) / (na + nb - inter)`.
     */
-  // Array params, not Seq: Spark's Scala-2.13 deserializer materializes
-  // Seq as List, making indexed access O(i) and .length O(n) — the merge
-  // degraded to O(n²) per pair (measured 46s -> the join cost vanished
-  // once profiled). Array unpacks to a primitive array, O(1) throughout.
-  private val jaccardUdf = udf { (a: Array[Long], b: Array[Long]) =>
-    var i = 0
-    var j = 0
-    var inter = 0
-    while (i < a.length && j < b.length) {
-      val x = a(i)
-      val y = b(j)
-      if (x == y) { inter += 1; i += 1; j += 1 }
-      else if (x < y) i += 1
-      else j += 1
-    }
-    inter.toDouble / (a.length.toDouble + b.length.toDouble - inter.toDouble)
-  }
+  private def jaccardCol(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftx.JaccardSorted.column(a, b)
 
   /** Exact-verify candidate (ida, idb) pairs against the shingle sets,
     * keeping pairs with Jaccard >= threshold.
@@ -105,7 +91,7 @@ object Dedup {
       .join(broadcast(sh.select(col("doc_id").as("ida"), col("shs").as("sha"))), "ida")
       .join(broadcast(sh.select(col("doc_id").as("idb"), col("shs").as("shb"))), "idb")
       .select(col("ida"), col("idb"),
-        round(jaccardUdf(col("sha"), col("shb")), 6).as("jaccard"))
+        round(jaccardCol(col("sha"), col("shb")), 6).as("jaccard"))
       .where(col("jaccard") >= threshold)
 
   /** Near-dup pairs via inverted-index blocking + exact Jaccard.
