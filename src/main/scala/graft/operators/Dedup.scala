@@ -199,6 +199,59 @@ object Dedup {
     * Hamming distance <= 3 shares at least one exact band by pigeonhole;
     * wider distances are probabilistic), verified with bit_count(xor).
     */
+  /** Connected components over a near-dup pair graph by min-label
+    * propagation: label(v) starts as v, each round takes the min over
+    * the neighborhood, stops at fixpoint. Near-dup clusters have tiny
+    * diameters, so this converges in a few joins; each round is one
+    * shuffle on the edge key (no driver-side graph). Returns
+    * (doc_id, component) where component = min doc_id in the cluster.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("ida").as("src"), col("idb").as("dst"))
+      .unionByName(pairs.select(col("idb").as("src"), col("ida").as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("doc_id"))
+      .distinct()
+      .withColumn("component", col("doc_id"))
+      .persist()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min("component").as("nbr_min"))
+      val next = labels
+        .join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("component"))
+        .persist()
+      changed = next.as("n")
+        .join(labels.as("o"), "doc_id")
+        .where(col("n.component") =!= col("o.component"))
+        .count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Deduplicated corpus: drop every near-dup cluster member except the
+    * min-id representative (exact dups included via jaccard = 1.0).
+    */
+  def survivors(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val comps = connectedComponents(
+      jaccardPairs(docs, idCol, textCol, threshold))
+    val losers = comps.where(col("doc_id") =!= col("component"))
+      .select(col("doc_id").as(idCol))
+    docs.join(broadcast(losers), Seq(idCol), "left_anti")
+  }
+
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 6): DataFrame = {
     val sig = simhash(docs, idCol, textCol)

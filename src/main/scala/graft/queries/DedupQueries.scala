@@ -35,7 +35,23 @@ object DedupQueries {
         "doc_id", "text", maxHamming = 3)
       .orderBy("ida", "idb")
 
+  /** Cluster ids for every doc in a near-dup cluster (min-id label). */
+  def components(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+        Dedup.jaccardPairs(Tables(spark, dir, "documents"),
+          "doc_id", "text", threshold = 0.2))
+      .orderBy("doc_id")
+
+  /** The corpus after near-dup removal (one representative per cluster). */
+  def survivors(spark: SparkSession, dir: String): DataFrame =
+    Dedup.survivors(Tables(spark, dir, "documents"),
+        "doc_id", "text", threshold = 0.2)
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_components" -> components,
+    "dedup_survivors" -> survivors,
     "dedup_exact_md5" -> exactMd5,
     "dedup_shingle_jaccard" -> shingleJaccard,
     "dedup_minhash_lsh" -> minhashLsh,

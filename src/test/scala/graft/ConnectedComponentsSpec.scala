@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+class ConnectedComponentsSpec extends SparkSpec {
+
+  private def driverComponents(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    // driver-side union-find ground truth
+    val parent = collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("label propagation matches driver-side union-find") {
+    val docs = Tables(spark, sfDir, "documents")
+    val pairsDf = Dedup.jaccardPairs(docs, "doc_id", "text", 0.2)
+    val pairs = pairsDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.nonEmpty)
+    val got = Dedup.connectedComponents(pairsDf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == driverComponents(pairs))
+  }
+
+  test("survivors keep exactly one representative per cluster") {
+    val docs = Tables(spark, sfDir, "documents")
+    val total = docs.count()
+    val comps = Dedup.connectedComponents(
+      Dedup.jaccardPairs(docs, "doc_id", "text", 0.2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val clusters = comps.groupBy(_._2)
+    val expectedDropped = comps.length - clusters.size
+    val surv = Dedup.survivors(docs, "doc_id", "text", 0.2)
+    assert(surv.count() == total - expectedDropped)
+    // every cluster representative (min id) survives
+    val survIds = surv.select("doc_id").collect().map(_.getLong(0)).toSet
+    clusters.keys.foreach(rep => assert(survIds.contains(rep)))
+  }
+
+  test("chain graphs collapse to one component") {
+    import spark.implicits._
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("ida", "idb")
+    val got = Dedup.connectedComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+}
