@@ -241,16 +241,22 @@ object Dedup {
   }
 
   /** Deduplicated corpus: drop every near-dup cluster member except the
-    * min-id representative (exact dups included via jaccard = 1.0).
+    * min-id representative. `pairs` is any verified near-dup pair table
+    * (ida, idb) — at corpus scale MinHash-LSH pairs are the intended
+    * input (computed once, reused for clustering).
     */
-  def survivors(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double): DataFrame = {
-    val comps = connectedComponents(
-      jaccardPairs(docs, idCol, textCol, threshold))
+  def survivorsFromPairs(docs: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val comps = connectedComponents(pairs)
     val losers = comps.where(col("doc_id") =!= col("component"))
       .select(col("doc_id").as(idCol))
     docs.join(broadcast(losers), Seq(idCol), "left_anti")
   }
+
+  def survivors(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame =
+    survivorsFromPairs(docs, idCol,
+      minhashLshPairs(docs, idCol, textCol, threshold))
 
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 6): DataFrame = {

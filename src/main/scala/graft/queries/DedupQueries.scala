@@ -35,17 +35,19 @@ object DedupQueries {
         "doc_id", "text", maxHamming = 3)
       .orderBy("ida", "idb")
 
-  /** Cluster ids for every doc in a near-dup cluster (min-id label). */
+  /** Cluster ids for every doc in a near-dup cluster (min-id label),
+    * over the MinHash-LSH pairs — the candidate path that scales.
+    */
   def components(spark: SparkSession, dir: String): DataFrame =
     Dedup.connectedComponents(
-        Dedup.jaccardPairs(Tables(spark, dir, "documents"),
-          "doc_id", "text", threshold = 0.2))
+        Dedup.minhashLshPairs(Tables(spark, dir, "documents"),
+          "doc_id", "text", threshold = 0.5))
       .orderBy("doc_id")
 
   /** The corpus after near-dup removal (one representative per cluster). */
   def survivors(spark: SparkSession, dir: String): DataFrame =
     Dedup.survivors(Tables(spark, dir, "documents"),
-        "doc_id", "text", threshold = 0.2)
+        "doc_id", "text", threshold = 0.5)
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")
 

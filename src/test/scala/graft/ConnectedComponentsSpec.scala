@@ -33,8 +33,9 @@ class ConnectedComponentsSpec extends SparkSpec {
   test("survivors keep exactly one representative per cluster") {
     val docs = Tables(spark, sfDir, "documents")
     val total = docs.count()
+    // same pair source as Dedup.survivors (MinHash-LSH at 0.5)
     val comps = Dedup.connectedComponents(
-      Dedup.jaccardPairs(docs, "doc_id", "text", 0.2))
+      Dedup.minhashLshPairs(docs, "doc_id", "text", 0.5))
       .collect().map(r => r.getLong(0) -> r.getLong(1))
     val clusters = comps.groupBy(_._2)
     val expectedDropped = comps.length - clusters.size
