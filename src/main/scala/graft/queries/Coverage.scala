@@ -144,6 +144,28 @@ object Coverage {
       .limit(20)
   }
 
+  /** posexplode with ordinals (DuckDB zips parallel unnests). */
+  def arrayPosexplode(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "part")
+      .select(col("p_partkey"),
+        posexplode(split(col("p_name"), " ")))
+      .select(col("p_partkey"), col("pos").cast("long").as("pos"),
+        col("col").as("word"))
+
+  /** Array scalar functions on the name tokens. */
+  def arrayFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val arr = split(col("p_name"), " ")
+    Tables(spark, dir, "part")
+      .select(
+        col("p_partkey"),
+        size(arr).cast("long").as("n_words"),
+        array_contains(arr, "small").as("has_small"),
+        concat_ws(",", array_sort(arr)).as("sorted_words"),
+        element_at(arr, 1).as("first_word"),
+        concat_ws(",", slice(arr, 1, 2)).as("first_two"),
+        concat_ws(",", reverse(arr)).as("reversed"))
+  }
+
   /** Pivot: status columns per priority (missing combos filled 0 to
     * match the oracle's FILTER counts).
     */
@@ -194,6 +216,8 @@ object Coverage {
     "agg_grouping_sets" -> aggGroupingSets,
     "agg_approx_distinct" -> approxDistinct,
     "agg_pivot_status" -> aggPivot,
+    "array_posexplode" -> arrayPosexplode,
+    "array_funcs" -> arrayFuncs,
     "map_funcs" -> mapFuncs,
     "date_arith" -> dateArith,
     "window_analytics" -> windowAnalytics,
@@ -231,6 +255,21 @@ count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
 count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
 count(*) FILTER (WHERE o_orderstatus = 'P') AS P
 FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "array_posexplode" ->
+      """WITH p AS (SELECT p_partkey, string_split(p_name, ' ') AS parts
+  FROM part)
+SELECT p_partkey, unnest(range(0, len(parts))) AS pos,
+unnest(parts) AS word FROM p""",
+    "array_funcs" ->
+      """WITH p AS (SELECT p_partkey, string_split(p_name, ' ') AS parts
+  FROM part)
+SELECT p_partkey, CAST(len(parts) AS BIGINT) AS n_words,
+list_contains(parts, 'small') AS has_small,
+array_to_string(list_sort(parts), ',') AS sorted_words,
+parts[1] AS first_word,
+array_to_string(parts[1:2], ',') AS first_two,
+array_to_string(list_reverse(parts), ',') AS reversed
+FROM p""",
     "map_funcs" ->
       """SELECT event_id, 'k' AS first_key,
 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
