@@ -35,9 +35,14 @@ object PipelineQueries {
       .orderBy("word")
   }
 
+  /** The full training-data preparation funnel over the corpus. */
+  def corpusFunnel(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.CorpusPipeline.funnel(Tables(spark, dir, "documents"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_keywords_v2_topk" -> keywordsV2TopK,
-    "pipeline_pubmed_golden_v1" -> pubmedGoldenV1)
+    "pipeline_pubmed_golden_v1" -> pubmedGoldenV1,
+    "pipeline_corpus_funnel" -> corpusFunnel)
 
   val oracle: Map[String, String] = Map.empty
 }
