@@ -67,18 +67,23 @@ object CorpusPipeline {
     val spark = docs.sparkSession
     import spark.implicits._
     val lang = languageFiltered(docs, cfg)
-    val quality = qualityFiltered(lang, cfg)
-    val exact = exactDeduped(quality)
+    // counting every stage would recompute each prefix; cache the two
+    // reused frontiers for the duration of the funnel
+    val quality = qualityFiltered(lang, cfg).persist()
+    val exact = exactDeduped(quality).persist()
     val near = nearDeduped(exact, cfg)
-    val tokenBudget = near
-      .agg(sum(TextOps.tokenCount(col("text")).cast("long")))
-      .collect()(0).getLong(0)
-    Seq(
+    val Array(nearCount, tokenBudget) = near
+      .agg(count(lit(1)), sum(TextOps.tokenCount(col("text")).cast("long")))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    val out = Seq(
       ("1_input", docs.count(), 0L),
       ("2_language", lang.count(), 0L),
       ("3_quality", quality.count(), 0L),
       ("4_exact_dedup", exact.count(), 0L),
-      ("5_near_dedup", near.count(), tokenBudget))
+      ("5_near_dedup", nearCount, tokenBudget))
       .toDF("stage", "n_docs", "total_tokens")
+    quality.unpersist()
+    exact.unpersist()
+    out
   }
 }
