@@ -207,9 +207,13 @@ object Dedup {
     * (doc_id, component) where component = min doc_id in the cluster.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // Edges are cached PRE-PARTITIONED on the probe key (dst): every
+    // round's edge⋈label join then reads the cached layout with no
+    // per-round reshuffle of the (much larger) edge side.
     val edges = pairs.select(col("ida").as("src"), col("idb").as("dst"))
       .unionByName(pairs.select(col("idb").as("src"), col("ida").as("dst")))
       .distinct()
+      .repartition(col("dst"))
       .persist()
     var labels = edges.select(col("src").as("doc_id"))
       .distinct()
@@ -222,18 +226,21 @@ object Dedup {
         .join(labels, edges("dst") === labels("doc_id"))
         .groupBy(col("src").as("doc_id"))
         .agg(min("component").as("nbr_min"))
+      // The convergence check rides along as a _chg flag on the SAME
+      // materialization: one tiny agg over the cached round output
+      // replaces the old second join+count job per round.
       val next = labels
         .join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
-            .as("component"))
+            .as("component"),
+          (coalesce(col("nbr_min"), col("component")) < col("component"))
+            .cast("long").as("_chg"))
         .persist()
-      changed = next.as("n")
-        .join(labels.as("o"), "doc_id")
-        .where(col("n.component") =!= col("o.component"))
-        .count()
+      changed = next.agg(coalesce(sum("_chg"), lit(0L)))
+        .collect()(0).getLong(0)
       labels.unpersist()
-      labels = next
+      labels = next.drop("_chg")
       iter += 1
     }
     edges.unpersist()
@@ -250,7 +257,11 @@ object Dedup {
     val comps = connectedComponents(pairs)
     val losers = comps.where(col("doc_id") =!= col("component"))
       .select(col("doc_id").as(idCol))
-    docs.join(broadcast(losers), Seq(idCol), "left_anti")
+    // NO broadcast hint: losers is every non-representative near-dup —
+    // routinely a double-digit share of the corpus, so it is NOT small.
+    // A shuffled left_anti on the 8-byte id column is cheap; AQE may
+    // still broadcast when the cluster count happens to be tiny.
+    docs.join(losers, Seq(idCol), "left_anti")
   }
 
   def survivors(docs: DataFrame, idCol: String, textCol: String,

@@ -19,11 +19,22 @@ import graft.functions.VectorOps
   */
 object IvfAnn {
 
-  /** Lloyd's k-means on a driver-side sample (deterministic). */
-  def trainCentroids(corpus: DataFrame, k: Int, sampleMod: Int = 1,
+  /** Lloyd's k-means on a driver-side sample (deterministic).
+    * `sampleMod <= 0` derives the modulus from the corpus row count so
+    * the driver-side sample stays ~k*100 rows no matter the corpus size
+    * (collecting the full embedding column would OOM the driver long
+    * before 100 TB).
+    */
+  def trainCentroids(corpus: DataFrame, k: Int, sampleMod: Int = 0,
       iters: Int = 5): Array[Array[Double]] = {
+    val mod =
+      if (sampleMod > 0) sampleMod
+      else {
+        val n = corpus.count()
+        math.min(Int.MaxValue.toLong, math.max(1L, n / (k * 100L))).toInt
+      }
     val sample = corpus
-      .where(pmod(col("vec_id"), lit(sampleMod)) === 0)
+      .where(pmod(col("vec_id"), lit(mod)) === 0)
       .select("embedding")
       .collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
@@ -83,8 +94,8 @@ object IvfAnn {
     * exact cosine rerank. Candidate join carries ids + list id only.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val cs = trainCentroids(corpus, nlist)
+      nlist: Int = 16, nprobe: Int = 4, sampleMod: Int = 0): DataFrame = {
+    val cs = trainCentroids(corpus, nlist, sampleMod)
     val assigned = corpus.select(
       col("vec_id"), col("embedding"),
       VectorOps.norm(col("embedding")).as("nrm"),

@@ -18,8 +18,22 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  /** Join types for which salting preserves semantics: the left side
+    * carries ONE salt per row and the right side carries ALL salts per
+    * row, so inner/left-outer/semi/anti rows match exactly iff they
+    * match unsalted. right/full-outer are rejected — each of the
+    * `salts` right-side copies that finds no left match would emit its
+    * own null-padded row (salts-fold duplication of unmatched rights).
+    */
+  private val soundJoinTypes =
+    Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti")
+
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       salts: Int, joinType: String = "inner"): DataFrame = {
+    require(soundJoinTypes(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin supports inner/left/left_semi/left_anti, got $joinType" +
+        " (right/full would duplicate unmatched right rows per salt)")
     val saltedLeft = left.withColumn("_salt",
       pmod(xxhash64(struct(left.columns.map(col): _*)), lit(salts)).cast("int"))
     val saltedRight = right.withColumn("_salt",

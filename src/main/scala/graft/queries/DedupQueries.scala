@@ -35,19 +35,26 @@ object DedupQueries {
         "doc_id", "text", maxHamming = 3)
       .orderBy("ida", "idb")
 
-  /** Cluster ids for every doc in a near-dup cluster (min-id label),
-    * over the MinHash-LSH pairs — the candidate path that scales.
+  /** Cluster ids for every doc in a near-dup cluster (min-id label).
+    * Runs over the EXACT shingle-Jaccard pair graph (same parameters as
+    * `dedup_shingle_jaccard`) so the clustering itself is DuckDB-oracle
+    * checked via a recursive-CTE transitive closure; the MinHash-LSH
+    * pair path gets the same clustering through `Dedup.survivors` in
+    * the corpus pipeline + DedupSpec agreement tests.
     */
   def components(spark: SparkSession, dir: String): DataFrame =
     Dedup.connectedComponents(
-        Dedup.minhashLshPairs(Tables(spark, dir, "documents"),
-          "doc_id", "text", threshold = 0.5))
+        Dedup.jaccardPairs(Tables(spark, dir, "documents"),
+          "doc_id", "text", threshold = 0.2, dfCap = 50))
       .orderBy("doc_id")
 
-  /** The corpus after near-dup removal (one representative per cluster). */
+  /** The corpus after near-dup removal (one representative per cluster),
+    * over the same oracle-checkable exact pair graph.
+    */
   def survivors(spark: SparkSession, dir: String): DataFrame =
-    Dedup.survivors(Tables(spark, dir, "documents"),
-        "doc_id", "text", threshold = 0.5)
+    Dedup.survivorsFromPairs(Tables(spark, dir, "documents"), "doc_id",
+        Dedup.jaccardPairs(Tables(spark, dir, "documents"),
+          "doc_id", "text", threshold = 0.2, dfCap = 50))
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")
 
@@ -62,13 +69,11 @@ object DedupQueries {
   private val tokSql =
     raw"list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z ]', ' ', 'g')), '\s+'), w -> w <> '')"
 
-  val oracle: Map[String, String] = Map(
-    "dedup_exact_md5" ->
-      """SELECT md5(text) AS digest, min(doc_id) AS keep_id,
-count(*) AS copies
-FROM documents GROUP BY md5(text) ORDER BY digest""",
-    "dedup_shingle_jaccard" ->
-      raw"""WITH toks AS (
+  /** Shared CTE chain producing the exact verified pair table —
+    * identical to the Spark jaccardPairs(threshold=0.2, dfCap=50).
+    */
+  private val pairsCte =
+    raw"""toks AS (
   SELECT doc_id, $tokSql AS ws FROM documents
 ), sh AS (
   SELECT doc_id, list_distinct(list_transform(
@@ -87,7 +92,41 @@ cand AS (
       (CAST(len(x.shs) AS DOUBLE) + CAST(len(y.shs) AS DOUBLE)
         - CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE)), 6) AS jaccard
   FROM cand JOIN sh x ON x.doc_id = ida JOIN sh y ON y.doc_id = idb
-)
+), pairs AS (SELECT ida, idb FROM verified WHERE jaccard >= 0.2)"""
+
+  /** Min-label connected components as a recursive transitive closure
+    * (tiny in DuckDB at sf0.01; the Spark side is the scalable
+    * label-propagation loop).
+    */
+  private val compCte =
+    raw"""$pairsCte,
+edges AS (
+  SELECT ida AS src, idb AS dst FROM pairs
+  UNION SELECT idb, ida FROM pairs
+), reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), comp AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS component
+  FROM reach GROUP BY src
+)"""
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact_md5" ->
+      """SELECT md5(text) AS digest, min(doc_id) AS keep_id,
+count(*) AS copies
+FROM documents GROUP BY md5(text) ORDER BY digest""",
+    "dedup_shingle_jaccard" ->
+      raw"""WITH $pairsCte
 SELECT ida, idb, jaccard FROM verified WHERE jaccard >= 0.2
-ORDER BY ida, idb""")
+ORDER BY ida, idb""",
+    "dedup_components" ->
+      raw"""WITH RECURSIVE $compCte
+SELECT doc_id, component FROM comp ORDER BY doc_id""",
+    "dedup_survivors" ->
+      raw"""WITH RECURSIVE $compCte
+SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)
+ORDER BY d.doc_id""")
 }

@@ -91,11 +91,27 @@ object EventQueries {
       .orderBy("click_id")
   }
 
+  /** Batch twin of the stream-stream interval join (same code path —
+    * the watermark is a no-op in batch), aggregated per click.
+    */
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables(spark, dir, "events")
+    val joined = graft.streaming.EventStreams.clickPurchaseJoin(
+      events.where(col("event_type") === "click"),
+      events.where(col("event_type") === "purchase"))
+    joined
+      .groupBy("click_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum("p_value"), 2).as("sum_purchase"))
+      .orderBy("click_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_json_props" -> jsonProps,
     "events_tumbling_window" -> tumblingWindow,
     "events_sessionize" -> sessionize,
-    "events_asof_join" -> asofClickPurchase)
+    "events_asof_join" -> asofClickPurchase,
+    "events_interval_join" -> intervalJoin)
 
   val oracle: Map[String, String] = Map(
     "events_json_props" ->
@@ -137,5 +153,13 @@ epoch_us(c.ts) - epoch_us(p.ts) AS gap_us
 FROM (SELECT * FROM events WHERE event_type = 'click') c
 ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
   ON c.user_id = p.user_id AND c.ts >= p.ts
-ORDER BY click_id""")
+ORDER BY click_id""",
+    "events_interval_join" ->
+      """SELECT c.event_id AS click_id, count(*) AS n_purchases,
+round(sum(p.value), 2) AS sum_purchase
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+  AND p.ts >= c.ts - INTERVAL '30 minutes' AND p.ts <= c.ts
+GROUP BY c.event_id ORDER BY click_id""")
 }

@@ -23,11 +23,17 @@ object MultimodalQueries {
         col("meta.n_bytes").cast("long").as("n_bytes"))
       .orderBy("id")
 
-  /** Stubbed decode + feature extraction (per-partition decoder init). */
+  /** Stubbed decode + feature extraction (per-partition decoder init).
+    * The 8-dim feature vector is flattened to scalar columns f0..f7 for
+    * the dump: the driver's compare sorts rows by every column, which an
+    * array-typed column breaks (and scalars diff better anyway).
+    */
   def features(spark: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(
         Multimodal.packDocuments(Tables(spark, dir, "documents")))
       .toDF()
+      .select(col("id") +: col("kind") +: col("n_bytes") +: col("checksum") +:
+        (0 until 8).map(i => col("feature")(i).as(s"f$i")): _*)
       .orderBy("id")
 
   /** Frame-sampling plumbing over binary payloads. */
@@ -81,5 +87,17 @@ object MultimodalQueries {
     "multimodal_meta" ->
       """SELECT doc_id AS id, 'text' AS kind, 'text/plain' AS mime,
 CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-FROM documents ORDER BY id""")
+FROM documents ORDER BY id""",
+    // frame sampling is pure stride arithmetic over the payload length:
+    // offsets are 0, 50, ..., greatest(len-64, 0) so the count and the
+    // last offset close-form from the byte length
+    "multimodal_frames" ->
+      """WITH m AS (
+  SELECT doc_id AS id,
+    greatest(octet_length(encode(text)) - 64, 0) AS hi
+  FROM documents
+)
+SELECT id, CAST(hi // 50 + 1 AS BIGINT) AS n_frames,
+  CAST((hi // 50) * 50 AS INTEGER) AS last_offset
+FROM m ORDER BY id""")
 }

@@ -93,9 +93,9 @@ object Asn1 {
     val out = Vector.newBuilder[(String, Obj)]
     var idx = content.indexOf("::=")
     while (idx >= 0) {
-      val name = content.substring(0, idx).linesIterator.toSeq.lastOption
-        .map(_.trim).getOrElse("")
-      val nameClean = content.lastIndexOf('\n', idx) match {
+      // O(line) name extraction: everything between the last newline and
+      // the '::=' (covers the no-newline-prefix case via -1 branch too).
+      val name = content.lastIndexOf('\n', idx) match {
         case -1 => content.substring(0, idx).trim
         case n => content.substring(n + 1, idx).trim
       }
@@ -104,7 +104,7 @@ object Asn1 {
         val c = new Cursor(content)
         c.i = brace
         val obj = parseBody(c)
-        out += ((if (nameClean.nonEmpty) nameClean else name, obj))
+        out += ((name, obj))
         idx = content.indexOf("::=", c.i)
       } else idx = -1
     }

@@ -12,9 +12,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * batch-stream parity is the correctness anchor (EventStreamsSpec
   * feeds a MemoryStream and compares with the batch run).
   *
-  * Scale posture: state is bounded by watermarks (late data beyond 10
-  * minutes is dropped, state for closed windows is evicted); the
-  * sessionization keeps one small state object per user key.
+  * Scale posture: windowed-agg state is bounded by watermarks (late
+  * data beyond 10 minutes is dropped, state for closed windows is
+  * evicted); the custom stateful operator bounds its state with an
+  * idle-eviction processing-time timeout (see [[runningUserTotals]]).
   */
 object EventStreams {
 
@@ -60,23 +61,73 @@ object EventStreams {
   final case class UserRunning(user_id: Long, n_events: Long, total: Double)
 
   /** Custom stateful aggregation: running per-user totals via
-    * mapGroupsWithState (the arbitrary-state API the built-in aggs
+    * flatMapGroupsWithState (the arbitrary-state API the built-in aggs
     * can't express — e.g. monotone counters across triggers).
+    *
+    * State IS evicted: a user idle for `idleMs` of EVENT time (i.e. the
+    * watermark moved `idleMs` past their last activity) has its state
+    * removed, so state size tracks the active user set, not the
+    * unbounded all-time population. Event-time (not processing-time)
+    * timeouts on purpose: they are deterministic under replay, and
+    * processing-time timers make Trigger.AvailableNow spin empty
+    * micro-batches until the wall-clock timer fires. Trade-off
+    * (documented, not hidden): a user returning after eviction restarts
+    * its counters — pipelines needing exact all-time totals should
+    * compact evicted state to a persistent store via [[toExternalSink]].
     */
-  def runningUserTotals(events: Dataset[EventRow]): Dataset[UserRunning] = {
+  def runningUserTotals(events: Dataset[EventRow],
+      idleMs: Long = 6L * 3600 * 1000): Dataset[UserRunning] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", "10 minutes")
       .groupByKey(_.user_id)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+      .flatMapGroupsWithState(OutputMode.Update(),
+          GroupStateTimeout.EventTimeTimeout()) {
         (uid: Long, rows: Iterator[EventRow], state: GroupState[UserRunning]) =>
-          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
-          val (n, tot) = rows.foldLeft((prev.n_events, prev.total)) {
-            case ((c, t), r) => (c + 1, t + r.value)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+            val (n, tot, maxTs) = rows.foldLeft((prev.n_events, prev.total, 0L)) {
+              case ((c, t, m), r) => (c + 1, t + r.value, math.max(m, r.ts.getTime))
+            }
+            val next = UserRunning(uid, n, tot)
+            state.update(next)
+            // fire once the watermark passes (user's last event + idle);
+            // anchored to event time so it's legal (> watermark, since
+            // the event itself was not late) and replay-deterministic
+            state.setTimeoutTimestamp(maxTs + idleMs)
+            Iterator.single(next)
           }
-          val next = UserRunning(uid, n, tot)
-          state.update(next)
-          next
       }
+  }
+
+  /** Stream-stream interval join: each click paired with the same
+    * user's purchases from the preceding 30 minutes. Both sides are
+    * watermarked and the join condition is time-bounded, so the join
+    * state store holds only ~40 minutes of either stream (watermark +
+    * interval) — the state-eviction contract stream-stream joins need
+    * to run unbounded. On a batch DataFrame the watermark is a no-op
+    * and this is a plain interval join (batch twin:
+    * `events_interval_join`, DuckDB-oracle checked).
+    */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("c_ts"))
+    val p = purchases
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("p_ts"),
+        col("value").as("p_value"))
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("p_ts") >= col("c_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("p_ts") <= col("c_ts"))
+      .select(col("click_id"), col("user_id"), col("purchase_id"),
+        col("c_ts"), col("p_ts"), col("p_value"))
   }
 
   /** External-service egress via foreachBatch — the ONLY place the

@@ -131,22 +131,97 @@ class EventStreamsSpec extends SparkSpec {
     import spark.implicits._
     implicit val sc = spark.sqlContext
     val base = new Timestamp(1704067200000L)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-running-ckpt").toString
     val stream = MemoryStream[EventRow]
     stream.addData(Seq(
       EventRow(1, base, 1, "a", 2.0), EventRow(2, base, 1, "a", 3.0),
       EventRow(3, base, 2, "a", 5.0)))
     val out = EventStreams.runningUserTotals(stream.toDS())
-    val q = out.writeStream.format("memory").queryName("running")
-      .outputMode(OutputMode.Update())
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    // foreachBatch sink: unlike the memory sink it supports resuming
+    // from a checkpoint, which is what lets run 2 carry run 1's state
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    def run(): Unit = {
+      val q = out.writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Update())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[EventStreams.UserRunning], _: Long) =>
+          got ++= b.collect().map(u => (u.user_id, u.n_events, u.total)); ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run()
     stream.addData(Seq(EventRow(4, base, 1, "a", 5.0)))
-    val q2 = out.writeStream.format("memory").queryName("running2")
-      .outputMode(OutputMode.Update())
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q2.awaitTermination()
-    val last = spark.table("running2").collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    run()
+    val last = got.map(t => t._1 -> (t._2, t._3)).toMap // later wins
     assert(last(1L) == (3L, 10.0)) // state carried: 2 events + 1 more
+  }
+
+  test("idle users are evicted by event-time timeout, counters restart") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val base = 1704067200000L
+    def ev(id: Long, user: Long, offsetMin: Long) =
+      EventRow(id, new Timestamp(base + offsetMin * 60000), user, "a", 1.0)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-evict-ckpt").toString
+    val stream = MemoryStream[EventRow]
+    val out = EventStreams.runningUserTotals(stream.toDS(),
+      idleMs = 30 * 60000) // 30 min idle eviction
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    def run(): Unit = {
+      got.clear()
+      val q = out.writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Update())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[EventStreams.UserRunning], _: Long) =>
+          got ++= b.collect().map(u => (u.user_id, u.n_events, u.total)); ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    stream.addData(Seq(ev(1, 1, 0), ev(2, 1, 1)))
+    run() // user 1: (2, 2.0); timeout armed at min 31
+    // watermark driver: min 120 event pushes watermark to min 110,
+    // past user 1's timeout -> state removed
+    stream.addData(Seq(ev(3, 99, 120)))
+    run()
+    // user 1 returns at min 125: fresh state, counters restart
+    stream.addData(Seq(ev(4, 1, 125)))
+    run()
+    val rows = got.map(t => t._1 -> (t._2, t._3)).toMap
+    assert(rows(1L) == (1L, 1.0), s"expected restarted counters, got $rows")
+  }
+
+  test("stream-stream interval join matches batch on the same rows") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val base = 1704067200000L // 2024-01-01 00:00:00 UTC
+    def ev(id: Long, user: Long, offsetMin: Long, typ: String, v: Double) =
+      EventRow(id, new Timestamp(base + offsetMin * 60000), user, typ, v)
+    val clicks = Seq(
+      ev(1, 1, 40, "click", 0.0), ev(2, 1, 100, "click", 0.0),
+      ev(3, 2, 50, "click", 0.0),
+      // late driver row to advance both watermarks past the join rows
+      ev(9, 9, 300, "click", 0.0))
+    val purchases = Seq(
+      ev(4, 1, 20, "purchase", 5.0),  // within 30min of click 1 only
+      ev(5, 1, 95, "purchase", 7.0),  // within 30min of click 2
+      ev(6, 2, 10, "purchase", 9.0),  // 40min before click 3: out of range
+      ev(8, 9, 300, "purchase", 1.0))
+    val cs = MemoryStream[EventRow]; cs.addData(clicks)
+    val ps = MemoryStream[EventRow]; ps.addData(purchases)
+    val streamed = EventStreams.runToMemory(
+      EventStreams.clickPurchaseJoin(cs.toDF(), ps.toDF()),
+      "ssjoin_parity", OutputMode.Append())
+    val batch = EventStreams.clickPurchaseJoin(
+      clicks.toDF(), purchases.toDF())
+    val a = streamed.select("click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = batch.select("click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(b === Set((1L, 4L), (2L, 5L), (9L, 8L)))
+    assert(a === b)
   }
 }

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Sampling operators that can't be oracle-checked (engine-specific
+  * RNGs): seeded Bernoulli `sample` and stratified `sampleBy`. Pinned
+  * by determinism (same seed twice = same rows) and statistical bounds
+  * instead. The oracle-checkable systematic-sampling path is the
+  * `sample_systematic` query (FuncsExtra).
+  */
+class SamplingSpec extends SparkSpec {
+
+  private lazy val orders = Tables(spark, sfDir, "orders")
+
+  test("seeded Bernoulli sample is deterministic and near the fraction") {
+    val a = orders.sample(withReplacement = false, 0.2, seed = 42)
+    val b = orders.sample(withReplacement = false, 0.2, seed = 42)
+    val ka = a.select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val kb = b.select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(ka === kb) // retried tasks must resample identically
+    val n = orders.count().toDouble
+    assert(math.abs(ka.size / n - 0.2) < 0.05)
+  }
+
+  test("stratified sampleBy honors per-stratum fractions") {
+    val fractions = Map("1-URGENT" -> 0.5, "5-LOW" -> 0.1)
+    val s = orders.stat.sampleBy("o_orderpriority", fractions, seed = 7)
+    val bySeg = s.groupBy("o_orderpriority").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = orders.groupBy("o_orderpriority").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // unlisted strata are dropped entirely
+    assert(bySeg.keySet.subsetOf(fractions.keySet))
+    fractions.foreach { case (k, f) =>
+      val got = bySeg.getOrElse(k, 0L).toDouble / totals(k)
+      assert(math.abs(got - f) < 0.15, s"stratum $k: got $got want ~$f")
+    }
+  }
+}

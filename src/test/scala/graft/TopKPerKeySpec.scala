@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftx.{TopKPerKey, TopKPerKeyFinalExec, TopKPerKeyPartialExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** The custom LogicalPlan/Strategy/SparkPlan top-k-per-key operator:
+  * result equivalence with the window formulation, physical shape
+  * (partial heap BELOW the exchange), and edge cases.
+  */
+class TopKPerKeySpec extends SparkSpec {
+
+  private def sample = {
+    import spark.implicits._
+    Seq(
+      ("a", 1L, 10.0), ("a", 2L, 30.0), ("a", 3L, 30.0), ("a", 4L, 5.0),
+      ("b", 5L, 1.0), ("b", 6L, 2.0),
+      ("c", 7L, 9.0))
+      .toDF("k", "id", "v")
+      .repartition(3) // multiple input partitions so the partial matters
+  }
+
+  test("matches window row_number formulation") {
+    val native = TopKPerKey.topK(sample, Seq("k"),
+      Seq(("v", true), ("id", false)), k = 2)
+      .select("k", "id", "v", "rank")
+    val w = Window.partitionBy("k").orderBy(col("v").desc, col("id"))
+    val windowed = sample
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 2)
+      .select("k", "id", "v", "rank")
+    assert(native.collect().toSet === windowed.collect().toSet)
+  }
+
+  test("k larger than any group returns everything ranked") {
+    val out = TopKPerKey.topK(sample, Seq("k"),
+      Seq(("v", false), ("id", false)), k = 100)
+    assert(out.count() === sample.count())
+    assert(out.where(col("k") === "c").select("rank")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
+  test("ascending order takes the smallest") {
+    val out = TopKPerKey.topK(sample, Seq("k"),
+      Seq(("v", false), ("id", false)), k = 1)
+      .where(col("k") === "a").select("id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(out === Seq(4L)) // v=5.0 is the minimum in group a
+  }
+
+  test("physical plan: partial heap below the exchange, final above") {
+    val out = TopKPerKey.topK(sample, Seq("k"), Seq(("v", true), ("id", false)), 2)
+    out.collect() // force planning/execution (AQE finalizes the plan)
+    // AQE wraps shuffles in QueryStageExec LEAF nodes; flatten through
+    // them to see the whole physical tree
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        p +: flatten(q.plan)
+      case _ => p +: p.children.flatMap(flatten)
+    }
+    val all = flatten(out.queryExecution.executedPlan)
+    val finals = all.collect { case f: TopKPerKeyFinalExec => f }
+    assert(finals.size === 1)
+    // below the final: an exchange, and the partial below that exchange
+    val sub = flatten(finals.head.child)
+    assert(sub.exists(n => n.isInstanceOf[ShuffleExchangeExec] ||
+      n.isInstanceOf[org.apache.spark.sql.execution.adaptive.QueryStageExec]))
+    assert(sub.exists(_.isInstanceOf[TopKPerKeyPartialExec]))
+  }
+
+  test("partial emits at most k rows per key per partition") {
+    // single group spread over 3 partitions: final input <= 3*k, output = k
+    val out = TopKPerKey.topK(sample.withColumn("k", lit("one")),
+      Seq("k"), Seq(("v", true), ("id", false)), 2)
+    assert(out.count() === 2)
+    assert(out.select("rank").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+  }
+}
