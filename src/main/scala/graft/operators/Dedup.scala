@@ -106,7 +106,12 @@ object Dedup {
     val ex = sh.select(col("doc_id"), explode(col("shs")).as("s"))
     val rare = ex.groupBy("s").agg(count(lit(1)).as("df"))
       .where(col("df") <= dfCap && col("df") >= 2)
+    // barrier on the join key: the filtered postings are computed ONCE
+    // (both self-join sides read the reused exchange) and the join is
+    // already co-partitioned on s — no per-side explode+join re-run,
+    // no extra exchange under the self-join
     val exc = ex.join(broadcast(rare.select("s")), "s")
+      .repartition(col("s"))
     val cand = exc.as("a").join(exc.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
@@ -155,9 +160,12 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     val sh = shingled(docs, idCol, textCol)
+    // barrier on the band key: signatures are minhashed ONCE (reused
+    // exchange feeds both self-join sides, already co-partitioned)
     val bandKeys = sh.select(
       col("doc_id"),
       explode(minhashBandUdf(bands, rowsPerBand)(col("shs"))).as("bkey"))
+      .repartition(col("bkey"))
     val cand = bandKeys.as("a").join(bandKeys.as("b"),
         col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
