@@ -1,8 +1,9 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graftx.TopKPerKey
+import org.apache.spark.sql.graftx.{TopKPerKey, TopKPerKeyRewrite, TopKPerKeyStrategy}
 
 import graft.Tables
 
@@ -28,8 +29,28 @@ object PlanOps {
         k = 3)
       .orderBy("o_orderpriority", "rank")
 
+  /** The OPTIMIZER-RULE path: the query is written as the plain window
+    * row_number + filter, and TopKPerKeyRewrite (session-scoped via
+    * newSession — the library entry point is GraftExtensions) turns it
+    * into the native bounded-heap operator. Same oracle shape proves
+    * the rewrite is semantics-preserving.
+    */
+  def topKRewrite(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = spark0.newSession()
+    spark.experimental.extraOptimizations = Seq(TopKPerKeyRewrite)
+    spark.experimental.extraStrategies = Seq(TopKPerKeyStrategy)
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables(spark, dir, "customer")
+      .select("c_nationkey", "c_custkey", "c_acctbal")
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 2)
+      .orderBy("c_nationkey", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "window_topk_native" -> topKNative)
+    "window_topk_native" -> topKNative,
+    "window_topk_rewrite" -> topKRewrite)
 
   val oracle: Map[String, String] = Map(
     "window_topk_native" ->
@@ -42,5 +63,16 @@ object PlanOps {
 )
 SELECT o_orderpriority, o_orderkey, o_totalprice, rank
 FROM ranked WHERE rank <= 3
-ORDER BY o_orderpriority, rank""")
+ORDER BY o_orderpriority, rank""",
+    "window_topk_rewrite" ->
+      """WITH ranked AS (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+    CAST(row_number() OVER (
+      PARTITION BY c_nationkey
+      ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS rank
+  FROM customer
+)
+SELECT c_nationkey, c_custkey, c_acctbal, rank
+FROM ranked WHERE rank <= 2
+ORDER BY c_nationkey, rank""")
 }

@@ -1,0 +1,87 @@
+// Lives under org.apache.spark.sql for the same private[sql] bridging
+// reasons as the rest of graftx.
+package org.apache.spark.sql.graftx
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, CurrentRow, Expression, GreaterThan, GreaterThanOrEqual, IntegerLiteral, LessThan, LessThanOrEqual, Literal, RowFrame, RowNumber, SpecifiedWindowFrame, UnboundedPreceding, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** Optimizer rule: `Filter(rank <= k)` directly above a single-function
+  * `Window(row_number() OVER (PARTITION BY p ORDER BY o))` becomes the
+  * native [[TopKPerKeyNode]] — the window's full shuffle-and-sort of
+  * EVERY row is replaced by bounded per-key heaps with map-side partial
+  * reduction (at most k rows per key per input partition reach the
+  * exchange).
+  *
+  * The rewrite preserves the plan contract exactly: the rank column is
+  * re-emitted under the original attribute id (cast back to the
+  * window's IntegerType), so downstream operators resolve unchanged.
+  * Fires only on the unambiguous shape (one window expression, a
+  * literal bound, rank not referenced below) — everything else keeps
+  * the stock Window path.
+  */
+object TopKPerKeyRewrite extends Rule[LogicalPlan] {
+
+  /** Memory guard: per-task state is k rows per key seen in the
+    * partition, so unbounded k must keep the stock sort-based path.
+    */
+  private val MaxK = 10000
+
+  private def rowNumberAlias(w: Window): Option[(Alias, Seq[Expression], Seq[org.apache.spark.sql.catalyst.expressions.SortOrder])] =
+    w.windowExpressions match {
+      case Seq(a @ Alias(WindowExpression(RowNumber(),
+          WindowSpecDefinition(ps, os,
+            SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))), _))
+          if os.nonEmpty =>
+        Some((a, ps, os))
+      case _ => None
+    }
+
+  /** The filter bound expressed as rank <= k, if the condition is a
+    * simple literal comparison on the rank attribute.
+    */
+  private def rankBound(cond: Expression, rankId: org.apache.spark.sql.catalyst.expressions.ExprId): Option[Int] =
+    cond match {
+      case LessThanOrEqual(a: AttributeReference, IntegerLiteral(k))
+        if a.exprId == rankId => Some(k)
+      case LessThan(a: AttributeReference, IntegerLiteral(k))
+        if a.exprId == rankId => Some(k - 1)
+      case GreaterThanOrEqual(IntegerLiteral(k), a: AttributeReference)
+        if a.exprId == rankId => Some(k)
+      case GreaterThan(IntegerLiteral(k), a: AttributeReference)
+        if a.exprId == rankId => Some(k - 1)
+      case _ => None
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, w: Window) =>
+      rowNumberAlias(w).flatMap { case (a, ps, os) =>
+        rankBound(cond, a.exprId).collect {
+          case k if k >= 1 && k <= MaxK =>
+            val rankL = AttributeReference(a.name, LongType, nullable = false)()
+            Project(
+              w.child.output :+
+                Alias(Cast(rankL, IntegerType), a.name)(exprId = a.exprId),
+              TopKPerKeyNode(ps, os, k, rankL, w.child))
+          case k if k < 1 =>
+            // rank <= 0 can never hold: empty relation via trivial filter
+            Filter(Literal(false), w)
+        }
+      }.getOrElse(f)
+  }
+}
+
+/** SparkSessionExtensions entry point: enables the graft planner
+  * strategy and the window-top-k rewrite engine-wide.
+  *
+  *   spark.sql.extensions=org.apache.spark.sql.graftx.GraftExtensions
+  * or SparkSession.builder().withExtensions(new GraftExtensions)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => TopKPerKeyRewrite)
+    ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+  }
+}

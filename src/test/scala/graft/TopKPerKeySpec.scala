@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graftx.{TopKPerKey, TopKPerKeyFinalExec, TopKPerKeyPartialExec}
+import org.apache.spark.sql.graftx.{GraftExtensions, TopKPerKey, TopKPerKeyFinalExec, TopKPerKeyPartialExec, TopKPerKeyRewrite, TopKPerKeyStrategy}
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 
@@ -70,6 +70,74 @@ class TopKPerKeySpec extends SparkSpec {
     assert(sub.exists(n => n.isInstanceOf[ShuffleExchangeExec] ||
       n.isInstanceOf[org.apache.spark.sql.execution.adaptive.QueryStageExec]))
     assert(sub.exists(_.isInstanceOf[TopKPerKeyPartialExec]))
+  }
+
+  test("optimizer rule rewrites row_number filter into the native node") {
+    val s = spark.newSession()
+    s.experimental.extraOptimizations = Seq(TopKPerKeyRewrite)
+    s.experimental.extraStrategies = Seq(TopKPerKeyStrategy)
+    import s.implicits._
+    val df = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 30.0), ("a", 3L, 20.0),
+      ("b", 5L, 1.0), ("b", 6L, 2.0))
+      .toDF("k", "id", "v").repartition(3)
+    val w = Window.partitionBy("k").orderBy(col("v").desc, col("id"))
+    val q = df.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 1)
+    val rows = q.collect().map(r => (r.getString(0), r.getLong(1), r.getInt(3))).toSet
+    assert(rows === Set(("a", 2L, 1), ("b", 6L, 1)))
+    // the optimized plan must contain the native node, not a Window
+    val opt = q.queryExecution.optimizedPlan
+    assert(opt.collect {
+      case n: org.apache.spark.sql.graftx.TopKPerKeyNode => n }.size === 1)
+    assert(opt.collect {
+      case n: org.apache.spark.sql.catalyst.plans.logical.Window => n }.isEmpty)
+    // rank keeps the window's IntegerType under the original attr id
+    assert(q.schema("rank").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+  }
+
+  test("rule leaves non-matching window shapes alone") {
+    val s = spark.newSession()
+    s.experimental.extraOptimizations = Seq(TopKPerKeyRewrite)
+    s.experimental.extraStrategies = Seq(TopKPerKeyStrategy)
+    import s.implicits._
+    val df = Seq(("a", 1L, 10.0), ("a", 2L, 30.0)).toDF("k", "id", "v")
+    val w = Window.partitionBy("k").orderBy(col("v").desc)
+    // rank() (not row_number) must keep the stock Window path
+    val q = df.withColumn("r", rank().over(w)).where(col("r") <= 1)
+    assert(q.queryExecution.optimizedPlan.collect {
+      case n: org.apache.spark.sql.graftx.TopKPerKeyNode => n }.isEmpty)
+    assert(q.collect().nonEmpty)
+  }
+
+  test("GraftExtensions wires rule + strategy into a session") {
+    import org.apache.spark.sql.SparkSession
+    val base = spark // force SparkSpec session creation first
+    // getOrCreate only applies extensions when it CREATES a session, so
+    // clear the active/default handles (the SparkContext is reused)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      import s.implicits._
+      val df = Seq(("a", 1L, 10.0), ("a", 2L, 30.0), ("b", 3L, 5.0))
+        .toDF("k", "id", "v")
+      val w = Window.partitionBy("k").orderBy(col("v").desc, col("id"))
+      val q = df.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 1)
+      assert(q.queryExecution.optimizedPlan.collect {
+        case n: org.apache.spark.sql.graftx.TopKPerKeyNode => n }.size === 1)
+      assert(q.collect().map(_.getLong(1)).toSet === Set(2L, 3L))
+    } finally {
+      SparkSession.setActiveSession(base)
+      SparkSession.setDefaultSession(base)
+    }
   }
 
   test("partial emits at most k rows per key per partition") {
