@@ -92,13 +92,95 @@ object FuncsExtra {
         round(avg("o_totalprice"), 2).as("avg_price"))
       .orderBy("o_orderpriority")
 
+  /** Spark 4 VARIANT: semi-structured values parsed once into the
+    * binary variant encoding, then typed-path extraction — the scale
+    * path for schema-on-read JSON (parse once, extract many, no
+    * per-access string re-parse). Variant stays internal to the plan;
+    * the output is typed scalars.
+    */
+  def variantFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val v = parse_json(col("props"))
+    Tables(spark, dir, "events")
+      .select(
+        col("event_id"),
+        variant_get(v, "$.k", "bigint").as("k_val"),
+        try_variant_get(v, "$.missing", "string").as("missing_val"),
+        is_variant_null(v).as("is_null"))
+      .orderBy("event_id")
+  }
+
+  /** HLL sketch aggregates (datasketches): per-priority sketches,
+    * estimate, and a union rollup — the mergeable-summary pattern a
+    * 100 TB pipeline uses for distinct counting across partitions
+    * without a global shuffle of raw keys. Engine-specific binary
+    * sketches have no DuckDB twin: rows-only + SketchSpec error bounds.
+    */
+  def hllSketch(spark: SparkSession, dir: String): DataFrame = {
+    val perPriority = Tables(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(hll_sketch_agg(col("o_custkey"), lit(14)).as("sk"))
+    perPriority
+      .select(col("o_orderpriority").as("grp"),
+        hll_sketch_estimate(col("sk")).as("n_distinct"))
+      .unionByName(perPriority
+        .agg(hll_union_agg(col("sk")).as("sk"))
+        .select(lit("ALL").as("grp"),
+          hll_sketch_estimate(col("sk")).as("n_distinct")))
+      .orderBy("grp")
+  }
+
+  /** Second string wave: split_part, translate, pad, reverse, instr,
+    * format_string, regexp_extract_all (joined back to a scalar — the
+    * driver's row-sort compare can't order array cells).
+    */
+  def stringFuncs2(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "part")
+      .select(
+        col("p_partkey"),
+        split_part(col("p_name"), lit(" "), lit(2)).as("name_piece"),
+        translate(col("p_brand"), "#", "-").as("brand_dash"),
+        lpad(col("p_size").cast("string"), 4, "0").as("size_pad"),
+        reverse(col("p_brand")).as("brand_rev"),
+        instr(col("p_name"), "a").cast("long").as("a_pos"),
+        format_string("%s:%d", col("p_brand"), col("p_size")).as("brand_size"),
+        array_join(regexp_extract_all(col("p_name"), lit("[a-z]+"), lit(0)), " ")
+          .as("name_words"))
+      .orderBy("p_partkey")
+
+  /** Ordered string aggregation (deterministic via sort both sides). */
+  def stringConcat(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "nation")
+      .groupBy("n_regionkey")
+      .agg(array_join(array_sort(collect_list(col("n_name"))), ",")
+        .as("nations"))
+      .orderBy("n_regionkey")
+
+  /** Unpivot/melt: wide per-line metrics to long (metric, value) rows —
+    * the normalization step feature pipelines use before per-metric
+    * aggregation. Oracle is the dialect-safe UNION ALL equivalent.
+    */
+  def unpivotMetrics(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .where(pmod(col("l_orderkey"), lit(50)) === 0)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        "metric", "value")
+      .orderBy("l_orderkey", "l_linenumber", "metric")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "string_funcs2" -> stringFuncs2,
+    "agg_string_concat" -> stringConcat,
+    "unpivot_metrics" -> unpivotMetrics,
     "cond_funcs" -> condFuncs,
     "bit_funcs" -> bitFuncs,
     "hash_funcs" -> hashFuncs,
     "ts_funcs" -> tsFuncs,
     "struct_funcs" -> structFuncs,
-    "sample_systematic" -> sampleSystematic)
+    "sample_systematic" -> sampleSystematic,
+    "json_variant" -> variantFuncs,
+    "agg_hll_sketch" -> hllSketch)
 
   val oracle: Map[String, String] = Map(
     "cond_funcs" ->
@@ -146,5 +228,40 @@ FROM packed ORDER BY n_nationkey""",
       """SELECT o_orderpriority, count(*) AS n_sampled,
 round(avg(o_totalprice), 2) AS avg_price
 FROM orders WHERE o_orderkey % 20 = 0
-GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "json_variant" ->
+      """SELECT event_id,
+CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+CAST(NULL AS VARCHAR) AS missing_val,
+false AS is_null
+FROM events ORDER BY event_id""",
+    "string_funcs2" ->
+      """SELECT p_partkey,
+split_part(p_name, ' ', 2) AS name_piece,
+translate(p_brand, '#', '-') AS brand_dash,
+lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+reverse(p_brand) AS brand_rev,
+CAST(strpos(p_name, 'a') AS BIGINT) AS a_pos,
+printf('%s:%d', p_brand, p_size) AS brand_size,
+array_to_string(regexp_extract_all(p_name, '[a-z]+'), ' ') AS name_words
+FROM part ORDER BY p_partkey""",
+    "agg_string_concat" ->
+      """SELECT n_regionkey,
+string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+    "unpivot_metrics" ->
+      """SELECT l_orderkey, l_linenumber, metric, value FROM (
+  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+    l_quantity AS value FROM lineitem WHERE l_orderkey % 50 = 0
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+  FROM lineitem WHERE l_orderkey % 50 = 0
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+  FROM lineitem WHERE l_orderkey % 50 = 0
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+  FROM lineitem WHERE l_orderkey % 50 = 0
+)
+ORDER BY l_orderkey, l_linenumber, metric""")
 }

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** HLL sketch aggregates: estimates have no cross-engine oracle, so pin
+  * the error bound (lgConfigK=14 -> ~0.8% standard error; assert 5%)
+  * and the mergeability contract (union of partial sketches estimates
+  * the global distinct, the whole point of sketching at 100 TB).
+  */
+class SketchSpec extends SparkSpec {
+
+  test("per-group and unioned estimates are within 5% of exact") {
+    val est = graft.queries.FuncsExtra.hllSketch(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val orders = Tables(spark, sfDir, "orders")
+    val exactAll = orders.select("o_custkey").distinct().count()
+    val exactPer = orders.groupBy("o_orderpriority")
+      .agg(countDistinct("o_custkey").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def close(a: Long, b: Long) =
+      math.abs(a - b).toDouble / math.max(b, 1) < 0.05
+    assert(close(est("ALL"), exactAll), s"ALL: ${est("ALL")} vs $exactAll")
+    exactPer.foreach { case (g, n) =>
+      assert(close(est(g), n), s"$g: ${est(g)} vs $n")
+    }
+  }
+
+  test("sketches merge associatively: partial unions match one-shot") {
+    val orders = Tables(spark, sfDir, "orders")
+    val oneShot = orders
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey"), lit(14))))
+      .collect()(0).getLong(0)
+    val merged = orders
+      .groupBy(pmod(col("o_orderkey"), lit(7))) // arbitrary partitioning
+      .agg(hll_sketch_agg(col("o_custkey"), lit(14)).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))))
+      .collect()(0).getLong(0)
+    assert(oneShot === merged)
+  }
+}
