@@ -4,7 +4,7 @@ package org.apache.spark.sql.graftx
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, CurrentRow, Expression, GreaterThan, GreaterThanOrEqual, IntegerLiteral, LessThan, LessThanOrEqual, Literal, RowFrame, RowNumber, SpecifiedWindowFrame, UnboundedPreceding, WindowExpression, WindowSpecDefinition}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
@@ -60,11 +60,18 @@ object TopKPerKeyRewrite extends Rule[LogicalPlan] {
       rowNumberAlias(w).flatMap { case (a, ps, os) =>
         rankBound(cond, a.exprId).collect {
           case k if k >= 1 && k <= MaxK =>
+            // Spark's own InferWindowGroupLimit may already have planted
+            // a WindowGroupLimit below the Window; the native node
+            // subsumes it (and its sort), so strip it from the child
+            val input = w.child match {
+              case wgl: WindowGroupLimit => wgl.child
+              case c => c
+            }
             val rankL = AttributeReference(a.name, LongType, nullable = false)()
             Project(
-              w.child.output :+
+              input.output :+
                 Alias(Cast(rankL, IntegerType), a.name)(exprId = a.exprId),
-              TopKPerKeyNode(ps, os, k, rankL, w.child))
+              TopKPerKeyNode(ps, os, k, rankL, input))
           case k if k < 1 =>
             // rank <= 0 can never hold: empty relation via trivial filter
             Filter(Literal(false), w)
