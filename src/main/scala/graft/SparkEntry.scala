@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Coverage, DedupQueries, EventQueries, FuncsExtra, MultimodalQueries, PipelineQueries, PlanOps, Relational, SimilarityQueries, TextQueries}
+import graft.queries.{Coverage, DedupQueries, EventQueries, FuncsExtra, MultimodalQueries, PipelineQueries, PlanOps, Relational, SimilarityQueries, SqlApi, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every implemented operator registers a query here; SQL-expressible
@@ -20,7 +20,8 @@ object SparkEntry {
     Relational.queries ++ TextQueries.queries ++ EventQueries.queries ++
       DedupQueries.queries ++ SimilarityQueries.queries ++
       PipelineQueries.queries ++ MultimodalQueries.queries ++
-      Coverage.queries ++ PlanOps.queries ++ FuncsExtra.queries
+      Coverage.queries ++ PlanOps.queries ++ FuncsExtra.queries ++
+      SqlApi.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +29,6 @@ object SparkEntry {
     Relational.oracle ++ TextQueries.oracle ++ EventQueries.oracle ++
       DedupQueries.oracle ++ SimilarityQueries.oracle ++
       PipelineQueries.oracle ++ MultimodalQueries.oracle ++
-      Coverage.oracle ++ PlanOps.oracle ++ FuncsExtra.oracle
+      Coverage.oracle ++ PlanOps.oracle ++ FuncsExtra.oracle ++
+      SqlApi.oracle
 }

@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+
+/** The SQL-text front end: the same engine driven through `spark.sql`
+  * over temp views instead of the DataFrame API. These queries earn
+  * their keep by exercising planner paths the DataFrame registry
+  * doesn't: correlated EXISTS (subquery decorrelation to a semi join),
+  * scalar subqueries, and CTE reuse. The query text doubles as its own
+  * DuckDB oracle (kept ANSI-only).
+  */
+object SqlApi {
+
+  private def view(spark: SparkSession, dir: String, name: String): Unit =
+    Tables(spark, dir, name).createOrReplaceTempView(name)
+
+  private val existsSql =
+    """SELECT c_mktsegment, count(*) AS n_big_spenders
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
+  /** Correlated EXISTS — Catalyst decorrelates to a left-semi join. */
+  def existsSubquery(spark: SparkSession, dir: String): DataFrame = {
+    view(spark, dir, "customer")
+    view(spark, dir, "orders")
+    spark.sql(existsSql)
+  }
+
+  private val scalarSql =
+    """WITH stats AS (SELECT avg(o_totalprice) AS avg_price FROM orders)
+SELECT o_orderpriority,
+  count(*) AS n_above,
+  round(min(o_totalprice) - (SELECT avg_price FROM stats), 2) AS min_gap
+FROM orders
+WHERE o_totalprice > (SELECT avg_price FROM stats)
+GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  /** Scalar subquery + CTE: one computed constant reused twice. */
+  def scalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    view(spark, dir, "orders")
+    spark.sql(scalarSql)
+  }
+
+  private val notInSql =
+    """SELECT n_name
+FROM nation
+WHERE n_nationkey NOT IN (
+  SELECT DISTINCT c_nationkey FROM customer WHERE c_acctbal < -900)
+ORDER BY n_name"""
+
+  /** NOT IN (null-aware anti join). */
+  def notInSubquery(spark: SparkSession, dir: String): DataFrame = {
+    view(spark, dir, "nation")
+    view(spark, dir, "customer")
+    spark.sql(notInSql)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_exists_subquery" -> existsSubquery,
+    "sql_scalar_subquery" -> scalarSubquery,
+    "sql_notin_subquery" -> notInSubquery)
+
+  val oracle: Map[String, String] = Map(
+    "sql_exists_subquery" -> existsSql,
+    "sql_scalar_subquery" -> scalarSql,
+    "sql_notin_subquery" -> notInSql)
+}

@@ -140,6 +140,27 @@ class TopKPerKeySpec extends SparkSpec {
     }
   }
 
+  test("randomized equivalence with the window formulation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (1 to 5).foreach { trial =>
+      val n = 50 + rnd.nextInt(150)
+      val data = Seq.tabulate(n)(i =>
+        (s"k${rnd.nextInt(8)}", i.toLong, rnd.nextInt(40).toDouble))
+      val k = 1 + rnd.nextInt(4)
+      val df = data.toDF("k", "id", "v").repartition(1 + rnd.nextInt(5))
+      val native = TopKPerKey.topK(df, Seq("k"),
+        Seq(("v", true), ("id", false)), k)
+        .select("k", "id", "v", "rank").collect().map(_.toSeq).toSet
+      val w = Window.partitionBy("k").orderBy(col("v").desc, col("id"))
+      val windowed = df
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= k)
+        .select("k", "id", "v", "rank").collect().map(_.toSeq).toSet
+      assert(native === windowed, s"trial $trial (n=$n k=$k)")
+    }
+  }
+
   test("partial emits at most k rows per key per partition") {
     // single group spread over 3 partitions: final input <= 3*k, output = k
     val out = TopKPerKey.topK(sample.withColumn("k", lit("one")),
