@@ -169,7 +169,19 @@ object FuncsExtra {
         "metric", "value")
       .orderBy("l_orderkey", "l_linenumber", "metric")
 
+  /** Boolean / filtered aggregates. */
+  def aggBools(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count_if(col("l_discount") > 0.05).as("n_discounted"),
+        bool_and(col("l_quantity") > 0).as("all_positive"),
+        bool_or(col("l_tax") > 0.07).as("any_high_tax"),
+        count_if(col("l_shipdate") >= lit("1995-01-01")).as("n_recent"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_bools" -> aggBools,
     "string_funcs2" -> stringFuncs2,
     "agg_string_concat" -> stringConcat,
     "unpivot_metrics" -> unpivotMetrics,
@@ -235,6 +247,13 @@ CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
 CAST(NULL AS VARCHAR) AS missing_val,
 false AS is_null
 FROM events ORDER BY event_id""",
+    "agg_bools" ->
+      """SELECT l_returnflag,
+CAST(count_if(l_discount > 0.05) AS BIGINT) AS n_discounted,
+bool_and(l_quantity > 0) AS all_positive,
+bool_or(l_tax > 0.07) AS any_high_tax,
+CAST(count_if(l_shipdate >= TIMESTAMP '1995-01-01') AS BIGINT) AS n_recent
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "string_funcs2" ->
       """SELECT p_partkey,
 split_part(p_name, ' ', 2) AS name_piece,

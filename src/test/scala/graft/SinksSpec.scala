@@ -61,6 +61,41 @@ class SinksSpec extends SparkSpec {
     assert(pending.count() == nations.where(col("n_nationkey") >= 12).count())
   }
 
+  test("orc roundtrip preserves schema and rows") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-orc").toString + "/nation_orc"
+    val nations = Tables(spark, sfDir, "nation")
+    nations.write.mode("overwrite").orc(out)
+    val back = spark.read.orc(out)
+    assert(back.schema === nations.schema)
+    assert(back.orderBy("n_nationkey").collect().toSeq ===
+      nations.orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("salted join rejects right/full join types") {
+    val li = Tables(spark, sfDir, "lineitem").limit(10)
+      .select(col("l_orderkey").as("o_orderkey"))
+    val o = Tables(spark, sfDir, "orders").limit(10)
+      .select(col("o_orderkey"))
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(li, o, "o_orderkey", salts = 4, joinType = "right")
+    }
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(li, o, "o_orderkey", salts = 4, joinType = "full_outer")
+    }
+  }
+
+  test("salted left_anti equals plain left_anti") {
+    val li = Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("o_orderkey")).distinct()
+    val o = Tables(spark, sfDir, "orders")
+      .where(col("o_orderkey") < 1000).select("o_orderkey")
+    val plain = li.join(o, Seq("o_orderkey"), "left_anti").count()
+    val salted = SkewJoin.saltedJoin(li, o, "o_orderkey",
+      salts = 8, joinType = "left_anti").count()
+    assert(plain === salted)
+  }
+
   test("salted join equals plain join") {
     val li = Tables(spark, sfDir, "lineitem")
       .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))

@@ -25,6 +25,19 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("approx percentile lands within the declared accuracy of exact") {
+    val orders = Tables(spark, sfDir, "orders")
+    val Array(approx, exact) = orders
+      .agg(
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)),
+        percentile(col("o_totalprice"), lit(0.5)))
+      .collect()(0).toSeq.map(_.asInstanceOf[Double]).toArray
+    // accuracy=1000 -> rank error <= n/1000; translate to a loose
+    // value bound via the empirical spread
+    assert(math.abs(approx - exact) / math.max(exact, 1.0) < 0.02,
+      s"approx $approx vs exact $exact")
+  }
+
   test("sketches merge associatively: partial unions match one-shot") {
     val orders = Tables(spark, sfDir, "orders")
     val oneShot = orders
