@@ -84,6 +84,23 @@ object Multimodal {
       }
   }
 
+  /** Resize stub: nearest-neighbor downsample of the payload to a
+    * fixed `outLen` bytes (index i samples byte floor(i*len/outLen)).
+    * The plumbing — binary in, fixed-size binary out, pure row-local
+    * map — is exactly an image resize kernel's shape; a real codec
+    * would decode, resample pixels, and re-encode in place of the
+    * byte sampling.
+    */
+  def resizePayload(packed: DataFrame, outLen: Int): DataFrame = {
+    val resizeUdf = udf { payload: Array[Byte] =>
+      if (payload == null || payload.isEmpty) Array.empty[Byte]
+      else Array.tabulate(outLen) { i =>
+        payload((i.toLong * payload.length / outLen).toInt)
+      }
+    }
+    packed.select(col("id"), resizeUdf(col("payload")).as("resized"))
+  }
+
   /** Frame-sampling stub for video-like payloads: every strideth byte
     * window becomes a "frame" (slice plumbing is real; a codec would
     * replace the windowing).

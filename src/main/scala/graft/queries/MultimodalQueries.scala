@@ -45,6 +45,24 @@ object MultimodalQueries {
       .agg(count(lit(1)).as("n_frames"), max("offset").as("last_offset"))
       .orderBy("id")
 
+  /** Resize plumbing: nearest-neighbor downsample of every payload to
+    * 16 bytes; the dump carries (out_len, byte_sum) scalars. Oracle is
+    * the same sampling arithmetic over the ASCII text in DuckDB.
+    */
+  def resize(spark: SparkSession, dir: String): DataFrame = {
+    val byteSum = udf { b: Array[Byte] =>
+      var s = 0L; var i = 0
+      while (i < b.length) { s += (b(i) & 0xff); i += 1 }
+      s
+    }
+    Multimodal.resizePayload(
+        Multimodal.packDocuments(Tables(spark, dir, "documents")), outLen = 16)
+      .select(col("id"),
+        octet_length(col("resized")).cast("long").as("out_len"),
+        byteSum(col("resized")).as("byte_sum"))
+      .orderBy("id")
+  }
+
   /** Language-ID confusion counts against the labeled lang column. */
   def langId(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
@@ -80,6 +98,7 @@ object MultimodalQueries {
     "multimodal_meta" -> meta,
     "multimodal_features" -> features,
     "multimodal_frames" -> frames,
+    "multimodal_resize" -> resize,
     "text_langid" -> langId,
     "text_fingerprint_pairs" -> fingerprintPairs)
 
@@ -99,5 +118,14 @@ FROM documents ORDER BY id""",
 )
 SELECT id, CAST(hi // 50 + 1 AS BIGINT) AS n_frames,
   CAST((hi // 50) * 50 AS INTEGER) AS last_offset
-FROM m ORDER BY id""")
+FROM m ORDER BY id""",
+    // same nearest-neighbor sampling over the (pure-ASCII) text: byte
+    // at floor(i*len/16), summed
+    "multimodal_resize" ->
+      """SELECT doc_id AS id, CAST(16 AS BIGINT) AS out_len,
+CAST(list_sum(list_transform(range(0, 16),
+  i -> ascii(substr(text,
+    CAST((i * length(text)) // 16 AS INTEGER) + 1, 1)))) AS BIGINT)
+  AS byte_sum
+FROM documents ORDER BY id""")
 }

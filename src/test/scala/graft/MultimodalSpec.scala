@@ -49,4 +49,20 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getLong(1) == i && r.getInt(2) == i * 50)
     }
   }
+
+  test("resize is fixed-length nearest-neighbor sampling") {
+    import spark.implicits._
+    val in = Seq(
+      (1L, "abcdefgh".getBytes("UTF-8")),
+      (2L, "xy".getBytes("UTF-8")),
+      (3L, Array.empty[Byte]))
+      .toDF("id", "payload")
+    val out = Multimodal.resizePayload(in, outLen = 4)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    // indices floor(i*8/4) = 0,2,4,6 -> a,c,e,g
+    assert(new String(out(1L), "UTF-8") === "aceg")
+    // upsampling repeats: floor(i*2/4) = 0,0,1,1 -> x,x,y,y
+    assert(new String(out(2L), "UTF-8") === "xxyy")
+    assert(out(3L).isEmpty) // empty payload stays empty, no crash
+  }
 }
