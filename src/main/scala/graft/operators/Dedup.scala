@@ -223,9 +223,14 @@ object Dedup {
       .distinct()
       .repartition(col("dst"))
       .persist()
-    var labels = edges.select(col("src").as("doc_id"))
-      .distinct()
-      .withColumn("component", col("doc_id"))
+    // initialization folds in round 1: from identity labels the first
+    // round computes exactly min(self, min(neighbors)), which is one
+    // groupBy over the edge table — so start there and save a full
+    // join+agg round
+    var labels = edges.groupBy("dst")
+      .agg(min("src").as("_nbr_min"))
+      .select(col("dst").as("doc_id"),
+        least(col("dst"), col("_nbr_min")).as("component"))
       .persist()
     var changed = 1L
     var iter = 0
