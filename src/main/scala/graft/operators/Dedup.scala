@@ -25,46 +25,34 @@ import graft.text.TextOps
   */
 object Dedup {
 
-  /** Distinct word 3-gram shingles of a token array.
-    *
-    * A Scala UDF on purpose: the higher-order-function formulation
-    * (transform(sequence(...), i -> element_at(tokens, i))) re-evaluates
-    * the `tokens` subtree once per lambda ELEMENT in Spark's interpreted
-    * eval path (higher-order fns don't codegen), which measured as
-    * ~180 full re-tokenizations per document. The UDF evaluates its
-    * child once and runs compiled code.
-    */
-  private def hash64(s: String): Long =
-    (scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c).toLong << 32) |
-      (scala.util.hashing.MurmurHash3.stringHash(s, 0x5bd1e995).toLong & 0xffffffffL)
-
   /** Shingles are emitted as SORTED 64-bit hashes, not strings: the
     * inverted-index shuffle carries 8-byte keys instead of ~20-byte
     * strings, and the verify step intersects two sorted long arrays
     * with a linear merge instead of building string hash sets.
     * Collisions (~n²/2^64) would only perturb a Jaccard count by 1.
+    * (History: started as a Scala UDF over a token array — the
+    * higher-order-function formulation re-evaluates the tokens subtree
+    * per lambda element in interpreted eval; now a native one-pass
+    * codegen expression over the raw text.)
     */
-  private val shingleUdf = udf { toks: Seq[String] =>
-    if (toks == null || toks.size < 3) Array.empty[Long]
-    else toks.sliding(3).map(w => hash64(w.mkString(" ")))
-      .toArray.distinct.sorted
-  }
 
-  /** (doc_id, shs) with distinct word-3-gram shingles per document.
+  /** (doc_id, shs) with distinct word-3-gram shingle hashes per
+    * document, computed by the native one-pass expression
+    * [[org.apache.spark.sql.graftx.TextShingles]] (no string allocs,
+    * no UDF serde, stays in whole-stage codegen).
     *
     * The trailing hash repartition is a deliberate materialization
-    * barrier: higher-order array expressions don't codegen and
-    * CollapseProject would otherwise push the whole
-    * tokenize->shingle chain through the downstream self-joins,
-    * re-tokenizing the document once per CANDIDATE PAIR (measured: turns
-    * a 2s stage into minutes at sf0.1). The exchange pins the arrays to
-    * computed-once rows — and hash-partitioning by doc_id is also the
-    * layout the verify joins want.
+    * barrier: CollapseProject would otherwise push the shingle
+    * computation through the downstream self-joins, re-shingling the
+    * document once per CANDIDATE PAIR (measured: turns a 2s stage into
+    * minutes at sf0.1). The exchange pins the arrays to computed-once
+    * rows — and hash-partitioning by doc_id is also the layout the
+    * verify joins want.
     */
   def shingled(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(
       col(idCol).as("doc_id"),
-      shingleUdf(TextOps.tokens(col(textCol))).as("shs"))
+      org.apache.spark.sql.graftx.TextShingles.column(col(textCol)).as("shs"))
       .where(size(col("shs")) > 0)
       .repartition(col("doc_id"))
 

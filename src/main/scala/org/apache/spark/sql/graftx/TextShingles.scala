@@ -1,0 +1,117 @@
+// Lives under org.apache.spark.sql for the Column/Expression bridge
+// (private[sql] in Spark 4).
+package org.apache.spark.sql.graftx
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native expression: text -> SORTED DISTINCT 64-bit hashes of its
+  * word 3-gram shingles, in ONE pass over the UTF-8 bytes.
+  *
+  * Replaces the two-stage `shingleUdf(TextOps.tokens(clean(text)))`
+  * chain, which paid: a regexp_replace materialization, a regex split
+  * into an array of Strings, an interpreted array filter, the
+  * catalyst<->Scala serde of ~100 Strings per document, and a String
+  * allocation per shingle for `mkString`. Here tokenization is the
+  * byte scan itself ([a-zA-Z] runs, lowercased by arithmetic — any
+  * non-letter byte including multi-byte UTF-8 breaks a token, exactly
+  * the `[^a-zA-Z ]`->space regex semantics), each token is FNV-hashed
+  * as it is scanned, and a rolling window mixes 3 consecutive token
+  * hashes into the shingle hash. No Strings are ever allocated.
+  *
+  * Hash VALUES differ from the old UDF on purpose (they only need to
+  * be self-consistent): the DuckDB oracle compares shingle SETS, and
+  * set cardinalities survive any injective-in-practice hash.
+  */
+case class TextShingles(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "text_shingles"
+
+  override def nullSafeEval(input: Any): Any =
+    TextShingles.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingler", TextShingles,
+      "org.apache.spark.sql.graftx.TextShingles$")
+    nullSafeCodeGen(ctx, ev, in => s"${ev.value} = $ref.compute($in);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextShingles {
+
+  def column(text: Column): Column =
+    ExpressionUtils.column(TextShingles(ExpressionUtils.expression(text)))
+
+  private final val FnvBasis = 0xcbf29ce484222325L
+  private final val FnvPrime = 0x100000001b3L
+  private final val Phi = 0x9E3779B97F4A7C15L
+
+  private def fmix64(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^ (x >>> 33)
+  }
+
+  /** One pass: token runs -> FNV token hashes -> rolling 3-window mix
+    * -> sort -> dedupe. Returns an UnsafeArrayData of longs.
+    */
+  def compute(text: UTF8String): ArrayData = {
+    val bytes = text.getBytes
+    var out = new Array[Long](16)
+    var nOut = 0
+    // rolling window of the last 3 token hashes
+    var h1 = 0L; var h2 = 0L; var h3 = 0L
+    var nTokens = 0
+    var tokenH = FnvBasis
+    var inToken = false
+    var i = 0
+    val n = bytes.length
+    while (i <= n) {
+      val c: Int = if (i < n) bytes(i) & 0xff else 0
+      val lower =
+        if (c >= 'a' && c <= 'z') c
+        else if (c >= 'A' && c <= 'Z') c + 32
+        else -1
+      if (lower >= 0) {
+        if (!inToken) { inToken = true; tokenH = FnvBasis }
+        tokenH = (tokenH ^ lower) * FnvPrime
+      } else if (inToken) {
+        inToken = false
+        h1 = h2; h2 = h3; h3 = tokenH
+        nTokens += 1
+        if (nTokens >= 3) {
+          var h = h1
+          h = h * Phi + h2
+          h = h * Phi + h3
+          if (nOut == out.length) out = java.util.Arrays.copyOf(out, nOut * 2)
+          out(nOut) = fmix64(h)
+          nOut += 1
+        }
+      }
+      i += 1
+    }
+    if (nOut == 0) return UnsafeArrayData.fromPrimitiveArray(Array.empty[Long])
+    java.util.Arrays.sort(out, 0, nOut)
+    // in-place dedupe of the sorted prefix
+    var w = 1
+    var r = 1
+    while (r < nOut) {
+      if (out(r) != out(w - 1)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, w))
+  }
+}
