@@ -161,34 +161,19 @@ object Dedup {
     verifyJaccard(cand, sh, threshold)
   }
 
-  /** 64-bit SimHash over token hashes: bit j is the sign of the sum of
-    * (+1/-1) votes from each distinct token's hash bit j. One UDF pass
-    * (the lambda-expression formulation re-evaluates the token-hash
-    * array once per BIT in interpreted eval — 64x slower). The 64-bit
-    * token hash combines two seeded MurmurHash3 words.
+  /** 64-bit SimHash over distinct token hashes: bit j is the sign of
+    * the summed (+1/-1) votes from each distinct token's hash bit j.
+    * Native one-pass codegen expression
+    * ([[org.apache.spark.sql.graftx.TextSimHash]]) — no tokenize
+    * array, no UDF serde. (History: started as a UDF because the
+    * lambda-expression formulation re-evaluates the token-hash array
+    * once per BIT in interpreted eval — 64x slower.)
     */
-  private val simhashUdf = udf { toks: Seq[String] =>
-    val votes = new Array[Int](64)
-    toks.distinct.foreach { t =>
-      val h = (scala.util.hashing.MurmurHash3.stringHash(t, 0x9747b28c).toLong << 32) |
-        (scala.util.hashing.MurmurHash3.stringHash(t, 0x5bd1e995).toLong & 0xffffffffL)
-      var j = 0
-      while (j < 64) {
-        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
-        j += 1
-      }
-    }
-    var out = 0L
-    var j = 0
-    while (j < 64) { if (votes(j) > 0) out |= (1L << j); j += 1 }
-    out
-  }
-
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
-      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
-      .where(size(col("toks")) > 0)
-      .select(col("doc_id"), simhashUdf(col("toks")).as("simhash"))
+      .select(col(idCol).as("doc_id"),
+        org.apache.spark.sql.graftx.TextSimHash.column(col(textCol)).as("simhash"))
+      .where(col("simhash").isNotNull)
       .repartition(col("doc_id"))
 
   /** SimHash near-dup pairs: 4 x 16-bit band blocking (a pair within

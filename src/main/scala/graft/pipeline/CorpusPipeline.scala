@@ -59,14 +59,17 @@ object CorpusPipeline {
     }
   }
 
-  private def withQuality(docs: DataFrame): DataFrame = {
-    val q = tokenStatsUdf(col("text"))
+  private def withQuality(docs: DataFrame): DataFrame =
+    // the UDF lands in its own projection under an alias: CollapseProject
+    // refuses to duplicate a non-cheap expression referenced twice, so
+    // it runs ONCE per row however many columns read it
     docs
-      .withColumn("n_tokens", q.getField("_1"))
+      .withColumn("_q", tokenStatsUdf(col("text")))
+      .withColumn("n_tokens", col("_q._1"))
       .withColumn("stop_ratio",
-        q.getField("_2").cast("double") /
-          greatest(q.getField("_1"), lit(1)).cast("double"))
-  }
+        col("_q._2").cast("double") /
+          greatest(col("_q._1"), lit(1)).cast("double"))
+      .drop("_q")
 
   def languageFiltered(docs: DataFrame, cfg: Config): DataFrame =
     docs.where(col("lang").isin(cfg.langs: _*))
@@ -104,22 +107,24 @@ object CorpusPipeline {
   def funnel(docs: DataFrame, cfg: Config = Config()): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val q = tokenStatsUdf(col("text"))
     val langOk = col("lang").isin(cfg.langs: _*)
-    val qualOk = langOk && q.getField("_1") >= cfg.minTokens &&
-      (q.getField("_2").cast("double") /
-        greatest(q.getField("_1"), lit(1)).cast("double")) <= cfg.maxStopRatio
-    val head = docs.agg(
-      count(lit(1)).as("n_input"),
-      coalesce(sum(langOk.cast("long")), lit(0L)).as("n_lang"),
-      coalesce(sum(qualOk.cast("long")), lit(0L)).as("n_quality"),
-      countDistinct(when(qualOk, md5(col("text")))).as("n_exact"))
+    val qualOk = langOk && col("_q._1") >= cfg.minTokens &&
+      (col("_q._2").cast("double") /
+        greatest(col("_q._1"), lit(1)).cast("double")) <= cfg.maxStopRatio
+    val head = docs
+      .select(col("text"), col("lang"), tokenStatsUdf(col("text")).as("_q"))
+      .agg(
+        count(lit(1)).as("n_input"),
+        coalesce(sum(langOk.cast("long")), lit(0L)).as("n_lang"),
+        coalesce(sum(qualOk.cast("long")), lit(0L)).as("n_quality"),
+        countDistinct(when(qualOk, md5(col("text")))).as("n_exact"))
       .collect()(0)
     val exact = exactDeduped(qualityFiltered(
       languageFiltered(docs, cfg), cfg)).persist()
     val near = nearDeduped(exact, cfg)
     val Array(nearCount, tokenBudget) = near
-      .agg(count(lit(1)), sum(TextOps.tokenCount(col("text")).cast("long")))
+      .agg(count(lit(1)),
+        sum(tokenStatsUdf(col("text")).getField("_1").cast("long")))
       .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
     val out = Seq(
       ("1_input", head.getLong(0), 0L),

@@ -49,6 +49,63 @@ case class TextShingles(child: Expression)
     copy(child = newChild)
 }
 
+/** Native expression: text -> 64-bit SimHash over its DISTINCT token
+  * hashes, one pass over the UTF-8 bytes + a sort/dedupe of the token
+  * hash array (no Strings, no UDF serde, codegen-friendly). NULL for
+  * token-free text so callers can filter it like the UDF's empty case.
+  */
+case class TextSimHash(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "text_simhash"
+
+  override def nullSafeEval(input: Any): Any =
+    TextSimHash.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhasher", TextSimHash,
+      "org.apache.spark.sql.graftx.TextSimHash$")
+    nullSafeCodeGen(ctx, ev, in => s"""
+      |Object r = $ref.compute($in);
+      |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Long) r).longValue(); }
+    """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextSimHash {
+
+  def column(text: Column): Column =
+    ExpressionUtils.column(TextSimHash(ExpressionUtils.expression(text)))
+
+  /** java.lang.Long (null when the text has no tokens). */
+  def compute(text: UTF8String): java.lang.Long = {
+    val hashes = TextShingles.tokenHashes(text)
+    if (hashes.isEmpty) return null
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < hashes.length) {
+      // fmix for bit-uniformity: raw FNV low bits are weakly avalanched
+      val h = TextShingles.fmix64(hashes(i))
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) out |= (1L << j); j += 1 }
+    java.lang.Long.valueOf(out)
+  }
+}
+
 object TextShingles {
 
   def column(text: Column): Column =
@@ -58,11 +115,50 @@ object TextShingles {
   private final val FnvPrime = 0x100000001b3L
   private final val Phi = 0x9E3779B97F4A7C15L
 
-  private def fmix64(x0: Long): Long = {
+  private[graftx] def fmix64(x0: Long): Long = {
     var x = x0
     x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
     x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
     x ^ (x >>> 33)
+  }
+
+  /** Sorted DISTINCT FNV-1a hashes of the letter-run tokens (same
+    * tokenizer as [[compute]], shared by the SimHash expression).
+    */
+  private[graftx] def tokenHashes(text: UTF8String): Array[Long] = {
+    val bytes = text.getBytes
+    var out = new Array[Long](16)
+    var nOut = 0
+    var tokenH = FnvBasis
+    var inToken = false
+    var i = 0
+    val n = bytes.length
+    while (i <= n) {
+      val c: Int = if (i < n) bytes(i) & 0xff else 0
+      val lower =
+        if (c >= 'a' && c <= 'z') c
+        else if (c >= 'A' && c <= 'Z') c + 32
+        else -1
+      if (lower >= 0) {
+        if (!inToken) { inToken = true; tokenH = FnvBasis }
+        tokenH = (tokenH ^ lower) * FnvPrime
+      } else if (inToken) {
+        inToken = false
+        if (nOut == out.length) out = java.util.Arrays.copyOf(out, nOut * 2)
+        out(nOut) = tokenH
+        nOut += 1
+      }
+      i += 1
+    }
+    if (nOut == 0) return Array.emptyLongArray
+    java.util.Arrays.sort(out, 0, nOut)
+    var w = 1
+    var r = 1
+    while (r < nOut) {
+      if (out(r) != out(w - 1)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    java.util.Arrays.copyOf(out, w)
   }
 
   /** One pass: token runs -> FNV token hashes -> rolling 3-window mix
