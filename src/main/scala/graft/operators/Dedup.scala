@@ -107,43 +107,10 @@ object Dedup {
     verifyJaccard(cand, sh, threshold)
   }
 
-  private val MersennePrime = 2147483647L // 2^31 - 1
-
-  /** MinHash signature params (a, b) for h_i(x) = (a*x + b) mod p.
-    * Deterministic seed so runs and tests are reproducible.
-    */
-  private def perms(numPerm: Int): Seq[(Long, Long)] = {
-    val rnd = new scala.util.Random(42)
-    Seq.fill(numPerm)(
-      (1L + rnd.nextInt(Int.MaxValue - 1).toLong,
-        rnd.nextInt(Int.MaxValue).toLong))
-  }
-
-  /** One-pass UDF: shingle set -> banded MinHash bucket keys. Base
-    * hashes via MurmurHash3 (deterministic across JVMs), k=bands*rows
-    * permutation mins, band key = ordered hash of its signature rows
-    * tagged with the band index in the high 32 bits so bands never
-    * collide with each other.
-    */
-  private def minhashBandUdf(bands: Int, rowsPerBand: Int) = {
-    val ps = perms(bands * rowsPerBand)
-    udf { shs: Array[Long] =>
-      val base = shs.map(h => java.lang.Math.floorMod(h, MersennePrime))
-      val sig = ps.map { case (a, b) =>
-        var m = Long.MaxValue
-        base.foreach { x => val h = (a * x + b) % MersennePrime; if (h < m) m = h }
-        m
-      }
-      Array.tabulate(bands) { j =>
-        val h = scala.util.hashing.MurmurHash3.orderedHash(
-          sig.slice(j * rowsPerBand, (j + 1) * rowsPerBand))
-        (j.toLong << 32) | (h.toLong & 0xffffffffL)
-      }
-    }
-  }
-
-  /** MinHash-LSH near-dup pairs: band the signature, bucket-join, then
-    * exact-verify Jaccard >= threshold.
+  /** MinHash-LSH near-dup pairs: band the signature (native codegen
+    * expression [[org.apache.spark.sql.graftx.MinHashBands]] — seeded
+    * permutations baked into the plan, no UDF serde), bucket-join,
+    * then exact-verify Jaccard >= threshold.
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
@@ -152,7 +119,8 @@ object Dedup {
     // exchange feeds both self-join sides, already co-partitioned)
     val bandKeys = sh.select(
       col("doc_id"),
-      explode(minhashBandUdf(bands, rowsPerBand)(col("shs"))).as("bkey"))
+      explode(org.apache.spark.sql.graftx.MinHashBands.column(
+        col("shs"), bands, rowsPerBand)).as("bkey"))
       .repartition(col("bkey"))
     val cand = bandKeys.as("a").join(bandKeys.as("b"),
         col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))

@@ -49,6 +49,96 @@ case class TextShingles(child: Expression)
     copy(child = newChild)
 }
 
+/** Native expression: sorted shingle-hash array -> banded MinHash
+  * bucket keys. k = bands*rows permutations h_i(x) = (a_i*x + b_i)
+  * mod p over the shingle hashes; each band's row-mins mix into one
+  * 64-bit key tagged with the band index in the high bits so bands
+  * never collide across each other. Permutation params are seeded and
+  * baked into the expression (driver-side constants, shipped with the
+  * plan).
+  */
+case class MinHashBands(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_bands"
+
+  @transient private lazy val perms: (Array[Long], Array[Long]) =
+    MinHashBands.perms(bands * rowsPerBand)
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashBands.compute(input.asInstanceOf[ArrayData],
+      perms._1, perms._2, bands, rowsPerBand)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhasher", MinHashBands,
+      "org.apache.spark.sql.graftx.MinHashBands$")
+    val as = ctx.addReferenceObj("permsA", perms._1, "long[]")
+    val bs = ctx.addReferenceObj("permsB", perms._2, "long[]")
+    nullSafeCodeGen(ctx, ev, in =>
+      s"${ev.value} = $ref.compute($in, $as, $bs, $bands, $rowsPerBand);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashBands {
+
+  def column(shingles: Column, bands: Int, rowsPerBand: Int): Column =
+    ExpressionUtils.column(MinHashBands(
+      ExpressionUtils.expression(shingles), bands, rowsPerBand))
+
+  private final val MersennePrime = 2147483647L // 2^31 - 1
+
+  /** Deterministic permutation params (seeded, reproducible). */
+  private[graftx] def perms(k: Int): (Array[Long], Array[Long]) = {
+    val rnd = new scala.util.Random(42)
+    val as = new Array[Long](k)
+    val bs = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      as(i) = 1L + rnd.nextInt(Int.MaxValue - 1).toLong
+      bs(i) = rnd.nextInt(Int.MaxValue).toLong
+      i += 1
+    }
+    (as, bs)
+  }
+
+  def compute(shingles: ArrayData, as: Array[Long], bs: Array[Long],
+      bands: Int, rowsPerBand: Int): ArrayData = {
+    val n = shingles.numElements()
+    val k = bands * rowsPerBand
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val x = java.lang.Math.floorMod(shingles.getLong(i), MersennePrime)
+      var p = 0
+      while (p < k) {
+        val h = (as(p) * x + bs(p)) % MersennePrime
+        if (h < mins(p)) mins(p) = h
+        p += 1
+      }
+      i += 1
+    }
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 0L
+      var r = 0
+      while (r < rowsPerBand) {
+        h = h * 0x9E3779B97F4A7C15L + mins(b * rowsPerBand + r)
+        r += 1
+      }
+      out(b) = (b.toLong << 56) | (TextShingles.fmix64(h) >>> 8)
+      b += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
 /** Native expression: text -> 64-bit SimHash over its DISTINCT token
   * hashes, one pass over the UTF-8 bytes + a sort/dedupe of the token
   * hash array (no Strings, no UDF serde, codegen-friendly). NULL for

@@ -96,4 +96,52 @@ object GraftProps extends Properties("graft") {
     forAll(Gen.oneOf("", " ", "1 2 3 !!")) { s =>
       LangId.detect(s) == "und"
     }
+
+  // --- native text expressions (pure compute paths) --------------------
+
+  import org.apache.spark.unsafe.types.UTF8String
+  import org.apache.spark.sql.graftx.{TextShingles, TextSimHash}
+
+  /** Reference trigram shingles via the regex formulation the DuckDB
+    * oracle uses — the native byte-scan must agree on the SET SIZE.
+    */
+  private def refShingleCount(text: String): Int = {
+    val toks = text.toLowerCase.replaceAll("[^a-z]+", " ")
+      .trim.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < 3) 0
+    else toks.sliding(3).map(_.mkString(" ")).toSet.size
+  }
+
+  private val messyText: Gen[String] = Gen.oneOf(
+    sentence,
+    sentence.map(s => s"UPPER $s MiXeD, punct!! 123 $s"),
+    sentence.map(s => s"héllo wörld $s"), // multi-byte breaks tokens
+    Gen.const(""), Gen.const("one two"), Gen.const("a b c a b c a b c"))
+
+  property("native shingles match the regex-reference trigram count") =
+    forAll(messyText) { s =>
+      val got = TextShingles.compute(UTF8String.fromString(s)).numElements()
+      got == refShingleCount(s)
+    }
+
+  property("native shingle hashes are sorted strictly increasing") =
+    forAll(messyText) { s =>
+      val arr = TextShingles.compute(UTF8String.fromString(s)).toLongArray()
+      arr.sliding(2).forall(w => w.length < 2 || w(0) < w(1))
+    }
+
+  property("simhash: token order and duplication are irrelevant") =
+    forAll(sentence) { s =>
+      val toks = s.split(" ").toSeq
+      val shuffled = scala.util.Random.shuffle(toks).mkString(" ")
+      val doubled = (toks ++ toks).mkString(" ")
+      val h = TextSimHash.compute(UTF8String.fromString(s))
+      h == TextSimHash.compute(UTF8String.fromString(shuffled)) &&
+        h == TextSimHash.compute(UTF8String.fromString(doubled))
+    }
+
+  property("simhash of token-free text is null") =
+    forAll(Gen.oneOf("", "  ", "123 456 !!")) { s =>
+      TextSimHash.compute(UTF8String.fromString(s)) == null
+    }
 }
