@@ -7,8 +7,8 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -60,17 +60,60 @@ class PubMedTable(props: Map[String, String]) extends Table with SupportsRead {
 
 /** endYear is exclusive, matching the reference's CLI contract
   * ("1990 will load until 1989 only", spark-pubmed-word-count/README.md).
+  *
+  * Pushdown surface (what `.explain` shows as PushedFilters/ReadSchema):
+  *  - year/month comparisons prune (year, month) INPUT PARTITIONS — a
+  *    `WHERE year = 1999` never even plans the other years' fetches,
+  *    the source-level analogue of parquet partition pruning. Pushed
+  *    filters are exact, so Spark drops its re-evaluation Filter node.
+  *  - column pruning: a query that never reads `content` (e.g. a page
+  *    count) skips the page download entirely — the reader materializes
+  *    only the requested fields.
   */
 class PubMedScanBuilder(path: String, beginYear: Int, endYear: Int)
-    extends ScanBuilder with Scan with Batch {
+    extends ScanBuilder with Scan with Batch
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var yearLo = beginYear
+  private var yearHi = endYear // exclusive
+  private var monthEq: Option[Int] = None
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = PubMedSource.schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case EqualTo("year", _: Int) | GreaterThan("year", _: Int) |
+           GreaterThanOrEqual("year", _: Int) | LessThan("year", _: Int) |
+           LessThanOrEqual("year", _: Int) | EqualTo("month", _: Int) => true
+      case _ => false
+    }
+    accepted.foreach {
+      case EqualTo("year", y: Int) =>
+        yearLo = math.max(yearLo, y); yearHi = math.min(yearHi, y + 1)
+      case GreaterThan("year", y: Int) => yearLo = math.max(yearLo, y + 1)
+      case GreaterThanOrEqual("year", y: Int) => yearLo = math.max(yearLo, y)
+      case LessThan("year", y: Int) => yearHi = math.min(yearHi, y)
+      case LessThanOrEqual("year", y: Int) => yearHi = math.min(yearHi, y + 1)
+      case EqualTo("month", m: Int) => monthEq = Some(m)
+      case _ => ()
+    }
+    pushed = accepted
+    rejected // only these need Spark-side re-evaluation
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
   override def build(): Scan = this
-  override def readSchema(): StructType = PubMedSource.schema
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     (for {
-      year <- beginYear until endYear
-      month <- 1 to 12
-    } yield PubMedMonthPartition(year, month, path): InputPartition).toArray
+      year <- yearLo until yearHi
+      month <- 1 to 12 if monthEq.forall(_ == month)
+    } yield PubMedMonthPartition(year, month, path,
+        required.fieldNames): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] =
@@ -78,8 +121,8 @@ class PubMedScanBuilder(path: String, beginYear: Int, endYear: Int)
     }
 }
 
-case class PubMedMonthPartition(year: Int, month: Int, path: String)
-  extends InputPartition
+case class PubMedMonthPartition(year: Int, month: Int, path: String,
+  columns: Array[String]) extends InputPartition
 
 /** Reads one month's pages. Bounded exponential backoff replaces the
   * reference's `while True: sleep(3)` (job_pubmed_submit.py:47-51, D6).
@@ -123,8 +166,14 @@ class PubMedMonthReader(p: PubMedMonthPartition)
       val f = pages.next()
       val retstart = f.getName.stripPrefix(s"${p.year}_${p.month}_num_")
         .toLongOption.getOrElse(0L)
-      current = InternalRow(p.year, p.month, retstart,
-        UTF8String.fromString(fetchPage(f)))
+      // materialize only the pruned columns; the page fetch itself is
+      // skipped unless `content` was requested
+      current = InternalRow.fromSeq(p.columns.toSeq.map {
+        case "year" => p.year
+        case "month" => p.month
+        case "retstart" => retstart
+        case "content" => UTF8String.fromString(fetchPage(f))
+      })
       true
     }
 

