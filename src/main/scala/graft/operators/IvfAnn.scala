@@ -90,6 +90,57 @@ object IvfAnn {
         .sorted.take(nprobe).map(_._2).toArray
     }
 
+  /** Build and persist the IVF index: centroids (tiny parquet) plus
+    * the assigned corpus written `partitionBy(list_id)` — the layout
+    * that makes a probe read only its nprobe/nlist slice of a 100 TB
+    * corpus via partition pruning, instead of rescanning and
+    * re-assigning per query batch. Index build is the once-per-corpus
+    * cost; [[queryIndex]] is the cheap repeated path.
+    */
+  def writeIndex(corpus: DataFrame, dir: String, nlist: Int = 16,
+      sampleMod: Int = 0): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cs = trainCentroids(corpus, nlist, sampleMod)
+    cs.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+      .toDF("list_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    corpus.select(
+        col("vec_id"), col("embedding"),
+        VectorOps.norm(col("embedding")).as("nrm"),
+        assignUdf(cs)(col("embedding")).as("list_id"))
+      .write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$dir/assigned")
+  }
+
+  /** Query a persisted index: probe nprobe lists per query vector and
+    * exact-rerank. The probed list ids join against the `list_id`
+    * PARTITION column of the assigned table, so only those partition
+    * directories are read.
+    */
+  def queryIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, k: Int, nprobe: Int = 4): DataFrame = {
+    val cs = spark.read.parquet(s"$dir/centroids")
+      .orderBy("list_id").collect()
+      .map(_.getSeq[Double](1).toArray)
+    val assigned = spark.read.parquet(s"$dir/assigned")
+    val probed = broadcast(queries.select(
+      col("vec_id").as("qid"), col("embedding").as("qemb"),
+      VectorOps.norm(col("embedding")).as("qnrm"),
+      explode(probeUdf(cs, nprobe)(col("embedding"))).as("list_id")))
+    val sims = assigned.join(probed,
+        Seq("list_id")).where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(VectorOps.dot(col("qemb"), col("embedding")) /
+          (col("qnrm") * col("nrm")), 6).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+    sims
+      .select(col("qid"), col("vec_id"), col("sim"),
+        row_number().over(w).cast("long").as("rank"))
+      .where(col("rank") <= k)
+      .orderBy("qid", "rank")
+  }
+
   /** IVF top-k: assign corpus once, probe nprobe lists per query,
     * exact cosine rerank. Candidate join carries ids + list id only.
     */

@@ -54,6 +54,23 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"recall collapsed: $recall")
   }
 
+  test("persisted ivf index reproduces the inline path and prunes partitions") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-index").toString
+    graft.operators.IvfAnn.writeIndex(emb, dir, nlist = 16)
+    // layout: one partition dir per inverted list
+    val listDirs = new java.io.File(s"$dir/assigned").listFiles()
+      .filter(_.getName.startsWith("list_id="))
+    assert(listDirs.length > 1)
+    val fromIndex = graft.operators.IvfAnn
+      .queryIndex(spark, dir, queries, k = 5)
+      .collect().map(_.toSeq)
+    val inline = graft.operators.IvfAnn.ivfTopK(emb, queries, k = 5)
+      .collect().map(_.toSeq)
+    // same centroids (same seed + sample) -> identical results
+    assert(fromIndex.toSeq === inline.toSeq)
+  }
+
   test("cosine dup pairs are symmetric-free and above threshold") {
     val rows = graft.queries.SimilarityQueries.cosineDupPairs(spark, sfDir)
       .collect()
