@@ -50,10 +50,14 @@ object Dedup {
     * verify joins want.
     */
   def shingled(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    // no emptiness filter on purpose: a `where(size(shs) > 0)` gets
+    // pushed below the exchange and re-evaluates text_shingles per row
+    // inside the Filter condition. Shingle-less docs are harmless
+    // everywhere downstream — explode emits nothing for them and
+    // MinHashBands returns no band keys for empty input.
     docs.select(
       col(idCol).as("doc_id"),
       org.apache.spark.sql.graftx.TextShingles.column(col(textCol)).as("shs"))
-      .where(size(col("shs")) > 0)
       .repartition(col("doc_id"))
 
   /** Set Jaccard via linear merge of the sorted hash arrays — the
@@ -141,8 +145,8 @@ object Dedup {
     docs
       .select(col(idCol).as("doc_id"),
         org.apache.spark.sql.graftx.TextSimHash.column(col(textCol)).as("simhash"))
-      .where(col("simhash").isNotNull)
       .repartition(col("doc_id"))
+      .where(col("simhash").isNotNull) // above the exchange: no recompute
 
   /** SimHash near-dup pairs: 4 x 16-bit band blocking (a pair within
     * Hamming distance <= 3 shares at least one exact band by pigeonhole;

@@ -109,6 +109,9 @@ object MinHashBands {
   def compute(shingles: ArrayData, as: Array[Long], bs: Array[Long],
       bands: Int, rowsPerBand: Int): ArrayData = {
     val n = shingles.numElements()
+    // no bands for shingle-less docs: otherwise every empty doc would
+    // share the MaxValue-signature bucket and pair quadratically
+    if (n == 0) return UnsafeArrayData.fromPrimitiveArray(Array.empty[Long])
     val k = bands * rowsPerBand
     val mins = new Array[Long](k)
     java.util.Arrays.fill(mins, Long.MaxValue)
