@@ -143,7 +143,11 @@ object Similarity {
   def cosineDupPairs(corpus: DataFrame, threshold: Double,
       tables: Int = 16, bitsPerTable: Int = 6, dim: Int = 64): DataFrame = {
     val pl = planes(tables, bitsPerTable, dim)
+    // barrier on the join key: hyperplane bucketing (tables x bits x dim
+    // multiplies per vector) computes ONCE; both self-join sides read
+    // the reused, already co-partitioned exchange
     val b = bucketed(corpus, "vec_id", pl)
+      .repartition(col("tbl"), col("bucket"))
     val cand = b.as("a").join(b.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
