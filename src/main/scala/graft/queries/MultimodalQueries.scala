@@ -84,7 +84,10 @@ object MultimodalQueries {
       .repartition(col("doc_id"))
     val rare = fp.groupBy("fp").agg(count(lit(1)).as("df"))
       .where(col("df").between(2, 20))
+    // barrier on the join key: winnowed fingerprints compute once and
+    // the self-join reads one reused, co-partitioned exchange
     val fpr = fp.join(broadcast(rare.select("fp")), "fp")
+      .repartition(col("fp"))
     val pairs = fpr.as("a").join(fpr.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))

@@ -60,13 +60,41 @@ ORDER BY n_name"""
     spark.sql(notInSql)
   }
 
+  private val lateralSparkSql =
+    """SELECT w.word, count(*) AS n_docs
+FROM documents LATERAL VIEW explode(
+  array_distinct(filter(split(lower(regexp_replace(text, '[^a-zA-Z ]', ' ')),
+    ' +'), t -> t != ''))) w AS word
+WHERE length(w.word) >= 6
+GROUP BY w.word ORDER BY w.word"""
+
+  private val lateralDuckSql =
+    raw"""SELECT w.word, count(*) AS n_docs
+FROM documents,
+  (SELECT unnest(list_distinct(list_filter(
+    string_split_regex(lower(regexp_replace(text, '[^a-zA-Z ]', ' ', 'g')),
+    '\s+'), t -> t <> ''))) ) w(word)
+WHERE length(w.word) >= 6
+GROUP BY w.word ORDER BY w.word"""
+
+  /** LATERAL VIEW explode — the SQL spelling of the generator path
+    * (document frequency of long words). Oracle is DuckDB's lateral
+    * UNNEST equivalent.
+    */
+  def lateralExplode(spark: SparkSession, dir: String): DataFrame = {
+    view(spark, dir, "documents")
+    spark.sql(lateralSparkSql)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_exists_subquery" -> existsSubquery,
     "sql_scalar_subquery" -> scalarSubquery,
-    "sql_notin_subquery" -> notInSubquery)
+    "sql_notin_subquery" -> notInSubquery,
+    "sql_lateral_explode" -> lateralExplode)
 
   val oracle: Map[String, String] = Map(
     "sql_exists_subquery" -> existsSql,
     "sql_scalar_subquery" -> scalarSql,
-    "sql_notin_subquery" -> notInSql)
+    "sql_notin_subquery" -> notInSql,
+    "sql_lateral_explode" -> lateralDuckSql)
 }
