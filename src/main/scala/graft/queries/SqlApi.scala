@@ -86,15 +86,35 @@ GROUP BY w.word ORDER BY w.word"""
     spark.sql(lateralSparkSql)
   }
 
+  private val windowSql =
+    """SELECT o_orderkey, o_orderpriority,
+  CAST(row_number() OVER w AS BIGINT) AS rn,
+  CAST(count(*) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+    AS n_in_priority,
+  lead(o_orderkey) OVER w AS next_key
+FROM orders WHERE o_orderkey % 100 = 0
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
+ORDER BY o_orderpriority, o_orderkey"""
+
+  /** Named WINDOW clause through the SQL front end (count/rank-based
+    * frames only — deterministic across engines).
+    */
+  def windowClause(spark: SparkSession, dir: String): DataFrame = {
+    view(spark, dir, "orders")
+    spark.sql(windowSql)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_exists_subquery" -> existsSubquery,
     "sql_scalar_subquery" -> scalarSubquery,
     "sql_notin_subquery" -> notInSubquery,
-    "sql_lateral_explode" -> lateralExplode)
+    "sql_lateral_explode" -> lateralExplode,
+    "sql_window_clause" -> windowClause)
 
   val oracle: Map[String, String] = Map(
     "sql_exists_subquery" -> existsSql,
     "sql_scalar_subquery" -> scalarSql,
     "sql_notin_subquery" -> notInSql,
-    "sql_lateral_explode" -> lateralDuckSql)
+    "sql_lateral_explode" -> lateralDuckSql,
+    "sql_window_clause" -> windowSql)
 }

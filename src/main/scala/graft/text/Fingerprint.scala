@@ -57,7 +57,11 @@ object Fingerprint {
     if (res >= Mod) res - Mod else res
   }
 
-  private val winnowUdf = udf((s: String) => winnow(s))
-
-  def fingerprints(text: Column): Column = winnowUdf(text)
+  /** Column path runs the native codegen expression
+    * [[org.apache.spark.sql.graftx.TextWinnow]] (byte-level normalize +
+    * roll, no String/Seq serde); `winnow` above stays as the reference
+    * implementation the GraftProps equivalence property pins it to.
+    */
+  def fingerprints(text: Column): Column =
+    org.apache.spark.sql.graftx.TextWinnow.column(text)
 }

@@ -144,4 +144,11 @@ object GraftProps extends Properties("graft") {
     forAll(Gen.oneOf("", "  ", "123 456 !!")) { s =>
       TextSimHash.compute(UTF8String.fromString(s)) == null
     }
+
+  property("native winnow equals the reference implementation") =
+    forAll(messyText) { s =>
+      val native = org.apache.spark.sql.graftx.TextWinnow
+        .compute(UTF8String.fromString(s), 7, 4).toLongArray().toSeq
+      native == Fingerprint.winnow(s)
+    }
 }
