@@ -145,6 +145,16 @@ object GraftProps extends Properties("graft") {
       TextSimHash.compute(UTF8String.fromString(s)) == null
     }
 
+  property("minhash bands: empty shingle input yields no band keys") =
+    Prop {
+      import org.apache.spark.sql.graftx.MinHashBands
+      import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      MinHashBands.compute(
+        UnsafeArrayData.fromPrimitiveArray(Array.empty[Long]),
+        Array.tabulate(64)(_ + 1L), new Array[Long](64),
+        16, 4).numElements() == 0
+    }
+
   property("native winnow equals the reference implementation") =
     forAll(messyText) { s =>
       val native = org.apache.spark.sql.graftx.TextWinnow

@@ -140,6 +140,25 @@ class TopKPerKeySpec extends SparkSpec {
     }
   }
 
+  test("null order values match window null ordering") {
+    import spark.implicits._
+    val df = Seq[(String, java.lang.Long, java.lang.Double)](
+      ("a", 1L, 10.0), ("a", 2L, null), ("a", 3L, 30.0),
+      ("b", 4L, null), ("b", 5L, null))
+      .toDF("k", "id", "v").repartition(2)
+    val native = TopKPerKey.topK(df, Seq("k"),
+      Seq(("v", true), ("id", false)), 2)
+      .select("k", "id", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val w = Window.partitionBy("k").orderBy(col("v").desc, col("id"))
+    val windowed = df
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 2)
+      .select("k", "id", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(native === windowed) // DESC NULLS LAST on both paths
+  }
+
   test("randomized equivalence with the window formulation") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
