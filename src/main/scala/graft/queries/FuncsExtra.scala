@@ -180,7 +180,44 @@ object FuncsExtra {
         count_if(col("l_shipdate") >= lit("1995-01-01")).as("n_recent"))
       .orderBy("l_returnflag")
 
+  /** Full outer join: customers with orders above a threshold vs the
+    * supplier id space — both unmatched sides surface with nulls.
+    */
+  def joinFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val bigCust = Tables(spark, dir, "orders")
+      .where(col("o_totalprice") > 400000)
+      .groupBy(col("o_custkey").as("key"))
+      .agg(count(lit(1)).as("n_big"))
+    val supp = Tables(spark, dir, "supplier")
+      .select(col("s_suppkey").as("key"), col("s_acctbal"))
+    bigCust.join(supp, Seq("key"), "full_outer")
+      .select(col("key"),
+        coalesce(col("n_big"), lit(0L)).as("n_big"),
+        round(coalesce(col("s_acctbal"), lit(0.0)), 2).as("s_bal"))
+      .orderBy("key")
+  }
+
+  /** Multiset set operations (INTERSECT ALL / EXCEPT ALL keep
+    * duplicate cardinalities, unlike their DISTINCT forms).
+    */
+  def setopAllVariants(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables(spark, dir, "orders")
+      .select(pmod(col("o_custkey"), lit(100)).as("b"))
+    val b = Tables(spark, dir, "lineitem")
+      .select(pmod(col("l_suppkey"), lit(100)).as("b"))
+    // global aggregates: one row even when the multiset is empty (a
+    // groupBy over empty input would emit no row; DuckDB's scalar
+    // count(*) always does)
+    val ia = a.intersectAll(b).agg(count(lit(1)).as("n"))
+      .select(lit("intersect_all").as("op"), col("n"))
+    val ea = a.exceptAll(b).agg(count(lit(1)).as("n"))
+      .select(lit("except_all").as("op"), col("n"))
+    ea.unionByName(ia).orderBy("op")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_full_outer" -> joinFullOuter,
+    "setop_all_variants" -> setopAllVariants,
     "agg_bools" -> aggBools,
     "string_funcs2" -> stringFuncs2,
     "agg_string_concat" -> stringConcat,
@@ -247,6 +284,24 @@ CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
 CAST(NULL AS VARCHAR) AS missing_val,
 false AS is_null
 FROM events ORDER BY event_id""",
+    "join_full_outer" ->
+      """WITH bc AS (
+  SELECT o_custkey AS key, count(*) AS n_big
+  FROM orders WHERE o_totalprice > 400000 GROUP BY o_custkey
+), sp AS (SELECT s_suppkey AS key, s_acctbal FROM supplier)
+SELECT coalesce(bc.key, sp.key) AS key,
+  coalesce(n_big, 0) AS n_big,
+  round(coalesce(s_acctbal, 0.0), 2) AS s_bal
+FROM bc FULL OUTER JOIN sp ON bc.key = sp.key
+ORDER BY key""",
+    "setop_all_variants" ->
+      """WITH a AS (SELECT o_custkey % 100 AS b FROM orders),
+b AS (SELECT l_suppkey % 100 AS b FROM lineitem),
+ia AS (SELECT count(*) AS n FROM (SELECT b FROM a INTERSECT ALL SELECT b FROM b)),
+ea AS (SELECT count(*) AS n FROM (SELECT b FROM a EXCEPT ALL SELECT b FROM b))
+SELECT 'except_all' AS op, n FROM ea
+UNION ALL SELECT 'intersect_all', n FROM ia
+ORDER BY op""",
     "agg_bools" ->
       """SELECT l_returnflag,
 CAST(count_if(l_discount > 0.05) AS BIGINT) AS n_discounted,
