@@ -91,6 +91,34 @@ object EventQueries {
       .orderBy("click_id")
   }
 
+  /** Forward as-of: each click matched to the user's NEXT purchase
+    * at-or-after the click.
+    */
+  def asofForwardClickPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables(spark, dir, "events")
+    val clicks = events.where(col("event_type") === "click")
+      .select("event_id", "user_id", "ts", "value")
+    val purchases = events.where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    graft.operators.AsOfJoin.asOfForward(clicks, purchases, "user_id", "ts")
+      .select(
+        col("left.event_id").as("click_id"),
+        col("left.user_id").as("user_id"),
+        col("right.event_id").as("purchase_id"),
+        round(col("right.value"), 2).as("purchase_value"),
+        (unix_micros(col("right.ts")) - unix_micros(col("left.ts")))
+          .as("gap_us"))
+      .orderBy("click_id")
+  }
+
+  /** Tolerance-bounded as-of (pandas merge_asof tolerance semantics):
+    * nearest match first, then matches farther than 1 hour drop.
+    */
+  def asofToleranceClickPurchase(spark: SparkSession, dir: String): DataFrame =
+    asofClickPurchase(spark, dir)
+      .where(col("gap_us") <= 3600L * 1000000L)
+      .orderBy("click_id")
+
   /** Batch twin of the stream-stream interval join (same code path —
     * the watermark is a no-op in batch), aggregated per click.
     */
@@ -111,6 +139,8 @@ object EventQueries {
     "events_tumbling_window" -> tumblingWindow,
     "events_sessionize" -> sessionize,
     "events_asof_join" -> asofClickPurchase,
+    "events_asof_forward" -> asofForwardClickPurchase,
+    "events_asof_tolerance" -> asofToleranceClickPurchase,
     "events_interval_join" -> intervalJoin)
 
   val oracle: Map[String, String] = Map(
@@ -153,6 +183,25 @@ epoch_us(c.ts) - epoch_us(p.ts) AS gap_us
 FROM (SELECT * FROM events WHERE event_type = 'click') c
 ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
   ON c.user_id = p.user_id AND c.ts >= p.ts
+ORDER BY click_id""",
+    "events_asof_forward" ->
+      """SELECT c.event_id AS click_id, c.user_id,
+p.event_id AS purchase_id, round(p.value, 2) AS purchase_value,
+epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND c.ts <= p.ts
+ORDER BY click_id""",
+    "events_asof_tolerance" ->
+      """SELECT * FROM (
+  SELECT c.event_id AS click_id, c.user_id,
+    p.event_id AS purchase_id, round(p.value, 2) AS purchase_value,
+    epoch_us(c.ts) - epoch_us(p.ts) AS gap_us
+  FROM (SELECT * FROM events WHERE event_type = 'click') c
+  ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+    ON c.user_id = p.user_id AND c.ts >= p.ts
+)
+WHERE gap_us <= 3600000000
 ORDER BY click_id""",
     "events_interval_join" ->
       """SELECT c.event_id AS click_id, count(*) AS n_purchases,

@@ -48,4 +48,22 @@ class AsOfJoinSpec extends SparkSpec {
       .select("left.event_id").collect().map(_.getLong(0)).toSeq
     assert(out == Seq(2L))
   }
+
+  test("forward as-of picks the earliest right at-or-after, inner drop") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val l = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:00")), // -> right 8 (same instant)
+      (2L, 10L, ts("2024-01-02 12:00:00")), // -> right 9 (next day)
+      (3L, 10L, ts("2024-01-05 00:00:00"))) // nothing after: dropped
+      .toDF("event_id", "user_id", "ts")
+    val r = Seq(
+      (8L, 10L, ts("2024-01-01 00:00:00")),
+      (9L, 10L, ts("2024-01-03 00:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val out = AsOfJoin.asOfForward(l, r, "user_id", "ts")
+      .select(col("left.event_id"), col("right.event_id"))
+      .collect().map(row => (row.getLong(0), row.getLong(1))).toSet
+    assert(out === Set((1L, 8L), (2L, 9L)))
+  }
 }
