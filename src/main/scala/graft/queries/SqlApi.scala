@@ -104,7 +104,23 @@ ORDER BY o_orderpriority, o_orderkey"""
     spark.sql(windowSql)
   }
 
+  private val groupByAllSql =
+    """SELECT l_returnflag, l_linestatus,
+  count(*) AS n, round(sum(l_quantity), 2) AS qty
+FROM lineitem
+GROUP BY ALL
+ORDER BY l_returnflag, l_linestatus"""
+
+  /** GROUP BY ALL (grouping keys inferred from the select list) —
+    * supported by both engines with identical semantics.
+    */
+  def groupByAll(spark: SparkSession, dir: String): DataFrame = {
+    view(spark, dir, "lineitem")
+    spark.sql(groupByAllSql)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_group_by_all" -> groupByAll,
     "sql_exists_subquery" -> existsSubquery,
     "sql_scalar_subquery" -> scalarSubquery,
     "sql_notin_subquery" -> notInSubquery,
@@ -116,5 +132,6 @@ ORDER BY o_orderpriority, o_orderkey"""
     "sql_scalar_subquery" -> scalarSql,
     "sql_notin_subquery" -> notInSql,
     "sql_lateral_explode" -> lateralDuckSql,
-    "sql_window_clause" -> windowSql)
+    "sql_window_clause" -> windowSql,
+    "sql_group_by_all" -> groupByAllSql)
 }
