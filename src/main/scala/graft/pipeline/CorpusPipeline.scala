@@ -95,6 +95,42 @@ object CorpusPipeline {
     nearDeduped(exactDeduped(qualityFiltered(
       languageFiltered(docs, cfg), cfg)), cfg)
 
+  /** Token-budget corpus cap: keep documents in doc_id order until the
+    * running token total exceeds `budget` — the "take the first N
+    * tokens" step that sizes a training corpus.
+    *
+    * The cumulative sum is a DISTRIBUTED prefix sum, not a global
+    * window (a `Window.orderBy` with no partition keys funnels the
+    * whole corpus through ONE reducer): docs bucket by id range,
+    * per-bucket sums aggregate map-side, a window over the tiny bucket
+    * table computes bucket offsets, and the within-bucket cumsum runs
+    * partitioned by bucket. Every shuffle is bounded; the only ordered
+    * structure is the bucket table (#buckets rows).
+    */
+  def tokenBudgetSample(docs: DataFrame, budget: Long,
+      bucketWidth: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withTok = docs.select(
+      col("doc_id"),
+      tokenStatsUdf(col("text")).getField("_1").cast("long").as("n_tokens"),
+      (col("doc_id") / bucketWidth).cast("long").as("_b"))
+    val offsets = withTok
+      .groupBy("_b").agg(sum("n_tokens").as("_bt"))
+      .withColumn("_off",
+        coalesce(sum("_bt").over(
+          Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("_b", "_off")
+    withTok
+      .join(broadcast(offsets), "_b")
+      .withColumn("cum_tokens",
+        col("_off") + sum("n_tokens").over(
+          Window.partitionBy("_b").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .where(col("cum_tokens") <= budget)
+      .select("doc_id", "n_tokens", "cum_tokens")
+  }
+
   /** Stage funnel: rows surviving each stage plus the token budget of
     * the final corpus.
     *

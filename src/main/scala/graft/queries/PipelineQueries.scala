@@ -39,10 +39,35 @@ object PipelineQueries {
   def corpusFunnel(spark: SparkSession, dir: String): DataFrame =
     graft.pipeline.CorpusPipeline.funnel(Tables(spark, dir, "documents"))
 
+  /** Token-budget cap: first documents (in id order) whose running
+    * token total fits 10k tokens — distributed prefix sum inside,
+    * plain window cumsum as the oracle.
+    */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.CorpusPipeline.tokenBudgetSample(
+        Tables(spark, dir, "documents"), budget = 10000L)
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_keywords_v2_topk" -> keywordsV2TopK,
     "pipeline_pubmed_golden_v1" -> pubmedGoldenV1,
-    "pipeline_corpus_funnel" -> corpusFunnel)
+    "pipeline_corpus_funnel" -> corpusFunnel,
+    "pipeline_token_budget" -> tokenBudget)
 
-  val oracle: Map[String, String] = Map.empty
+  private val tokSql =
+    raw"""CAST(len(list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z ]', ' ', 'g')), '\s+'), w -> w <> '')) AS BIGINT)"""
+
+  val oracle: Map[String, String] = Map(
+    "pipeline_token_budget" ->
+      raw"""WITH t AS (
+  SELECT doc_id, $tokSql AS n_tokens FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS cum_tokens
+  FROM t
+)
+SELECT doc_id, n_tokens, cum_tokens FROM c
+WHERE cum_tokens <= 10000 ORDER BY doc_id""")
 }

