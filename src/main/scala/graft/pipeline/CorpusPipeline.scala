@@ -131,6 +131,20 @@ object CorpusPipeline {
       .select("doc_id", "n_tokens", "cum_tokens")
   }
 
+  /** Deterministic domain-mixture sampling: per-source keep percentages
+    * applied via a doc_id modulus (systematic sampling — reproducible
+    * across runs, retries and engines; no RNG state to ship). The
+    * standard corpus-assembly step that up/down-weights sources toward
+    * a target mixture. Unlisted sources keep `defaultPct`%.
+    */
+  def mixtureSample(docs: DataFrame, pct: Map[String, Int],
+      defaultPct: Int = 100): DataFrame = {
+    val rate = pct.foldLeft(lit(defaultPct)) { case (acc, (s, p)) =>
+      when(col("source") === s, lit(p)).otherwise(acc)
+    }
+    docs.where(pmod(col("doc_id"), lit(100)) < rate)
+  }
+
   /** Stage funnel: rows surviving each stage plus the token budget of
     * the final corpus.
     *

@@ -48,11 +48,23 @@ object PipelineQueries {
         Tables(spark, dir, "documents"), budget = 10000L)
       .orderBy("doc_id")
 
+  /** Domain-mixture sampling: src0 kept whole, src1 halved, src2 cut
+    * to 10%, everything else 25% — per-source counts after the cut.
+    */
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.CorpusPipeline.mixtureSample(
+        Tables(spark, dir, "documents"),
+        Map("src0" -> 100, "src1" -> 50, "src2" -> 10), defaultPct = 25)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+      .orderBy("source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_keywords_v2_topk" -> keywordsV2TopK,
     "pipeline_pubmed_golden_v1" -> pubmedGoldenV1,
     "pipeline_corpus_funnel" -> corpusFunnel,
-    "pipeline_token_budget" -> tokenBudget)
+    "pipeline_token_budget" -> tokenBudget,
+    "pipeline_mixture_sample" -> mixtureSample)
 
   private val tokSql =
     raw"""CAST(len(list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z ]', ' ', 'g')), '\s+'), w -> w <> '')) AS BIGINT)"""
@@ -69,5 +81,13 @@ object PipelineQueries {
   FROM t
 )
 SELECT doc_id, n_tokens, cum_tokens FROM c
-WHERE cum_tokens <= 10000 ORDER BY doc_id""")
+WHERE cum_tokens <= 10000 ORDER BY doc_id""",
+    "pipeline_mixture_sample" ->
+      """SELECT source, count(*) AS n_docs,
+CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+WHERE doc_id % 100 < CASE source
+  WHEN 'src0' THEN 100 WHEN 'src1' THEN 50 WHEN 'src2' THEN 10
+  ELSE 25 END
+GROUP BY source ORDER BY source""")
 }
