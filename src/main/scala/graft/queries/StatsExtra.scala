@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{BloomPrune, ZOrder}
+
+/** Fourth coverage wave: deterministic mode aggregate, Bloom-filter
+  * runtime join pruning, and Z-order clustering keys. All three are
+  * oracle-checked — the Bloom prefilter is exactness-preserving by
+  * construction (no false negatives), and the z-value has a closed
+  * bit-arithmetic form DuckDB can evaluate.
+  */
+object StatsExtra {
+
+  /** Per-group mode with a DETERMINISTIC tie-break (higher count, then
+    * lexicographically larger value). Built as two hash aggregations —
+    * both map-side-combining, no window, no single-reducer stage — so
+    * the shuffled data is one row per (group, value), not per input
+    * row. Spark's builtin mode() breaks ties by hash order; a
+    * tie-broken struct-max is reproducible run to run, which any
+    * audit/lineage story at scale needs.
+    */
+  def aggMode(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("o_orderstatus")
+      .agg(max(struct(col("cnt"), col("o_orderpriority"))).as("m"))
+      .select(
+        col("o_orderstatus"),
+        col("m.o_orderpriority").as("mode_priority"),
+        col("m.cnt").as("mode_n"))
+      .orderBy("o_orderstatus")
+
+  /** Fact⋈dim join with a Bloom prefilter on the fact side (see
+    * BloomPrune). The dim (every 7th supplier) is deterministic so the
+    * oracle is a plain join — bit-identical because Bloom filters
+    * never drop a true match.
+    */
+  def joinBloomPrefilter(spark: SparkSession, dir: String): DataFrame = {
+    val dim = Tables(spark, dir, "supplier")
+      .where(pmod(col("s_suppkey"), lit(7)) === 0)
+      .select(col("s_suppkey"), col("s_name"))
+    val fact = Tables(spark, dir, "lineitem")
+    BloomPrune.prefilteredJoin(fact, dim, "l_suppkey", "s_suppkey",
+        expectedDimKeys = 100000L)
+      .groupBy("s_suppkey")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+        count(lit(1)).as("n_items"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Z-order clustering key over (l_partkey, l_suppkey) — the value a
+    * writer range-partitions on to give every output file a tight
+    * bounding box in both keys (ZOrder.cluster). Emitted per-row here
+    * so the oracle pins the native InterleaveBits expression against
+    * the closed-form bit arithmetic.
+    */
+  def zorderCluster(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .where(pmod(col("l_orderkey"), lit(10)) === 0)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        ZOrder.zvalue(col("l_partkey"), col("l_suppkey")).as("zval"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Naive one-bit-at-a-time Morton spread as SQL text (oracle side of
+    * zorder_cluster): bit i of `c` lands at bit 2i+offset.
+    */
+  private def spreadSql(c: String, offset: Int): String =
+    (0 until 32)
+      .map(i => s"(((CAST($c AS BIGINT) >> $i) & 1) << ${2 * i + offset})")
+      .mkString(" | ")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_mode" -> aggMode,
+    "join_bloom_prefilter" -> joinBloomPrefilter,
+    "zorder_cluster" -> zorderCluster)
+
+  val oracle: Map[String, String] = Map(
+    "agg_mode" ->
+      """SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt AS mode_n
+FROM (
+  SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+    row_number() OVER (PARTITION BY o_orderstatus
+      ORDER BY count(*) DESC, o_orderpriority DESC) AS rn
+  FROM orders GROUP BY o_orderstatus, o_orderpriority) t
+WHERE rn = 1 ORDER BY o_orderstatus""",
+    "join_bloom_prefilter" ->
+      """SELECT s_suppkey, round(sum(l_quantity), 2) AS sum_qty,
+count(*) AS n_items
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+WHERE s_suppkey % 7 = 0
+GROUP BY s_suppkey ORDER BY s_suppkey""",
+    "zorder_cluster" ->
+      s"""SELECT l_orderkey, l_linenumber,
+(${spreadSql("l_partkey", 0)}) | (${spreadSql("l_suppkey", 1)}) AS zval
+FROM lineitem WHERE l_orderkey % 10 = 0
+ORDER BY l_orderkey, l_linenumber""")
+}

@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftx.InterleaveBits
+
+import graft.operators.{BloomPrune, ZOrder}
+
+/** Scale-layout operators: Z-order clustering and Bloom join pruning. */
+class ScaleOpsSpec extends SparkSpec {
+
+  // one-bit-at-a-time reference model for the magic-mask spread
+  private def naiveZ(x: Long, y: Long): Long = {
+    var z = 0L
+    var i = 0
+    while (i < 32) {
+      z |= ((x >> i) & 1L) << (2 * i)
+      z |= ((y >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+
+  test("interleave_bits matches the naive bit-by-bit model") {
+    import spark.implicits._
+    val probes = Seq[(Long, Long)](
+      (0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L),
+      (0xFFFFFFFFL, 0L), (0L, 0xFFFFFFFFL), (0xFFFFFFFFL, 0xFFFFFFFFL),
+      (12345L, 67890L), (0xDEADBEEFL, 0xCAFEBABEL),
+      (1L << 31, 1L << 31), (0x55555555L, 0xAAAAAAAAL))
+    val got = probes.toDF("x", "y")
+      .select(ZOrder.zvalue(col("x"), col("y")).as("z"))
+      .as[Long].collect()
+    val want = probes.map { case (x, y) => naiveZ(x, y) }
+    assert(got.toSeq == want)
+  }
+
+  test("z-order sort preserves locality in BOTH dimensions") {
+    // adjacent z-values should be near each other in (x, y) on average;
+    // the concrete claim that matters for skipping: files cut from a
+    // z-sorted layout have small bounding boxes on both keys, a linear
+    // sort only on its own key.
+    val li = Tables(spark, sfDir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"))
+    val dir = Files.createTempDirectory("graft-zorder").toString
+
+    ZOrder.clusterWrite(li, "l_partkey", "l_suppkey", 8, s"$dir/z")
+    li.repartitionByRange(8, col("l_partkey"))
+      .sortWithinPartitions("l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/linear")
+
+    def avgRangeFraction(path: String, c: String): Double = {
+      val df = spark.read.parquet(path)
+      val global = df.agg(
+        min(col(c)).cast("double"), max(col(c)).cast("double"))
+        .head()
+      val span = global.getDouble(1) - global.getDouble(0)
+      val perFile = df
+        .groupBy(input_file_name().as("f"))
+        .agg((max(col(c)) - min(col(c))).cast("double").as("w"))
+        .agg(avg(col("w"))).head().getDouble(0)
+      perFile / span
+    }
+
+    val zPart = avgRangeFraction(s"$dir/z", "l_partkey")
+    val zSupp = avgRangeFraction(s"$dir/z", "l_suppkey")
+    val linPart = avgRangeFraction(s"$dir/linear", "l_partkey")
+    val linSupp = avgRangeFraction(s"$dir/linear", "l_suppkey")
+
+    // linear: near-perfect on its sort key, useless on the other
+    assert(linPart < 0.3, s"linear layout should be tight on partkey: $linPart")
+    assert(linSupp > 0.8, s"linear layout has no suppkey locality: $linSupp")
+    // z-order: strictly better than linear on the second key, and far
+    // from full-range on both
+    assert(zSupp < 0.75, s"z-order suppkey bounding boxes too wide: $zSupp")
+    assert(zSupp < linSupp, s"z-order ($zSupp) must beat linear ($linSupp) on suppkey")
+    assert(zPart < 0.75, s"z-order partkey bounding boxes too wide: $zPart")
+  }
+
+  test("bloom prefiltered join is exact and the prefilter is selective") {
+    val dim = Tables(spark, sfDir, "supplier")
+      .where(pmod(col("s_suppkey"), lit(7)) === 0)
+      .select(col("s_suppkey"))
+    val fact = Tables(spark, sfDir, "lineitem")
+
+    val pruned = BloomPrune.prefilteredJoin(fact, dim, "l_suppkey",
+        "s_suppkey", expectedDimKeys = 1000L)
+      .select(col("l_orderkey"), col("l_linenumber"), col("s_suppkey"))
+    val plain = fact.join(dim, col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("s_suppkey"))
+
+    // no false negatives: identical result sets
+    assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty)
+
+    // the prefilter actually cuts the would-be shuffle: at 1% fpp the
+    // kept fraction must approach the true match fraction (~1/7)
+    val total = fact.count().toDouble
+    val kept = BloomPrune.prefilter(fact, dim, "l_suppkey", "s_suppkey",
+      expectedDimKeys = 1000L).count().toDouble
+    val matched = plain.count().toDouble
+    assert(kept >= matched, "bloom must never drop a matching row")
+    assert(kept <= matched + 0.05 * total,
+      s"prefilter too leaky: kept=$kept matched=$matched total=$total")
+  }
+}
