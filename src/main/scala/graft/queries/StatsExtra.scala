@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{BloomPrune, ZOrder}
+import graft.operators.{BloomPrune, HeavyHitters, ZOrder}
+import graft.text.TextOps
 
 /** Fourth coverage wave: deterministic mode aggregate, Bloom-filter
   * runtime join pruning, and Z-order clustering keys. All three are
@@ -66,6 +67,27 @@ object StatsExtra {
         ZOrder.zvalue(col("l_partkey"), col("l_suppkey")).as("zval"))
       .orderBy("l_orderkey", "l_linenumber")
 
+  private def tokenRows(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(explode(TextOps.tokens(col("text"))).as("token"))
+
+  /** Heavy hitters via Misra-Gries candidates + exact recount
+    * (HeavyHitters.exactTopK). Equals the unbounded groupBy top-k —
+    * the oracle — while every stage stays candidate-bounded.
+    */
+  def heavyTopK(spark: SparkSession, dir: String): DataFrame =
+    HeavyHitters.exactTopK(tokenRows(spark, dir), "token", k = 15, m = 64)
+
+  /** Heavy hitters ranked by count-min-sketch estimate — zero-shuffle
+    * ranking pass. On this corpus the token vocabulary (~31 words) is
+    * far below the sketch width (e/eps ≈ 2718 cells/row, depth 5), so
+    * the min-over-rows estimate is collision-free and matches the
+    * exact counts; the spec asserts the one-sided CMS error bound
+    * holds regardless.
+    */
+  def heavyTopKCms(spark: SparkSession, dir: String): DataFrame =
+    HeavyHitters.approxTopK(tokenRows(spark, dir), "token", k = 15, m = 64)
+
   /** Naive one-bit-at-a-time Morton spread as SQL text (oracle side of
     * zorder_cluster): bit i of `c` lands at bit 2i+offset.
     */
@@ -77,7 +99,17 @@ object StatsExtra {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_mode" -> aggMode,
     "join_bloom_prefilter" -> joinBloomPrefilter,
-    "zorder_cluster" -> zorderCluster)
+    "zorder_cluster" -> zorderCluster,
+    "text_heavy_topk" -> heavyTopK,
+    "text_heavy_topk_cms" -> heavyTopKCms)
+
+  private val heavyTopKSql =
+    raw"""WITH tok AS (
+  SELECT unnest(string_split_regex(lower(regexp_replace(text,
+    '[^a-zA-Z ]', ' ', 'g')), '\s+')) AS item FROM documents
+)
+SELECT item, count(*) AS %CNT% FROM tok WHERE item <> ''
+GROUP BY item ORDER BY count(*) DESC, item LIMIT 15"""
 
   val oracle: Map[String, String] = Map(
     "agg_mode" ->
@@ -94,6 +126,8 @@ count(*) AS n_items
 FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
 WHERE s_suppkey % 7 = 0
 GROUP BY s_suppkey ORDER BY s_suppkey""",
+    "text_heavy_topk" -> heavyTopKSql.replace("%CNT%", "cnt"),
+    "text_heavy_topk_cms" -> heavyTopKSql.replace("%CNT%", "est_cnt"),
     "zorder_cluster" ->
       s"""SELECT l_orderkey, l_linenumber,
 (${spreadSql("l_partkey", 0)}) | (${spreadSql("l_suppkey", 1)}) AS zval

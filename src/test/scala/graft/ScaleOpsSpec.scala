@@ -5,7 +5,8 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftx.InterleaveBits
 
-import graft.operators.{BloomPrune, ZOrder}
+import graft.operators.{BloomPrune, HeavyHitters, ZOrder}
+import graft.text.TextOps
 
 /** Scale-layout operators: Z-order clustering and Bloom join pruning. */
 class ScaleOpsSpec extends SparkSpec {
@@ -76,6 +77,38 @@ class ScaleOpsSpec extends SparkSpec {
     assert(zSupp < 0.75, s"z-order suppkey bounding boxes too wide: $zSupp")
     assert(zSupp < linSupp, s"z-order ($zSupp) must beat linear ($linSupp) on suppkey")
     assert(zPart < 0.75, s"z-order partkey bounding boxes too wide: $zPart")
+  }
+
+  test("misra-gries candidates keep every item above the N/(m+1) bound") {
+    import spark.implicits._
+    // 500×a + 300×b + 1000 singletons, scattered over 4 partitions:
+    // N=1800, m=10 → bound N/(m+1) ≈ 164; a and b MUST survive.
+    val rows = Seq.fill(500)("a") ++ Seq.fill(300)("b") ++
+      (0 until 1000).map(i => s"u$i")
+    val df = scala.util.Random.shuffle(rows).toDF("item").repartition(4)
+    val cand = HeavyHitters.candidates(df, "item", m = 10)
+      .as[String].collect().toSet
+    assert(cand.contains("a") && cand.contains("b"))
+    // and the summary stays bounded: ≤ m per partition
+    assert(cand.size <= 4 * 10)
+  }
+
+  test("cms ranking matches the exact recount and obeys the error bound") {
+    val toks = Tables(spark, sfDir, "documents")
+      .select(explode(TextOps.tokens(col("text"))).as("token"))
+    val n = toks.count()
+    val exact = HeavyHitters.exactTopK(toks, "token", k = 10, m = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val approx = HeavyHitters.approxTopK(toks, "token", k = 10, m = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(exact.map(_._1).toSet == approx.keySet,
+      "cms and exact recount must agree on the top-k set here")
+    exact.foreach { case (item, trueCnt) =>
+      val est = approx(item)
+      assert(est >= trueCnt, s"CMS is one-sided: $item est=$est true=$trueCnt")
+      assert(est <= trueCnt + (1e-3 * n).toLong + 1,
+        s"CMS error bound blown: $item est=$est true=$trueCnt n=$n")
+    }
   }
 
   test("bloom prefiltered join is exact and the prefilter is selective") {
