@@ -205,6 +205,77 @@ object Dedup {
     labels
   }
 
+  /** Connected components in O(log diameter) rounds: each iteration
+    * runs one neighbor-min propagation (as in `connectedComponents`)
+    * followed by one pointer-jumping step — every node re-reads the
+    * label OF its current label (`L(v) := L(L(v))`), halving pointer-
+    * chain depth per round (Shiloach-Vishkin / Kiveris et al.
+    * "Connected components in MapReduce"-style doubling).
+    *
+    * Near-dup clusters have tiny diameters, so the plain propagation
+    * is the right default (fewer shuffles per round); this variant is
+    * for adversarial topologies — citation/link graphs, transitive
+    * similarity chains — where a diameter-d path would otherwise cost
+    * d shuffle rounds at 100 TB. A 64-hop chain converges here in ~7
+    * rounds vs 63.
+    */
+  def connectedComponentsPointerJump(pairs: DataFrame,
+      maxIter: Int = 16): DataFrame = {
+    val edges = pairs.select(col("ida").as("src"), col("idb").as("dst"))
+      .unionByName(pairs.select(col("idb").as("src"), col("ida").as("dst")))
+      .distinct()
+      .repartition(col("dst"))
+      .persist()
+    var labels = edges.groupBy("dst")
+      .agg(min("src").as("_nbr_min"))
+      .select(col("dst").as("doc_id"),
+        least(col("dst"), col("_nbr_min")).as("component"))
+      .persist()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min("component").as("nbr_min"))
+      val propagated = labels
+        .join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("component"))
+      // pointer jump: follow the label's own label. Every label value
+      // is some node's id and every node (post-symmetrization) appears
+      // as a dst, so the lookup is total; left join guards regardless.
+      val parents = propagated
+        .select(col("doc_id").as("_pid"), col("component").as("_pcomp"))
+      val next = propagated
+        .join(parents, propagated("component") === parents("_pid"), "left")
+        .select(propagated("doc_id"),
+          least(propagated("component"),
+            coalesce(col("_pcomp"), propagated("component")))
+            .as("component"))
+        // localCheckpoint TRUNCATES LINEAGE, not just caches: after
+        // O(log d) rounds the accumulated plan would otherwise be
+        // exponentially nested join trees (planning time + driver
+        // stack both blow up — the plain 2-3-round propagation never
+        // hits this). Swap for checkpoint() on a reliable dir when
+        // executor loss matters mid-computation.
+        .localCheckpoint(true)
+      // convergence = no label shrank across the whole round (labels
+      // are monotone non-increasing, so equality means fixpoint)
+      val delta = next
+        .join(labels.withColumnRenamed("component", "_old"), "doc_id")
+        .where(col("component") < col("_old"))
+        .count()
+      changed = delta
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Deduplicated corpus: drop every near-dup cluster member except the
     * min-id representative. `pairs` is any verified near-dup pair table
     * (ida, idb) — at corpus scale MinHash-LSH pairs are the intended

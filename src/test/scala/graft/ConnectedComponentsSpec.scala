@@ -55,4 +55,24 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L))
   }
+
+  test("pointer jumping matches plain propagation on the corpus pairs") {
+    val docs = Tables(spark, sfDir, "documents")
+    val pairsDf = Dedup.jaccardPairs(docs, "doc_id", "text", 0.2)
+    val plain = Dedup.connectedComponents(pairsDf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val jumped = Dedup.connectedComponentsPointerJump(pairsDf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(jumped == plain)
+  }
+
+  test("pointer jumping collapses a 64-hop chain in O(log d) rounds") {
+    import spark.implicits._
+    // plain min-label propagation needs ~63 rounds for this topology;
+    // doubling must finish it within the 10-round budget
+    val chain = (1L until 64L).map(i => (i, i + 1)).toDF("ida", "idb")
+    val got = Dedup.connectedComponentsPointerJump(chain, maxIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to 64L).map(_ -> 1L).toMap)
+  }
 }
