@@ -3,12 +3,15 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.graftx.LemmatizeNouns
+
 import graft.text.{Lemmatizer, PosTagger, Stopwords, TextOps}
 
 /** The reference's two keyword-extraction pipelines as composable
   * column transforms (SURVEY.md §2.1 O13-O21).
   *
-  * Only the lemmatizer/POS steps are Scala UDFs (dictionary-backed,
+  * v1's noun lemmatization is a native expression (LemmatizeNouns);
+  * only the POS-aware v2 steps remain Scala UDFs (dictionary-backed,
   * SURVEY.md §2.2 minimal-UDF policy); everything around them is
   * codegen'd built-ins, and per-doc distinct happens before explode.
   */
@@ -19,11 +22,8 @@ object KeywordPipeline {
     * defect D4 — reproduced faithfully here because v1's golden README
     * output depends on v1 semantics) -> noun-lemmatize -> per-doc set.
     */
-  private val lemmaNouns =
-    udf((ts: Seq[String]) => ts.map(Lemmatizer.noun))
-
   def keywordsV1(text: Column): Column =
-    array_distinct(lemmaNouns(
+    array_distinct(LemmatizeNouns.column(
       TextOps.dropStopwords(TextOps.distinctTokens(text), Stopwords.english)))
 
   /** v2 (extract_kw...py:65-80): tokenize raw text -> POS tag ->

@@ -130,6 +130,22 @@ object GraftProps extends Properties("graft") {
       arr.sliding(2).forall(w => w.length < 2 || w(0) < w(1))
     }
 
+  property("native lemmatize_nouns agrees with Lemmatizer.noun per element") =
+    forAll(Gen.listOf(word)) { ws =>
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      import org.apache.spark.sql.graftx.LemmatizeNouns
+      val in = new GenericArrayData(
+        ws.map(w => UTF8String.fromString(w): Any).toArray)
+      val expr = LemmatizeNouns(
+        org.apache.spark.sql.catalyst.expressions.Literal(in,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType)))
+      val out = expr.lemmaAll(in)
+      (0 until out.numElements()).forall { i =>
+        out.getUTF8String(i).toString == graft.text.Lemmatizer.noun(ws(i))
+      } && out.numElements() == ws.length
+    }
+
   property("simhash: token order and duplication are irrelevant") =
     forAll(sentence) { s =>
       val toks = s.split(" ").toSeq
