@@ -119,7 +119,58 @@ ORDER BY l_returnflag, l_linestatus"""
     spark.sql(groupByAllSql)
   }
 
+  private val pivotSparkSql =
+    """SELECT * FROM (
+  SELECT c_nationkey, c_mktsegment, c_acctbal FROM customer)
+PIVOT (round(sum(c_acctbal), 2)
+  FOR c_mktsegment IN ('AUTOMOBILE' AS auto, 'BUILDING' AS building,
+    'FURNITURE' AS furniture, 'HOUSEHOLD' AS household,
+    'MACHINERY' AS machinery))
+ORDER BY c_nationkey"""
+
+  private val pivotDuckSql =
+    """SELECT c_nationkey,
+  round(sum(c_acctbal) FILTER (WHERE c_mktsegment = 'AUTOMOBILE'), 2) AS auto,
+  round(sum(c_acctbal) FILTER (WHERE c_mktsegment = 'BUILDING'), 2) AS building,
+  round(sum(c_acctbal) FILTER (WHERE c_mktsegment = 'FURNITURE'), 2) AS furniture,
+  round(sum(c_acctbal) FILTER (WHERE c_mktsegment = 'HOUSEHOLD'), 2) AS household,
+  round(sum(c_acctbal) FILTER (WHERE c_mktsegment = 'MACHINERY'), 2) AS machinery
+FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"""
+
+  /** SQL PIVOT syntax (wide aggregation). Oracle is the dialect-safe
+    * FILTERed-aggregate spelling — identical result, and incidentally
+    * the plan PIVOT compiles to anyway (one hash agg, no extra
+    * shuffle beyond the groupBy).
+    */
+  def pivotSql(spark: SparkSession, dir: String): DataFrame = {
+    view(spark, dir, "customer")
+    spark.sql(pivotSparkSql)
+  }
+
+  private val distributeSortSparkSql =
+    """SELECT l_suppkey, l_orderkey, l_quantity FROM lineitem
+WHERE l_orderkey % 500 = 0
+DISTRIBUTE BY l_suppkey SORT BY l_suppkey, l_orderkey, l_linenumber"""
+
+  private val distributeSortDuckSql =
+    """SELECT l_suppkey, l_orderkey, l_quantity FROM lineitem
+WHERE l_orderkey % 500 = 0"""
+
+  /** DISTRIBUTE BY / SORT BY — Hive-style physical-layout control
+    * through the SQL front end (hash repartition + per-partition
+    * sort, NO global sort stage; this is the SQL spelling of the
+    * write-side clustering every large sink wants). Content is
+    * row-set-identical to the plain projection, which is the oracle
+    * (the driver compare is order-insensitive).
+    */
+  def distributeSort(spark: SparkSession, dir: String): DataFrame = {
+    view(spark, dir, "lineitem")
+    spark.sql(distributeSortSparkSql)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_pivot" -> pivotSql,
+    "sql_distribute_sort" -> distributeSort,
     "sql_group_by_all" -> groupByAll,
     "sql_exists_subquery" -> existsSubquery,
     "sql_scalar_subquery" -> scalarSubquery,
@@ -133,5 +184,7 @@ ORDER BY l_returnflag, l_linestatus"""
     "sql_notin_subquery" -> notInSql,
     "sql_lateral_explode" -> lateralDuckSql,
     "sql_window_clause" -> windowSql,
-    "sql_group_by_all" -> groupByAllSql)
+    "sql_group_by_all" -> groupByAllSql,
+    "sql_pivot" -> pivotDuckSql,
+    "sql_distribute_sort" -> distributeSortDuckSql)
 }
