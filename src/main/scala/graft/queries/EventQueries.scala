@@ -134,7 +134,26 @@ object EventQueries {
       .orderBy("click_id")
   }
 
+  /** Native session_window aggregation — the builtin that subsumes the
+    * hand-rolled lag/cumsum sessionization AND runs under Structured
+    * Streaming with state-store session merging. Both spellings are
+    * registered so the oracle pins them to the same gap semantics
+    * (session end = last event + gap).
+    */
+  def sessionWindowNative(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"))
+      .select(col("user_id"),
+        col("sw.start").as("sess_start"),
+        col("sw.end").as("sess_end"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "sess_start")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_session_window" -> sessionWindowNative,
     "events_json_props" -> jsonProps,
     "events_tumbling_window" -> tumblingWindow,
     "events_sessionize" -> sessionize,
@@ -144,6 +163,25 @@ object EventQueries {
     "events_interval_join" -> intervalJoin)
 
   val oracle: Map[String, String] = Map(
+    "events_session_window" ->
+      """WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+      OR ts > lag(ts) OVER w + INTERVAL '30 minutes' THEN 1 ELSE 0 END
+      AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, value,
+    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, min(ts) AS sess_start,
+  max(ts) + INTERVAL '30 minutes' AS sess_end,
+  count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM sess GROUP BY user_id, session_id
+ORDER BY user_id, sess_start""",
     "events_json_props" ->
       """SELECT event_type, count(*) AS n_events,
 round(sum(value), 2) AS sum_value,

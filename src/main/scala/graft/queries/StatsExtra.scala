@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{BloomPrune, HeavyHitters, ZOrder}
+import graft.operators.{BloomPrune, HeavyHitters, RangeJoin, ZOrder}
 import graft.text.TextOps
 
 /** Fourth coverage wave: deterministic mode aggregate, Bloom-filter
@@ -67,6 +67,26 @@ object StatsExtra {
         ZOrder.zvalue(col("l_partkey"), col("l_suppkey")).as("zval"))
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** Pure range join (NO equi key) via binning: lineitem prices
+    * against ±1% part-price intervals. Without the bin key Spark
+    * nested-loops this; binned it is a shuffled equi join on the bin
+    * id + residual filter (RangeJoin scaladoc has the cost model).
+    */
+  def joinRangeBinned(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .where(pmod(col("l_orderkey"), lit(10)) === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    val parts = Tables(spark, dir, "part")
+      .select(col("p_partkey"),
+        (col("p_retailprice") * lit(0.99)).as("lo"),
+        (col("p_retailprice") * lit(1.01)).as("hi"))
+    RangeJoin.binnedIntervalJoin(li, parts, "l_extendedprice", "lo", "hi",
+        binWidth = 2000.0)
+      .groupBy("p_partkey")
+      .agg(count(lit(1)).as("n_items"))
+      .orderBy("p_partkey")
+  }
+
   private def tokenRows(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
       .select(explode(TextOps.tokens(col("text"))).as("token"))
@@ -100,6 +120,7 @@ object StatsExtra {
     "agg_mode" -> aggMode,
     "join_bloom_prefilter" -> joinBloomPrefilter,
     "zorder_cluster" -> zorderCluster,
+    "join_range_binned" -> joinRangeBinned,
     "text_heavy_topk" -> heavyTopK,
     "text_heavy_topk_cms" -> heavyTopKCms)
 
@@ -126,6 +147,13 @@ count(*) AS n_items
 FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
 WHERE s_suppkey % 7 = 0
 GROUP BY s_suppkey ORDER BY s_suppkey""",
+    "join_range_binned" ->
+      """SELECT p_partkey, count(*) AS n_items
+FROM lineitem JOIN part
+  ON l_extendedprice >= p_retailprice * 0.99
+ AND l_extendedprice <= p_retailprice * 1.01
+WHERE l_orderkey % 10 = 0
+GROUP BY p_partkey ORDER BY p_partkey""",
     "text_heavy_topk" -> heavyTopKSql.replace("%CNT%", "cnt"),
     "text_heavy_topk_cms" -> heavyTopKSql.replace("%CNT%", "est_cnt"),
     "zorder_cluster" ->

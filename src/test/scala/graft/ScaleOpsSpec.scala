@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftx.InterleaveBits
 
-import graft.operators.{BloomPrune, HeavyHitters, ZOrder}
+import graft.operators.{BloomPrune, HeavyHitters, RangeJoin, ZOrder}
 import graft.text.TextOps
 
 /** Scale-layout operators: Z-order clustering and Bloom join pruning. */
@@ -109,6 +109,30 @@ class ScaleOpsSpec extends SparkSpec {
       assert(est <= trueCnt + (1e-3 * n).toLong + 1,
         s"CMS error bound blown: $item est=$est true=$trueCnt n=$n")
     }
+  }
+
+  test("binned interval join equals the naive range join, each pair once") {
+    val li = Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    val parts = Tables(spark, sfDir, "part")
+      .select(col("p_partkey"),
+        (col("p_retailprice") * lit(0.95)).as("lo"),
+        (col("p_retailprice") * lit(1.05)).as("hi"))
+    val binned = RangeJoin.binnedIntervalJoin(li, parts,
+        "l_extendedprice", "lo", "hi", binWidth = 5000.0)
+      .select("l_orderkey", "l_linenumber", "p_partkey")
+    val naive = li.join(parts,
+        col("l_extendedprice") >= col("lo") &&
+          col("l_extendedprice") <= col("hi"))
+      .select("l_orderkey", "l_linenumber", "p_partkey")
+    // exceptAll both ways: bag equality = same pairs, same multiplicity
+    assert(binned.exceptAll(naive).isEmpty && naive.exceptAll(binned).isEmpty)
+    assert(binned.count() > 0)
+    // and the plan is an equi join on the bin, not a nested loop
+    val plan = RangeJoin.binnedIntervalJoin(li, parts,
+      "l_extendedprice", "lo", "hi", 5000.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 
   test("bloom prefiltered join is exact and the prefilter is selective") {
