@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.Dedup
+import graft.operators.{Decontaminate, Dedup}
 
 /** Deduplication operators registered against the `documents` table.
   * Exact + shingle-Jaccard are DuckDB-oracle checked; MinHash-LSH and
@@ -58,7 +58,22 @@ object DedupQueries {
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")
 
+  /** Benchmark decontamination: every 25th doc plays the held-out eval
+    * set; the rest of the corpus is flagged when it shares >= 5
+    * distinct trigram shingles with any of it. The planted near-dup
+    * pairs guarantee real hits at every SF.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    Decontaminate.flag(
+        docs.where(pmod(col("doc_id"), lit(25)) =!= 0),
+        docs.where(pmod(col("doc_id"), lit(25)) === 0),
+        "doc_id", "text", minShared = 5)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_decontaminate" -> decontaminate,
     "dedup_components" -> components,
     "dedup_survivors" -> survivors,
     "dedup_exact_md5" -> exactMd5,
@@ -113,6 +128,24 @@ edges AS (
 )"""
 
   val oracle: Map[String, String] = Map(
+    "dedup_decontaminate" ->
+      raw"""WITH toks AS (
+  SELECT doc_id, $tokSql AS ws FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(len(ws) - 1, 1)),
+    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shs
+  FROM toks WHERE len(ws) >= 3
+), bench AS (
+  SELECT DISTINCT unnest(shs) AS s FROM sh WHERE doc_id % 25 = 0
+), corp AS (
+  SELECT doc_id, unnest(shs) AS s FROM sh WHERE doc_id % 25 <> 0
+)
+SELECT c.doc_id, count(*) AS n_shared
+FROM corp c JOIN bench b USING (s)
+GROUP BY c.doc_id
+HAVING count(*) >= 5
+ORDER BY c.doc_id""",
     "dedup_exact_md5" ->
       """SELECT md5(text) AS digest, min(doc_id) AS keep_id,
 count(*) AS copies

@@ -52,6 +52,28 @@ class DedupSpec extends SparkSpec {
       s"band blocking disagreement: missing=${expected.toSet -- reported.keySet}")
   }
 
+  test("decontamination flags self-overlap and clean+flagged partition the corpus") {
+    import graft.operators.Decontaminate
+    // benchmark = a slice of the corpus itself, PLUS the corpus keeps
+    // those very docs: every kept bench twin must be flagged (a doc
+    // trivially shares all shingles with itself)
+    val bench = docs.where(col("doc_id") < 20)
+    val corpus = docs // includes the bench docs verbatim
+    val flagged = Decontaminate.flag(corpus, bench, "doc_id", "text",
+      minShared = 5)
+    val flaggedIds = flagged.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val benchWithShingles = Dedup.shingled(bench, "doc_id", "text")
+      .where(size(col("shs")) >= 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(benchWithShingles.subsetOf(flaggedIds),
+      s"missing self-hits: ${benchWithShingles -- flaggedIds}")
+    // clean is exactly corpus minus flagged
+    val cleanCount = Decontaminate.clean(corpus, bench, "doc_id", "text",
+      minShared = 5).count()
+    assert(cleanCount == corpus.count() - flaggedIds.size)
+  }
+
   test("exact dedup digest groups cover every document once") {
     val out = graft.queries.DedupQueries.exactMd5(spark, sfDir)
     val total = out.agg(sum("copies")).collect()(0).getLong(0)
