@@ -38,6 +38,47 @@ object Sinks {
   def writeKeywordCsv(df: DataFrame, outDir: String): Unit =
     df.write.mode("overwrite").option("header", "false").csv(outDir)
 
+  /** Upsert-by-partition: rewrite ONLY the partition directories the
+    * batch touches (`partitionOverwriteMode=dynamic`), leaving every
+    * other partition's files untouched. The parquet-only answer to
+    * incremental loads at 100 TB — a static overwrite would truncate
+    * the whole table, a blind append would duplicate reruns; dynamic
+    * overwrite makes the retry idempotent at partition granularity.
+    */
+  def upsertPartitions(batch: DataFrame, outDir: String,
+      partitionCols: Seq[String]): Unit =
+    batch.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(outDir)
+
+  /** Compact a parquet directory to ~`targetBytes` files: small-file
+    * mitigation for sinks that accumulated per-micro-batch or
+    * per-retry fragments. One pass: size the target file count from
+    * the CURRENT on-disk bytes (compression-representative, no
+    * guessing from row counts), rewrite via repartition, swap
+    * directories only after the rewrite commits — readers never see a
+    * partial state. At cluster scale run per partition directory so
+    * the rewrite parallelism is bounded by a partition, not the table.
+    */
+  def compact(spark: SparkSession, dir: String,
+      targetBytes: Long = 128L << 20): Unit = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(path).getLength
+    val nFiles = math.max(1, (totalBytes / targetBytes).toInt +
+      (if (totalBytes % targetBytes > 0) 1 else 0))
+    val tmp = new org.apache.hadoop.fs.Path(dir + "._compact_tmp")
+    spark.read.parquet(dir).repartition(nFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val bak = new org.apache.hadoop.fs.Path(dir + "._compact_old")
+    fs.delete(bak, true)
+    require(fs.rename(path, bak), s"could not stage $dir")
+    require(fs.rename(tmp, path), s"could not commit compaction of $dir")
+    fs.delete(bak, true)
+  }
+
   /** Rows of `pending` whose `keyCols` are not yet present in the sink —
     * one anti-join replaces per-object exists checks. Reading just the
     * key columns of the sink prunes everything else at the scan.

@@ -61,6 +61,57 @@ class SinksSpec extends SparkSpec {
     assert(pending.count() == nations.where(col("n_nationkey") >= 12).count())
   }
 
+  test("dynamic partition upsert rewrites only touched partitions") {
+    val out = tmpDir()
+    val orders = Tables(spark, sfDir, "orders")
+      .withColumn("year", year(col("o_orderdate")))
+    val years = orders.select("year").distinct()
+      .collect().map(_.getInt(0)).sorted
+    assert(years.length > 1)
+    Sinks.upsertPartitions(orders, out, Seq("year"))
+    val untouchedDir = new java.io.File(s"$out/year=${years.head}")
+    val before = untouchedDir.listFiles().map(_.getName).toSet
+
+    // batch touching ONLY the last year, with modified values
+    val batch = orders.where(col("year") === years.last)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    Sinks.upsertPartitions(batch, out, Seq("year"))
+
+    // untouched partition: same files; touched partition: new content
+    assert(untouchedDir.listFiles().map(_.getName).toSet == before)
+    val back = spark.read.parquet(out)
+    assert(back.count() == orders.count())
+    val doubled = back.where(col("year") === years.last)
+      .agg(round(sum("o_totalprice"), 2)).head().getDouble(0)
+    val orig = orders.where(col("year") === years.last)
+      .agg(round(sum("o_totalprice") * 2, 2)).head().getDouble(0)
+    assert(math.abs(doubled - orig) < 1e-6)
+  }
+
+  test("compaction shrinks file count and preserves the data") {
+    val out = tmpDir() + "/frag"
+    val li = Tables(spark, sfDir, "lineitem")
+    li.repartition(64).write.parquet(out) // 64 small fragments
+    val beforeFiles = new java.io.File(out).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(beforeFiles >= 32)
+    val beforeSum = li.agg(round(sum("l_quantity"), 2)).head().getDouble(0)
+
+    Sinks.compact(spark, out, targetBytes = 1L << 20)
+
+    val afterFiles = new java.io.File(out).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(afterFiles < beforeFiles,
+      s"compaction did not shrink: $beforeFiles -> $afterFiles")
+    val back = spark.read.parquet(out)
+    assert(back.count() == li.count())
+    assert(math.abs(back.agg(round(sum("l_quantity"), 2)).head().getDouble(0)
+      - beforeSum) < 1e-6)
+    // no leftover staging dirs
+    val parent = new java.io.File(out).getParentFile.listFiles().map(_.getName)
+    assert(!parent.exists(_.contains("_compact")), parent.mkString(","))
+  }
+
   test("orc roundtrip preserves schema and rows") {
     val out = java.nio.file.Files
       .createTempDirectory("graft-orc").toString + "/nation_orc"
