@@ -210,7 +210,37 @@ object Coverage {
       .orderBy("doc_id", "rank")
   }
 
+  /** Typed Dataset API: groupByKey + mapGroups with per-group
+    * imperative logic (longest inter-event gap per user) — the shape
+    * for genuinely sequential per-key computations the window
+    * functions can't express. The group materializes in memory, so
+    * this is for keys with BOUNDED event counts (users, sessions);
+    * unbounded keys belong in flatMapGroupsWithState where the state
+    * is explicit. Gap in epoch-millis: integer math, exact in both
+    * engines.
+    */
+  def typedUserGaps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val evs = Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .as[(Long, java.sql.Timestamp, Long)]
+    evs.groupByKey(_._1)
+      .mapGroups { (uid, it) =>
+        val arr = it.toArray.sortBy(e => (e._2.getTime, e._3))
+        var maxGap = 0L
+        var i = 1
+        while (i < arr.length) {
+          maxGap = math.max(maxGap, arr(i)._2.getTime - arr(i - 1)._2.getTime)
+          i += 1
+        }
+        (uid, arr.length.toLong, maxGap)
+      }
+      .toDF("user_id", "n_events", "max_gap_ms")
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "typed_user_gaps" -> typedUserGaps,
     "agg_stats" -> aggStats,
     "agg_cube" -> aggCube,
     "agg_grouping_sets" -> aggGroupingSets,
@@ -230,6 +260,16 @@ object Coverage {
   private val stopSql = Stopwords.sqlInList(Stopwords.english)
 
   val oracle: Map[String, String] = Map(
+    "typed_user_gaps" ->
+      """WITH g AS (
+  SELECT user_id,
+    epoch_ms(ts) - epoch_ms(lag(ts) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+  FROM events
+)
+SELECT user_id, count(*) AS n_events,
+  coalesce(max(gap), 0) AS max_gap_ms
+FROM g GROUP BY user_id ORDER BY user_id""",
     "agg_stats" ->
       """SELECT c_mktsegment, count(*) AS n,
 count(DISTINCT c_nationkey) AS n_nations,

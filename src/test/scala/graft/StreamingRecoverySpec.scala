@@ -51,4 +51,42 @@ class StreamingRecoverySpec extends SparkSpec {
     val secondTotal = run(outName + "2")
     assert(secondTotal == 1000, s"after recovery saw $secondTotal")
   }
+
+  test("foreachBatch into the dynamic-partition upsert sink is idempotent") {
+    import graft.sources.Sinks
+    val srcDir = Files.createTempDirectory("graft-upsert-src").toString
+    val sinkDir = Files.createTempDirectory("graft-upsert-sink").toString + "/t"
+
+    Tables(spark, sfDir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("append").parquet(srcDir)
+
+    def runOnce(ckpt: String): Unit = {
+      val stream = spark.readStream.schema(eventSchema).parquet(srcDir)
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          Sinks.upsertPartitions(batch, sinkDir, Seq("event_type"))
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    runOnce(Files.createTempDirectory("graft-upsert-ck1").toString)
+    val first = spark.read.parquet(sinkDir)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(first.values.sum > 0)
+
+    // a FRESH checkpoint reprocesses everything: dynamic overwrite must
+    // leave the sink content-identical, not doubled (the append-sink
+    // failure mode)
+    runOnce(Files.createTempDirectory("graft-upsert-ck2").toString)
+    val second = spark.read.parquet(sinkDir)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(second == first, s"reprocess changed the sink: $first -> $second")
+  }
 }
