@@ -36,6 +36,10 @@ object SimilarityQueries {
     graft.operators.PqAnn.pqTopK(
       Tables(spark, dir, "embeddings"), queriesSubset(spark, dir), k = 5)
 
+  def annSqTopK(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.ScalarQuant.sqTopK(
+      Tables(spark, dir, "embeddings"), queriesSubset(spark, dir), k = 5)
+
   /** Threshold/LSH shape tuned to the corpus: pairwise cosine tops out
     * near 0.5-0.6, so 0.4 marks the "suspiciously similar" tail; 16
     * tables x 6 bits gives ~0.65 recall at that threshold.
@@ -51,6 +55,7 @@ object SimilarityQueries {
     "sim_ann_lsh_topk" -> annLshTopK,
     "sim_ann_ivf_topk" -> annIvfTopK,
     "sim_ann_pq_topk" -> annPqTopK,
+    "sim_ann_sq_topk" -> annSqTopK,
     "sim_cosine_dup_pairs" -> cosineDupPairs)
 
   private val dotSql = (a: String, b: String) =>

@@ -70,6 +70,26 @@ class SimilaritySpec extends SparkSpec {
     assert(lens == Seq(8), s"code widths: $lens")
   }
 
+  test("int8 scalar quantization is near-lossless for top-k") {
+    val exact = Similarity.cosineTopK(emb, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = graft.operators.ScalarQuant.sqTopK(emb, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    info(s"SQ8 recall@5 = $recall")
+    assert(recall >= 0.9, s"int8 rounding should be near-lossless: $recall")
+    // reconstruction error bound: quantized norm within 1% of true norm
+    val withTrue = graft.operators.ScalarQuant.encode(emb)
+      .join(emb, "vec_id")
+      .select(col("approx_nrm"),
+        graft.functions.VectorOps.norm(col("embedding")).as("nrm"))
+      .collect()
+    withTrue.foreach { r =>
+      val (a, t) = (r.getDouble(0), r.getDouble(1))
+      assert(math.abs(a - t) / t < 0.01, s"norm drift: $a vs $t")
+    }
+  }
+
   test("persisted ivf index reproduces the inline path and prunes partitions") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-ivf-index").toString
