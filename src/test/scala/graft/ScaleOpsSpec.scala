@@ -135,6 +135,32 @@ class ScaleOpsSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 
+  test("AQE splits skewed partitions in a sort-merge join") {
+    // the runtime answer to skew, next to the manual SkewJoin.saltedJoin:
+    // lowered thresholds stand in for the default 256MB at test scale
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    s.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    val left = s.range(0, 200000).select(
+      when(col("id") < 150000, lit(0L)).otherwise(col("id")).as("k"),
+      col("id").as("v"))
+    val right = s.range(0, 2000).select(
+      col("id").as("k"), (col("id") * 2).as("w"))
+    val j = left.join(right, "k")
+    // collect() (not count()) so THIS queryExecution runs and its
+    // adaptive plan finalizes
+    assert(j.collect().length == 150000) // only k=0 has a partner
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"),
+      s"AQE skew split did not fire:\n${plan.take(3000)}")
+  }
+
   test("bloom prefiltered join is exact and the prefilter is selective") {
     val dim = Tables(spark, sfDir, "supplier")
       .where(pmod(col("s_suppkey"), lit(7)) === 0)
