@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -50,7 +51,7 @@ class PubMedTable(props: Map[String, String]) extends Table with SupportsRead {
   override def name(): String = s"pubmed(${props.getOrElse("path", "")})"
   override def schema(): StructType = PubMedSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new PubMedScanBuilder(
       options.getOrDefault("path", props.getOrElse("path", "")),
@@ -108,6 +109,9 @@ class PubMedScanBuilder(path: String, beginYear: Int, endYear: Int)
   override def build(): Scan = this
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new PubMedMicroBatchStream(path, yearLo, yearHi, monthEq,
+      required.fieldNames)
   override def planInputPartitions(): Array[InputPartition] =
     (for {
       year <- yearLo until yearHi
@@ -124,25 +128,98 @@ class PubMedScanBuilder(path: String, beginYear: Int, endYear: Int)
 case class PubMedMonthPartition(year: Int, month: Int, path: String,
   columns: Array[String]) extends InputPartition
 
-/** Reads one month's pages. Bounded exponential backoff replaces the
-  * reference's `while True: sleep(3)` (job_pubmed_submit.py:47-51, D6).
+/** Streaming micro-batch ingest over the same page-blob layout: the
+  * incremental form of the reference's "skip what already exists"
+  * re-run loop (job_pubmed_submit.py:40-43), with REAL checkpointed
+  * offsets instead of remote exists-probes.
+  *
+  * Offset model: the page listing sorted by (year, month, retstart)
+  * is the log; an offset is an index into it. Page blobs are immutable
+  * and the reference's ingest appends them in (year, month, page)
+  * order, so the sorted prefix below a committed offset never changes
+  * — the same monotone-append assumption Spark's own file source
+  * makes, without its seen-file map (the naming IS the log here).
+  * Each micro-batch plans one partition per (year, month) it touches,
+  * so fetch parallelism matches the batch path.
   */
-class PubMedMonthReader(p: PubMedMonthPartition)
-    extends PartitionReader[InternalRow] {
+class PubMedMicroBatchStream(path: String, yearLo: Int, yearHi: Int,
+    monthEq: Option[Int], columns: Array[String]) extends MicroBatchStream {
 
-  private val maxAttempts = 4
-  private val pages: Iterator[java.io.File] = {
-    val dir = new java.io.File(p.path)
-    val prefix = s"${p.year}_${p.month}_num_"
-    Option(dir.listFiles())
-      .getOrElse(Array.empty)
-      .filter(_.getName.startsWith(prefix))
-      .sortBy(f => f.getName.stripPrefix(prefix).toLongOption.getOrElse(0L))
-      .iterator
+  private def listSorted(): Array[(Int, Int, Long, String)] = {
+    val dir = new java.io.File(path)
+    val re = raw"(\d+)_(\d+)_num_(\d+)".r
+    Option(dir.listFiles()).getOrElse(Array.empty).flatMap { f =>
+      f.getName match {
+        case re(y, m, r) =>
+          val (yi, mi) = (y.toInt, m.toInt)
+          if (yi >= yearLo && yi < yearHi && monthEq.forall(_ == mi))
+            Some((yi, mi, r.toLong, f.getAbsolutePath))
+          else None
+        case _ => None
+      }
+    }.sortBy(t => (t._1, t._2, t._3))
   }
-  private var current: InternalRow = _
 
-  private def fetchPage(f: java.io.File): String = {
+  override def initialOffset(): Offset = PubMedOffset(0)
+  override def latestOffset(): Offset = PubMedOffset(listSorted().length)
+  override def deserializeOffset(json: String): Offset =
+    PubMedOffset(json.replaceAll("[^0-9]", "").toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[PubMedOffset].idx.toInt
+    val e = end.asInstanceOf[PubMedOffset].idx.toInt
+    listSorted().slice(s, e)
+      .groupBy(t => (t._1, t._2)).toArray.sortBy(_._1)
+      .map { case (_, files) =>
+        PubMedFilesPartition(files.toSeq, columns): InputPartition
+      }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PubMedFilesReader(p.asInstanceOf[PubMedFilesPartition])
+    }
+}
+
+case class PubMedOffset(idx: Long) extends Offset {
+  override def json(): String = s"""{"idx":$idx}"""
+}
+
+case class PubMedFilesPartition(files: Seq[(Int, Int, Long, String)],
+  columns: Array[String]) extends InputPartition
+
+/** Reads an explicit page-file list (streaming path). */
+class PubMedFilesReader(p: PubMedFilesPartition)
+    extends PartitionReader[InternalRow] {
+  private val it = p.files.iterator
+  private var current: InternalRow = _
+  override def next(): Boolean =
+    if (!it.hasNext) false
+    else {
+      val (y, m, retstart, filePath) = it.next()
+      current = InternalRow.fromSeq(p.columns.toSeq.map {
+        case "year" => y
+        case "month" => m
+        case "retstart" => retstart
+        case "content" => UTF8String.fromString(
+          PubMedFilesReader.fetchPage(new java.io.File(filePath)))
+      })
+      true
+    }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
+
+object PubMedFilesReader {
+  private val maxAttempts = 4
+
+  /** Bounded exponential backoff (shared contract with the batch
+    * reader; D6 fix vs the reference's unbounded retry).
+    */
+  def fetchPage(f: java.io.File): String = {
     var attempt = 0
     var delayMs = 250L
     while (true) {
@@ -159,6 +236,27 @@ class PubMedMonthReader(p: PubMedMonthPartition)
     }
     throw new IllegalStateException("unreachable")
   }
+}
+
+/** Reads one month's pages. Bounded exponential backoff replaces the
+  * reference's `while True: sleep(3)` (job_pubmed_submit.py:47-51, D6).
+  */
+class PubMedMonthReader(p: PubMedMonthPartition)
+    extends PartitionReader[InternalRow] {
+
+  private val pages: Iterator[java.io.File] = {
+    val dir = new java.io.File(p.path)
+    val prefix = s"${p.year}_${p.month}_num_"
+    Option(dir.listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.startsWith(prefix))
+      .sortBy(f => f.getName.stripPrefix(prefix).toLongOption.getOrElse(0L))
+      .iterator
+  }
+  private var current: InternalRow = _
+
+  private def fetchPage(f: java.io.File): String =
+    PubMedFilesReader.fetchPage(f)
 
   override def next(): Boolean =
     if (!pages.hasNext) false

@@ -79,4 +79,49 @@ class PubMedSourceSpec extends SparkSpec {
     val fromAsn1 = Articles.readAsn1(spark, s"$fixtureDir/1999_1_num_0")
     assert(fromAsn1.where(col("abstract").isNotNull).count() == 2)
   }
+
+  test("streaming pubmed source resumes from checkpointed page offsets") {
+    import org.apache.spark.sql.streaming.Trigger
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft-pubmed-stream").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-pubmed-ckpt").toString
+    def page(name: String): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(srcDir, name),
+        s"stub page $name".getBytes)
+
+    page("1999_1_num_0"); page("1999_1_num_10000"); page("1999_2_num_0")
+
+    def run(): Seq[(Int, Int, Long)] = {
+      // memory sink cannot resume from a checkpoint; foreachBatch can
+      // (runs on the driver, one batch at a time — no sync needed)
+      val got = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long)]
+      val stream = spark.readStream.format("pubmed")
+        .option("path", srcDir)
+        .option("beginYear", "1999").option("endYear", "2001")
+        .load()
+      val q = stream.select("year", "month", "retstart").writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          got ++= batch.collect()
+            .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      got.toSeq
+    }
+
+    val first = run()
+    assert(first.toSet == Set((1999, 1, 0L), (1999, 1, 10000L), (1999, 2, 0L)))
+
+    // new pages land; a resumed query must read ONLY the unseen tail
+    page("1999_2_num_10000"); page("2000_1_num_0")
+    val second = run()
+    assert(second.toSet == Set((1999, 2, 10000L), (2000, 1, 0L)),
+      s"resume re-read or missed pages: ${second.mkString(",")}")
+  }
 }
