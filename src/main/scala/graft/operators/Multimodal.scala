@@ -113,4 +113,68 @@ object Multimodal {
         lit(stride))))
       .toDF("id", "frame_idx", "offset")
       .withColumn("frame_idx", col("frame_idx").cast("long"))
+
+  /** Perceptual difference-hash (dHash) of a payload: the payload is
+    * reduced to a 8x9 grid of proportional-slice byte means (the stub
+    * "downscale" — a codec would decode + resample pixels), and each
+    * of the 64 bits compares horizontally adjacent cells. Proportional
+    * slicing makes the grid — and thus the hash — stable under small
+    * local edits, the property dHash has for images.
+    */
+  def dhash64(payload: Array[Byte]): Long = {
+    val rows = 8
+    val cols = 9
+    val n = payload.length
+    if (n == 0) return 0L
+    val grid = new Array[Double](rows * cols)
+    var cell = 0
+    while (cell < rows * cols) {
+      val from = (cell.toLong * n / (rows * cols)).toInt
+      val to = math.max(((cell + 1).toLong * n / (rows * cols)).toInt, from + 1)
+      var s = 0.0
+      var i = from
+      while (i < to && i < n) { s += (payload(i) & 0xFF); i += 1 }
+      grid(cell) = s / math.max(to - from, 1)
+      cell += 1
+    }
+    var h = 0L
+    var r = 0
+    while (r < rows) {
+      var c = 0
+      while (c < cols - 1) {
+        h = (h << 1) | (if (grid(r * cols + c) < grid(r * cols + c + 1)) 1L else 0L)
+        c += 1
+      }
+      r += 1
+    }
+    h
+  }
+
+  private val dhashUdf = udf((p: Array[Byte]) => dhash64(p))
+
+  /** (id, dhash) fingerprints for a packed multimodal table. */
+  def dhashes(packed: DataFrame): DataFrame =
+    packed.select(col("id"), dhashUdf(col("payload")).as("dhash"))
+
+  /** Visual near-dup pairs by dHash: 16-bit band blocking (identical
+    * to the SimHash dedup shape — pairs within Hamming <= 3 are
+    * guaranteed to collide in at least one of the 4 bands) then exact
+    * Hamming verify. Candidate join carries (id, hash) only.
+    */
+  def dhashPairs(packed: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val sig = dhashes(packed).repartition(col("id"))
+    val bandKeys = sig.select(
+      col("id"), col("dhash"),
+      posexplode(expr(
+        "transform(sequence(0, 3), b -> shiftright(dhash, b * 16) & 65535)")))
+      .toDF("id", "dhash", "band", "bval")
+    bandKeys.as("a").join(bandKeys.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.id") < col("b.id"))
+      .select(
+        col("a.id").as("ida"), col("b.id").as("idb"),
+        bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
 }

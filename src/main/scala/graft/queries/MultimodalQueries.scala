@@ -97,7 +97,32 @@ object MultimodalQueries {
     pairs
   }
 
+  /** Perceptual near-dup pairs by payload dHash (band blocking +
+    * Hamming verify) — the visual-dedup member of the dedup family,
+    * on opaque binary payloads. The corpus has no byte-aligned
+    * near-dups (its planted pairs are token-level, the shingle
+    * family's geometry), so the query plants deterministic corrupted
+    * twins of the first docs — the aligned-perturbation case dHash
+    * exists for — and recovers them.
+    */
+  def dhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val packed = Multimodal.packDocuments(Tables(spark, dir, "documents"))
+      .select(col("id"), col("payload"))
+    val corrupt = udf { p: Array[Byte] =>
+      val b = p.clone()
+      var i = 7
+      while (i < b.length) { b(i) = (b(i) ^ 1).toByte; i += 97 }
+      b
+    }
+    val twins = packed.where(col("id") < 50)
+      .select((col("id") + 1000000L).as("id"),
+        corrupt(col("payload")).as("payload"))
+    Multimodal.dhashPairs(packed.unionByName(twins), maxHamming = 6)
+      .orderBy("ida", "idb")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_dhash_pairs" -> dhashPairs,
     "multimodal_meta" -> meta,
     "multimodal_features" -> features,
     "multimodal_frames" -> frames,

@@ -65,4 +65,50 @@ class MultimodalSpec extends SparkSpec {
     assert(new String(out(2L), "UTF-8") === "xxyy")
     assert(out(3L).isEmpty) // empty payload stays empty, no crash
   }
+
+  test("dhash: identical payloads collide, near-identical stay close") {
+    import spark.implicits._
+    val base = ("the quick brown fox jumps over the lazy dog " * 20).getBytes
+    val nearDup = {
+      val b = base.clone(); b(5) = 'X'.toByte; b } // one-byte edit
+    val different =
+      ("completely unrelated bytes 0123456789 " * 25).getBytes
+    val h0 = Multimodal.dhash64(base)
+    assert(Multimodal.dhash64(base) == h0) // deterministic
+    val hNear = Multimodal.dhash64(nearDup)
+    val hFar = Multimodal.dhash64(different)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h0, hNear) <= 6, s"near edit drifted: ${ham(h0, hNear)}")
+    assert(ham(h0, hFar) > 6, s"unrelated payloads too close: ${ham(h0, hFar)}")
+
+    val pairs = Multimodal.dhashPairs(
+      Seq((1L, base), (2L, nearDup), (3L, different))
+        .toDF("id", "payload"), maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("dhash pairs recover byte-corrupted copies planted in a corpus") {
+    // dHash's invariance is to ALIGNED perturbations (the image
+    // near-dup case: re-encode, slight noise) — token-level text edits
+    // are a different geometry and belong to the shingle/minhash
+    // family. So the planted twins here are byte-level corruptions.
+    import spark.implicits._
+    val originals = packed.select("id", "payload")
+      .where(col("id") < 30).as[(Long, Array[Byte])].collect()
+    assert(originals.length == 30)
+    val twins = originals.map { case (id, p) =>
+      val b = p.clone()
+      var i = 7
+      while (i < b.length) { b(i) = (b(i) ^ 1).toByte; i += 97 }
+      (id + 1000000L, b)
+    }
+    val corpus = (originals ++ twins).toIndexedSeq.toDF("id", "payload")
+    val found = Multimodal.dhashPairs(corpus, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = originals.map { case (id, _) => (id, id + 1000000L) }.toSet
+    val recall = (expected intersect found).size.toDouble / expected.size
+    info(s"dhash recall of corrupted twins = $recall")
+    assert(recall >= 0.8, s"dhash missed corrupted twins: $recall")
+  }
 }
