@@ -9,6 +9,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -47,16 +48,22 @@ object PubMedSource {
     StructField("content", StringType)))
 }
 
-class PubMedTable(props: Map[String, String]) extends Table with SupportsRead {
+class PubMedTable(props: Map[String, String]) extends Table
+    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"pubmed(${props.getOrElse("path", "")})"
   override def schema(): StructType = PubMedSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new PubMedScanBuilder(
       options.getOrDefault("path", props.getOrElse("path", "")),
       options.getOrDefault("beginYear", props.getOrElse("beginYear", "1990")).toInt,
       options.getOrDefault("endYear", props.getOrElse("endYear", "1991")).toInt)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new PubMedWriteBuilder(
+      info.options().getOrDefault("path", props.getOrElse("path", "")),
+      info.schema())
 }
 
 /** endYear is exclusive, matching the reference's CLI contract
@@ -276,5 +283,88 @@ class PubMedMonthReader(p: PubMedMonthPartition)
     }
 
   override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
+
+/** DSv2 write path: a DataFrame of (year, month, retstart, content)
+  * lands as page blobs under the reference's `{year}_{month}_num_
+  * {retstart}` naming — the sink twin of the batch/streaming read
+  * paths, with REAL two-phase commit:
+  *
+  *  - each task writes `.tmp.{task}.{epoch}`-suffixed files and
+  *    reports them in its commit message;
+  *  - the driver's commit() renames tmp -> final (idempotent: a blob
+  *    name writes the same logical page, last rename wins, matching
+  *    the reference's overwrite-by-name object semantics);
+  *  - abort() deletes the orphaned tmps, so failed jobs leave no
+  *    partial pages for the streaming reader's offset log to trip on.
+  */
+class PubMedWriteBuilder(path: String, schema: StructType)
+    extends WriteBuilder {
+  require(path.nonEmpty, "pubmed write requires option(\"path\", ...)")
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new PubMedBatchWrite(path, schema)
+  }
+}
+
+class PubMedBatchWrite(path: String, schema: StructType) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new PubMedDataWriterFactory(path, schema.fieldNames)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    messages.foreach {
+      case PubMedCommit(files) =>
+        files.foreach { case (tmp, fin) =>
+          val t = new java.io.File(tmp)
+          val f = new java.io.File(fin)
+          if (f.exists()) f.delete() // overwrite-by-name
+          if (!t.renameTo(f))
+            throw new java.io.IOException(s"commit rename failed: $tmp -> $fin")
+        }
+      case _ => ()
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case PubMedCommit(files) =>
+        files.foreach { case (tmp, _) => new java.io.File(tmp).delete() }
+      case _ => ()
+    }
+}
+
+case class PubMedCommit(files: Seq[(String, String)])
+  extends WriterCommitMessage
+
+class PubMedDataWriterFactory(path: String, columns: Array[String])
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new PubMedDataWriter(path, columns, taskId)
+}
+
+class PubMedDataWriter(path: String, columns: Array[String], taskId: Long)
+    extends DataWriter[InternalRow] {
+  private val idx = columns.zipWithIndex.toMap
+  private val written = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+
+  override def write(row: InternalRow): Unit = {
+    val year = row.getInt(idx("year"))
+    val month = row.getInt(idx("month"))
+    val retstart = row.getLong(idx("retstart"))
+    val content =
+      if (idx.contains("content") && !row.isNullAt(idx("content")))
+        row.getUTF8String(idx("content")).toString
+      else ""
+    val fin = new java.io.File(path, s"${year}_${month}_num_$retstart")
+    val tmp = new java.io.File(path, s"${fin.getName}.tmp.$taskId")
+    java.nio.file.Files.createDirectories(tmp.toPath.getParent)
+    java.nio.file.Files.write(tmp.toPath,
+      content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    written += ((tmp.getAbsolutePath, fin.getAbsolutePath))
+  }
+
+  override def commit(): WriterCommitMessage = PubMedCommit(written.toSeq)
+  override def abort(): Unit =
+    written.foreach { case (tmp, _) => new java.io.File(tmp).delete() }
   override def close(): Unit = ()
 }

@@ -80,6 +80,44 @@ class PubMedSourceSpec extends SparkSpec {
     assert(fromAsn1.where(col("abstract").isNotNull).count() == 2)
   }
 
+  test("dsv2 write path lands page blobs with reference naming, roundtrips") {
+    import spark.implicits._
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-pubmed-write").toString
+    val pages = Seq(
+      (1999, 1, 0L, "page one"),
+      (1999, 1, 10000L, "page two"),
+      (2000, 3, 0L, "page three"))
+    pages.toDF("year", "month", "retstart", "content")
+      .write.format("pubmed").option("path", outDir)
+      .mode("append").save()
+
+    // reference object naming, no stray tmp files after commit
+    val names = new java.io.File(outDir).listFiles().map(_.getName).toSet
+    assert(names == Set("1999_1_num_0", "1999_1_num_10000", "2000_3_num_0"),
+      names.mkString(","))
+
+    // roundtrip through the read path
+    val back = spark.read.format("pubmed")
+      .option("path", outDir)
+      .option("beginYear", "1999").option("endYear", "2001")
+      .load()
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(back == pages.toSet)
+
+    // overwrite-by-name: re-writing a page replaces its content
+    Seq((1999, 1, 0L, "page one v2"))
+      .toDF("year", "month", "retstart", "content")
+      .write.format("pubmed").option("path", outDir)
+      .mode("append").save()
+    val v2 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(outDir, "1999_1_num_0")))
+    assert(v2 == "page one v2")
+    assert(new java.io.File(outDir).listFiles().length == 3)
+  }
+
   test("streaming pubmed source resumes from checkpointed page offsets") {
     import org.apache.spark.sql.streaming.Trigger
     val srcDir = java.nio.file.Files
