@@ -215,7 +215,23 @@ object FuncsExtra {
     ea.unionByName(ia).orderBy("op")
   }
 
+  /** Remaining JSON builtins from the SURVEY §2.2 row: json_tuple
+    * (generator-style multi-field extraction), schema_of_json
+    * (constant-folded schema inference), to_json (struct
+    * serialization).
+    */
+  def jsonTupleFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .where(pmod(col("event_id"), lit(20)) === 0)
+      .select(
+        col("event_id"),
+        json_tuple(col("props"), "k").as("k_str"),
+        schema_of_json(lit("""{"k": 1}""")).as("props_schema"),
+        to_json(struct(col("event_id").as("id"))).as("packed"))
+      .orderBy("event_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "json_tuple_funcs" -> jsonTupleFuncs,
     "join_full_outer" -> joinFullOuter,
     "setop_all_variants" -> setopAllVariants,
     "agg_bools" -> aggBools,
@@ -232,6 +248,12 @@ object FuncsExtra {
     "agg_hll_sketch" -> hllSketch)
 
   val oracle: Map[String, String] = Map(
+    "json_tuple_funcs" ->
+      """SELECT event_id,
+json_extract_string(props, '$.k') AS k_str,
+'STRUCT<k: BIGINT>' AS props_schema,
+printf('{"id":%d}', event_id) AS packed
+FROM events WHERE event_id % 20 = 0 ORDER BY event_id""",
     "cond_funcs" ->
       """SELECT o_orderkey,
 coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_or_open,

@@ -161,6 +161,17 @@ class ScaleOpsSpec extends SparkSpec {
       s"AQE skew split did not fire:\n${plan.take(3000)}")
   }
 
+  test("partition-size diagnostic aggregates distributed (SURVEY O6)") {
+    // the reference printed rdd.glom().map(len).collect() — an
+    // all-to-driver collect; the engine spelling is one tiny agg
+    val ev = Tables(spark, sfDir, "events").repartition(8, col("user_id"))
+    val sizes = ev.groupBy(spark_partition_id().as("pid"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1))
+    assert(sizes.map(_._2).sum == ev.count())
+    assert(sizes.length > 1 && sizes.forall { case (pid, _) => pid < 8 })
+  }
+
   test("bloom prefiltered join is exact and the prefilter is selective") {
     val dim = Tables(spark, sfDir, "supplier")
       .where(pmod(col("s_suppkey"), lit(7)) === 0)
