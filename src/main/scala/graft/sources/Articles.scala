@@ -21,6 +21,31 @@ object Articles {
   def readNdjson(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** Robust NDJSON reader for untrusted feeds: malformed lines don't
+    * kill the job (PERMISSIVE) and don't silently vanish either — they
+    * land in `_corrupt` for a quarantine sink. At 100 TB a single bad
+    * page must cost one quarantined row, not a retried stage.
+    */
+  def readNdjsonRobust(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(schema.add(StructField("_corrupt", StringType)))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path)
+
+  /** Split a robust read into (clean, quarantine). The parse is
+    * cached first — Spark refuses corrupt-column-only queries over raw
+    * JSON (QUERY_ONLY_CORRUPT_RECORD_COLUMN), and operationally both
+    * halves are consumed anyway (clean onward, quarantine to a sink),
+    * so one materialization serves both instead of two file scans.
+    */
+  def quarantine(robust: DataFrame): (DataFrame, DataFrame) = {
+    val cached = robust.cache()
+    (cached.where(col("_corrupt").isNull).drop("_corrupt"),
+      cached.where(col("_corrupt").isNotNull)
+        .select(col("_corrupt").as("raw_line")))
+  }
+
   /** (pmid, abstract) projection, dropping abstract-less articles —
     * O10+O12 (`asn1.get_abstracts` + has-abstract filter) as two
     * Catalyst operators.

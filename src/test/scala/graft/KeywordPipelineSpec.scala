@@ -61,6 +61,22 @@ class KeywordPipelineSpec extends SparkSpec {
       Set(123456L, 123458L))
   }
 
+  test("robust ndjson read quarantines malformed lines, keeps the rest") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ndjson-robust").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "feed.ndjson"),
+      ("""{"pmid": 1, "medent": {"abstract": "good one"}}""" + "\n" +
+        """{"pmid": broken JSON here""" + "\n" +
+        """{"pmid": 2, "medent": {}}""" + "\n").getBytes)
+    val (clean, quarantined) = Articles.quarantine(
+      Articles.readNdjsonRobust(spark, dir))
+    assert(clean.select("pmid").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L))
+    val bad = quarantined.collect().map(_.getString(0))
+    assert(bad.length == 1 && bad(0).contains("broken JSON"))
+  }
+
   test("lemmatizer rules and exceptions") {
     assert(Lemmatizer.noun("publications") == "publication")
     assert(Lemmatizer.noun("men") == "man")
