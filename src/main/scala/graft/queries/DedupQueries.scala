@@ -99,8 +99,9 @@ object DedupQueries {
 df AS (SELECT s FROM ex GROUP BY s HAVING count(*) BETWEEN 2 AND 50),
 exc AS (SELECT ex.doc_id, ex.s FROM ex JOIN df USING (s)),
 cand AS (
-  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+  SELECT a.doc_id AS ida, b.doc_id AS idb
   FROM exc a JOIN exc b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 2
 ), verified AS (
   SELECT ida, idb,
     round(CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE) /
