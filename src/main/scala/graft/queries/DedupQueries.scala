@@ -87,7 +87,7 @@ object DedupQueries {
   /** Shared CTE chain producing the exact verified pair table —
     * identical to the Spark jaccardPairs(threshold=0.2, dfCap=50).
     */
-  private val pairsCte =
+  private[queries] val pairsCte =
     raw"""toks AS (
   SELECT doc_id, $tokSql AS ws FROM documents
 ), sh AS (

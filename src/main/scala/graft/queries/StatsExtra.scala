@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -87,6 +88,45 @@ object StatsExtra {
       .orderBy("p_partkey")
   }
 
+  /** RANGE window frame (value-based, not row-based): trailing-30-day
+    * revenue per customer. The frame is over an integer day offset so
+    * both engines bound it identically; ties share a frame by value,
+    * which is what makes range frames deterministic without a
+    * tiebreaker column.
+    */
+  def windowRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+      .where(pmod(col("o_orderkey"), lit(10)) === 0)
+      .withColumn("d",
+        datediff(col("o_orderdate").cast("date"),
+          lit("1990-01-01").cast("date")).cast("long"))
+    val w = Window.partitionBy("o_custkey").orderBy("d")
+      .rangeBetween(-30, Window.currentRow)
+    o.select(col("o_orderkey"), col("o_custkey"),
+        count(lit(1)).over(w).as("n_30d"),
+        round(sum("o_totalprice").over(w), 2).as("rev_30d"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Character-level edit distance over the verified near-dup pairs —
+    * the expensive O(len^2) similarity that blocking exists to avoid
+    * running corpus-wide: it only ever touches the few hundred pairs
+    * the shingle stage survived.
+    */
+  def editDistancePairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val pairs = graft.operators.Dedup.jaccardPairs(
+      docs, "doc_id", "text", threshold = 0.2, dfCap = 50)
+    pairs
+      .join(broadcast(docs.select(col("doc_id").as("ida"),
+        col("text").as("ta"))), "ida")
+      .join(broadcast(docs.select(col("doc_id").as("idb"),
+        col("text").as("tb"))), "idb")
+      .select(col("ida"), col("idb"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"))
+      .orderBy("ida", "idb")
+  }
+
   private def tokenRows(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
       .select(explode(TextOps.tokens(col("text"))).as("token"))
@@ -121,6 +161,8 @@ object StatsExtra {
     "join_bloom_prefilter" -> joinBloomPrefilter,
     "zorder_cluster" -> zorderCluster,
     "join_range_binned" -> joinRangeBinned,
+    "window_range_frame" -> windowRangeFrame,
+    "dedup_edit_distance" -> editDistancePairs,
     "text_heavy_topk" -> heavyTopK,
     "text_heavy_topk_cms" -> heavyTopKCms)
 
@@ -147,6 +189,22 @@ count(*) AS n_items
 FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
 WHERE s_suppkey % 7 = 0
 GROUP BY s_suppkey ORDER BY s_suppkey""",
+    "window_range_frame" ->
+      """SELECT o_orderkey, o_custkey,
+  count(*) OVER w AS n_30d,
+  round(sum(o_totalprice) OVER w, 2) AS rev_30d
+FROM orders WHERE o_orderkey % 10 = 0
+WINDOW w AS (PARTITION BY o_custkey
+  ORDER BY date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+ORDER BY o_orderkey""",
+    "dedup_edit_distance" ->
+      raw"""WITH ${DedupQueries.pairsCte}
+SELECT ida, idb,
+  CAST(levenshtein(x.text, y.text) AS BIGINT) AS edit_dist
+FROM pairs JOIN documents x ON x.doc_id = ida
+JOIN documents y ON y.doc_id = idb
+ORDER BY ida, idb""",
     "join_range_binned" ->
       """SELECT p_partkey, count(*) AS n_items
 FROM lineitem JOIN part
