@@ -127,6 +127,32 @@ object StatsExtra {
       .orderBy("ida", "idb")
   }
 
+  /** Theta-sketch set-operation cardinalities (Spark 4.1 /
+    * datasketches): distinct users per segment plus union /
+    * intersection / difference estimates — the set algebra HLL
+    * sketches cannot do (HLL unions only). Below ~4096 distinct
+    * entries a theta sketch stores the raw hash set, so estimates are
+    * EXACT at the correctness SF and the oracle is plain COUNT
+    * (DISTINCT); at production cardinalities the same query degrades
+    * gracefully to ±2% estimates (SketchSpec pins the bound at 100k).
+    */
+  def thetaSetOps(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .agg(
+        theta_sketch_agg(when(col("event_type") === "click",
+          col("user_id"))).as("c"),
+        theta_sketch_agg(when(col("event_type") === "purchase",
+          col("user_id"))).as("p"))
+      .select(
+        theta_sketch_estimate(col("c")).as("click_users"),
+        theta_sketch_estimate(col("p")).as("purchase_users"),
+        theta_sketch_estimate(theta_union(col("c"), col("p")))
+          .as("either_users"),
+        theta_sketch_estimate(theta_intersection(col("c"), col("p")))
+          .as("both_users"),
+        theta_sketch_estimate(theta_difference(col("c"), col("p")))
+          .as("click_only_users"))
+
   private def tokenRows(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
       .select(explode(TextOps.tokens(col("text"))).as("token"))
@@ -163,6 +189,7 @@ object StatsExtra {
     "join_range_binned" -> joinRangeBinned,
     "window_range_frame" -> windowRangeFrame,
     "dedup_edit_distance" -> editDistancePairs,
+    "agg_theta_setops" -> thetaSetOps,
     "text_heavy_topk" -> heavyTopK,
     "text_heavy_topk_cms" -> heavyTopKCms)
 
@@ -189,6 +216,22 @@ count(*) AS n_items
 FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
 WHERE s_suppkey % 7 = 0
 GROUP BY s_suppkey ORDER BY s_suppkey""",
+    "agg_theta_setops" ->
+      """SELECT
+  (SELECT count(DISTINCT user_id) FROM events
+    WHERE event_type = 'click') AS click_users,
+  (SELECT count(DISTINCT user_id) FROM events
+    WHERE event_type = 'purchase') AS purchase_users,
+  (SELECT count(DISTINCT user_id) FROM events
+    WHERE event_type IN ('click', 'purchase')) AS either_users,
+  (SELECT count(*) FROM (
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase')) AS both_users,
+  (SELECT count(*) FROM (
+    SELECT user_id FROM events WHERE event_type = 'click'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'purchase')) AS click_only_users""",
     "window_range_frame" ->
       """SELECT o_orderkey, o_custkey,
   count(*) OVER w AS n_30d,

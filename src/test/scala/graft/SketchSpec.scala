@@ -50,4 +50,25 @@ class SketchSpec extends SparkSpec {
       .collect()(0).getLong(0)
     assert(oneShot === merged)
   }
+
+  test("theta set-op estimates stay within 2% at 100k cardinality") {
+    // two overlapping 100k-id segments: A = [0, 100k), B = [50k, 150k)
+    val a = spark.range(0, 100000).toDF("id")
+      .agg(theta_sketch_agg(col("id")).as("s"))
+    val b = spark.range(50000, 150000).toDF("id")
+      .agg(theta_sketch_agg(col("id")).as("s"))
+    val est = a.crossJoin(b.withColumnRenamed("s", "t"))
+      .select(
+        theta_sketch_estimate(col("s")).as("na"),
+        theta_sketch_estimate(theta_union(col("s"), col("t"))).as("nu"),
+        theta_sketch_estimate(theta_intersection(col("s"), col("t"))).as("ni"),
+        theta_sketch_estimate(theta_difference(col("s"), col("t"))).as("nd"))
+      .head()
+    def within(est: Long, truth: Long, tol: Double): Unit =
+      assert(math.abs(est - truth) <= tol * truth, s"est=$est truth=$truth")
+    within(est.getLong(0), 100000L, 0.02)
+    within(est.getLong(1), 150000L, 0.02)
+    within(est.getLong(2), 50000L, 0.05) // intersection error compounds
+    within(est.getLong(3), 50000L, 0.05)
+  }
 }
