@@ -182,7 +182,23 @@ object StatsExtra {
       .map(i => s"(((CAST($c AS BIGINT) >> $i) & 1) << ${2 * i + offset})")
       .mkString(" | ")
 
+  /** Builtin approx_top_k (Spark 4.1 frequent-items sketch) over the
+    * token stream, flattened to rows (array output breaks the driver
+    * compare). Tracked items far exceed the corpus vocabulary, so
+    * counts are exact and the oracle is the plain top-k; k=9 sits on a
+    * distinct-count boundary (928 vs 918), so the selected SET is
+    * unique regardless of the sketch's internal tie order.
+    */
+  def approxTopKTokens(spark: SparkSession, dir: String): DataFrame = {
+    tokenRows(spark, dir).createOrReplaceTempView("graft_tokens")
+    spark.sql(
+      """SELECT t.item AS token, CAST(t.count AS BIGINT) AS cnt FROM (
+  SELECT explode(approx_top_k(token, 9, 1000)) AS t FROM graft_tokens)
+ORDER BY cnt DESC, token""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_approx_topk" -> approxTopKTokens,
     "agg_mode" -> aggMode,
     "join_bloom_prefilter" -> joinBloomPrefilter,
     "zorder_cluster" -> zorderCluster,
@@ -216,6 +232,13 @@ count(*) AS n_items
 FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
 WHERE s_suppkey % 7 = 0
 GROUP BY s_suppkey ORDER BY s_suppkey""",
+    "text_approx_topk" ->
+      raw"""WITH tok AS (
+  SELECT unnest(string_split_regex(lower(regexp_replace(text,
+    '[^a-zA-Z ]', ' ', 'g')), '\s+')) AS token FROM documents
+)
+SELECT token, count(*) AS cnt FROM tok WHERE token <> ''
+GROUP BY token ORDER BY cnt DESC, token LIMIT 9""",
     "agg_theta_setops" ->
       """SELECT
   (SELECT count(DISTINCT user_id) FROM events
