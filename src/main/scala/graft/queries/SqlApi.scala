@@ -168,7 +168,46 @@ WHERE l_orderkey % 500 = 0"""
     spark.sql(distributeSortSparkSql)
   }
 
+  private val recursiveCteSql =
+    """WITH RECURSIVE cal(d) AS (
+  SELECT DATE '1995-01-01'
+  UNION ALL
+  SELECT d + INTERVAL 1 DAY FROM cal WHERE d < DATE '1995-02-15'
+)
+SELECT cal.d, count(o_orderkey) AS n_orders
+FROM cal LEFT JOIN orders ON CAST(o_orderdate AS DATE) = cal.d
+GROUP BY cal.d ORDER BY cal.d"""
+
+  /** WITH RECURSIVE (Spark 4 recursive CTE): a generated calendar
+    * spine left-joined to facts so zero-activity days surface — the
+    * canonical gap-filling shape reporting pipelines need.
+    */
+  def recursiveCte(spark: SparkSession, dir: String): DataFrame = {
+    view(spark, dir, "orders")
+    spark.sql(recursiveCteSql)
+  }
+
+  private val lateralSubquerySql =
+    """SELECT n.n_name, l.c_name, l.bal
+FROM nation n, LATERAL (
+  SELECT c_name, round(c_acctbal, 2) AS bal FROM customer
+  WHERE c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name LIMIT 1) l
+ORDER BY n.n_name"""
+
+  /** Correlated LATERAL subquery (top-1-per-group spelled as a join,
+    * decorrelated by the planner) — distinct from LATERAL VIEW, which
+    * is generator syntax.
+    */
+  def lateralSubquery(spark: SparkSession, dir: String): DataFrame = {
+    view(spark, dir, "nation")
+    view(spark, dir, "customer")
+    spark.sql(lateralSubquerySql)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_recursive_cte" -> recursiveCte,
+    "sql_lateral_subquery" -> lateralSubquery,
     "sql_pivot" -> pivotSql,
     "sql_distribute_sort" -> distributeSort,
     "sql_group_by_all" -> groupByAll,
@@ -186,5 +225,7 @@ WHERE l_orderkey % 500 = 0"""
     "sql_window_clause" -> windowSql,
     "sql_group_by_all" -> groupByAllSql,
     "sql_pivot" -> pivotDuckSql,
-    "sql_distribute_sort" -> distributeSortDuckSql)
+    "sql_distribute_sort" -> distributeSortDuckSql,
+    "sql_recursive_cte" -> recursiveCteSql,
+    "sql_lateral_subquery" -> lateralSubquerySql)
 }
