@@ -161,6 +161,32 @@ class ScaleOpsSpec extends SparkSpec {
       s"AQE skew split did not fire:\n${plan.take(3000)}")
   }
 
+  test("observe() rides metrics on the job instead of extra count jobs") {
+    // funnel observability without re-running stages: the metrics are
+    // computed inside the SAME action (works identically in streaming)
+    val observed = Tables(spark, sfDir, "lineitem")
+      .observe("scan_metrics",
+        count(lit(1)).as("rows_scanned"),
+        sum(col("l_quantity")).as("qty_total"))
+      .where(col("l_discount") > 0.05)
+    // collect() (not count()) so the observe node runs in THIS df's
+    // query execution — count() builds its own
+    val kept = observed.collect().length
+    val m = observed.queryExecution.observedMetrics("scan_metrics")
+    assert(m.getAs[Long]("rows_scanned") > kept,
+      s"metric ${m.getAs[Long]("rows_scanned")} vs kept $kept")
+    assert(m.getAs[Double]("qty_total") > 0)
+  }
+
+  test("_metadata hidden column exposes file lineage at zero scan cost") {
+    val withLineage = Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("_metadata.file_path").as("src"),
+        col("_metadata.row_index").as("row_idx"))
+      .limit(5).collect()
+    assert(withLineage.forall(_.getString(1).contains("lineitem.parquet")))
+    assert(withLineage.map(_.getLong(2)).distinct.length > 1)
+  }
+
   test("partition-size diagnostic aggregates distributed (SURVEY O6)") {
     // the reference printed rdd.glom().map(len).collect() — an
     // all-to-driver collect; the engine spelling is one tiny agg
