@@ -118,6 +118,78 @@ class PubMedSourceSpec extends SparkSpec {
     assert(new java.io.File(outDir).listFiles().length == 3)
   }
 
+  test("end-to-end incremental ingest: pages -> parse -> keywords -> upsert") {
+    import org.apache.spark.sql.streaming.Trigger
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft-e2e-src").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-e2e-ckpt").toString
+    val sinkDir = java.nio.file.Files
+      .createTempDirectory("graft-e2e-sink").toString + "/keywords"
+
+    def writePage(name: String, pmid: Long, abstractText: String): Unit = {
+      val content =
+        s"""Pubmed-entry ::= {
+           |  pmid $pmid ,
+           |  medent {
+           |    em std { year 1999 , month 1 } ,
+           |    abstract "$abstractText" ,
+           |    status ok
+           |  }
+           |}""".stripMargin
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(srcDir, name), content.getBytes)
+    }
+
+    val parse = udf((c: String) =>
+      graft.sources.Asn1.articles(c).map(a => (a.pmid, a.abstractText.orNull)))
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream.format("pubmed")
+        .option("path", srcDir)
+        .option("beginYear", "1999").option("endYear", "2001")
+        .load()
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          val words = batch
+            .select(col("year"), explode(parse(col("content"))).as("a"))
+            .select(col("year"), col("a._2").as("abs"))
+            .where(col("abs").isNotNull)
+            .select(col("year"),
+              explode(KeywordPipeline.keywordsV1(col("abs"))).as("word"))
+            .groupBy("year", "word").agg(count(lit(1)).as("cnt"))
+          graft.sources.Sinks.upsertPartitions(words, sinkDir, Seq("year"))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    // batch 1: the golden abstract (README v1 keyword set)
+    writePage("1999_1_num_0", 123456L,
+      "This article is a review of the different publications on breast cancer in men.")
+    runOnce()
+    val y1999 = spark.read.parquet(sinkDir).where(col("year") === 1999)
+      .select("word").collect().map(_.getString(0)).toSet
+    assert(y1999 == Set("article", "review", "different", "publication",
+      "breast", "cancer", "man"))
+    val files1999 = new java.io.File(s"$sinkDir/year=1999")
+      .listFiles().map(_.getName).toSet
+
+    // batch 2: a new year's page lands; the resumed stream processes
+    // ONLY it, and the 1999 partition's files are untouched
+    writePage("2000_2_num_0", 777L, "Spark engines process queries.")
+    runOnce()
+    assert(new java.io.File(s"$sinkDir/year=1999")
+      .listFiles().map(_.getName).toSet == files1999)
+    val y2000 = spark.read.parquet(sinkDir).where(col("year") === 2000)
+      .select("word").collect().map(_.getString(0)).toSet
+    assert(y2000 == Set("spark", "engine", "process", "query"))
+  }
+
   test("streaming pubmed source resumes from checkpointed page offsets") {
     import org.apache.spark.sql.streaming.Trigger
     val srcDir = java.nio.file.Files
