@@ -197,7 +197,34 @@ object StatsExtra {
 ORDER BY cnt DESC, token""")
   }
 
+  /** Higher-order array functions (SURVEY §2.2 array row): aggregate
+    * (fold), zip_with over a position sequence, exists, forall — all
+    * per-row lambdas over a token array materialized ONCE behind the
+    * doc_id barrier (interpreted lambdas re-evaluate inner subtrees
+    * per element, the round-1 pitfall).
+    */
+  def arrayHofFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+      .repartition(col("doc_id"))
+      .select(
+        col("doc_id"),
+        aggregate(col("ws"), lit(0),
+          (acc, t) => acc + length(t)).cast("long").as("chars_total"),
+        when(size(col("ws")) > 0,
+          aggregate(
+            zip_with(
+              transform(col("ws"), w => length(w)),
+              sequence(lit(1), size(col("ws"))),
+              (l, i) => l * i),
+            lit(0L), (a, x) => a + x))
+          .otherwise(0L).as("pos_weighted"),
+        exists(col("ws"), t => t === "cancer").as("has_cancer"),
+        forall(col("ws"), t => length(t) > lit(1)).as("all_multichar"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "array_hof_funcs" -> arrayHofFuncs,
     "text_approx_topk" -> approxTopKTokens,
     "agg_mode" -> aggMode,
     "join_bloom_prefilter" -> joinBloomPrefilter,
@@ -232,6 +259,24 @@ count(*) AS n_items
 FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
 WHERE s_suppkey % 7 = 0
 GROUP BY s_suppkey ORDER BY s_suppkey""",
+    "array_hof_funcs" ->
+      raw"""WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(regexp_replace(
+    text, '[^a-zA-Z ]', ' ', 'g')), '\s+'), w -> w <> '') AS ws
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN len(ws) = 0 THEN 0
+    ELSE list_reduce(list_transform(ws, w -> len(w)), (a, b) -> a + b)
+  END AS chars_total,
+  CASE WHEN len(ws) = 0 THEN 0
+    ELSE CAST(list_sum(list_transform(list_zip(
+      list_transform(ws, w -> len(w)), range(1, len(ws) + 1)),
+      p -> p[1] * p[2])) AS BIGINT)
+  END AS pos_weighted,
+  len(list_filter(ws, w -> w = 'cancer')) > 0 AS has_cancer,
+  len(list_filter(ws, w -> len(w) <= 1)) = 0 AS all_multichar
+FROM t ORDER BY doc_id""",
     "text_approx_topk" ->
       raw"""WITH tok AS (
   SELECT unnest(string_split_regex(lower(regexp_replace(text,
