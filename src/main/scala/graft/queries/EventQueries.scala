@@ -152,7 +152,33 @@ object EventQueries {
         col("n_events"), col("sum_value"))
       .orderBy("user_id", "sess_start")
 
+  /** Funnel conversion: share of clicking users who purchase within 30
+    * minutes of SOME click. The conversion test is a time-bounded
+    * left-semi join on user_id — the same single-shuffle interval-join
+    * shape as events_interval_join, aggregated to one row.
+    */
+  def funnelConversion(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("cts"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_uid"), col("ts").as("pts"))
+    val converted = clicks.join(purchases,
+        col("user_id") === col("p_uid") &&
+          col("pts") >= col("cts") &&
+          col("pts") <= col("cts") + expr("INTERVAL 30 MINUTES"),
+        "left_semi")
+      .agg(count_distinct(col("user_id")).as("converted_users"))
+    val clickUsers = clicks
+      .agg(count_distinct(col("user_id")).as("click_users"))
+    clickUsers.crossJoin(converted)
+      .select(col("click_users"), col("converted_users"),
+        round(col("converted_users").cast("double") / col("click_users"), 4)
+          .as("conversion_rate"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_funnel_conversion" -> funnelConversion,
     "events_session_window" -> sessionWindowNative,
     "events_json_props" -> jsonProps,
     "events_tumbling_window" -> tumblingWindow,
@@ -163,6 +189,21 @@ object EventQueries {
     "events_interval_join" -> intervalJoin)
 
   val oracle: Map[String, String] = Map(
+    "events_funnel_conversion" ->
+      """WITH c AS (
+  SELECT count(DISTINCT user_id) AS click_users FROM events
+  WHERE event_type = 'click'
+), v AS (
+  SELECT count(DISTINCT e.user_id) AS converted_users FROM events e
+  WHERE e.event_type = 'click' AND EXISTS (
+    SELECT 1 FROM events p
+    WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+      AND p.ts >= e.ts AND p.ts <= e.ts + INTERVAL '30 minutes')
+)
+SELECT click_users, converted_users,
+  round(CAST(converted_users AS DOUBLE) / click_users, 4)
+    AS conversion_rate
+FROM c, v""",
     "events_session_window" ->
       """WITH flagged AS (
   SELECT user_id, event_id, ts, value,
