@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic weighted sampling without replacement (Efraimidis &
+  * Spirakis A-Res): each row gets priority u^(1/w) with u a uniform
+  * derived from xxhash64(id, seed) — the n largest priorities ARE a
+  * weighted sample.
+  *
+  * Scale shape: one narrow projection + a bounded top-n
+  * (TakeOrderedAndProject — per-partition heaps of n, no global sort,
+  * no shuffle of the data itself). Determinism comes from hashing a
+  * key column instead of RNG state, so task retries and re-runs pick
+  * the SAME sample — the property corpus reproducibility needs and
+  * `df.sample` does not give across partition changes.
+  */
+object WeightedSample {
+
+  /** Uniform(0,1) from a hash: strictly inside (0,1) so log/pow are
+    * finite.
+    */
+  private def uniform(id: Column, seed: Int): Column =
+    (abs(xxhash64(id, lit(seed))).cast("double") + lit(1.0)) /
+      lit(Long.MaxValue.toDouble + 2.0)
+
+  /** Priority column: u^(1/w). Zero/negative weights sink to priority
+    * 0 (never sampled ahead of any positive weight).
+    */
+  def priority(id: Column, weight: Column, seed: Int = 42): Column =
+    when(weight > 0, pow(uniform(id, seed), lit(1.0) / weight))
+      .otherwise(lit(0.0))
+
+  /** n-row weighted sample without replacement, deterministic in
+    * (idCol, seed).
+    */
+  def sample(df: DataFrame, idCol: String, weightCol: String, n: Int,
+      seed: Int = 42): DataFrame =
+    df.withColumn("_pri", priority(col(idCol), col(weightCol), seed))
+      .orderBy(col("_pri").desc, col(idCol))
+      .limit(n)
+      .drop("_pri")
+}

@@ -223,7 +223,21 @@ ORDER BY cnt DESC, token""")
         forall(col("ws"), t => length(t) > lit(1)).as("all_multichar"))
       .orderBy("doc_id")
 
+  /** Deterministic weighted sample (A-Res, WeightedSample scaladoc):
+    * documents weighted by length — the high-value-doc oversampling a
+    * corpus mixer runs. xxhash64 priorities are engine-specific, so
+    * rows-only + SamplingSpec (determinism, weight bias, zero-weight
+    * exclusion).
+    */
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.WeightedSample.sample(
+        Tables(spark, dir, "documents")
+          .select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", n = 50)
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_weighted" -> sampleWeighted,
     "array_hof_funcs" -> arrayHofFuncs,
     "text_approx_topk" -> approxTopKTokens,
     "agg_mode" -> aggMode,
