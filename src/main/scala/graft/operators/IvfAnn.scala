@@ -113,6 +113,29 @@ object IvfAnn {
       .parquet(s"$dir/assigned")
   }
 
+  /** Incremental index maintenance: assign a NEW batch of vectors to
+    * the EXISTING centroids and append into the per-list partition
+    * directories — no rebuild, no touch of prior files (dynamic
+    * partition overwrite is wrong here: append is the correct mode for
+    * additive batches, and re-runs should dedupe upstream by vec_id).
+    * Centroids drift as the corpus grows; the standard operational
+    * answer (same as FAISS IVF add) is periodic retrain+rewrite, which
+    * is exactly [[writeIndex]] — so the pair gives the full lifecycle:
+    * build once, append cheaply, retrain when recall decays.
+    */
+  def appendToIndex(newVecs: DataFrame, dir: String): Unit = {
+    val spark = newVecs.sparkSession
+    val cs = spark.read.parquet(s"$dir/centroids")
+      .orderBy("list_id").collect()
+      .map(_.getSeq[Double](1).toArray)
+    newVecs.select(
+        col("vec_id"), col("embedding"),
+        VectorOps.norm(col("embedding")).as("nrm"),
+        assignUdf(cs)(col("embedding")).as("list_id"))
+      .write.mode("append").partitionBy("list_id")
+      .parquet(s"$dir/assigned")
+  }
+
   /** Query a persisted index: probe nprobe lists per query vector and
     * exact-rerank. The probed list ids join against the `list_id`
     * PARTITION column of the assigned table, so only those partition

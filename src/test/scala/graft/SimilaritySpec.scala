@@ -107,6 +107,32 @@ class SimilaritySpec extends SparkSpec {
     assert(fromIndex.toSeq === inline.toSeq)
   }
 
+  test("ivf index append makes new vectors findable without a rebuild") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-append").toString
+    val base = emb.where(col("vec_id") < 400)
+    val late = emb.where(col("vec_id") >= 400)
+    graft.operators.IvfAnn.writeIndex(base, dir, nlist = 16)
+
+    val before = graft.operators.IvfAnn
+      .queryIndex(spark, dir, queries, k = 5)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(!before.exists(_ >= 400), "late vectors cannot be findable yet")
+
+    graft.operators.IvfAnn.appendToIndex(late, dir)
+    // full-corpus index built from the SAME centroids gives the target
+    val assigned = spark.read.parquet(s"$dir/assigned")
+    assert(assigned.count() == emb.count())
+    val after = graft.operators.IvfAnn
+      .queryIndex(spark, dir, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // appended vectors participate in results (the corpus has neighbors
+    // in the late range for at least one query at these thresholds)
+    assert(after != before.map(v => (0L, v)), "sanity")
+    val lateHits = after.count(_._2 >= 400)
+    assert(lateHits > 0, "no appended vector ever surfaced in top-k")
+  }
+
   test("cosine dup pairs are symmetric-free and above threshold") {
     val rows = graft.queries.SimilarityQueries.cosineDupPairs(spark, sfDir)
       .collect()
