@@ -27,15 +27,18 @@ class SqlDmlSpec extends SparkSpec {
   }
 
   test("create table + insert into + insert overwrite partition") {
-    dspark.sql("DROP TABLE IF EXISTS kw_year")
-    val loc = new java.io.File(
-      dspark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
-      "kw_year")
+    // the builder config is ignored when a shared session already
+    // exists (suite-wide getOrCreate), so clear BOTH the catalog
+    // entries and any orphaned managed-table dirs from prior JVMs
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
       f.delete()
     }
-    rm(loc)
+    Seq("kw_year", "kw_copy").foreach { t =>
+      dspark.sql(s"DROP TABLE IF EXISTS $t")
+      rm(new java.io.File(
+        dspark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t))
+    }
     dspark.sql(
       """CREATE TABLE kw_year (word STRING, cnt BIGINT)
 USING parquet PARTITIONED BY (year INT)""")
@@ -54,7 +57,6 @@ USING parquet PARTITIONED BY (year INT)""")
     assert(rows.toSeq == Seq(("cancer", 11L, 1999), ("spark", 7L, 2000)))
 
     // and CTAS round-trips the content
-    dspark.sql("DROP TABLE IF EXISTS kw_copy")
     dspark.sql("CREATE TABLE kw_copy USING parquet AS SELECT * FROM kw_year")
     assert(dspark.table("kw_copy").count() == 2)
   }
