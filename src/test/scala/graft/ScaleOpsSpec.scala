@@ -161,6 +161,27 @@ class ScaleOpsSpec extends SparkSpec {
       s"AQE skew split did not fire:\n${plan.take(3000)}")
   }
 
+  test("AQE converts a planned sort-merge join to broadcast at runtime") {
+    // a UDF filter hides the selectivity from static planning (no
+    // stats -> SMJ); the post-shuffle runtime size is tiny, so AQE
+    // re-plans the join as broadcast — the mechanism that saves the
+    // statically-mis-estimated joins a 100 TB pipeline inevitably has
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "1MB")
+    val keepFew = udf((k: Long) => k % 997 == 0)
+    val small = Tables(s, sfDir, "orders")
+      .where(keepFew(col("o_orderkey")))
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val big = Tables(s, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val j = big.join(small, col("l_orderkey") === col("o_orderkey"))
+    j.collect()
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"AQE did not convert to broadcast:\n${plan.take(2000)}")
+  }
+
   test("observe() rides metrics on the job instead of extra count jobs") {
     // funnel observability without re-running stages: the metrics are
     // computed inside the SAME action (works identically in streaming)
