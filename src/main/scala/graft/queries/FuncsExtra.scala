@@ -230,7 +230,25 @@ object FuncsExtra {
         to_json(struct(col("event_id").as("id"))).as("packed"))
       .orderBy("event_id")
 
+  /** XML functions (Spark 4 native XML): to_xml -> from_xml roundtrip
+    * must be identity, which makes the roundtripped columns
+    * oracle-checkable as the ORIGINALS (DuckDB has no XML — the
+    * roundtrip property sidesteps dialect entirely).
+    */
+  def xmlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+      .where(pmod(col("o_orderkey"), lit(25)) === 0)
+    val xml = to_xml(struct(col("o_orderkey").as("k"),
+      col("o_orderstatus").as("s")))
+    o.select(col("o_orderkey"),
+        from_xml(xml, lit("k BIGINT, s STRING")).as("p"))
+      .select(col("o_orderkey"), col("p.k").as("rt_key"),
+        col("p.s").as("rt_status"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "xml_roundtrip" -> xmlRoundtrip,
     "json_tuple_funcs" -> jsonTupleFuncs,
     "join_full_outer" -> joinFullOuter,
     "setop_all_variants" -> setopAllVariants,
@@ -248,6 +266,10 @@ object FuncsExtra {
     "agg_hll_sketch" -> hllSketch)
 
   val oracle: Map[String, String] = Map(
+    "xml_roundtrip" ->
+      """SELECT o_orderkey, o_orderkey AS rt_key,
+o_orderstatus AS rt_status
+FROM orders WHERE o_orderkey % 25 = 0 ORDER BY o_orderkey""",
     "json_tuple_funcs" ->
       """SELECT event_id,
 json_extract_string(props, '$.k') AS k_str,
