@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Decontaminate, Dedup}
+import graft.operators.{ChunkDedup, Decontaminate, Dedup}
 
 /** Deduplication operators registered against the `documents` table.
   * Exact + shingle-Jaccard are DuckDB-oracle checked; MinHash-LSH and
@@ -72,7 +72,16 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Sub-document dedup: 10-token chunks deduplicated corpus-wide,
+    * documents reassembled from surviving chunks (CCNet-style).
+    */
+  def chunkLevel(spark: SparkSession, dir: String): DataFrame =
+    ChunkDedup.dedupChunks(Tables(spark, dir, "documents"),
+        "doc_id", "text", unit = 10)
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_chunk_level" -> chunkLevel,
     "dedup_decontaminate" -> decontaminate,
     "dedup_components" -> components,
     "dedup_survivors" -> survivors,
@@ -129,6 +138,32 @@ edges AS (
 )"""
 
   val oracle: Map[String, String] = Map(
+    "dedup_chunk_level" ->
+      raw"""WITH toks AS (
+  SELECT doc_id, $tokSql AS ws FROM documents
+), chi AS (
+  SELECT doc_id, ws,
+    unnest(range(0, CAST(ceil(len(ws)/10.0) AS BIGINT))) AS i
+  FROM toks WHERE len(ws) > 0
+), ch AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+    array_to_string(ws[CAST(i*10+1 AS BIGINT):CAST(i*10+10 AS BIGINT)], ' ')
+      AS chunk_text
+  FROM chi
+), k AS (
+  SELECT doc_id, chunk_idx,
+    row_number() OVER (PARTITION BY chunk_text
+                       ORDER BY doc_id, chunk_idx) = 1 AS keep
+  FROM ch
+)
+SELECT ch.doc_id, count(*) AS n_chunks,
+  CAST(coalesce(sum(CASE WHEN k.keep THEN 1 ELSE 0 END), 0) AS BIGINT)
+    AS n_kept,
+  coalesce(string_agg(CASE WHEN k.keep THEN ch.chunk_text END,
+    ' ' ORDER BY ch.chunk_idx), '') AS dedup_text
+FROM ch JOIN k USING (doc_id, chunk_idx)
+GROUP BY ch.doc_id
+ORDER BY doc_id""",
     "dedup_decontaminate" ->
       raw"""WITH toks AS (
   SELECT doc_id, $tokSql AS ws FROM documents
