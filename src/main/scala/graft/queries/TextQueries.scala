@@ -92,7 +92,16 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** Gopher-style repetition rules: duplicate/most-common bigram
+    * fractions + word-count/word-length bands, with a keep flag.
+    */
+  def gopherQuality(spark: SparkSession, dir: String): DataFrame =
+    graft.text.QualityRules.repetitionStats(
+        Tables(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_gopher_quality" -> gopherQuality,
     "text_keyword_topk" -> keywordTopK,
     "text_inverted_index" -> invertedIndex,
     "text_quality_stats" -> qualityStats,
@@ -103,6 +112,39 @@ object TextQueries {
     raw"string_split_regex(lower(regexp_replace(text, '[^a-zA-Z ]', ' ', 'g')), '\s+')"
 
   val oracle: Map[String, String] = Map(
+    "text_gopher_quality" ->
+      raw"""WITH toks AS (
+  SELECT doc_id, list_filter($tokSql, w -> w <> '') AS ws FROM documents
+), base AS (
+  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+    CAST(len(array_to_string(ws, '')) AS DOUBLE) / len(ws) AS mean_word_len
+  FROM toks WHERE len(ws) > 0
+), bg AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]))
+      AS b
+  FROM toks WHERE len(ws) >= 2
+), g1 AS (
+  SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2
+), g2 AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS nb, count(*) AS nd,
+    CAST(max(c) AS BIGINT) AS tc
+  FROM g1 GROUP BY 1
+)
+SELECT base.doc_id, n_words, mean_word_len,
+  coalesce(nb, 0) AS n_bigrams,
+  CAST(coalesce(nb - nd, 0) AS DOUBLE) / greatest(coalesce(nb, 0), 1)
+    AS dup_bigram_frac,
+  CAST(coalesce(tc, 0) AS DOUBLE) / greatest(coalesce(nb, 0), 1)
+    AS top_bigram_frac,
+  (n_words BETWEEN 20 AND 100000
+    AND mean_word_len BETWEEN 3.0 AND 10.0
+    AND CAST(coalesce(nb - nd, 0) AS DOUBLE) / greatest(coalesce(nb, 0), 1)
+      < 0.05
+    AND CAST(coalesce(tc, 0) AS DOUBLE) / greatest(coalesce(nb, 0), 1)
+      < 0.06) AS keep
+FROM base LEFT JOIN g2 ON base.doc_id = g2.doc_id
+ORDER BY base.doc_id""",
     "text_keyword_topk" ->
       raw"""WITH tok AS (
   SELECT doc_id, unnest($tokSql) AS word FROM documents
