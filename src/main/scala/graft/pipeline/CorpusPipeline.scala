@@ -131,6 +131,44 @@ object CorpusPipeline {
       .select("doc_id", "n_tokens", "cum_tokens")
   }
 
+  /** Sequence packing (concat-then-split pretraining layout): documents
+    * in id order are laid head-to-tail on a global token axis; the
+    * training sequence a document STARTS in is
+    * `floor(start_offset / seqLen)`. Emits one row per doc with its
+    * global offset and pack id — the writer that actually concatenates
+    * bytes can then `repartition(pack_id)` and build each sequence
+    * locally.
+    *
+    * Same distributed prefix sum as [[tokenBudgetSample]]: no global
+    * single-reducer window at any scale; the only ordered structure is
+    * the per-bucket offset table (corpus_size / bucketWidth rows).
+    */
+  def packSequences(docs: DataFrame, seqLen: Long,
+      bucketWidth: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withTok = docs.select(
+      col("doc_id"),
+      tokenStatsUdf(col("text")).getField("_1").cast("long").as("n_tokens"),
+      (col("doc_id") / bucketWidth).cast("long").as("_b"))
+    val offsets = withTok
+      .groupBy("_b").agg(sum("n_tokens").as("_bt"))
+      .withColumn("_off",
+        coalesce(sum("_bt").over(
+          Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("_b", "_off")
+    withTok
+      .join(broadcast(offsets), "_b")
+      .withColumn("start_offset",
+        (col("_off") + coalesce(sum("n_tokens").over(
+          Window.partitionBy("_b").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .cast("long"))
+      .withColumn("pack_id",
+        floor(col("start_offset") / lit(seqLen.toDouble)).cast("long"))
+      .select("doc_id", "n_tokens", "start_offset", "pack_id")
+  }
+
   /** Deterministic domain-mixture sampling: per-source keep percentages
     * applied via a doc_id modulus (systematic sampling — reproducible
     * across runs, retries and engines; no RNG state to ship). The

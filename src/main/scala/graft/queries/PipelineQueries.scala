@@ -48,6 +48,14 @@ object PipelineQueries {
         Tables(spark, dir, "documents"), budget = 10000L)
       .orderBy("doc_id")
 
+  /** Sequence packing: every doc's global token offset and the 512-token
+    * training sequence it starts in (concat-then-split layout).
+    */
+  def packSequences(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.CorpusPipeline.packSequences(
+        Tables(spark, dir, "documents"), seqLen = 512L)
+      .orderBy("doc_id")
+
   /** Domain-mixture sampling: src0 kept whole, src1 halved, src2 cut
     * to 10%, everything else 25% — per-source counts after the cut.
     */
@@ -64,6 +72,7 @@ object PipelineQueries {
     "pipeline_pubmed_golden_v1" -> pubmedGoldenV1,
     "pipeline_corpus_funnel" -> corpusFunnel,
     "pipeline_token_budget" -> tokenBudget,
+    "pipeline_pack_sequences" -> packSequences,
     "pipeline_mixture_sample" -> mixtureSample)
 
   private val tokSql =
@@ -82,6 +91,19 @@ object PipelineQueries {
 )
 SELECT doc_id, n_tokens, cum_tokens FROM c
 WHERE cum_tokens <= 10000 ORDER BY doc_id""",
+    "pipeline_pack_sequences" ->
+      raw"""WITH t AS (
+  SELECT doc_id, $tokSql AS n_tokens FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS start_offset
+  FROM t
+)
+SELECT doc_id, n_tokens, start_offset,
+  CAST(floor(start_offset / 512.0) AS BIGINT) AS pack_id
+FROM c ORDER BY doc_id""",
     "pipeline_mixture_sample" ->
       """SELECT source, count(*) AS n_docs,
 CAST(sum(n_chars) AS BIGINT) AS total_chars

@@ -60,6 +60,26 @@ class CorpusPipelineSpec extends SparkSpec {
     }
   }
 
+  test("sequence packing: offsets are an exact exclusive prefix sum and packs are contiguous") {
+    val out = CorpusPipeline.packSequences(docs, seqLen = 256L,
+        bucketWidth = 7L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    var cum = 0L
+    out.foreach { case (_, n, start, pack) =>
+      assert(start == cum, s"offset drift at start=$start expected=$cum")
+      assert(pack == start / 256L)
+      cum += n
+    }
+    // pack ids never decrease and never skip more than a doc can span
+    out.sliding(2).foreach {
+      case Array((_, n1, _, p1), (_, _, _, p2)) =>
+        assert(p2 >= p1 && p2 <= p1 + n1 / 256L + 1)
+      case _ => ()
+    }
+  }
+
   test("exact dedup keeps the lowest doc_id per text") {
     import spark.implicits._
     val d = Seq(
