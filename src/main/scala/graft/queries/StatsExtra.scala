@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{BloomPrune, HeavyHitters, RangeJoin, ZOrder}
+import graft.operators.{BloomPrune, HeavyHitters, QuantileBin, RangeJoin, ZOrder}
 import graft.text.TextOps
 
 /** Fourth coverage wave: deterministic mode aggregate, Bloom-filter
@@ -35,6 +35,46 @@ object StatsExtra {
         col("m.o_orderpriority").as("mode_priority"),
         col("m.cnt").as("mode_n"))
       .orderBy("o_orderstatus")
+
+  /** Exact equi-depth bins over line-item prices (ntile at harness
+    * scale; QuantileBin.equiDepth is the sketch-based scale path, pinned
+    * against this in QuantileBinSpec).
+    */
+  def quantileBins(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    li.select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      .withColumn("tile", ntile(8).over(Window.orderBy(
+        col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")))
+        .cast("long"))
+      .groupBy("tile")
+      .agg(count(lit(1)).as("n"),
+        min("l_extendedprice").as("min_price"),
+        max("l_extendedprice").as("max_price"),
+        round(sum("l_extendedprice"), 2).as("sum_price"))
+      .orderBy("tile")
+  }
+
+  /** Robust outlier flagging by median absolute deviation: two exact
+    * percentile passes (each one scan with a mergeable agg) collect a
+    * SINGLE scalar to the driver, then the flag is row-local
+    * arithmetic against literal cutoffs — no window, no self-join.
+    * 1.4826 rescales MAD to σ under normality (public constant).
+    */
+  def outliersMad(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val med = li.agg(percentile(col("l_extendedprice"), lit(0.5)))
+      .collect()(0).getDouble(0)
+    val mad = li.agg(percentile(abs(col("l_extendedprice") - lit(med)),
+      lit(0.5))).collect()(0).getDouble(0)
+    val dev = abs(col("l_extendedprice") - lit(med))
+    li.select((dev > lit(1.2 * 1.4826 * mad)).as("is_outlier"),
+        col("l_extendedprice"))
+      .groupBy("is_outlier")
+      .agg(count(lit(1)).as("n"),
+        min("l_extendedprice").as("min_price"),
+        max("l_extendedprice").as("max_price"))
+      .orderBy("is_outlier")
+  }
 
   /** Fact⋈dim join with a Bloom prefilter on the fact side (see
     * BloomPrune). The dim (every 7th supplier) is deterministic so the
@@ -240,6 +280,8 @@ ORDER BY cnt DESC, token""")
     "sample_weighted" -> sampleWeighted,
     "array_hof_funcs" -> arrayHofFuncs,
     "text_approx_topk" -> approxTopKTokens,
+    "stats_quantile_bins" -> quantileBins,
+    "stats_outliers_mad" -> outliersMad,
     "agg_mode" -> aggMode,
     "join_bloom_prefilter" -> joinBloomPrefilter,
     "zorder_cluster" -> zorderCluster,
@@ -259,6 +301,29 @@ SELECT item, count(*) AS %CNT% FROM tok WHERE item <> ''
 GROUP BY item ORDER BY count(*) DESC, item LIMIT 15"""
 
   val oracle: Map[String, String] = Map(
+    "stats_outliers_mad" ->
+      """WITH m AS (
+  SELECT quantile_cont(l_extendedprice, 0.5) AS med FROM lineitem
+), d AS (
+  SELECT l_extendedprice,
+    abs(l_extendedprice - (SELECT med FROM m)) AS dev
+  FROM lineitem
+), md AS (SELECT quantile_cont(dev, 0.5) AS mad FROM d)
+SELECT (dev > 1.2 * 1.4826 * (SELECT mad FROM md)) AS is_outlier,
+  count(*) AS n, min(l_extendedprice) AS min_price,
+  max(l_extendedprice) AS max_price
+FROM d GROUP BY 1 ORDER BY 1""",
+    "stats_quantile_bins" ->
+      """WITH t AS (
+  SELECT l_extendedprice,
+    ntile(8) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+      AS tile
+  FROM lineitem
+)
+SELECT tile, count(*) AS n, min(l_extendedprice) AS min_price,
+  max(l_extendedprice) AS max_price,
+  round(sum(l_extendedprice), 2) AS sum_price
+FROM t GROUP BY tile ORDER BY tile""",
     "agg_mode" ->
       """SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt AS mode_n
 FROM (

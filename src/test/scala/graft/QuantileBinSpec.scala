@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.QuantileBin
+
+/** The approx equi-depth path against the exact ntile formulation. */
+class QuantileBinSpec extends SparkSpec {
+
+  private lazy val li = Tables(spark, sfDir, "lineitem")
+
+  test("bins are order-consistent and populations near n/k") {
+    val k = 8
+    val binned = QuantileBin.equiDepth(li, "l_extendedprice", k).cache()
+    val n = binned.count()
+    val perBin = binned.groupBy("bin")
+      .agg(count(lit(1)).as("c"),
+        min("l_extendedprice").as("lo"), max("l_extendedprice").as("hi"))
+      .orderBy("bin")
+      .collect()
+    assert(perBin.length === k)
+    // value ranges must not overlap across bins
+    perBin.sliding(2).foreach {
+      case Array(a, b) => assert(a.getDouble(3) <= b.getDouble(2))
+      case _ => ()
+    }
+    // populations within 10% of the ideal equal split (sketch relErr
+    // plus tie mass; prices are near-unique so this is tight)
+    val ideal = n.toDouble / k
+    perBin.foreach { r =>
+      assert(math.abs(r.getLong(1) - ideal) <= ideal * 0.1,
+        s"bin ${r.getInt(0)} count ${r.getLong(1)} vs ideal $ideal")
+    }
+  }
+
+  test("cutpoints are monotone and strictly inside the value range") {
+    val cuts = QuantileBin.cutpoints(li, "l_extendedprice", 8)
+    assert(cuts.length === 7)
+    assert(cuts.sliding(2).forall { case Array(a, b) => a <= b; case _ => true })
+    val Array(lo, hi) = li.agg(min("l_extendedprice"), max("l_extendedprice"))
+      .collect().map(r => Array(r.getDouble(0), r.getDouble(1))).head
+    assert(cuts.head > lo && cuts.last < hi)
+  }
+}
