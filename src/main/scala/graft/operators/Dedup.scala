@@ -284,6 +284,79 @@ object Dedup {
     labels
   }
 
+  /** Connected components by alternating large-star / small-star
+    * rewrites (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14 — Alternating algorithm): each round rewires
+    * every node's strictly-larger neighbors to its neighborhood min
+    * (large-star), then folds each node's smaller neighbors onto that
+    * min (small-star). Converges to star graphs rooted at component
+    * minima in O(log² n) rounds with edge-linear work per round.
+    *
+    * Unlike label propagation, NO per-node label table is carried —
+    * the edge set itself contracts, so hot components shrink the
+    * working set every round instead of re-joining the full label
+    * table. The round primitive is groupBy(node).min + equi-join, both
+    * shuffle-bounded; per-round `localCheckpoint` truncates lineage
+    * exactly like the pointer-jump variant.
+    */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 20)
+      : DataFrame = {
+    import org.apache.spark.sql.DataFrame
+    def sym(e: DataFrame): DataFrame =
+      e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    // m(u) = min(u, min neighbor) over the symmetrized edge set
+    def withMin(symE: DataFrame): DataFrame =
+      symE.join(
+        symE.groupBy("u").agg(min("v").as("_nm"))
+          .select(col("u"), least(col("u"), col("_nm")).as("_m")),
+        Seq("u"))
+
+    def largeStar(e: DataFrame): DataFrame =
+      withMin(sym(e))
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("_m").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    def smallStar(e: DataFrame): DataFrame = {
+      // orient every edge large→small, then fold small neighbors +
+      // the center onto the neighborhood min
+      val dir = e.select(
+        greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      val m = dir.groupBy("u").agg(min("v").as("_m"))
+      dir.join(m, Seq("u"))
+        .select(col("v").as("u"), col("_m").as("v"))
+        .unionByName(m.select(col("u"), col("_m").as("v")))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    var edges = pairs
+      .select(col("ida").as("u"), col("idb").as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    var sig = (-1L, -1L)
+    while (!converged && iter < maxIter) {
+      edges = smallStar(largeStar(edges)).localCheckpoint(true)
+      // fixpoint signature: (edge count, order-independent XOR of edge
+      // hashes — wrap-free under ANSI, set-equality up to hash
+      // collisions; maxIter bounds the loop regardless) — one tiny agg
+      // over the already-materialized round output
+      val row = edges.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).collect()(0)
+      val next = (row.getLong(0), row.getLong(1))
+      converged = next == sig
+      sig = next
+      iter += 1
+    }
+    edges.select(col("u").as("doc_id"), col("v").as("component"))
+      .unionByName(
+        edges.select(col("v").as("doc_id"), col("v").as("component"))
+          .distinct())
+  }
+
   /** Deduplicated corpus: drop every near-dup cluster member except the
     * min-id representative. `pairs` is any verified near-dup pair table
     * (ida, idb) — at corpus scale MinHash-LSH pairs are the intended

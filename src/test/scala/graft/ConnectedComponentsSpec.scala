@@ -75,4 +75,28 @@ class ConnectedComponentsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == (1L to 64L).map(_ -> 1L).toMap)
   }
+
+  test("alternating star algorithm matches propagation on the corpus pairs") {
+    val docs = Tables(spark, sfDir, "documents")
+    val pairsDf = Dedup.jaccardPairs(docs, "doc_id", "text", 0.2)
+    val plain = Dedup.connectedComponents(pairsDf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = Dedup.connectedComponentsStar(pairsDf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == plain)
+  }
+
+  test("alternating star collapses adversarial topologies") {
+    import spark.implicits._
+    // 48-hop chain + a separate star + an isolated pair
+    val edges = ((1L until 48L).map(i => (i, i + 1)) ++
+      (101L to 110L).map(i => (100L, i)) ++ Seq((200L, 201L)))
+      .toDF("ida", "idb")
+    val got = Dedup.connectedComponentsStar(edges, maxIter = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = driverComponents(
+      ((1L until 48L).map(i => (i, i + 1)) ++
+        (101L to 110L).map(i => (100L, i)) ++ Seq((200L, 201L))))
+    assert(got == expect)
+  }
 }
