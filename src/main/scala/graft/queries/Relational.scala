@@ -237,7 +237,58 @@ object Relational {
 
   // --- registry --------------------------------------------------------
 
+  /** TPC-H Q5 shape: local-supplier revenue per nation for one region
+    * and year — the 6-table join with the c_nationkey = s_nationkey
+    * locality condition. Dims broadcast; the fact-side joins shuffle on
+    * their natural keys.
+    */
+  def joinLocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val o = Tables(spark, dir, "orders")
+    val c = Tables(spark, dir, "customer")
+    val s = Tables(spark, dir, "supplier")
+    val n = Tables(spark, dir, "nation")
+    val r = Tables(spark, dir, "region")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(s, li("l_suppkey") === s("s_suppkey") &&
+        c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .where(r("r_name") === "ASIA" &&
+        o("o_orderdate") >= lit("1996-01-01") &&
+        o("o_orderdate") < lit("1997-01-01"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
+        2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** TPC-H Q10 shape: top customers by returned-item revenue in one
+    * quarter — fact filter pushes to the scan, dims broadcast, top-k
+    * via TakeOrdered (no global sort materialization).
+    */
+  def joinTopReturns(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val o = Tables(spark, dir, "orders")
+    val c = Tables(spark, dir, "customer")
+    val n = Tables(spark, dir, "nation")
+    li.where(col("l_returnflag") === "R")
+      .join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .where(o("o_orderdate") >= lit("1996-01-01") &&
+        o("o_orderdate") < lit("1996-07-01"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
+        2).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_local_supplier" -> joinLocalSupplier,
+    "join_top_returns" -> joinTopReturns,
     "agg_pricing_summary" -> aggPricingSummary,
     "join_star_revenue" -> joinStarRevenue,
     "join_broadcast_part" -> joinBroadcastPart,
@@ -256,6 +307,31 @@ object Relational {
     "case_bucketing" -> caseBucketing)
 
   val oracle: Map[String, String] = Map(
+    "join_local_supplier" ->
+      """SELECT n_name,
+round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "join_top_returns" ->
+      """SELECT c_custkey, c_name, n_name,
+round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20""",
     "agg_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
 round(sum(l_quantity), 2) AS sum_qty,
