@@ -177,7 +177,21 @@ object EventQueries {
           .as("conversion_rate"))
   }
 
+  /** Per-user rolling mean over the trailing 5 events — the time-series
+    * smoothing primitive; the window is keyed per user (parallel by
+    * user_id), never a global ordering.
+    */
+  def rollingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(-4, Window.currentRow)
+    Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        round(avg("value").over(w), 4).as("rolling_avg"))
+      .orderBy("user_id", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_rolling_avg" -> rollingAvg,
     "events_funnel_conversion" -> funnelConversion,
     "events_session_window" -> sessionWindowNative,
     "events_json_props" -> jsonProps,
@@ -189,6 +203,11 @@ object EventQueries {
     "events_interval_join" -> intervalJoin)
 
   val oracle: Map[String, String] = Map(
+    "events_rolling_avg" ->
+      """SELECT user_id, event_id,
+round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS rolling_avg
+FROM events ORDER BY user_id, event_id""",
     "events_funnel_conversion" ->
       """WITH c AS (
   SELECT count(DISTINCT user_id) AS click_users FROM events

@@ -56,6 +56,21 @@ object PipelineQueries {
         Tables(spark, dir, "documents"), seqLen = 512L)
       .orderBy("doc_id")
 
+  /** Deterministic content-hash train/val/test split: the first hex
+    * nibble of md5(text) buckets docs 12/2/2 — reproducible across
+    * engines, runs, and retries; content-keyed so exact dups always
+    * land in the same split (no eval leakage after dedup).
+    */
+  def hashSplit(spark: SparkSession, dir: String): DataFrame = {
+    val nibble = substring(md5(col("text")), 1, 1)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        when(nibble.isin("e", "f"), "test")
+          .when(nibble.isin("c", "d"), "val")
+          .otherwise("train").as("split"))
+      .orderBy("doc_id")
+  }
+
   /** Domain-mixture sampling: src0 kept whole, src1 halved, src2 cut
     * to 10%, everything else 25% — per-source counts after the cut.
     */
@@ -73,6 +88,7 @@ object PipelineQueries {
     "pipeline_corpus_funnel" -> corpusFunnel,
     "pipeline_token_budget" -> tokenBudget,
     "pipeline_pack_sequences" -> packSequences,
+    "pipeline_hash_split" -> hashSplit,
     "pipeline_mixture_sample" -> mixtureSample)
 
   private val tokSql =
@@ -104,6 +120,12 @@ WHERE cum_tokens <= 10000 ORDER BY doc_id""",
 SELECT doc_id, n_tokens, start_offset,
   CAST(floor(start_offset / 512.0) AS BIGINT) AS pack_id
 FROM c ORDER BY doc_id""",
+    "pipeline_hash_split" ->
+      """SELECT doc_id,
+CASE WHEN substr(md5(text), 1, 1) IN ('e', 'f') THEN 'test'
+     WHEN substr(md5(text), 1, 1) IN ('c', 'd') THEN 'val'
+     ELSE 'train' END AS split
+FROM documents ORDER BY doc_id""",
     "pipeline_mixture_sample" ->
       """SELECT source, count(*) AS n_docs,
 CAST(sum(n_chars) AS BIGINT) AS total_chars
