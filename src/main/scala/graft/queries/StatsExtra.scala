@@ -55,17 +55,19 @@ object StatsExtra {
   }
 
   /** Robust outlier flagging by median absolute deviation: two exact
-    * percentile passes (each one scan with a mergeable agg) collect a
-    * SINGLE scalar to the driver, then the flag is row-local
-    * arithmetic against literal cutoffs — no window, no self-join.
-    * 1.4826 rescales MAD to σ under normality (public constant).
+    * medians via ExactQuantile (histogram-bracket selection — cheap
+    * codegen'd scans, never `percentile()`'s value-map aggregate)
+    * collect a SINGLE scalar each to the driver, then the flag is
+    * row-local arithmetic against literal cutoffs — no window, no
+    * self-join. 1.4826 rescales MAD to σ under normality (public
+    * constant).
     */
   def outliersMad(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir, "lineitem")
-    val med = li.agg(percentile(col("l_extendedprice"), lit(0.5)))
-      .collect()(0).getDouble(0)
-    val mad = li.agg(percentile(abs(col("l_extendedprice") - lit(med)),
-      lit(0.5))).collect()(0).getDouble(0)
+    val med = graft.operators.ExactQuantile.quantile(
+      li, col("l_extendedprice"), 0.5)
+    val mad = graft.operators.ExactQuantile.quantile(
+      li, abs(col("l_extendedprice") - lit(med)), 0.5)
     val dev = abs(col("l_extendedprice") - lit(med))
     li.select((dev > lit(1.2 * 1.4826 * mad)).as("is_outlier"),
         col("l_extendedprice"))

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.ExactQuantile
+
+/** ExactQuantile (histogram-bracket selection) must be bit-identical
+  * to Spark's exact percentile aggregate — including interpolated
+  * positions, duplicates, and tiny brackets that force the
+  * bin-boundary pair path.
+  */
+class ExactQuantileSpec extends SparkSpec {
+
+  private lazy val li = Tables(spark, sfDir, "lineitem")
+
+  test("matches percentile() on real data across quantiles") {
+    for (q <- Seq(0.1, 0.25, 0.5, 0.9, 0.99)) {
+      val expect = li.agg(percentile(col("l_extendedprice"), lit(q)))
+        .collect()(0).getDouble(0)
+      val got = ExactQuantile.quantile(li, col("l_extendedprice"), q)
+      assert(got === expect, s"q=$q")
+    }
+  }
+
+  test("matches percentile() when brackets are forced tiny (deep descent)") {
+    for (q <- Seq(0.5, 0.75)) {
+      val expect = li.agg(percentile(col("l_quantity"), lit(q)))
+        .collect()(0).getDouble(0)
+      // bracketLimit=8 forces many rounds incl. duplicate-heavy bins
+      val got = ExactQuantile.quantile(li, col("l_quantity"), q,
+        bracketLimit = 8)
+      assert(got === expect, s"q=$q")
+    }
+  }
+
+  test("duplicates, odd/even counts, and exact-rank positions") {
+    import spark.implicits._
+    val vals = Seq(1.0, 2.0, 2.0, 2.0, 3.5, 7.25, 7.25, 100.0, -4.5)
+    for (nTake <- Seq(8, 9); q <- Seq(0.0, 0.25, 0.5, 1.0)) {
+      val df = vals.take(nTake).toDF("x")
+      val expect = df.agg(percentile(col("x"), lit(q)))
+        .collect()(0).getDouble(0)
+      val got = ExactQuantile.quantile(df, col("x"), q, bracketLimit = 2)
+      assert(got === expect, s"n=$nTake q=$q")
+    }
+  }
+}
