@@ -18,11 +18,13 @@ import graft.text.TextOps
   *
   * Scale posture (100 TB): the chunk table is a constant factor larger
   * than the corpus but every stage is an equi-shuffle on a
-  * high-cardinality key — groupBy(chunk_text) for first-occurrence
-  * election, equi-join back on (doc, chunk_idx), groupBy(doc) for
-  * reassembly. No window over a global ordering, no driver state. The
-  * first-occurrence winner is `min(struct(doc, idx))` — a map-side
-  * combining hash agg, deterministic under retries.
+  * high-cardinality key — first-occurrence election is a row_number
+  * window PARTITIONED BY chunk text (per-key sort, never a global
+  * ordering), reassembly a groupBy(doc). One scan of the corpus total:
+  * the window flags winners in place, so there is no keeper join-back
+  * (the groupBy+join formulation reads the corpus twice — .explain
+  * showed two Generate branches — and tempts the planner into
+  * broadcasting a corpus-sized keeper table).
   */
 object ChunkDedup {
 
@@ -50,15 +52,14 @@ object ChunkDedup {
           i => array_join(slice(col("_toks"), i * unit + 1, lit(unit)), " "))))
       .toDF("_id", "chunk_idx", "chunk_text")
 
-    // First occurrence of each distinct chunk text wins.
-    val keepers = chunks
-      .groupBy("chunk_text")
-      .agg(min(struct(col("_id"), col("chunk_idx"))).as("_k"))
-      .select(col("_k._id").as("_id"), col("_k.chunk_idx").as("chunk_idx"),
-        lit(1).as("_keep"))
-
+    // First occurrence of each distinct chunk text wins: rank within
+    // the chunk-text partition by (doc, idx) — high-cardinality key,
+    // so the window parallelizes like a hash shuffle.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("chunk_text").orderBy("_id", "chunk_idx")
     chunks
-      .join(keepers, Seq("_id", "chunk_idx"), "left")
+      .withColumn("_keep",
+        when(row_number().over(w) === 1, lit(1)).otherwise(lit(null)))
       .groupBy("_id")
       .agg(
         count(lit(1)).as("n_chunks"),
