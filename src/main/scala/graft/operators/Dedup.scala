@@ -141,6 +141,70 @@ object Dedup {
     verifyJaccard(cand, sh, threshold)
   }
 
+  /** Persist the corpus's MinHash-LSH index: the banded signature table
+    * (bkey, doc_id) plus the shingle sets needed for exact
+    * verification. This is what makes INCREMENTAL dedup possible at
+    * 100 TB — a new ingest batch probes the index instead of
+    * recomputing corpus-wide signatures and pairs (the same build-once
+    * / probe-cheap lifecycle as the IVF ANN index).
+    */
+  def writeLshIndex(docs: DataFrame, idCol: String, textCol: String,
+      dir: String, bands: Int = 16, rowsPerBand: Int = 4): Unit = {
+    val sh = shingled(docs, idCol, textCol)
+    sh.select(
+        col("doc_id"),
+        explode(org.apache.spark.sql.graftx.MinHashBands.column(
+          col("shs"), bands, rowsPerBand)).as("bkey"))
+      .write.mode("overwrite").parquet(s"$dir/bands")
+    sh.write.mode("overwrite").parquet(s"$dir/shingles")
+  }
+
+  /** Append an (already deduplicated) ingest batch into the index. */
+  def appendToLshIndex(batch: DataFrame, idCol: String, textCol: String,
+      dir: String, bands: Int = 16, rowsPerBand: Int = 4): Unit = {
+    val sh = shingled(batch, idCol, textCol)
+    sh.select(
+        col("doc_id"),
+        explode(org.apache.spark.sql.graftx.MinHashBands.column(
+          col("shs"), bands, rowsPerBand)).as("bkey"))
+      .write.mode("append").parquet(s"$dir/bands")
+    sh.write.mode("append").parquet(s"$dir/shingles")
+  }
+
+  /** Near-dup pairs between an ingest batch and the indexed corpus:
+    * batch band keys equi-join the persisted band table (shuffle on the
+    * band hash — batch-sized, never corpus-sized work), then exact
+    * Jaccard verification against the persisted shingle sets. Band
+    * seeds are baked into the expression, so batch signatures collide
+    * with index signatures exactly as a full-corpus run would.
+    * Returns (batch_id, corpus_id, jaccard).
+    */
+  def dedupAgainstIndex(batch: DataFrame, idCol: String, textCol: String,
+      dir: String, threshold: Double, bands: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
+    val spark = batch.sparkSession
+    val sh = shingled(batch, idCol, textCol)
+    val batchBands = sh.select(
+      col("doc_id"),
+      explode(org.apache.spark.sql.graftx.MinHashBands.column(
+        col("shs"), bands, rowsPerBand)).as("bkey"))
+    val cand = spark.read.parquet(s"$dir/bands")
+      .join(batchBands.withColumnRenamed("doc_id", "batch_id"), "bkey")
+      .select(col("batch_id"), col("doc_id").as("corpus_id"))
+      // self-match guard for re-probes after the batch was appended
+      .where(col("batch_id") =!= col("corpus_id"))
+      .distinct()
+    val corpusSh = spark.read.parquet(s"$dir/shingles")
+    cand
+      .join(broadcast(sh.select(col("doc_id").as("batch_id"),
+        col("shs").as("sha"))), "batch_id")
+      .join(corpusSh.select(col("doc_id").as("corpus_id"),
+        col("shs").as("shb")), "corpus_id")
+      .select(col("batch_id"), col("corpus_id"),
+        round(jaccardCol(col("sha"), col("shb")), 6).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** 64-bit SimHash over distinct token hashes: bit j is the sign of
     * the summed (+1/-1) votes from each distinct token's hash bit j.
     * Native one-pass codegen expression

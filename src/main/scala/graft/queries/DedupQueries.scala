@@ -80,7 +80,39 @@ object DedupQueries {
         "doc_id", "text", unit = 10)
       .orderBy("doc_id")
 
+  /** Incremental ingest dedup: index 80% of the corpus once, probe the
+    * remaining 20% as the "new batch" through the persisted LSH index
+    * (build-once / probe-cheap — the batch never triggers corpus-wide
+    * recomputation). Rows-only: MinHash band keys are engine-specific;
+    * IncrementalDedupSpec pins exact agreement with the full run.
+    */
+  def incrementalBatch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_lsh_idx_" +
+      Integer.toHexString(dir.hashCode)
+    Dedup.writeLshIndex(docs.where(pmod(col("doc_id"), lit(5)) =!= 0),
+      "doc_id", "text", idx)
+    Dedup.dedupAgainstIndex(docs.where(pmod(col("doc_id"), lit(5)) === 0),
+        "doc_id", "text", idx, threshold = 0.5)
+      .groupBy("batch_id")
+      .agg(count(lit(1)).as("n_matches"), max("jaccard").as("max_jaccard"))
+      .orderBy("batch_id")
+  }
+
+  /** Cluster-size histogram over the exact near-dup components — the
+    * standard dedup diagnostic (how much mass sits in big clusters).
+    */
+  def clusterSizes(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+        Dedup.jaccardPairs(Tables(spark, dir, "documents"),
+          "doc_id", "text", threshold = 0.2, dfCap = 50))
+      .groupBy("component").agg(count(lit(1)).as("size"))
+      .groupBy("size").agg(count(lit(1)).as("n_clusters"))
+      .orderBy("size")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cluster_sizes" -> clusterSizes,
+    "dedup_incremental_batch" -> incrementalBatch,
     "dedup_chunk_level" -> chunkLevel,
     "dedup_decontaminate" -> decontaminate,
     "dedup_components" -> components,
@@ -193,6 +225,12 @@ ORDER BY ida, idb""",
     "dedup_components" ->
       raw"""WITH RECURSIVE $compCte
 SELECT doc_id, component FROM comp ORDER BY doc_id""",
+    "dedup_cluster_sizes" ->
+      raw"""WITH RECURSIVE $compCte, sizes AS (
+  SELECT component, count(*) AS size FROM comp GROUP BY component
+)
+SELECT size, count(*) AS n_clusters FROM sizes
+GROUP BY size ORDER BY size""",
     "dedup_survivors" ->
       raw"""WITH RECURSIVE $compCte
 SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d

@@ -190,7 +190,31 @@ object EventQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** Time-series gap filling: per-user daily event counts over a fixed
+    * two-week window with missing days materialized as zero — the
+    * dense-grid prep step for downstream models. The day spine is a
+    * generated literal sequence (broadcast); the only corpus-sized
+    * work is one (user, day) hash aggregation.
+    */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events").where(col("user_id") < 20)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val days = spark.range(1).select(explode(sequence(
+      lit("2024-01-01").cast("date"), lit("2024-01-14").cast("date"),
+      expr("interval 1 day"))).as("d"))
+    val users = ev.select("user_id").distinct()
+    val counts = ev
+      .where(col("d").between("2024-01-01", "2024-01-14"))
+      .groupBy("user_id", "d").agg(count(lit(1)).as("n_events"))
+    users.crossJoin(broadcast(days))
+      .join(counts, Seq("user_id", "d"), "left")
+      .select(col("user_id"), col("d"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy("user_id", "d")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_gap_fill" -> gapFill,
     "events_rolling_avg" -> rollingAvg,
     "events_funnel_conversion" -> funnelConversion,
     "events_session_window" -> sessionWindowNative,
@@ -203,6 +227,23 @@ object EventQueries {
     "events_interval_join" -> intervalJoin)
 
   val oracle: Map[String, String] = Map(
+    "events_gap_fill" ->
+      """WITH days AS (
+  SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-01-14',
+    INTERVAL 1 DAY)) AS DATE) AS d
+), users AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id < 20
+), c AS (
+  SELECT user_id, CAST(ts AS DATE) AS d, count(*) AS n
+  FROM events
+  WHERE user_id < 20
+    AND CAST(ts AS DATE) BETWEEN DATE '2024-01-01' AND DATE '2024-01-14'
+  GROUP BY 1, 2
+)
+SELECT u.user_id, days.d, coalesce(c.n, 0) AS n_events
+FROM users u CROSS JOIN days
+LEFT JOIN c ON c.user_id = u.user_id AND c.d = days.d
+ORDER BY u.user_id, days.d""",
     "events_rolling_avg" ->
       """SELECT user_id, event_id,
 round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
