@@ -286,7 +286,60 @@ object Relational {
       .limit(20)
   }
 
+  /** Salted skew join, oracle-pinned: the salt must be invisible in
+    * the result (same rows as the plain join). 8-way salting splits a
+    * hot orderkey across 8 reducers; the right side replicates once
+    * per salt (dim-sized × salts, bounded).
+    */
+  def joinSaltedSkew(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    val o = Tables(spark, dir, "orders")
+      .select("o_orderkey", "o_orderstatus")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    graft.operators.SkewJoin.saltedJoin(li, o, "l_orderkey", salts = 8)
+      .groupBy("o_orderstatus")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** TPC-H Q18 shape: large-quantity orders — a HAVING-filtered agg
+    * over the fact drives a semi-ish join back to orders + customer.
+    */
+  def joinLargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val o = Tables(spark, dir, "orders")
+    val c = Tables(spark, dir, "customer")
+    val big = li.groupBy("l_orderkey")
+      .agg(round(sum("l_quantity"), 2).as("total_qty"))
+      .where(col("total_qty") > 150)
+    big.join(o, big("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .select(col("c_name"), col("o_orderkey"), col("o_totalprice"),
+        col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(50)
+  }
+
+  /** TPC-H Q16 shape: distinct supplier count per part attribute via
+    * the lineitem bridge — a two-key distinct aggregation.
+    */
+  def joinPartSupplierCounts(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val p = Tables(spark, dir, "part")
+    li.join(broadcast(p.where(col("p_size") <= 10)),
+        li("l_partkey") === p("p_partkey"))
+      .groupBy("p_brand", "p_size")
+      .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_salted_skew" -> joinSaltedSkew,
+    "join_large_orders" -> joinLargeOrders,
+    "join_part_supplier_counts" -> joinPartSupplierCounts,
     "join_local_supplier" -> joinLocalSupplier,
     "join_top_returns" -> joinTopReturns,
     "agg_pricing_summary" -> aggPricingSummary,
@@ -307,6 +360,26 @@ object Relational {
     "case_bucketing" -> caseBucketing)
 
   val oracle: Map[String, String] = Map(
+    "join_salted_skew" ->
+      """SELECT o_orderstatus, round(sum(l_quantity), 2) AS sum_qty,
+round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "join_large_orders" ->
+      """WITH big AS (
+  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 150
+)
+SELECT c_name, o_orderkey, o_totalprice, total_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey LIMIT 50""",
+    "join_part_supplier_counts" ->
+      """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size <= 10
+GROUP BY p_brand, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_size""",
     "join_local_supplier" ->
       """SELECT n_name,
 round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
