@@ -228,10 +228,53 @@ object Dedup {
     * propagation: label(v) starts as v, each round takes the min over
     * the neighborhood, stops at fixpoint. Near-dup clusters have tiny
     * diameters, so this converges in a few joins; each round is one
-    * shuffle on the edge key (no driver-side graph). Returns
-    * (doc_id, component) where component = min doc_id in the cluster.
+    * shuffle on the edge key. Returns (doc_id, component) where
+    * component = min doc_id in the cluster.
+    *
+    * Small-graph fast path: a VERIFIED near-dup pair graph is usually
+    * orders of magnitude smaller than the corpus; when the (cached)
+    * edge count is under `maxDriverEdges` (default 4M edges ≈ 64 MB —
+    * the same bounded-driver-state class as a broadcast threshold),
+    * the components are solved with one union-find pass on the driver
+    * instead of 2-3 join rounds of cluster-wide job overhead. Above
+    * the bound, the distributed loop runs unchanged — semantics are
+    * identical (ConnectedComponentsSpec runs both paths against the
+    * same ground truth).
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10,
+      maxDriverEdges: Long = 4000000L): DataFrame = {
+    val spark0 = pairs.sparkSession
+    if (maxDriverEdges > 0) {
+      val raw = pairs
+        .select(col("ida").cast("long").as("u"), col("idb").cast("long").as("v"))
+        .persist()
+      val nEdges = raw.count()
+      if (nEdges <= maxDriverEdges) {
+        import spark0.implicits._
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        raw.collect().foreach { r =>
+          val (a, b) = (r.getLong(0), r.getLong(1))
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        raw.unpersist()
+        val labels = parent.keys.map(k => (k, find(k))).toSeq.sorted
+        return labels.toDF("doc_id", "component")
+      }
+      raw.unpersist()
+    }
+    connectedComponentsDistributed(pairs, maxIter)
+  }
+
+  /** The distributed min-label propagation loop (see
+    * [[connectedComponents]] for when it runs).
+    */
+  def connectedComponentsDistributed(pairs: DataFrame,
+      maxIter: Int = 10): DataFrame = {
     // Edges are cached PRE-PARTITIONED on the probe key (dst): every
     // round's edge⋈label join then reads the cached layout with no
     // per-round reshuffle of the (much larger) edge side.

@@ -56,6 +56,16 @@ class ConnectedComponentsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("driver fast path and distributed loop agree exactly") {
+    val docs = Tables(spark, sfDir, "documents")
+    val pairsDf = Dedup.jaccardPairs(docs, "doc_id", "text", 0.2)
+    val fast = Dedup.connectedComponents(pairsDf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.connectedComponents(pairsDf, maxDriverEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == dist)
+  }
+
   test("pointer jumping matches plain propagation on the corpus pairs") {
     val docs = Tables(spark, sfDir, "documents")
     val pairsDf = Dedup.jaccardPairs(docs, "doc_id", "text", 0.2)
