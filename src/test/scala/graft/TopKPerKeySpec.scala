@@ -140,6 +140,28 @@ class TopKPerKeySpec extends SparkSpec {
     }
   }
 
+  test("Graft.session entry point delivers a wired session") {
+    import org.apache.spark.sql.SparkSession
+    val base = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = graft.Graft.session(master = "local[4]", shufflePartitions = 4)
+    try {
+      import s.implicits._
+      assert(s.conf.get("spark.sql.shuffle.partitions") === "4")
+      assert(s.conf.get("spark.sql.session.timeZone") === "UTC")
+      val df = Seq(("a", 1L, 10.0), ("a", 2L, 30.0)).toDF("k", "id", "v")
+      val w = Window.partitionBy("k").orderBy(col("v").desc, col("id"))
+      val q = df.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 1)
+      assert(q.queryExecution.optimizedPlan.collect {
+        case n: org.apache.spark.sql.graftx.TopKPerKeyNode => n }.size === 1)
+    } finally {
+      SparkSession.setActiveSession(base)
+      SparkSession.setDefaultSession(base)
+    }
+  }
+
   test("null order values match window null ordering") {
     import spark.implicits._
     val df = Seq[(String, java.lang.Long, java.lang.Double)](
