@@ -293,11 +293,13 @@ object Relational {
     */
   def joinSaltedSkew(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir, "lineitem")
+      .where(pmod(col("l_orderkey"), lit(3)) === 0)
       .select("l_orderkey", "l_quantity", "l_extendedprice")
     val o = Tables(spark, dir, "orders")
+      .where(pmod(col("o_orderkey"), lit(3)) === 0)
       .select("o_orderkey", "o_orderstatus")
       .withColumnRenamed("o_orderkey", "l_orderkey")
-    graft.operators.SkewJoin.saltedJoin(li, o, "l_orderkey", salts = 8)
+    graft.operators.SkewJoin.saltedJoin(li, o, "l_orderkey", salts = 4)
       .groupBy("o_orderstatus")
       .agg(round(sum("l_quantity"), 2).as("sum_qty"),
         round(sum("l_extendedprice"), 2).as("sum_price"),
@@ -364,6 +366,7 @@ object Relational {
       """SELECT o_orderstatus, round(sum(l_quantity), 2) AS sum_qty,
 round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_orderkey % 3 = 0
 GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "join_large_orders" ->
       """WITH big AS (
