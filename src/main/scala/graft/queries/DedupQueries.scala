@@ -20,10 +20,17 @@ object DedupQueries {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("copies"))
       .orderBy("digest")
 
+  /** The verified pair graph all jaccard-family queries share — one
+    * materialization per (dir, params) via NearDupGraph (the pipeline
+    * computes the expensive artifact once; clustering, survivors and
+    * diagnostics derive from it).
+    */
+  private[queries] def sharedPairs(spark: SparkSession, dir: String) =
+    graft.operators.NearDupGraph.pairs(Tables(spark, dir, "documents"),
+      "doc_id", "text", threshold = 0.2, dfCap = 50, cacheKey = dir)
+
   def shingleJaccard(spark: SparkSession, dir: String): DataFrame =
-    Dedup.jaccardPairs(Tables(spark, dir, "documents"),
-        "doc_id", "text", threshold = 0.2, dfCap = 50)
-      .orderBy("ida", "idb")
+    sharedPairs(spark, dir).orderBy("ida", "idb")
 
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(Tables(spark, dir, "documents"),
@@ -43,9 +50,7 @@ object DedupQueries {
     * the corpus pipeline + DedupSpec agreement tests.
     */
   def components(spark: SparkSession, dir: String): DataFrame =
-    Dedup.connectedComponents(
-        Dedup.jaccardPairs(Tables(spark, dir, "documents"),
-          "doc_id", "text", threshold = 0.2, dfCap = 50))
+    Dedup.connectedComponents(sharedPairs(spark, dir))
       .orderBy("doc_id")
 
   /** The corpus after near-dup removal (one representative per cluster),
@@ -53,8 +58,7 @@ object DedupQueries {
     */
   def survivors(spark: SparkSession, dir: String): DataFrame =
     Dedup.survivorsFromPairs(Tables(spark, dir, "documents"), "doc_id",
-        Dedup.jaccardPairs(Tables(spark, dir, "documents"),
-          "doc_id", "text", threshold = 0.2, dfCap = 50))
+        sharedPairs(spark, dir))
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")
 
@@ -103,9 +107,7 @@ object DedupQueries {
     * standard dedup diagnostic (how much mass sits in big clusters).
     */
   def clusterSizes(spark: SparkSession, dir: String): DataFrame =
-    Dedup.connectedComponents(
-        Dedup.jaccardPairs(Tables(spark, dir, "documents"),
-          "doc_id", "text", threshold = 0.2, dfCap = 50))
+    Dedup.connectedComponents(sharedPairs(spark, dir))
       .groupBy("component").agg(count(lit(1)).as("size"))
       .groupBy("size").agg(count(lit(1)).as("n_clusters"))
       .orderBy("size")

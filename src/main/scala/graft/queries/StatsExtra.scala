@@ -157,8 +157,7 @@ object StatsExtra {
     */
   def editDistancePairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
-    val pairs = graft.operators.Dedup.jaccardPairs(
-      docs, "doc_id", "text", threshold = 0.2, dfCap = 50)
+    val pairs = DedupQueries.sharedPairs(spark, dir)
     pairs
       .join(broadcast(docs.select(col("doc_id").as("ida"),
         col("text").as("ta"))), "ida")
