@@ -31,6 +31,22 @@ object FuncsExtra {
           .otherwise("low").as("band"))
       .orderBy("o_orderkey")
 
+  /** ANSI-mode safety valves: try_* forms return NULL where the strict
+    * forms would raise (division by zero, bad casts, long overflow) —
+    * the pattern ingest jobs need so one malformed row cannot kill a
+    * 100 TB stage.
+    */
+  def tryFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "part")
+      .select(
+        col("p_partkey"),
+        expr("try_divide(p_retailprice, p_size - p_size)").as("div0"),
+        expr("try_divide(p_retailprice, p_size)").as("per_size"),
+        expr("try_cast(p_name AS INT)").as("name_int"),
+        expr("try_cast(p_size AS STRING)").as("size_str"),
+        expr("try_add(p_partkey, 9223372036854775807)").as("overflow_add"))
+      .orderBy("p_partkey")
+
   /** Bitwise scalars over the integer keys. */
   def bitFuncs(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "lineitem")
@@ -257,6 +273,7 @@ object FuncsExtra {
     "agg_string_concat" -> stringConcat,
     "unpivot_metrics" -> unpivotMetrics,
     "cond_funcs" -> condFuncs,
+    "cond_try_funcs" -> tryFuncs,
     "bit_funcs" -> bitFuncs,
     "hash_funcs" -> hashFuncs,
     "ts_funcs" -> tsFuncs,
@@ -266,6 +283,15 @@ object FuncsExtra {
     "agg_hll_sketch" -> hllSketch)
 
   val oracle: Map[String, String] = Map(
+    "cond_try_funcs" ->
+      """SELECT p_partkey,
+CAST(NULL AS DOUBLE) AS div0,
+p_retailprice / p_size AS per_size,
+TRY_CAST(p_name AS INT) AS name_int,
+CAST(p_size AS VARCHAR) AS size_str,
+CASE WHEN p_partkey > 0 THEN NULL
+     ELSE 9223372036854775807 END AS overflow_add
+FROM part ORDER BY p_partkey""",
     "xml_roundtrip" ->
       """SELECT o_orderkey, o_orderkey AS rt_key,
 o_orderstatus AS rt_status
