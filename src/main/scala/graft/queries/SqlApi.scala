@@ -205,7 +205,31 @@ ORDER BY n.n_name"""
     spark.sql(lateralSubquerySql)
   }
 
+  /** The native graftx expressions as SQL scalar functions
+    * (GraftFunctions.register / GraftExtensions injection): a SQL user
+    * computes codegen'd dot products and shingle jaccards without the
+    * DataFrame API. Hash-based shingles are engine-internal but the
+    * JACCARD VALUE equals the string-trigram set jaccard, so the whole
+    * query oracle-checks.
+    */
+  def nativeFuncs(spark: SparkSession, dir: String): DataFrame = {
+    org.apache.spark.sql.graftx.GraftFunctions.register(spark)
+    Tables(spark, dir, "documents").createOrReplaceTempView("docs_nf")
+    Tables(spark, dir, "embeddings").createOrReplaceTempView("emb_nf")
+    spark.sql("""
+      SELECT a.doc_id AS ida, b.doc_id AS idb,
+        round(dot_product(ea.embedding, eb.embedding), 6) AS dot,
+        round(jaccard_sorted(text_shingles(a.text),
+          text_shingles(b.text)), 6) AS jac
+      FROM docs_nf a JOIN docs_nf b ON b.doc_id = a.doc_id + 1
+      JOIN emb_nf ea ON ea.vec_id = a.doc_id
+      JOIN emb_nf eb ON eb.vec_id = b.doc_id
+      WHERE a.doc_id % 10 = 0
+      ORDER BY ida""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_native_funcs" -> nativeFuncs,
     "sql_recursive_cte" -> recursiveCte,
     "sql_lateral_subquery" -> lateralSubquery,
     "sql_pivot" -> pivotSql,
@@ -218,6 +242,31 @@ ORDER BY n.n_name"""
     "sql_window_clause" -> windowClause)
 
   val oracle: Map[String, String] = Map(
+    "sql_native_funcs" ->
+      raw"""WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(
+    regexp_replace(text, '[^a-zA-Z ]', ' ', 'g')), '\s+'),
+    w -> w <> '') AS ws
+  FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(len(ws) - 1, 1)),
+    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shs
+  FROM toks WHERE len(ws) >= 3
+)
+SELECT a.doc_id AS ida, b.doc_id AS idb,
+  round(list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
+    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6) AS dot,
+  round(CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE) /
+    (CAST(len(x.shs) AS DOUBLE) + CAST(len(y.shs) AS DOUBLE)
+      - CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE)), 6) AS jac
+FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+JOIN embeddings ea ON ea.vec_id = a.doc_id
+JOIN embeddings eb ON eb.vec_id = b.doc_id
+JOIN sh x ON x.doc_id = a.doc_id
+JOIN sh y ON y.doc_id = b.doc_id
+WHERE a.doc_id % 10 = 0
+ORDER BY ida""",
     "sql_exists_subquery" -> existsSql,
     "sql_scalar_subquery" -> scalarSql,
     "sql_notin_subquery" -> notInSql,

@@ -90,5 +90,44 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => TopKPerKeyRewrite)
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+    GraftFunctions.all.foreach(ext.injectFunction)
   }
+}
+
+/** The native expressions as SQL scalar functions: spark.sql users get
+  * the same codegen'd hot loops as the DataFrame API. Injected by
+  * [[GraftExtensions]] at session build, or registered onto an
+  * EXISTING session with [[GraftFunctions.register]] (extensions only
+  * apply when getOrCreate actually creates).
+  */
+object GraftFunctions {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "internal")
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(a, b) - double[] dot product"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+    (FunctionIdentifier("jaccard_sorted"),
+      info("jaccard_sorted", "jaccard_sorted(a, b) - jaccard of sorted long[]"),
+      (args: Seq[Expression]) => JaccardSorted(args(0), args(1))),
+    (FunctionIdentifier("text_shingles"),
+      info("text_shingles", "text_shingles(s) - sorted trigram shingle hashes"),
+      (args: Seq[Expression]) => TextShingles(args(0))),
+    (FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(s) - 64-bit simhash of text"),
+      (args: Seq[Expression]) => TextSimHash(args(0))),
+    (FunctionIdentifier("interleave_bits"),
+      info("interleave_bits", "interleave_bits(x, y) - Morton z-value"),
+      (args: Seq[Expression]) => InterleaveBits(args(0), args(1))))
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    all.foreach { case (id, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
+    }
 }

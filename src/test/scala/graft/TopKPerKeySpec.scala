@@ -156,6 +156,13 @@ class TopKPerKeySpec extends SparkSpec {
         .where(col("rank") <= 1)
       assert(q.queryExecution.optimizedPlan.collect {
         case n: org.apache.spark.sql.graftx.TopKPerKeyNode => n }.size === 1)
+      // the native expressions are injected as SQL functions too
+      assert(s.sql(
+        "SELECT dot_product(array(float(1.0), float(2.0)), " +
+          "array(float(3.0), float(4.0)))")
+        .collect()(0).getDouble(0) === 11.0)
+      assert(s.sql("SELECT interleave_bits(1L, 1L)")
+        .collect()(0).getLong(0) === 3L)
     } finally {
       SparkSession.setActiveSession(base)
       SparkSession.setDefaultSession(base)
