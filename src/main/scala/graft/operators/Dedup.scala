@@ -302,6 +302,11 @@ object Dedup {
       // The convergence check rides along as a _chg flag on the SAME
       // materialization: one tiny agg over the cached round output
       // replaces the old second join+count job per round.
+      // localCheckpoint, not persist: beyond the cache it TRUNCATES
+      // LINEAGE, so a high-diameter graph (many rounds) never
+      // accumulates a nested-join plan tree (plan size/planning time
+      // stay flat per round — without this ~10+ rounds OOM the driver
+      // just STRINGIFYING the plan).
       val next = labels
         .join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
@@ -309,7 +314,7 @@ object Dedup {
             .as("component"),
           (coalesce(col("nbr_min"), col("component")) < col("component"))
             .cast("long").as("_chg"))
-        .persist()
+        .localCheckpoint(true)
       changed = next.agg(coalesce(sum("_chg"), lit(0L)))
         .collect()(0).getLong(0)
       labels.unpersist()

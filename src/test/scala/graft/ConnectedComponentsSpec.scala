@@ -96,6 +96,25 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(star == plain)
   }
 
+  test("all three algorithms match union-find on seeded random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      val n = 50
+      val pairs = Seq.fill(60)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val df = pairs.toDF("ida", "idb")
+      val expect = driverComponents(pairs)
+      val prop = Dedup.connectedComponents(df, maxDriverEdges = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val star = Dedup.connectedComponentsStar(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val jump = Dedup.connectedComponentsPointerJump(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(prop == expect && star == expect && jump == expect)
+    }
+  }
+
   test("alternating star collapses adversarial topologies") {
     import spark.implicits._
     // 48-hop chain + a separate star + an isolated pair
