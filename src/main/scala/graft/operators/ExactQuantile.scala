@@ -71,6 +71,13 @@ object ExactQuantile {
       curLo = nlo; curHi = math.min(nhi, curHi)
       depth += 1
     }
+    // a collapsed bracket (curHi == curLo) can still hold DISTINCT
+    // values a few ulps apart, so the final TakeOrdered always runs;
+    // only the (pathological) >2B-row bracket of near-identical values
+    // is rejected rather than silently overflowing the limit
+    require(curK + 2 <= Int.MaxValue,
+      s"quantile bracket holds ${curN} near-identical values; " +
+        "raise bracketLimit or pre-round the column")
     val take = (curK + (if (wantPair) 2 else 1)).toInt
     val sorted = cur.orderBy("v").limit(take).collect().map(_.getDouble(0))
     val vk = sorted(curK.toInt)

@@ -33,6 +33,21 @@ class ExactQuantileSpec extends SparkSpec {
     }
   }
 
+  test("matches percentile() on seeded random data with heavy duplicates") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vals = Seq.fill(4000)(
+      if (rnd.nextBoolean()) rnd.nextInt(10).toDouble // heavy dup mass
+      else rnd.nextDouble() * 1000.0)
+    val df = vals.toDF("x")
+    for (q <- Seq(0.01, 0.3, 0.5, 0.77, 0.99)) {
+      val expect = df.agg(percentile(col("x"), lit(q)))
+        .collect()(0).getDouble(0)
+      val got = ExactQuantile.quantile(df, col("x"), q, bracketLimit = 64)
+      assert(got === expect, s"q=$q")
+    }
+  }
+
   test("duplicates, odd/even counts, and exact-rank positions") {
     import spark.implicits._
     val vals = Seq(1.0, 2.0, 2.0, 2.0, 3.5, 7.25, 7.25, 100.0, -4.5)
