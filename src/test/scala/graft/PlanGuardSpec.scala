@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+
+/** Plan-shape regression guards for flagship queries: the properties
+  * the scaling story depends on (pushdown reaching the scan, broadcast
+  * dimension joins, top-k as TakeOrdered, single-scan operators) are
+  * pinned so a refactor that silently loses one fails CI, not the
+  * 100 TB run.
+  */
+class PlanGuardSpec extends SparkSpec {
+
+  /** Finalized AQE plan flattened through stage boundaries; stops at
+    * ReusedExchange so shared subtrees are not double-counted.
+    */
+  private def nodes(df: DataFrame): Seq[SparkPlan] = {
+    df.collect() // finalize AQE on THIS df's execution
+    def flat(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => flat(a.executedPlan)
+      case q: QueryStageExec => q +: flat(q.plan)
+      case r: ReusedExchangeExec => Seq(r)
+      case _ => p +: p.children.flatMap(flat)
+    }
+    flat(df.queryExecution.executedPlan)
+  }
+
+  test("join_local_supplier: date filter pushed to scan, dims broadcast") {
+    val ns = nodes(graft.queries.Relational.joinLocalSupplier(spark, sfDir))
+    val orderScan = ns.collect { case s: FileSourceScanExec
+      if s.metadata.getOrElse("Location", "").contains("orders") => s }
+    assert(orderScan.nonEmpty &&
+      orderScan.head.metadata("PushedFilters").contains("GreaterThanOrEqual(o_orderdate"),
+      "o_orderdate filter must reach the orders parquet scan")
+    assert(ns.count(_.isInstanceOf[BroadcastHashJoinExec]) >= 4,
+      "dimension joins must broadcast at this SF")
+  }
+
+  test("text_keyword_topk: top-100 runs as TakeOrdered, scan reads only text") {
+    val ns = nodes(graft.queries.TextQueries.keywordTopK(spark, sfDir))
+    assert(ns.exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      "limit+sort must not materialize a global sort")
+    val scan = ns.collect { case s: FileSourceScanExec => s }
+    assert(scan.nonEmpty &&
+      scan.forall(_.requiredSchema.fieldNames.sameElements(Array("text"))),
+      "scan must prune to the text column")
+  }
+
+  test("dedup_chunk_level: exactly one corpus scan") {
+    val ns = nodes(graft.queries.DedupQueries.chunkLevel(spark, sfDir))
+    assert(ns.count(_.isInstanceOf[FileSourceScanExec]) === 1,
+      "window election must not re-read the corpus")
+  }
+
+  test("agg_pricing_summary: partial+final hash aggregation pair") {
+    val ns = nodes(graft.queries.Relational.aggPricingSummary(spark, sfDir))
+    assert(ns.count(_.isInstanceOf[HashAggregateExec]) >= 2,
+      "aggregation must combine map-side")
+  }
+
+  test("sort_top_orders: TakeOrdered, never a global Sort+Limit") {
+    val ns = nodes(graft.queries.Relational.sortTopOrders(spark, sfDir))
+    assert(ns.exists(_.isInstanceOf[TakeOrderedAndProjectExec]))
+  }
+}
