@@ -228,7 +228,23 @@ ORDER BY n.n_name"""
       ORDER BY ida""")
   }
 
+  /** Parameterized SQL (Spark 4 named-parameter binding): the text is a
+    * constant template, values bind server-side — the
+    * injection-safe/plan-cacheable form a SQL front end should use.
+    */
+  def parameterized(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "orders").createOrReplaceTempView("orders_p")
+    spark.sql(
+      """SELECT o_orderstatus, count(*) AS n,
+           round(sum(o_totalprice), 2) AS revenue
+         FROM orders_p
+         WHERE o_totalprice > :minPrice AND o_orderpriority = :prio
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+      Map("minPrice" -> 50000, "prio" -> "1-URGENT"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_parameterized" -> parameterized,
     "sql_native_funcs" -> nativeFuncs,
     "sql_recursive_cte" -> recursiveCte,
     "sql_lateral_subquery" -> lateralSubquery,
@@ -242,6 +258,12 @@ ORDER BY n.n_name"""
     "sql_window_clause" -> windowClause)
 
   val oracle: Map[String, String] = Map(
+    "sql_parameterized" ->
+      """SELECT o_orderstatus, count(*) AS n,
+round(sum(o_totalprice), 2) AS revenue
+FROM orders
+WHERE o_totalprice > 50000 AND o_orderpriority = '1-URGENT'
+GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "sql_native_funcs" ->
       raw"""WITH toks AS (
   SELECT doc_id, list_filter(string_split_regex(lower(
