@@ -47,6 +47,27 @@ object FuncsExtra {
         expr("try_add(p_partkey, 9223372036854775807)").as("overflow_add"))
       .orderBy("p_partkey")
 
+  /** Map higher-order functions: build a per-order (line -> qty) map,
+    * transform_values, map_filter, explode back to rows. The oracle is
+    * the equivalent relational form — the map is a faithful roundtrip.
+    */
+  def mapHofFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .where(pmod(col("l_orderkey"), lit(10)) === 0)
+      // line numbers repeat within an order in this corpus: pre-sum to
+      // unique map keys (rounded at the agg, the float-parity pattern)
+      .groupBy("l_orderkey", "l_linenumber")
+      .agg(round(sum("l_quantity"), 2).as("_q"))
+      .groupBy("l_orderkey")
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("l_linenumber"), col("_q"))))).as("m"))
+      .select(col("l_orderkey"),
+        explode(map_filter(
+          transform_values(col("m"), (_, v) => v * 2),
+          (_, v) => v > lit(20.0))))
+      .toDF("l_orderkey", "ln", "qty2")
+      .orderBy("l_orderkey", "ln")
+
   /** Bitwise scalars over the integer keys. */
   def bitFuncs(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "lineitem")
@@ -274,6 +295,7 @@ object FuncsExtra {
     "unpivot_metrics" -> unpivotMetrics,
     "cond_funcs" -> condFuncs,
     "cond_try_funcs" -> tryFuncs,
+    "map_hof_funcs" -> mapHofFuncs,
     "bit_funcs" -> bitFuncs,
     "hash_funcs" -> hashFuncs,
     "ts_funcs" -> tsFuncs,
@@ -283,6 +305,14 @@ object FuncsExtra {
     "agg_hll_sketch" -> hllSketch)
 
   val oracle: Map[String, String] = Map(
+    "map_hof_funcs" ->
+      """SELECT l_orderkey, l_linenumber AS ln,
+round(sum(l_quantity), 2) * 2 AS qty2
+FROM lineitem
+WHERE l_orderkey % 10 = 0
+GROUP BY l_orderkey, l_linenumber
+HAVING round(sum(l_quantity), 2) * 2 > 20
+ORDER BY l_orderkey, ln""",
     "cond_try_funcs" ->
       """SELECT p_partkey,
 CAST(NULL AS DOUBLE) AS div0,
