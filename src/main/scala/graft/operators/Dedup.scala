@@ -141,6 +141,38 @@ object Dedup {
     verifyJaccard(cand, sh, threshold)
   }
 
+  /** Fuzzy (similarity) join between two DIFFERENT tables on text
+    * similarity — entity resolution. Same shuffle-bounded shape as the
+    * self-dedup: both sides shingle once behind a barrier, candidates
+    * come from an equi-join on the shingle hash (df-capped on the
+    * right/index side so hot shingles can't go quadratic), and exact
+    * Jaccard verification touches candidates only. Never a cross
+    * join; at 100 TB the cost is O(postings) + O(collisions).
+    * Returns (lid, rid, jaccard) with jaccard >= threshold.
+    */
+  def fuzzyJoin(left: DataFrame, lid: String, ltext: String,
+      right: DataFrame, rid: String, rtext: String,
+      threshold: Double, dfCap: Int = 100): DataFrame = {
+    val lsh = shingled(left, lid, ltext)
+    val rsh = shingled(right, rid, rtext)
+    val lex = lsh.select(col("doc_id").as("lid"), explode(col("shs")).as("s"))
+    val rex = rsh.select(col("doc_id").as("rid"), explode(col("shs")).as("s"))
+    // cap on the right side's document frequency: it plays the index
+    val rare = rex.groupBy("s").agg(count(lit(1)).as("df"))
+      .where(col("df") <= dfCap)
+    val cand = lex
+      .join(rex.join(broadcast(rare.select("s")), "s"), "s")
+      .select("lid", "rid").distinct()
+    cand
+      .join(broadcast(lsh.select(col("doc_id").as("lid"),
+        col("shs").as("sha"))), "lid")
+      .join(broadcast(rsh.select(col("doc_id").as("rid"),
+        col("shs").as("shb"))), "rid")
+      .select(col("lid"), col("rid"),
+        round(jaccardCol(col("sha"), col("shb")), 6).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** Persist the corpus's MinHash-LSH index: the banded signature table
     * (bkey, doc_id) plus the shingle sets needed for exact
     * verification. This is what makes INCREMENTAL dedup possible at

@@ -107,6 +107,22 @@ object DedupQueries {
       .orderBy("batch_id")
   }
 
+  /** Fuzzy join (entity resolution): every 10th document, with its
+    * first five words stripped, plays an external probe list to be
+    * resolved against the corpus by trigram-shingle similarity — the
+    * cross-TABLE form of near-dup blocking (same shuffle-bounded
+    * shape, no cross join).
+    */
+  def fuzzyNames(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val probes = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+      .select(col("doc_id").as("probe_id"),
+        regexp_replace(col("text"), "^(\\S+\\s+){5}", "").as("ptext"))
+    Dedup.fuzzyJoin(docs, "doc_id", "text",
+        probes, "probe_id", "ptext", threshold = 0.5)
+      .orderBy("lid", "rid")
+  }
+
   /** Cluster-size histogram over the exact near-dup components — the
     * standard dedup diagnostic (how much mass sits in big clusters).
     */
@@ -117,6 +133,7 @@ object DedupQueries {
       .orderBy("size")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_fuzzy_probe" -> fuzzyNames,
     "dedup_cluster_sizes" -> clusterSizes,
     "dedup_incremental_batch" -> incrementalBatch,
     "dedup_chunk_level" -> chunkLevel,
@@ -176,6 +193,42 @@ edges AS (
 )"""
 
   val oracle: Map[String, String] = Map(
+    "join_fuzzy_probe" ->
+      raw"""WITH lt AS (
+  SELECT doc_id AS lid, $tokSql AS ws FROM documents
+), rt0 AS (
+  SELECT doc_id AS rid,
+    regexp_replace(text, '^(\S+\s+){5}', '') AS text
+  FROM documents WHERE doc_id % 10 = 0
+), rt AS (
+  SELECT rid, $tokSql AS ws FROM rt0
+), lsh AS (
+  SELECT lid, list_distinct(list_transform(
+    range(1, greatest(len(ws) - 1, 1)),
+    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shs
+  FROM lt WHERE len(ws) >= 3
+), rsh AS (
+  SELECT rid, list_distinct(list_transform(
+    range(1, greatest(len(ws) - 1, 1)),
+    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shs
+  FROM rt WHERE len(ws) >= 3
+), rex AS (SELECT rid, unnest(shs) AS s FROM rsh),
+rdf AS (SELECT s FROM rex GROUP BY s HAVING count(*) <= 100),
+lex AS (SELECT lid, unnest(shs) AS s FROM lsh),
+cand AS (
+  SELECT DISTINCT lid, rid
+  FROM lex JOIN (SELECT rid, rex.s FROM rex JOIN rdf USING (s)) r
+  USING (s)
+)
+SELECT cand.lid, cand.rid,
+  round(CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE) /
+    (CAST(len(x.shs) AS DOUBLE) + CAST(len(y.shs) AS DOUBLE)
+      - CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE)), 6) AS jaccard
+FROM cand JOIN lsh x ON x.lid = cand.lid JOIN rsh y ON y.rid = cand.rid
+WHERE round(CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE) /
+    (CAST(len(x.shs) AS DOUBLE) + CAST(len(y.shs) AS DOUBLE)
+      - CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE)), 6) >= 0.5
+ORDER BY cand.lid, cand.rid""",
     "dedup_chunk_level" ->
       raw"""WITH toks AS (
   SELECT doc_id, $tokSql AS ws FROM documents

@@ -33,6 +33,17 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("fuzzy join resolves truncated probes back to their source docs") {
+    val out = graft.queries.DedupQueries.fuzzyNames(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val probeIds = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(probeIds.nonEmpty)
+    val selfResolved = probeIds.count(p => out.contains((p, p)))
+    assert(selfResolved.toDouble / probeIds.length >= 0.8,
+      s"only $selfResolved/${probeIds.length} probes resolved to source")
+  }
+
   test("simhash band blocking is complete for hamming <= 3") {
     // every pair the operator reports is within the bound, and any pair
     // within hamming 3 must share one of the 4 16-bit bands (pigeonhole)
