@@ -163,9 +163,13 @@ object Dedup {
     val cand = lex
       .join(rex.join(broadcast(rare.select("s")), "s"), "s")
       .select("lid", "rid").distinct()
+    // NO broadcast hint on the corpus-side shingle fetch: the left
+    // table is unbounded (the survivors lesson) — a shuffled equi-join
+    // on the 8-byte id is the scale-safe default and AQE will still
+    // broadcast when runtime stats allow. Only the probe side, small
+    // by contract (it is the lookup list), carries the hint.
     cand
-      .join(broadcast(lsh.select(col("doc_id").as("lid"),
-        col("shs").as("sha"))), "lid")
+      .join(lsh.select(col("doc_id").as("lid"), col("shs").as("sha")), "lid")
       .join(broadcast(rsh.select(col("doc_id").as("rid"),
         col("shs").as("shb"))), "rid")
       .select(col("lid"), col("rid"),
