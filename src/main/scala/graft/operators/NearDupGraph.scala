@@ -18,14 +18,24 @@ import org.apache.spark.sql.DataFrame
   */
 object NearDupGraph {
 
+  private val MaxEntries = 16
   private val cache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
   /** Exact verified Jaccard pairs (see [[Dedup.jaccardPairs]]),
-    * computed once per (cacheKey, params) and persisted.
+    * computed once per (cacheKey, params) and persisted. The memo is
+    * BOUNDED (16 entries — each is a pair table, tiny next to its
+    * corpus): a long-lived session cycling datasets evicts and
+    * unpersists the surplus instead of pinning executor memory.
     */
   def pairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, dfCap: Int = 50, cacheKey: String): DataFrame =
-    cache.getOrElseUpdate(s"$cacheKey|$idCol|$textCol|$threshold|$dfCap",
-      Dedup.jaccardPairs(docs, idCol, textCol, threshold, dfCap).persist())
+    cache.getOrElseUpdate(s"$cacheKey|$idCol|$textCol|$threshold|$dfCap", {
+      if (cache.size >= MaxEntries) synchronized {
+        cache.keys.take(cache.size - MaxEntries + 1).foreach { k =>
+          cache.remove(k).foreach(_.unpersist())
+        }
+      }
+      Dedup.jaccardPairs(docs, idCol, textCol, threshold, dfCap).persist()
+    })
 }
