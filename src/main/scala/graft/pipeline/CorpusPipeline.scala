@@ -131,6 +131,44 @@ object CorpusPipeline {
       .select("doc_id", "n_tokens", "cum_tokens")
   }
 
+  /** Per-source token budgets (domain allocation): each source keeps
+    * its first documents (in id order) up to ITS token cap — the
+    * "×B tokens of web, ×B of code, ×B of papers" corpus-assembly
+    * step. The prefix sum runs PARTITIONED BY SOURCE: per-(source,
+    * bucket) partials, a window over the tiny bucket table keyed by
+    * source, broadcast join back — the global-window anti-pattern
+    * never appears, and adding a source adds rows to the bucket table,
+    * not a new job.
+    */
+  def tokenBudgetPerSource(docs: DataFrame, budgets: Map[String, Long],
+      defaultBudget: Long, bucketWidth: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budgetCol = budgets.foldLeft(lit(defaultBudget)) {
+      case (acc, (s, b)) => when(col("source") === s, lit(b)).otherwise(acc)
+    }
+    val withTok = docs.select(
+      col("doc_id"), col("source"),
+      tokenStatsUdf(col("text")).getField("_1").cast("long").as("n_tokens"),
+      (col("doc_id") / bucketWidth).cast("long").as("_b"))
+    val offsets = withTok
+      .groupBy("source", "_b").agg(sum("n_tokens").as("_bt"))
+      .withColumn("_off",
+        coalesce(sum("_bt").over(
+          Window.partitionBy("source").orderBy("_b")
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("source", "_b", "_off")
+    withTok
+      .join(broadcast(offsets), Seq("source", "_b"))
+      .withColumn("cum_tokens",
+        (col("_off") + sum("n_tokens").over(
+          Window.partitionBy("source", "_b").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .cast("long"))
+      .where(col("cum_tokens") <= budgetCol)
+      .select("doc_id", "source", "n_tokens", "cum_tokens")
+  }
+
   /** Sequence packing (concat-then-split pretraining layout): documents
     * in id order are laid head-to-tail on a global token axis; the
     * training sequence a document STARTS in is

@@ -56,6 +56,15 @@ object PipelineQueries {
         Tables(spark, dir, "documents"), seqLen = 512L)
       .orderBy("doc_id")
 
+  /** Per-source token caps: src0 gets 2000 tokens, src1 1000,
+    * everything else 500 — the domain-allocation step.
+    */
+  def sourceBudget(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.CorpusPipeline.tokenBudgetPerSource(
+        Tables(spark, dir, "documents"),
+        Map("src0" -> 2000L, "src1" -> 1000L), defaultBudget = 500L)
+      .orderBy("doc_id")
+
   /** Deterministic content-hash train/val/test split: the first hex
     * nibble of md5(text) buckets docs 12/2/2 — reproducible across
     * engines, runs, and retries; content-keyed so exact dups always
@@ -89,6 +98,7 @@ object PipelineQueries {
     "pipeline_token_budget" -> tokenBudget,
     "pipeline_pack_sequences" -> packSequences,
     "pipeline_hash_split" -> hashSplit,
+    "pipeline_source_budget" -> sourceBudget,
     "pipeline_mixture_sample" -> mixtureSample)
 
   private val tokSql =
@@ -120,6 +130,20 @@ WHERE cum_tokens <= 10000 ORDER BY doc_id""",
 SELECT doc_id, n_tokens, start_offset,
   CAST(floor(start_offset / 512.0) AS BIGINT) AS pack_id
 FROM c ORDER BY doc_id""",
+    "pipeline_source_budget" ->
+      raw"""WITH t AS (
+  SELECT doc_id, source, $tokSql AS n_tokens FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS cum_tokens
+  FROM t
+)
+SELECT doc_id, source, n_tokens, cum_tokens FROM c
+WHERE cum_tokens <= CASE source
+  WHEN 'src0' THEN 2000 WHEN 'src1' THEN 1000 ELSE 500 END
+ORDER BY doc_id""",
     "pipeline_hash_split" ->
       """SELECT doc_id,
 CASE WHEN substr(md5(text), 1, 1) IN ('e', 'f') THEN 'test'

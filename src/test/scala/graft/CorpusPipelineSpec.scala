@@ -60,6 +60,26 @@ class CorpusPipelineSpec extends SparkSpec {
     }
   }
 
+  test("per-source budgets: each source's running total respects its own cap") {
+    val budgets = Map("src0" -> 900L, "src1" -> 400L)
+    val out = CorpusPipeline.tokenBudgetPerSource(docs, budgets,
+        defaultBudget = 200L, bucketWidth = 7L)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    out.groupBy(_._2).foreach { case (src, rows) =>
+      val cap = budgets.getOrElse(src, 200L)
+      assert(rows.forall(_._4 <= cap), s"$src exceeded $cap")
+      // cum is a per-source prefix sum in doc_id order
+      var cum = 0L
+      rows.sortBy(_._1).foreach { case (_, _, n, c) =>
+        cum += n; assert(c == cum, s"$src cum drift")
+      }
+    }
+    // at least two different sources must actually appear
+    assert(out.map(_._2).distinct.length >= 2)
+  }
+
   test("sequence packing: offsets are an exact exclusive prefix sum and packs are contiguous") {
     val out = CorpusPipeline.packSequences(docs, seqLen = 256L,
         bucketWidth = 7L)
