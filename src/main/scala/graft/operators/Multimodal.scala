@@ -84,6 +84,40 @@ object Multimodal {
       }
   }
 
+  final case class MediaScore(id: Long, batch_size: Int, score: Double)
+
+  /** Batched model inference shape: rows stream through
+    * `mapPartitions` in fixed-size batches — one "model call" per
+    * batch, exactly the GPU-inference access pattern (weights loaded
+    * once per partition, inputs tensorized `batchSize` at a time,
+    * results zipped back to ids). The stub model scores each payload
+    * deterministically (bytes mod 1000 / 10), so the whole batched
+    * path oracle-checks; a real model swaps the stub, the Spark-side
+    * plumbing — partition-local batching, bounded memory (only one
+    * batch materialized), id alignment — is what this operator pins.
+    */
+  def batchedInference(packed: DataFrame, batchSize: Int = 32)
+      : Dataset[MediaScore] = {
+    val spark = packed.sparkSession
+    import spark.implicits._
+    packed
+      .select(col("id"), col("payload"), col("meta.kind").as("kind"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        val model = StubDecoder.open() // per-partition "weights load"
+        rows.grouped(batchSize).flatMap { batch =>
+          // one vectorized call per batch in a real deployment
+          val scores = batch.map { r =>
+            val s = r.payload.foldLeft(0L)((a, b) => a + (b & 0xff))
+            (s % 1000L) / 10.0
+          }
+          batch.lazyZip(scores).map { case (r, s) =>
+            MediaScore(r.id, batch.length, s)
+          }
+        }
+      }
+  }
+
   /** Resize stub: nearest-neighbor downsample of the payload to a
     * fixed `outLen` bytes (index i samples byte floor(i*len/outLen)).
     * The plumbing — binary in, fixed-size binary out, pure row-local

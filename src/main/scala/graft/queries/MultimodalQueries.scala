@@ -36,6 +36,18 @@ object MultimodalQueries {
         (0 until 8).map(i => col("feature")(i).as(s"f$i")): _*)
       .orderBy("id")
 
+  /** Batched-inference plumbing: payloads scored through the
+    * fixed-batch mapPartitions path (the GPU access pattern); the stub
+    * model is deterministic so the oracle re-derives every score.
+    */
+  def batchScores(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.batchedInference(
+        Multimodal.packDocuments(Tables(spark, dir, "documents")),
+        batchSize = 32)
+      .toDF()
+      .select(col("id"), col("score"))
+      .orderBy("id")
+
   /** Frame-sampling plumbing over binary payloads. */
   def frames(spark: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(
@@ -122,6 +134,7 @@ object MultimodalQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_batch_scores" -> batchScores,
     "multimodal_dhash_pairs" -> dhashPairs,
     "multimodal_meta" -> meta,
     "multimodal_features" -> features,
@@ -131,6 +144,12 @@ object MultimodalQueries {
     "text_fingerprint_pairs" -> fingerprintPairs)
 
   val oracle: Map[String, String] = Map(
+    "multimodal_batch_scores" ->
+      """SELECT doc_id AS id,
+CAST((CAST(list_sum(list_transform(range(1, len(text) + 1),
+  i -> ascii(substr(text, CAST(i AS INT), 1)))) AS BIGINT) % 1000)
+  AS DOUBLE) / 10.0 AS score
+FROM documents ORDER BY id""",
     "multimodal_meta" ->
       """SELECT doc_id AS id, 'text' AS kind, 'text/plain' AS mime,
 CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes

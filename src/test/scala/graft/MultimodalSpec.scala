@@ -66,6 +66,25 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L).isEmpty) // empty payload stays empty, no crash
   }
 
+  test("batched inference: bounded batches, every row scored exactly once") {
+    val n = packed.count()
+    val out = Multimodal.batchedInference(packed.repartition(3), batchSize = 32)
+      .toDF().cache()
+    assert(out.count() === n)
+    assert(out.select(countDistinct(col("id"))).collect()(0).getLong(0) === n)
+    val sizes = out.select("batch_size").distinct()
+      .collect().map(_.getInt(0))
+    assert(sizes.max <= 32, s"batch over limit: ${sizes.toSeq}")
+    assert(sizes.contains(32), "full batches must occur at this row count")
+    // scores match the row-local stub definition
+    val bad = out.join(packed.select(col("id"),
+        aggregate(transform(split(decode(col("payload"), "UTF-8"), ""),
+          c => ascii(c).cast("long")), lit(0L), (a, b) => a + b).as("bs")),
+      "id")
+      .where(col("score") =!= (col("bs") % 1000).cast("double") / 10.0)
+    assert(bad.count() === 0)
+  }
+
   test("dhash: identical payloads collide, near-identical stay close") {
     import spark.implicits._
     val base = ("the quick brown fox jumps over the lazy dog " * 20).getBytes
