@@ -100,7 +100,28 @@ object TextQueries {
         Tables(spark, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Unigram log-probability scoring (the CCNet-style LM-perplexity
+    * proxy): corpus unigram frequencies -> per-document mean token
+    * log-prob. Two hash aggs + one equi-join on the word key; the
+    * corpus total is ONE collected scalar. No broadcast hint on the
+    * frequency table — a web-scale vocabulary is not small, and AQE
+    * broadcasts when it actually is.
+    */
+  def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
+    val freq = tok.groupBy("word").agg(count(lit(1)).as("c"))
+    val total = freq.agg(sum("c")).collect()(0).getLong(0)
+    tok.join(freq, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(col("c").cast("double") / lit(total.toDouble))), 4)
+          .as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_unigram_logprob" -> unigramLogprob,
     "text_gopher_quality" -> gopherQuality,
     "text_keyword_topk" -> keywordTopK,
     "text_inverted_index" -> invertedIndex,
@@ -112,6 +133,18 @@ object TextQueries {
     raw"string_split_regex(lower(regexp_replace(text, '[^a-zA-Z ]', ' ', 'g')), '\s+')"
 
   val oracle: Map[String, String] = Map(
+    "text_unigram_logprob" ->
+      raw"""WITH tok AS (
+  SELECT doc_id, unnest(list_filter($tokSql, w -> w <> '')) AS word
+  FROM documents
+), freq AS (
+  SELECT word, count(*) AS c FROM tok GROUP BY word
+), tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM freq)
+SELECT doc_id, count(*) AS n_tokens,
+  round(avg(ln(CAST(c AS DOUBLE) / (SELECT t FROM tot))), 4)
+    AS avg_logprob
+FROM tok JOIN freq USING (word)
+GROUP BY doc_id ORDER BY doc_id""",
     "text_gopher_quality" ->
       raw"""WITH toks AS (
   SELECT doc_id, list_filter($tokSql, w -> w <> '') AS ws FROM documents
