@@ -108,8 +108,12 @@ object TextQueries {
     * broadcasts when it actually is.
     */
   def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    // barrier on the word key: the token table is tokenized ONCE and
+    // both consumers (frequency agg + probability join) read the same
+    // reused, already co-partitioned exchange
     val tok = Tables(spark, dir, "documents")
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
+      .repartition(col("word"))
     val freq = tok.groupBy("word").agg(count(lit(1)).as("c"))
     val total = freq.agg(sum("c")).collect()(0).getLong(0)
     tok.join(freq, "word")
