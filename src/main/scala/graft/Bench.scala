@@ -31,10 +31,27 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // The driver keeps only the LAST 2000 chars of output, so the JSON
+    // line must stay well under that to parse: per-query detail is
+    // limited to a fixed headline subset (one per major category,
+    // stable round over round) at 3-decimal precision; "value" is still
+    // the total across ALL queries and n_queries says how many ran.
+    val headline = Set(
+      "agg_pricing_summary", "join_star_revenue", "window_top_orders",
+      "sort_top_orders", "dedup_exact_md5", "dedup_shingle_jaccard",
+      "dedup_minhash_lsh", "dedup_components", "dedup_survivors",
+      "sim_cosine_topk", "sim_ann_ivf_topk", "sim_ann_pq_topk",
+      "text_tfidf_top", "text_langid", "text_gopher_quality",
+      "events_sessionize", "events_asof_join", "pipeline_corpus_funnel",
+      "pipeline_token_budget", "pipeline_pack_sequences",
+      "multimodal_dhash_pairs", "zorder_cluster", "window_topk_rewrite",
+      "sql_recursive_cte")
+    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.US, v)
+    val qs = results.filter(r => headline(r._1))
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -34,27 +34,29 @@ object BloomPrune {
     */
   def prefilteredJoin(fact: DataFrame, dim: DataFrame,
       factKey: String, dimKey: String,
-      expectedDimKeys: Long, fpp: Double = 0.01): DataFrame = {
-    val spark = fact.sparkSession
-    // Two-job build (dim scan + fact join) — the dim aggregate is tiny
-    // next to the fact shuffle it eliminates. sc.broadcast ships the
-    // filter once per executor, not per task closure.
-    val bloom = dim.stat.bloomFilter(dimKey, expectedDimKeys, fpp)
-    val bc = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
-    fact.where(mightContain(col(factKey)))
+      expectedDimKeys: Long, fpp: Double = 0.01): DataFrame =
+    prefilter(fact, dim, factKey, dimKey, expectedDimKeys, fpp)
       .join(dim, col(factKey) === col(dimKey))
-  }
 
   /** The prefilter alone (semi-join-shaped), for pipelines that stage
     * the pruned fact before several downstream joins.
+    *
+    * Build and probe go through the SAME representation — xxhash64 of
+    * the key column — on both sides, so the no-false-negative contract
+    * holds for ANY key type (string, decimal, struct...), not just
+    * integral ones. An xxhash64 collision between a fact key and some
+    * dim key only adds a false positive, which the join removes.
     */
   def prefilter(fact: DataFrame, dim: DataFrame,
       factKey: String, dimKey: String,
       expectedDimKeys: Long, fpp: Double = 0.01): DataFrame = {
-    val bloom = dim.stat.bloomFilter(dimKey, expectedDimKeys, fpp)
+    // Two-job build (dim scan + fact join) — the dim aggregate is tiny
+    // next to the fact shuffle it eliminates. sc.broadcast ships the
+    // filter once per executor, not per task closure.
+    val bloom = dim.select(xxhash64(col(dimKey)).as("__k"))
+      .stat.bloomFilter("__k", expectedDimKeys, fpp)
     val bc = fact.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
-    fact.where(mightContain(col(factKey)))
+    fact.where(mightContain(xxhash64(col(factKey))))
   }
 }

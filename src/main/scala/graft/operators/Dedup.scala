@@ -91,9 +91,16 @@ object Dedup {
     * candidate join (the verify step still uses the full sets, so
     * verified scores are exact; only recall of pairs sharing NOTHING
     * but hot shingles is traded, the standard blocking bargain).
+    *
+    * `minShared` > 1 additionally drops candidate pairs sharing fewer
+    * than that many rare shingles before the verify join — a ~10x
+    * candidate cut on long-document corpora, but it can lose pairs of
+    * VERY short documents (a 2-shingle doc can clear the Jaccard
+    * threshold on one shared shingle). Default 1 = full blocking
+    * recall; opt into 2+ when the corpus has no tiny documents.
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double, dfCap: Int = 50, minShared: Int = 2): DataFrame = {
+      threshold: Double, dfCap: Int = 50, minShared: Int = 1): DataFrame = {
     val sh = shingled(docs, idCol, textCol)
     val ex = sh.select(col("doc_id"), explode(col("shs")).as("s"))
     val rare = ex.groupBy("s").agg(count(lit(1)).as("df"))
@@ -256,9 +263,12 @@ object Dedup {
       .repartition(col("doc_id"))
       .where(col("simhash").isNotNull) // above the exchange: no recompute
 
-  /** SimHash near-dup pairs: 4 x 16-bit band blocking (a pair within
-    * Hamming distance <= 3 shares at least one exact band by pigeonhole;
-    * wider distances are probabilistic), verified with bit_count(xor).
+  /** SimHash near-dup pairs: band blocking + bit_count(xor) verify.
+    * The band count adapts to the radius so the pigeonhole recall
+    * guarantee always holds — b bands catch every pair within Hamming
+    * b-1, so maxHamming <= 3 blocks on 4 x 16-bit bands and 4..7 on
+    * 8 x 8-bit bands (more candidates, the price of the wider radius).
+    * Radii above 7 are rejected rather than silently under-recalled.
     */
   /** Connected components over a near-dup pair graph by min-label
     * propagation: label(v) starts as v, each round takes the min over
@@ -280,17 +290,37 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10,
       maxDriverEdges: Long = 4000000L): DataFrame = {
     val spark0 = pairs.sparkSession
-    if (maxDriverEdges > 0) {
+    // The driver fast path is gated on INTEGRAL, same-typed id columns:
+    // the long cast is lossless there and the output is cast back, so
+    // the API stays type-generic. String/decimal ids (where the cast
+    // would null out) always take the distributed loop.
+    val idType = {
+      import org.apache.spark.sql.types._
+      val (ta, tb) = (pairs.schema("ida").dataType, pairs.schema("idb").dataType)
+      val integral = Set[DataType](ByteType, ShortType, IntegerType, LongType)
+      if (ta == tb && integral(ta)) Some(ta) else None
+    }
+    if (idType.isDefined && maxDriverEdges > 0) {
       val raw = pairs
         .select(col("ida").cast("long").as("u"), col("idb").cast("long").as("v"))
+        .where(col("u").isNotNull && col("v").isNotNull)
         .persist()
       val nEdges = raw.count()
       if (nEdges <= maxDriverEdges) {
         import spark0.implicits._
         val parent = scala.collection.mutable.Map.empty[Long, Long]
-        def find(x: Long): Long = {
-          val p = parent.getOrElseUpdate(x, x)
-          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        // iterative find with path halving: no recursion, so a 4M-edge
+        // pathological chain can't overflow the driver stack
+        def find(x0: Long): Long = {
+          var x = x0
+          var p = parent.getOrElseUpdate(x, x)
+          while (p != x) {
+            val gp = parent.getOrElseUpdate(p, p)
+            parent(x) = gp
+            x = gp
+            p = parent.getOrElseUpdate(x, x)
+          }
+          x
         }
         raw.collect().foreach { r =>
           val (a, b) = (r.getLong(0), r.getLong(1))
@@ -300,6 +330,8 @@ object Dedup {
         raw.unpersist()
         val labels = parent.keys.map(k => (k, find(k))).toSeq.sorted
         return labels.toDF("doc_id", "component")
+          .select(col("doc_id").cast(idType.get).as("doc_id"),
+            col("component").cast(idType.get).as("component"))
       }
       raw.unpersist()
     }
@@ -528,12 +560,19 @@ object Dedup {
       minhashLshPairs(docs, idCol, textCol, threshold))
 
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 6): DataFrame = {
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"maxHamming must be in [0, 7] (got $maxHamming): banded blocking " +
+        "guarantees recall only up to bands-1 differing bits")
+    val bands = if (maxHamming <= 3) 4 else 8
+    val width = 64 / bands
+    val mask = (1L << width) - 1
     val sig = simhash(docs, idCol, textCol)
     val bandKeys = sig.select(
       col("doc_id"), col("simhash"),
       posexplode(expr(
-        "transform(sequence(0, 3), b -> shiftright(simhash, b * 16) & 65535)")))
+        s"transform(sequence(0, ${bands - 1}), " +
+          s"b -> shiftright(simhash, b * $width) & $mask)")))
       .toDF("doc_id", "simhash", "band", "bval")
     val cand = bandKeys.as("a").join(bandKeys.as("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&

@@ -190,17 +190,29 @@ object Multimodal {
   def dhashes(packed: DataFrame): DataFrame =
     packed.select(col("id"), dhashUdf(col("payload")).as("dhash"))
 
-  /** Visual near-dup pairs by dHash: 16-bit band blocking (identical
-    * to the SimHash dedup shape — pairs within Hamming <= 3 are
-    * guaranteed to collide in at least one of the 4 bands) then exact
-    * Hamming verify. Candidate join carries (id, hash) only.
+  /** Visual near-dup pairs by dHash: band blocking (identical to the
+    * SimHash dedup shape) then exact Hamming verify. The band count
+    * adapts to the requested radius so the pigeonhole recall guarantee
+    * ALWAYS holds: b bands catch every pair within Hamming b-1, so
+    * maxHamming <= 3 blocks on 4 x 16-bit bands and 4..7 on 8 x 8-bit
+    * bands (wider buckets = more candidates — the price of the wider
+    * radius). Radii above 7 would need 16 x 4-bit bands whose buckets
+    * collide a 1/16th of the corpus each; rejected rather than silently
+    * under-recalled. Candidate join carries (id, hash) only.
     */
-  def dhashPairs(packed: DataFrame, maxHamming: Int = 6): DataFrame = {
+  def dhashPairs(packed: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"maxHamming must be in [0, 7] (got $maxHamming): banded blocking " +
+        "guarantees recall only up to bands-1 differing bits")
+    val bands = if (maxHamming <= 3) 4 else 8
+    val width = 64 / bands
+    val mask = (1L << width) - 1
     val sig = dhashes(packed).repartition(col("id"))
     val bandKeys = sig.select(
       col("id"), col("dhash"),
       posexplode(expr(
-        "transform(sequence(0, 3), b -> shiftright(dhash, b * 16) & 65535)")))
+        s"transform(sequence(0, ${bands - 1}), " +
+          s"b -> shiftright(dhash, b * $width) & $mask)")))
       .toDF("id", "dhash", "band", "bval")
     bandKeys.as("a").join(bandKeys.as("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&

@@ -29,13 +29,16 @@ object NearDupGraph {
     * unpersists the surplus instead of pinning executor memory.
     */
   def pairs(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double, dfCap: Int = 50, cacheKey: String): DataFrame =
-    cache.getOrElseUpdate(s"$cacheKey|$idCol|$textCol|$threshold|$dfCap", {
+      threshold: Double, dfCap: Int = 50, minShared: Int = 1,
+      cacheKey: String): DataFrame =
+    cache.getOrElseUpdate(
+      s"$cacheKey|$idCol|$textCol|$threshold|$dfCap|$minShared", {
       if (cache.size >= MaxEntries) synchronized {
         cache.keys.take(cache.size - MaxEntries + 1).foreach { k =>
           cache.remove(k).foreach(_.unpersist())
         }
       }
-      Dedup.jaccardPairs(docs, idCol, textCol, threshold, dfCap).persist()
+      Dedup.jaccardPairs(docs, idCol, textCol, threshold, dfCap, minShared)
+        .persist()
     })
 }

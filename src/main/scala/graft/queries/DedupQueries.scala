@@ -26,8 +26,12 @@ object DedupQueries {
     * diagnostics derive from it).
     */
   private[queries] def sharedPairs(spark: SparkSession, dir: String) =
+    // minShared=2 opted into HERE (not the API default): the documents
+    // table has no 1-2-shingle docs, so the candidate cut is free; the
+    // oracle's pairsCte carries the matching HAVING count(*) >= 2
     graft.operators.NearDupGraph.pairs(Tables(spark, dir, "documents"),
-      "doc_id", "text", threshold = 0.2, dfCap = 50, cacheKey = dir)
+      "doc_id", "text", threshold = 0.2, dfCap = 50, minShared = 2,
+      cacheKey = dir)
 
   def shingleJaccard(spark: SparkSession, dir: String): DataFrame =
     sharedPairs(spark, dir).orderBy("ida", "idb")

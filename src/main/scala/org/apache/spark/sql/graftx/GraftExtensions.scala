@@ -34,7 +34,11 @@ object TopKPerKeyRewrite extends Rule[LogicalPlan] {
       case Seq(a @ Alias(WindowExpression(RowNumber(),
           WindowSpecDefinition(ps, os,
             SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))), _))
-          if os.nonEmpty =>
+          // ps must be non-empty: the native exec requires
+          // ClusteredDistribution(keys), which rejects empty clustering —
+          // a GLOBAL row_number top-k keeps the stock Window path (it is
+          // a single total-order anyway, no per-key heap win).
+          if ps.nonEmpty && os.nonEmpty =>
         Some((a, ps, os))
       case _ => None
     }

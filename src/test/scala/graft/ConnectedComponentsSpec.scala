@@ -30,6 +30,30 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got == driverComponents(pairs))
   }
 
+  test("string ids stay strings (no driver fast path, no long cast)") {
+    import spark.implicits._
+    val pairsDf = Seq(("docA", "docB"), ("docB", "docC"), ("docX", "docY"))
+      .toDF("ida", "idb")
+    val got = Dedup.connectedComponents(pairsDf)
+    assert(got.schema("doc_id").dataType ===
+      org.apache.spark.sql.types.StringType)
+    assert(got.schema("component").dataType ===
+      org.apache.spark.sql.types.StringType)
+    val m = got.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m == Map("docA" -> "docA", "docB" -> "docA", "docC" -> "docA",
+      "docX" -> "docX", "docY" -> "docX"))
+  }
+
+  test("integer ids keep their type through the driver fast path") {
+    import spark.implicits._
+    val pairsDf = Seq((1, 2), (2, 3), (10, 11)).toDF("ida", "idb")
+    val got = Dedup.connectedComponents(pairsDf)
+    assert(got.schema("component").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    val m = got.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(m == Map(1 -> 1, 2 -> 1, 3 -> 1, 10 -> 10, 11 -> 10))
+  }
+
   test("survivors keep exactly one representative per cluster") {
     val docs = Tables(spark, sfDir, "documents")
     val total = docs.count()

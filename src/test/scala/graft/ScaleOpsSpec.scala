@@ -244,4 +244,23 @@ class ScaleOpsSpec extends SparkSpec {
     assert(kept <= matched + 0.05 * total,
       s"prefilter too leaky: kept=$kept matched=$matched total=$total")
   }
+
+  test("bloom prefiltered join is exact on STRING keys") {
+    // build and probe hash through the same representation — string
+    // keys must see zero false negatives just like long keys
+    val dim = Tables(spark, sfDir, "nation").select(col("n_name"))
+    val fact = Tables(spark, sfDir, "nation")
+      .join(Tables(spark, sfDir, "customer"),
+        col("n_nationkey") === col("c_nationkey"))
+      .select(col("n_name").as("cust_nation"), col("c_custkey"))
+      .where(pmod(col("c_custkey"), lit(3)) === 0)
+    val dimOdd = dim.where(length(col("n_name")) % 2 === 1)
+    val pruned = BloomPrune.prefilteredJoin(fact, dimOdd, "cust_nation",
+        "n_name", expectedDimKeys = 50L)
+      .select(col("c_custkey"), col("n_name"))
+    val plain = fact.join(dimOdd, col("cust_nation") === col("n_name"))
+      .select(col("c_custkey"), col("n_name"))
+    assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty)
+    assert(plain.count() > 0)
+  }
 }

@@ -97,6 +97,23 @@ class TopKPerKeySpec extends SparkSpec {
       org.apache.spark.sql.types.IntegerType)
   }
 
+  test("GLOBAL row_number top-k (empty partition spec) keeps the stock path") {
+    val s = spark.newSession()
+    s.experimental.extraOptimizations = Seq(TopKPerKeyRewrite)
+    s.experimental.extraStrategies = Seq(TopKPerKeyStrategy)
+    import s.implicits._
+    val df = Seq(("a", 1L, 10.0), ("a", 2L, 30.0), ("b", 3L, 5.0))
+      .toDF("k", "id", "v").repartition(3)
+    // no PARTITION BY: the native exec's ClusteredDistribution(Nil)
+    // would be rejected at planning — the rule must not fire
+    val w = Window.orderBy(col("v").desc, col("id"))
+    val q = df.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 2)
+    assert(q.queryExecution.optimizedPlan.collect {
+      case n: org.apache.spark.sql.graftx.TopKPerKeyNode => n }.isEmpty)
+    assert(q.collect().map(_.getLong(1)).toSet === Set(2L, 1L))
+  }
+
   test("rule leaves non-matching window shapes alone") {
     val s = spark.newSession()
     s.experimental.extraOptimizations = Seq(TopKPerKeyRewrite)
