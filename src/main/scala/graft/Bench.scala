@@ -51,6 +51,15 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // local iteration aid: full per-query dump to a file, never stdout
+    // (the driver-facing JSON line must stay the LAST thing printed)
+    sys.env.get("SPARK_GRAFT_BENCH_FULL").foreach { path =>
+      val full = results.sortBy(-_._2)
+        .map { case (k, v) => "\"" + k + "\":" + r3(v) }
+        .mkString("{", ",", "}")
+      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        full.getBytes("UTF-8"))
+    }
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

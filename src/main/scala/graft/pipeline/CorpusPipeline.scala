@@ -207,6 +207,33 @@ object CorpusPipeline {
       .select("doc_id", "n_tokens", "start_offset", "pack_id")
   }
 
+  /** Sliding context windows: each document's token sequence cut into
+    * overlapping windows of `size` tokens every `stride` tokens — the
+    * long-document layout for models with a bounded context (each
+    * window overlaps the previous by size - stride tokens so no span
+    * is ever seen without context). Purely row-local: one generator
+    * (posexplode over the window starts) per document, no shuffle at
+    * any corpus size; window count is ceil(n / stride) so output is
+    * ~n/stride rows per doc. Emits (doc_id, win_idx, n_win_tokens,
+    * win_text).
+    */
+  def contextWindows(docs: DataFrame, winSize: Int, stride: Int): DataFrame = {
+    require(winSize > 0 && stride > 0 && stride <= winSize,
+      s"need 0 < stride <= winSize (got winSize=$winSize stride=$stride)")
+    val toks = split(col("text"), " ")
+    docs
+      .select(col("doc_id"), toks.as("_t"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, cast(floor((size(_t) - 1) / $stride) as int)), " +
+            s"i -> slice(_t, i * $stride + 1, $winSize))")))
+      .select(
+        col("doc_id"),
+        col("pos").cast("long").as("win_idx"),
+        size(col("col")).cast("long").as("n_win_tokens"),
+        array_join(col("col"), " ").as("win_text"))
+  }
+
   /** Deterministic domain-mixture sampling: per-source keep percentages
     * applied via a doc_id modulus (systematic sampling — reproducible
     * across runs, retries and engines; no RNG state to ship). The

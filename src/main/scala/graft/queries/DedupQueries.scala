@@ -136,7 +136,37 @@ object DedupQueries {
       .groupBy("size").agg(count(lit(1)).as("n_clusters"))
       .orderBy("size")
 
+  /** Per-node structure of the near-dup pair graph: degree + triangle
+    * participation — the diagnostic separating chain-shaped clusters
+    * (template drift: transitive pairs, few triangles) from clique-
+    * shaped ones (true copy bursts). Triangle enumeration on the
+    * ordered edge list (ida < idb by construction): two equi-joins,
+    * candidates bounded by paths of length 2 — no cross join. At
+    * 100 TB the pair graph is orders of magnitude smaller than the
+    * corpus, and degree-ordering the edges (standard compact-forward)
+    * would bound the join further; the verified graph here is already
+    * df-capped upstream so max degree is bounded by blocking.
+    */
+  def graphNodeStats(spark: SparkSession, dir: String): DataFrame = {
+    val e = sharedPairs(spark, dir).select("ida", "idb")
+    val deg = e.select(col("ida").as("doc_id"))
+      .unionAll(e.select(col("idb").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.idb") === col("e2.ida"))
+      .join(e.as("e3"),
+        col("e3.ida") === col("e1.ida") && col("e3.idb") === col("e2.idb"))
+      .select(explode(array(
+        col("e1.ida"), col("e1.idb"), col("e2.idb"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+    deg.join(tri, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_node_stats" -> graphNodeStats,
     "join_fuzzy_probe" -> fuzzyNames,
     "dedup_cluster_sizes" -> clusterSizes,
     "dedup_incremental_batch" -> incrementalBatch,
@@ -197,6 +227,29 @@ edges AS (
 )"""
 
   val oracle: Map[String, String] = Map(
+    "graph_node_stats" ->
+      raw"""WITH $pairsCte,
+deg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS degree FROM (
+    SELECT ida AS doc_id FROM pairs
+    UNION ALL SELECT idb FROM pairs
+  ) GROUP BY doc_id
+), tri AS (
+  SELECT e1.ida AS a, e1.idb AS b, e2.idb AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e1.idb = e2.ida
+  JOIN pairs e3 ON e3.ida = e1.ida AND e3.idb = e2.idb
+), tcount AS (
+  SELECT doc_id, count(*) AS n_triangles FROM (
+    SELECT a AS doc_id FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY doc_id
+)
+SELECT deg.doc_id, deg.degree,
+  CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles
+FROM deg LEFT JOIN tcount t USING (doc_id)
+ORDER BY deg.doc_id""",
     "join_fuzzy_probe" ->
       raw"""WITH lt AS (
   SELECT doc_id AS lid, $tokSql AS ws FROM documents

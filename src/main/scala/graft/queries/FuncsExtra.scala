@@ -284,7 +284,49 @@ object FuncsExtra {
       .orderBy("o_orderkey")
   }
 
+  /** max_by/min_by "argmax" aggregates: the row-valued extremum picker
+    * (which order had the top price per priority band) without a
+    * window — one map-side-combining hash agg instead of a full
+    * per-group sort. Deterministic on this data: o_totalprice is
+    * unique within every group at both checked SFs.
+    */
+  def minmaxBy(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        max_by(col("o_orderkey"), col("o_totalprice")).as("top_order"),
+        min_by(col("o_orderkey"), col("o_totalprice")).as("bottom_order"),
+        max_by(col("o_orderdate"), col("o_totalprice")).as("top_date"),
+        round(max(col("o_totalprice")), 2).as("top_price"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
+  /** Bivariate statistical aggregates: correlation, covariance and the
+    * least-squares regression family — partial+final combinable
+    * co-moment sketches, so one pass and one shuffle at any scale.
+    * Rounded like the other float aggregates (summation order across
+    * partitions is engine-specific in the last ulps).
+    */
+  def corrFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+          .as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2)
+          .as("covs"),
+        round(covar_pop(col("l_quantity"), col("l_extendedprice")), 2)
+          .as("covp"),
+        round(expr("regr_slope(l_extendedprice, l_quantity)"), 4)
+          .as("slope"),
+        round(expr("regr_intercept(l_extendedprice, l_quantity)"), 2)
+          .as("icept"),
+        expr("regr_count(l_extendedprice, l_quantity)").as("n"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_minmax_by" -> minmaxBy,
+    "agg_corr_regr" -> corrFuncs,
     "xml_roundtrip" -> xmlRoundtrip,
     "json_tuple_funcs" -> jsonTupleFuncs,
     "join_full_outer" -> joinFullOuter,
@@ -305,6 +347,23 @@ object FuncsExtra {
     "agg_hll_sketch" -> hllSketch)
 
   val oracle: Map[String, String] = Map(
+    "agg_minmax_by" ->
+      """SELECT o_orderpriority,
+  arg_max(o_orderkey, o_totalprice) AS top_order,
+  arg_min(o_orderkey, o_totalprice) AS bottom_order,
+  arg_max(o_orderdate, o_totalprice) AS top_date,
+  round(max(o_totalprice), 2) AS top_price,
+  count(*) AS n_orders
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "agg_corr_regr" ->
+      """SELECT l_returnflag,
+  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+  round(covar_samp(l_quantity, l_extendedprice), 2) AS covs,
+  round(covar_pop(l_quantity, l_extendedprice), 2) AS covp,
+  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+  round(regr_intercept(l_extendedprice, l_quantity), 2) AS icept,
+  regr_count(l_extendedprice, l_quantity) AS n
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "map_hof_funcs" ->
       """SELECT l_orderkey, l_linenumber AS ln,
 round(sum(l_quantity), 2) * 2 AS qty2

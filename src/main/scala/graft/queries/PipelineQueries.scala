@@ -91,7 +91,18 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
       .orderBy("source")
 
+  /** Sliding context windows (size 16, stride 8): the long-document
+    * layout step — overlapping token windows so a bounded-context
+    * model never sees a span without its left context. Row-local
+    * generator, no shuffle at any scale.
+    */
+  def contextWindows(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.CorpusPipeline.contextWindows(
+        Tables(spark, dir, "documents"), winSize = 16, stride = 8)
+      .orderBy("doc_id", "win_idx")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_context_windows" -> contextWindows,
     "pipeline_keywords_v2_topk" -> keywordsV2TopK,
     "pipeline_pubmed_golden_v1" -> pubmedGoldenV1,
     "pipeline_corpus_funnel" -> corpusFunnel,
@@ -105,6 +116,20 @@ object PipelineQueries {
     raw"""CAST(len(list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z ]', ' ', 'g')), '\s+'), w -> w <> '')) AS BIGINT)"""
 
   val oracle: Map[String, String] = Map(
+    "pipeline_context_windows" ->
+      raw"""WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), wi AS (
+  SELECT doc_id, ws,
+    unnest(range(0, CAST(floor((len(ws) - 1) / 8) AS BIGINT) + 1)) AS i
+  FROM toks
+)
+SELECT doc_id, CAST(i AS BIGINT) AS win_idx,
+  CAST(len(ws[CAST(i*8+1 AS BIGINT):CAST(i*8+16 AS BIGINT)]) AS BIGINT)
+    AS n_win_tokens,
+  array_to_string(ws[CAST(i*8+1 AS BIGINT):CAST(i*8+16 AS BIGINT)], ' ')
+    AS win_text
+FROM wi ORDER BY doc_id, win_idx""",
     "pipeline_token_budget" ->
       raw"""WITH t AS (
   SELECT doc_id, $tokSql AS n_tokens FROM documents

@@ -124,7 +124,68 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** PII redaction over the corpus. The synthetic tables are PII-free
+    * word soup, so deterministic PII (email / IPv4 / phone, presence
+    * varying by doc_id modulus) is spliced in by a derivation the
+    * oracle mirrors verbatim — the CHECKED operator is the ordered
+    * regexp_replace redaction chain and the per-rule hit counts
+    * ([[graft.text.Redact]]), all codegen'd built-ins at scan speed.
+    */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Redact
+    val id = col("doc_id")
+    val aug = concat(
+      col("text"),
+      when(pmod(id, lit(3)) =!= 0,
+        concat(lit(" contact user"), id, lit("@mail.example.com")))
+        .otherwise(lit("")),
+      when(pmod(id, lit(4)) =!= 0,
+        concat(lit(" from "), pmod(id, lit(256)), lit(".0.113."),
+          pmod(id, lit(100))))
+        .otherwise(lit("")),
+      when(pmod(id, lit(5)) =!= 0,
+        concat(lit(" call 555-"),
+          lpad(pmod(id, lit(10000)).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(pmod(id, lit(7)) === 0, lit(" cc admin@example.org"))
+        .otherwise(lit("")))
+    Tables(spark, dir, "documents").select(
+      col("doc_id"),
+      Redact.hits(aug, Redact.piiRules(0)).as("n_email"),
+      Redact.hits(aug, Redact.piiRules(1)).as("n_ip"),
+      Redact.hits(aug, Redact.piiRules(2)).as("n_phone"),
+      Redact.redact(aug).as("redacted"))
+      .orderBy("doc_id")
+  }
+
+  /** Linear quality-classifier inference (the fastText-style filter
+    * stage of a training pipeline): engineered per-doc features ->
+    * literal weight vector -> logit, entirely as codegen'd column
+    * arithmetic — model inference without a UDF, at scan speed. The
+    * logit stays LINEAR (no sigmoid) so every op is IEEE-exact and the
+    * DuckDB oracle matches bit-for-bit; thresholding at 0 gives the
+    * keep flag, monotone in the sigmoid anyway.
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val n = size(toks).cast("double")
+    val nd = size(array_distinct(toks)).cast("double")
+    val ns = size(filter(toks, t => t.isin(stop.map(s => s: Any): _*)))
+      .cast("double")
+    val meanLen = (length(col("text")).cast("double") - (n - lit(1.0))) / n
+    val logit = lit(-1.5) + lit(0.01) * n + lit(2.0) * (nd / n) -
+      lit(0.5) * meanLen + lit(1.2) * (ns / n)
+    Tables(spark, dir, "documents").select(
+      col("doc_id"),
+      n.cast("long").as("n_tokens"),
+      logit.as("quality_logit"),
+      (logit > lit(0.0)).as("keep"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pii_redact" -> piiRedact,
+    "text_quality_score" -> qualityScore,
     "text_unigram_logprob" -> unigramLogprob,
     "text_gopher_quality" -> gopherQuality,
     "text_keyword_topk" -> keywordTopK,
@@ -136,7 +197,50 @@ object TextQueries {
   private val tokSql =
     raw"string_split_regex(lower(regexp_replace(text, '[^a-zA-Z ]', ' ', 'g')), '\s+')"
 
+  private val emailRe = raw"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+  private val ipRe = raw"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+  private val phoneRe = raw"\b\d{3}-\d{4}\b"
+
   val oracle: Map[String, String] = Map(
+    "text_pii_redact" ->
+      raw"""WITH aug AS (
+  SELECT doc_id, text ||
+    (CASE WHEN doc_id % 3 <> 0 THEN ' contact user' ||
+      CAST(doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END) ||
+    (CASE WHEN doc_id % 4 <> 0 THEN ' from ' ||
+      CAST(doc_id % 256 AS VARCHAR) || '.0.113.' ||
+      CAST(doc_id % 100 AS VARCHAR) ELSE '' END) ||
+    (CASE WHEN doc_id % 5 <> 0 THEN ' call 555-' ||
+      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END) ||
+    (CASE WHEN doc_id % 7 = 0 THEN ' cc admin@example.org' ELSE '' END)
+    AS t
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '$emailRe')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(t, '$ipRe')) AS BIGINT) AS n_ip,
+  CAST(len(regexp_extract_all(t, '$phoneRe')) AS BIGINT) AS n_phone,
+  regexp_replace(regexp_replace(regexp_replace(t,
+    '$emailRe', '<EMAIL>', 'g'),
+    '$ipRe', '<IP>', 'g'),
+    '$phoneRe', '<PHONE>', 'g') AS redacted
+FROM aug ORDER BY doc_id""",
+    "text_quality_score" ->
+      raw"""WITH f AS (
+  SELECT doc_id,
+    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd,
+    CAST(len(list_filter(string_split(text, ' '),
+      w -> w IN $stopSql)) AS DOUBLE) AS ns,
+    CAST(len(text) AS DOUBLE) AS nc
+  FROM documents
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+  -1.5 + 0.01 * n + 2.0 * (nd / n) -
+    0.5 * ((nc - (n - 1.0)) / n) + 1.2 * (ns / n) AS quality_logit,
+  (-1.5 + 0.01 * n + 2.0 * (nd / n) -
+    0.5 * ((nc - (n - 1.0)) / n) + 1.2 * (ns / n)) > 0.0 AS keep
+FROM f ORDER BY doc_id""",
     "text_unigram_logprob" ->
       raw"""WITH tok AS (
   SELECT doc_id, unnest(list_filter($tokSql, w -> w <> '')) AS word

@@ -100,6 +100,34 @@ class CorpusPipelineSpec extends SparkSpec {
     }
   }
 
+  test("context windows: full coverage, stride spacing, bounded width") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, (1 to 20).map(i => s"w$i").mkString(" ")), // 20 tokens
+      (2L, "a b c"),                                  // shorter than one window
+      (3L, (1 to 16).map(i => s"x$i").mkString(" "))) // one full + tail window
+      .toDF("doc_id", "text")
+    val w = CorpusPipeline.contextWindows(d, winSize = 16, stride = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    // doc 1: starts 0, 8, 16 -> widths 16, 12, 4
+    val d1 = w.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(x => (x._2, x._3)).toSeq ===
+      Seq((0L, 16L), (1L, 12L), (2L, 4L)))
+    // consecutive windows overlap by winSize - stride tokens
+    assert(d1(0)._4.split(" ").drop(8).toSeq ===
+      d1(1)._4.split(" ").take(8).toSeq)
+    // every token of every doc appears in at least one window
+    val covered = w.filter(_._1 == 1L).flatMap(_._4.split(" ")).toSet
+    assert(covered === (1 to 20).map(i => s"w$i").toSet)
+    // short doc: a single truncated window, exact-width doc: one window
+    assert(w.filter(_._1 == 2L).map(x => (x._2, x._3)).toSeq ===
+      Seq((0L, 3L)))
+    // 16 tokens: the full window plus the stride-16 tail window
+    assert(w.filter(_._1 == 3L).map(x => (x._2, x._3)).sorted.toSeq ===
+      Seq((0L, 16L), (1L, 8L)))
+  }
+
   test("exact dedup keeps the lowest doc_id per text") {
     import spark.implicits._
     val d = Seq(
