@@ -71,20 +71,28 @@ object Dedup {
 
   /** Exact-verify candidate (ida, idb) pairs against the shingle sets,
     * keeping pairs with Jaccard >= threshold.
+    *
+    * `hintBroadcast` controls the shingle-fetch join strategy. True
+    * (default): broadcast the doc->shingles table — right whenever it
+    * fits executor memory, and much faster here because the shingle
+    * arrays have no stats (without the hint Spark sort-merge-joins and
+    * shuffles pairs x ~500B arrays — measured 41s vs 4s at sf0.1).
+    * An explicit hint is NEVER undone by AQE, so at corpus sizes where
+    * the shingle table exceeds broadcast memory the caller must pass
+    * false: the join becomes a shuffled equi-join on the 8-byte id —
+    * two shuffles of the (small) pair table plus one of the shingle
+    * table, bounded at any scale.
     */
-  def verifyJaccard(pairs: DataFrame, sh: DataFrame, threshold: Double): DataFrame =
-    // broadcast: the doc->shingles table is tiny next to the candidate
-    // pair table (UDF output has no stats, so without the hint Spark
-    // sort-merge-joins and shuffles pairs x ~500B arrays — measured 41s
-    // vs 4s at sf0.1). At petabyte corpus scale the planner would flip
-    // this to a shuffle join via AQE; the hint is right whenever
-    // candidate pairs outnumber docs.
+  def verifyJaccard(pairs: DataFrame, sh: DataFrame, threshold: Double,
+      hintBroadcast: Boolean = true): DataFrame = {
+    def side(d: DataFrame) = if (hintBroadcast) broadcast(d) else d
     pairs
-      .join(broadcast(sh.select(col("doc_id").as("ida"), col("shs").as("sha"))), "ida")
-      .join(broadcast(sh.select(col("doc_id").as("idb"), col("shs").as("shb"))), "idb")
+      .join(side(sh.select(col("doc_id").as("ida"), col("shs").as("sha"))), "ida")
+      .join(side(sh.select(col("doc_id").as("idb"), col("shs").as("shb"))), "idb")
       .select(col("ida"), col("idb"),
         round(jaccardCol(col("sha"), col("shb")), 6).as("jaccard"))
       .where(col("jaccard") >= threshold)
+  }
 
   /** Near-dup pairs via inverted-index blocking + exact Jaccard.
     * `dfCap` drops shingles appearing in more than dfCap docs from the
@@ -100,7 +108,8 @@ object Dedup {
     * recall; opt into 2+ when the corpus has no tiny documents.
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double, dfCap: Int = 50, minShared: Int = 1): DataFrame = {
+      threshold: Double, dfCap: Int = 50, minShared: Int = 1,
+      verifyBroadcast: Boolean = true): DataFrame = {
     val sh = shingled(docs, idCol, textCol)
     val ex = sh.select(col("doc_id"), explode(col("shs")).as("s"))
     val rare = ex.groupBy("s").agg(count(lit(1)).as("df"))
@@ -123,7 +132,7 @@ object Dedup {
       .agg(count(lit(1)).as("_shared"))
       .where(col("_shared") >= minShared)
       .select("ida", "idb")
-    verifyJaccard(cand, sh, threshold)
+    verifyJaccard(cand, sh, threshold, verifyBroadcast)
   }
 
   /** MinHash-LSH near-dup pairs: band the signature (native codegen
@@ -132,7 +141,8 @@ object Dedup {
     * then exact-verify Jaccard >= threshold.
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+      threshold: Double, bands: Int = 16, rowsPerBand: Int = 4,
+      verifyBroadcast: Boolean = true): DataFrame = {
     val sh = shingled(docs, idCol, textCol)
     // barrier on the band key: signatures are minhashed ONCE (reused
     // exchange feeds both self-join sides, already co-partitioned)
@@ -145,7 +155,7 @@ object Dedup {
         col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
       .distinct()
-    verifyJaccard(cand, sh, threshold)
+    verifyJaccard(cand, sh, threshold, verifyBroadcast)
   }
 
   /** Fuzzy (similarity) join between two DIFFERENT tables on text

@@ -112,8 +112,36 @@ object GraftFunctions {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
       "", "", "", "", "", "", "internal")
 
+  /** Config-style arguments (band counts, window sizes) must be plan
+    * constants: the expressions bake them into codegen, so only
+    * foldable int literals are accepted from SQL.
+    */
+  private def intLit(e: Expression, fn: String, pos: Int): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument ${pos + 1} must be an INT literal, got $other")
+  }
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("minhash_bands"),
+      info("minhash_bands",
+        "minhash_bands(shingles, bands, rowsPerBand) - LSH band keys"),
+      (args: Seq[Expression]) => MinHashBands(args(0),
+        intLit(args(1), "minhash_bands", 1),
+        intLit(args(2), "minhash_bands", 2))),
+    (FunctionIdentifier("text_winnow"),
+      info("text_winnow",
+        "text_winnow(s[, k, w]) - MOSS winnowing fingerprints"),
+      (args: Seq[Expression]) =>
+        if (args.size == 1) TextWinnow(args(0), 7, 4)
+        else TextWinnow(args(0),
+          intLit(args(1), "text_winnow", 1),
+          intLit(args(2), "text_winnow", 2))),
+    (FunctionIdentifier("lemmatize_nouns"),
+      info("lemmatize_nouns",
+        "lemmatize_nouns(arr) - noun lemmatization over a string array"),
+      (args: Seq[Expression]) => LemmatizeNouns(args(0))),
     (FunctionIdentifier("dot_product"),
       info("dot_product", "dot_product(a, b) - double[] dot product"),
       (args: Seq[Expression]) => DotProduct(args(0), args(1))),

@@ -23,6 +23,15 @@ class DedupSpec extends SparkSpec {
       s"LSH missed strong pairs: ${exact -- lsh}")
   }
 
+  test("shuffled verify join (no broadcast hint) is result-identical") {
+    val hinted = Dedup.jaccardPairs(docs, "doc_id", "text", 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val shuffled = Dedup.jaccardPairs(docs, "doc_id", "text", 0.2,
+        verifyBroadcast = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(hinted.nonEmpty && hinted === shuffled)
+  }
+
   test("minhash-lsh reported jaccard values are exact (match blocking verify)") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap

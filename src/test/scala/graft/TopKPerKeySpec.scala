@@ -180,6 +180,29 @@ class TopKPerKeySpec extends SparkSpec {
         .collect()(0).getDouble(0) === 11.0)
       assert(s.sql("SELECT interleave_bits(1L, 1L)")
         .collect()(0).getLong(0) === 3L)
+      // config-taking expressions: SQL literals must agree with the
+      // column API, and non-literal config args are rejected
+      val txt = "the quick brown fox jumps over the lazy dog again"
+      val fromSql = s.sql(
+        s"SELECT minhash_bands(text_shingles('$txt'), 8, 2) AS b, " +
+          s"text_winnow('$txt', 7, 4) AS w, " +
+          "lemmatize_nouns(array('publications', 'men')) AS l")
+        .collect()(0)
+      val fromApi = Seq(txt).toDF("t").select(
+        org.apache.spark.sql.graftx.MinHashBands.column(
+          org.apache.spark.sql.graftx.TextShingles.column($"t"), 8, 2).as("b"),
+        org.apache.spark.sql.graftx.TextWinnow.column($"t", 7, 4).as("w"),
+        org.apache.spark.sql.graftx.LemmatizeNouns.column(
+          array(lit("publications"), lit("men"))).as("l"))
+        .collect()(0)
+      assert(fromSql.getSeq[Long](0) === fromApi.getSeq[Long](0))
+      assert(fromSql.getSeq[Long](1) === fromApi.getSeq[Long](1))
+      assert(fromSql.getSeq[String](2) === Seq("publication", "man"))
+      assert(fromApi.getSeq[String](2) === Seq("publication", "man"))
+      assertThrows[Exception] {
+        s.sql("SELECT minhash_bands(text_shingles('x y z'), 1 + 7, 2)")
+          .collect()
+      }
     } finally {
       SparkSession.setActiveSession(base)
       SparkSession.setDefaultSession(base)
