@@ -55,6 +55,24 @@ object Coverage {
         col("n_orders"), col("revenue"))
       .orderBy("status", "priority")
 
+  /** IGNORE NULLS window navigation: lag/lead skip over null gaps and
+    * first/last track the running non-null frontier — the sparse-
+    * sensor / sparse-field carry-forward pattern (fill a reading from
+    * the most recent non-null observation). Same single window sort as
+    * the plain forms; the null-skipping happens inside the frame scan.
+    */
+  def windowIgnoreNulls(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    def v = expr("nullif(cast(floor(value) as bigint) % 3, 0)")
+    Tables(spark, dir, "events").select(
+      col("event_id"), col("user_id"), v.as("v"),
+      lag(v, 1, null, ignoreNulls = true).over(w).as("prev_nn"),
+      lead(v, 1, null, ignoreNulls = true).over(w).as("next_nn"),
+      first(v, ignoreNulls = true).over(w).as("first_nn"),
+      last(v, ignoreNulls = true).over(w).as("last_nn"))
+      .orderBy("event_id")
+  }
+
   /** Map functions over parsed JSON props. */
   def mapFuncs(spark: SparkSession, dir: String): DataFrame = {
     val m = from_json(col("props"), MapType(StringType, LongType))
@@ -240,6 +258,7 @@ object Coverage {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_ignore_nulls" -> windowIgnoreNulls,
     "typed_user_gaps" -> typedUserGaps,
     "agg_stats" -> aggStats,
     "agg_cube" -> aggCube,
@@ -260,6 +279,28 @@ object Coverage {
   private val stopSql = Stopwords.sqlInList(Stopwords.english)
 
   val oracle: Map[String, String] = Map(
+    // DuckDB has no IGNORE NULLS syntax; aggregate-as-window with a
+    // FILTER clause over the right frame is the exact equivalent
+    // (arg_max on the row number = latest non-null, arg_min = earliest)
+    "window_ignore_nulls" ->
+      """WITH t AS (
+  SELECT event_id, user_id,
+    nullif(CAST(floor(value) AS BIGINT) % 3, 0) AS v,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT event_id, user_id, v,
+  arg_max(v, rn) FILTER (v IS NOT NULL) OVER (
+    PARTITION BY user_id ORDER BY rn
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_nn,
+  arg_min(v, rn) FILTER (v IS NOT NULL) OVER (
+    PARTITION BY user_id ORDER BY rn
+    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_nn,
+  arg_min(v, rn) FILTER (v IS NOT NULL) OVER (
+    PARTITION BY user_id ORDER BY rn) AS first_nn,
+  arg_max(v, rn) FILTER (v IS NOT NULL) OVER (
+    PARTITION BY user_id ORDER BY rn) AS last_nn
+FROM t ORDER BY event_id""",
     "typed_user_gaps" ->
       """WITH g AS (
   SELECT user_id,

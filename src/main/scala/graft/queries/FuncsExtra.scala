@@ -324,7 +324,28 @@ object FuncsExtra {
         expr("regr_count(l_extendedprice, l_quantity)").as("n"))
       .orderBy("l_returnflag")
 
+  /** Third string-scalar wave: positional split, char mapping,
+    * affix/extraction helpers — all codegen'd built-ins with exact
+    * DuckDB twins (split_part/translate/repeat/reverse/left/right/
+    * instr-strpos/contains/starts_with).
+    */
+  def stringFuncs3(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "part")
+      .select(
+        col("p_partkey"),
+        split_part(col("p_name"), lit(" "), lit(2)).as("second_word"),
+        translate(col("p_name"), "aeiou", "AEIOU").as("vowels_up"),
+        reverse(col("p_name")).as("rev_name"),
+        expr("left(p_name, 5)").as("l5"),
+        expr("right(p_name, 3)").as("r3"),
+        instr(col("p_name"), "e").cast("long").as("first_e"),
+        repeat(col("p_brand"), 2).as("brand2"),
+        col("p_name").contains("red").as("has_red"),
+        col("p_name").startsWith("blue").as("is_blue"))
+      .orderBy("p_partkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "string_funcs3" -> stringFuncs3,
     "agg_minmax_by" -> minmaxBy,
     "agg_corr_regr" -> corrFuncs,
     "xml_roundtrip" -> xmlRoundtrip,
@@ -347,6 +368,18 @@ object FuncsExtra {
     "agg_hll_sketch" -> hllSketch)
 
   val oracle: Map[String, String] = Map(
+    "string_funcs3" ->
+      """SELECT p_partkey,
+  split_part(p_name, ' ', 2) AS second_word,
+  translate(p_name, 'aeiou', 'AEIOU') AS vowels_up,
+  reverse(p_name) AS rev_name,
+  left(p_name, 5) AS l5,
+  right(p_name, 3) AS r3,
+  CAST(strpos(p_name, 'e') AS BIGINT) AS first_e,
+  repeat(p_brand, 2) AS brand2,
+  contains(p_name, 'red') AS has_red,
+  starts_with(p_name, 'blue') AS is_blue
+FROM part ORDER BY p_partkey""",
     "agg_minmax_by" ->
       """SELECT o_orderpriority,
   arg_max(o_orderkey, o_totalprice) AS top_order,

@@ -277,7 +277,27 @@ ORDER BY cnt DESC, token""")
         "doc_id", "n_chars", n = 50)
       .orderBy("doc_id")
 
+  /** Ordered-set aggregates: PERCENTILE_CONT (interpolating) and
+    * PERCENTILE_DISC (an actual data value) per group — WITHIN GROUP
+    * syntax, one sort-based aggregation per group. The disc form is
+    * exact (no float interpolation) so it needs no rounding; cont is
+    * rounded like the other float aggregates.
+    */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY value)"), 4)
+          .as("p25"),
+        round(expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY value)"), 4)
+          .as("p90"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)")
+          .as("med_disc"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_percentiles" -> percentiles,
     "sample_weighted" -> sampleWeighted,
     "array_hof_funcs" -> arrayHofFuncs,
     "text_approx_topk" -> approxTopKTokens,
@@ -302,6 +322,13 @@ SELECT item, count(*) AS %CNT% FROM tok WHERE item <> ''
 GROUP BY item ORDER BY count(*) DESC, item LIMIT 15"""
 
   val oracle: Map[String, String] = Map(
+    "agg_percentiles" ->
+      """SELECT event_type,
+  round(quantile_cont(value, 0.25), 4) AS p25,
+  round(quantile_cont(value, 0.9), 4) AS p90,
+  quantile_disc(value, 0.5) AS med_disc,
+  count(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type""",
     "stats_outliers_mad" ->
       """WITH m AS (
   SELECT quantile_cont(l_extendedprice, 0.5) AS med FROM lineitem

@@ -103,6 +103,68 @@ object EventStreams {
       }
   }
 
+  final case class UserTypeStats(user_id: Long, n_events: Long,
+    n_types: Long, total: Double)
+
+  /** The Spark 4 transformWithState form of per-user running stats:
+    * typed, composable state primitives (ValueState for the running
+    * counters, MapState as the per-user distinct event-type set)
+    * replace the single-blob GroupState of [[runningUserTotals]] —
+    * each primitive is its own state-store column family, so the
+    * distinct-type set grows without rewriting the counter blob on
+    * every update.
+    *
+    * TimeMode.None here: the spec drives this with finite replayed
+    * input where eviction semantics are [[runningUserTotals]]'s
+    * concern. A production deployment bounds state with
+    * `TTLConfig(Duration.ofHours(6))` per primitive (TTL is the
+    * transformWithState replacement for timeout-based eviction) —
+    * cheaper than timers because expiry happens lazily in the store.
+    */
+  class UserStatsProcessor extends org.apache.spark.sql.streaming
+      .StatefulProcessor[Long, EventRow, UserTypeStats] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimerValues}
+    import org.apache.spark.sql.{Encoders, streaming => ss}
+
+    @transient private var counters: ss.ValueState[(Long, Double)] = _
+    @transient private var types: ss.MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      counters = getHandle.getValueState[(Long, Double)]("counters",
+        Encoders.product[(Long, Double)], TTLConfig.NONE)
+      types = getHandle.getMapState[String, Long]("types",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[EventRow],
+        timerValues: TimerValues): Iterator[UserTypeStats] = {
+      var (n, tot) = if (counters.exists()) counters.get() else (0L, 0.0)
+      rows.foreach { r =>
+        n += 1
+        tot += r.value
+        types.updateValue(r.event_type,
+          (if (types.containsKey(r.event_type)) types.getValue(r.event_type)
+           else 0L) + 1L)
+      }
+      counters.update((n, tot))
+      Iterator.single(UserTypeStats(key, n, types.keys().size, tot))
+    }
+  }
+
+  /** Per-user running (event count, distinct types, value total) via
+    * the transformWithState processor above; Update-mode output emits
+    * one row per user per micro-batch touched.
+    */
+  def userStatsTws(events: Dataset[EventRow]): Dataset[UserTypeStats] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new UserStatsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Stream-stream interval join: each click paired with the same
     * user's purchases from the preceding 30 minutes. Both sides are
     * watermarked and the join condition is time-bounded, so the join

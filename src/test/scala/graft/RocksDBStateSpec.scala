@@ -50,4 +50,46 @@ class RocksDBStateSpec extends SparkSpec {
       }
     }
   }
+
+  test("transformWithState running stats converge to the batch aggregate") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    // transformWithState REQUIRES the RocksDB provider (multi-column-
+    // family state); the default HDFS provider rejects it at start
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val base = 1704067200000L
+      def ev(id: Long, user: Long, typ: String, v: Double) =
+        EventRow(id, new Timestamp(base + id * 60000), user, typ, v)
+      val batch1 = Seq(
+        ev(0, 1, "click", 1.0), ev(1, 1, "view", 2.0), ev(2, 2, "click", 3.0))
+      val batch2 = Seq(
+        ev(3, 1, "click", 4.0), ev(4, 2, "buy", 5.0), ev(5, 2, "click", 6.0))
+      val stream = MemoryStream[EventRow]
+      stream.addData(batch1)
+      stream.addData(batch2)
+      val out = EventStreams.runToMemory(
+        EventStreams.userStatsTws(stream.toDS()).toDF(), "tws_stats",
+        OutputMode.Update())
+        .as[EventStreams.UserTypeStats].collect()
+      // update mode re-emits per batch: the LAST row per user is the
+      // converged running state and must equal the batch groupBy
+      val last = out.groupBy(_.user_id).map { case (u, rows) =>
+        u -> rows.maxBy(r => (r.n_events, r.n_types))
+      }
+      assert(last(1L).n_events === 3L && last(1L).n_types === 2L &&
+        math.abs(last(1L).total - 7.0) < 1e-9)
+      assert(last(2L).n_events === 3L && last(2L).n_types === 2L &&
+        math.abs(last(2L).total - 14.0) < 1e-9)
+    } finally {
+      prev match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
