@@ -25,4 +25,28 @@ object VectorOps {
 
   /** Cosine similarity. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Entry-point schema guard for the ANN operators: they collect and
+    * decode (vec_id, embedding) rows with typed getters, so a wrongly-
+    * typed caller column must fail HERE with a readable message, not
+    * deep in a task as a ClassCastException (the connected-components
+    * lesson: silent type assumptions on caller columns are bugs).
+    * Returns the frame with vec_id normalized to BIGINT so downstream
+    * getLong/typed-Dataset reads are safe for any integral id.
+    */
+  def requireVectors(df: org.apache.spark.sql.DataFrame,
+      what: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    val idType = df.schema("vec_id").dataType
+    require(Set[DataType](ByteType, ShortType, IntegerType, LongType)(idType),
+      s"$what.vec_id must be an integral type, got $idType")
+    df.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) => ()
+      case other => throw new IllegalArgumentException(
+        s"$what.embedding must be ARRAY<FLOAT>, got $other " +
+          "(cast(embedding as array<float>) upstream if needed)")
+    }
+    if (idType == LongType) df
+    else df.withColumn("vec_id", col("vec_id").cast("long"))
+  }
 }

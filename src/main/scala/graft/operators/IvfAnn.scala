@@ -97,8 +97,9 @@ object IvfAnn {
     * re-assigning per query batch. Index build is the once-per-corpus
     * cost; [[queryIndex]] is the cheap repeated path.
     */
-  def writeIndex(corpus: DataFrame, dir: String, nlist: Int = 16,
+  def writeIndex(corpus0: DataFrame, dir: String, nlist: Int = 16,
       sampleMod: Int = 0): Unit = {
+    val corpus = VectorOps.requireVectors(corpus0, "corpus")
     val spark = corpus.sparkSession
     import spark.implicits._
     val cs = trainCentroids(corpus, nlist, sampleMod)
@@ -123,7 +124,8 @@ object IvfAnn {
     * is exactly [[writeIndex]] — so the pair gives the full lifecycle:
     * build once, append cheaply, retrain when recall decays.
     */
-  def appendToIndex(newVecs: DataFrame, dir: String): Unit = {
+  def appendToIndex(newVecs0: DataFrame, dir: String): Unit = {
+    val newVecs = VectorOps.requireVectors(newVecs0, "newVecs")
     val spark = newVecs.sparkSession
     val cs = spark.read.parquet(s"$dir/centroids")
       .orderBy("list_id").collect()
@@ -142,7 +144,8 @@ object IvfAnn {
     * directories are read.
     */
   def queryIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
-      queries: DataFrame, k: Int, nprobe: Int = 4): DataFrame = {
+      queries0: DataFrame, k: Int, nprobe: Int = 4): DataFrame = {
+    val queries = VectorOps.requireVectors(queries0, "queries")
     val cs = spark.read.parquet(s"$dir/centroids")
       .orderBy("list_id").collect()
       .map(_.getSeq[Double](1).toArray)
@@ -167,8 +170,10 @@ object IvfAnn {
   /** IVF top-k: assign corpus once, probe nprobe lists per query,
     * exact cosine rerank. Candidate join carries ids + list id only.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+  def ivfTopK(corpus0: DataFrame, queries0: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4, sampleMod: Int = 0): DataFrame = {
+    val corpus = VectorOps.requireVectors(corpus0, "corpus")
+    val queries = VectorOps.requireVectors(queries0, "queries")
     val cs = trainCentroids(corpus, nlist, sampleMod)
     val assigned = corpus.select(
       col("vec_id"), col("embedding"),

@@ -132,8 +132,10 @@ object PqAnn {
     * then join back to the raw embeddings for exact cosine — so the
     * full-width vectors are read for ~R ids per query, not the corpus.
     */
-  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 8,
+  def pqTopK(corpus0: DataFrame, queries0: DataFrame, k: Int, m: Int = 8,
       ksub: Int = 16, rerankFactor: Int = 12, sampleMod: Int = 0): DataFrame = {
+    val corpus = VectorOps.requireVectors(corpus0, "corpus")
+    val queries = VectorOps.requireVectors(queries0, "queries")
     val spark = corpus.sparkSession
     import spark.implicits._
     val books = trainCodebooks(corpus, m, ksub, sampleMod)

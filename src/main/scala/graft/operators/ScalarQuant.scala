@@ -58,8 +58,10 @@ object ScalarQuant {
     * harness shape as PqAnn.pqTopK; queries are the small side and
     * broadcast as precomputed (values, Σq, norm) triples).
     */
-  def sqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+  def sqTopK(corpus0: DataFrame, queries0: DataFrame, k: Int,
       rerankFactor: Int = 2): DataFrame = {
+    val corpus = VectorOps.requireVectors(corpus0, "corpus")
+    val queries = VectorOps.requireVectors(queries0, "queries")
     val spark = corpus.sparkSession
     import spark.implicits._
     val qArr = queries.select(col("vec_id"), col("embedding")).collect()

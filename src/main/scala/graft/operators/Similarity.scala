@@ -22,7 +22,9 @@ object Similarity {
     * per-query top-k window. Similarities rounded to 6dp BEFORE ranking
     * so ranking is stable across engines (ties broken by vec_id).
     */
-  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  def cosineTopK(corpus0: DataFrame, queries0: DataFrame, k: Int): DataFrame = {
+    val corpus = VectorOps.requireVectors(corpus0, "corpus")
+    val queries = VectorOps.requireVectors(queries0, "queries")
     // norms computed once per vector BEFORE the pair fan-out (same value
     // as per-pair recompute, so oracle parity is unaffected)
     val q = broadcast(queries.select(
@@ -43,7 +45,9 @@ object Similarity {
     * tie-break) — registered as its own query so the oracle pins the
     * equivalence.
     */
-  def cosineTopKAgg(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  def cosineTopKAgg(corpus0: DataFrame, queries0: DataFrame, k: Int): DataFrame = {
+    val corpus = VectorOps.requireVectors(corpus0, "corpus")
+    val queries = VectorOps.requireVectors(queries0, "queries")
     val spark = corpus.sparkSession
     import spark.implicits._
     val q = broadcast(queries.select(
@@ -116,8 +120,10 @@ object Similarity {
     * on (table, bucket), ids only -> fetch embeddings by key -> exact
     * cosine re-rank, top-k per query.
     */
-  def annLshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+  def annLshTopK(corpus0: DataFrame, queries0: DataFrame, k: Int,
       tables: Int = 16, bitsPerTable: Int = 6, dim: Int = 64): DataFrame = {
+    val corpus = VectorOps.requireVectors(corpus0, "corpus")
+    val queries = VectorOps.requireVectors(queries0, "queries")
     val pl = planes(tables, bitsPerTable, dim)
     val cand = bucketed(corpus, "vec_id", pl)
       .join(broadcast(bucketed(queries, "qid", pl)), Seq("tbl", "bucket"))
@@ -140,8 +146,9 @@ object Similarity {
     * LSH-bucket candidates (ids only), fetch vectors after dedup, keep
     * pairs with cosine >= threshold.
     */
-  def cosineDupPairs(corpus: DataFrame, threshold: Double,
+  def cosineDupPairs(corpus0: DataFrame, threshold: Double,
       tables: Int = 16, bitsPerTable: Int = 6, dim: Int = 64): DataFrame = {
+    val corpus = VectorOps.requireVectors(corpus0, "corpus")
     val pl = planes(tables, bitsPerTable, dim)
     // barrier on the join key: hyperplane bucketing (tables x bits x dim
     // multiplies per vector) computes ONCE; both self-join sides read

@@ -23,6 +23,27 @@ class SimilaritySpec extends SparkSpec {
     assert(row.getDouble(1) == math.sqrt(expected))
   }
 
+  test("entry guard: int ids are normalized, wrong types fail fast") {
+    // INT vec_id works (normalized to long before the typed collect)
+    val intIds = emb.withColumn("vec_id", col("vec_id").cast("int"))
+    val rows = Similarity.cosineTopK(intIds,
+      intIds.where(col("vec_id") < 3), 2).collect()
+    assert(rows.nonEmpty && rows.forall(_.getLong(0) < 3))
+    // string ids / double-array embeddings: readable failure at entry,
+    // not a ClassCastException inside a task
+    val badId = emb.withColumn("vec_id", col("vec_id").cast("string"))
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.cosineTopK(badId, badId, 2)
+    }
+    assert(e1.getMessage.contains("vec_id"))
+    val badEmb = emb.withColumn("embedding",
+      col("embedding").cast("array<double>"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.ScalarQuant.sqTopK(badEmb, badEmb, 2)
+    }
+    assert(e2.getMessage.contains("ARRAY<FLOAT>"))
+  }
+
   test("brute-force topk: k per query, self excluded, descending sims") {
     val rows = Similarity.cosineTopK(emb, queries, 5).collect()
     val byQ = rows.groupBy(_.getLong(0))
