@@ -66,4 +66,30 @@ class PlanGuardSpec extends SparkSpec {
     val ns = nodes(graft.queries.Relational.sortTopOrders(spark, sfDir))
     assert(ns.exists(_.isInstanceOf[TakeOrderedAndProjectExec]))
   }
+
+  test("pii redaction: scan-speed projection, no exchange") {
+    import org.apache.spark.sql.functions._
+    // the operator itself (without the query's presentation orderBy):
+    // redaction must be a single codegen'd scan->project, no shuffle
+    val df = Tables(spark, sfDir, "documents").select(
+      col("doc_id"), graft.text.Redact.redact(col("text")).as("r"))
+    val ns = nodes(df)
+    assert(!ns.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
+      "redaction must not shuffle")
+    assert(ns.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec]),
+      "redaction must stay inside whole-stage codegen")
+  }
+
+  test("context windows: row-local generator, no exchange") {
+    val df = graft.pipeline.CorpusPipeline.contextWindows(
+      Tables(spark, sfDir, "documents"), winSize = 16, stride = 8)
+    val ns = nodes(df)
+    assert(!ns.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
+      "window generation must not shuffle")
+    assert(ns.exists(_.isInstanceOf[org.apache.spark.sql.execution.GenerateExec]),
+      "windows must come from a Generate node")
+  }
 }

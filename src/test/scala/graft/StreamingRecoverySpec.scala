@@ -52,6 +52,31 @@ class StreamingRecoverySpec extends SparkSpec {
     assert(secondTotal == 1000, s"after recovery saw $secondTotal")
   }
 
+  test("text operators run unchanged on a stream (redact -> score -> filter)") {
+    // Column-level text operators must be streaming-transparent: the
+    // SAME expressions run on readStream with no code changes — the
+    // streaming ingest form of the corpus-prep filter chain
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    stream.addData(Seq(
+      (1L, "assorted diverse words cover many topics mail me@x.com"),
+      (2L, ("spam " * 20).trim)))
+    val docs = stream.toDF().toDF("doc_id", "text")
+    val toks = split(col("text"), " ")
+    val n = size(toks).cast("double")
+    val cleaned = docs.select(
+      col("doc_id"),
+      graft.text.Redact.redact(col("text")).as("redacted"),
+      (size(array_distinct(toks)).cast("double") / n).as("distinct_ratio"))
+      .where(col("distinct_ratio") > 0.3)
+    val out = EventStreams.runToMemory(cleaned, "stream_text_prep",
+      OutputMode.Append()).collect()
+    assert(out.map(_.getLong(0)).toSet === Set(1L))
+    assert(out.head.getString(1).contains("<EMAIL>"))
+  }
+
   test("foreachBatch into the dynamic-partition upsert sink is idempotent") {
     import graft.sources.Sinks
     val srcDir = Files.createTempDirectory("graft-upsert-src").toString
