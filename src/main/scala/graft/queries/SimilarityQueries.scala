@@ -49,7 +49,40 @@ object SimilarityQueries {
       Tables(spark, dir, "embeddings"), threshold = 0.4,
       tables = 16, bitsPerTable = 6)
 
+  /** Per-label centroid in long form (label, dim, centroid): posexplode
+    * keeps the row-local generator shape, then ONE hash aggregation on
+    * (label, dim) — partial aggregation combines map-side, the only
+    * shuffle carries (label, dim, sum, count) partials, never vectors.
+    * Long form deliberately: reassembling arrays would force a second
+    * (label)-keyed shuffle + per-group sort that centroid consumers
+    * (IVF training, classifier init) immediately undo.
+    */
+  def embCentroid(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(round(avg(col("v").cast("double")), 6).as("centroid"),
+        count(lit(1)).as("n_vecs"))
+      .orderBy("label", "dim")
+
+  /** Per-label L2-norm profile via the native [[VectorOps.norm]] codegen
+    * expression — min/max are order-independent (bit-exact vs DuckDB's
+    * identical fold), avg is rounded past fp reassociation noise.
+    */
+  def embNormStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+      .select(col("label"),
+        graft.functions.VectorOps.norm(col("embedding")).as("nrm"))
+      .groupBy("label")
+      .agg(round(min("nrm"), 6).as("min_norm"),
+        round(max("nrm"), 6).as("max_norm"),
+        round(avg("nrm"), 6).as("avg_norm"),
+        count(lit(1)).as("n_vecs"))
+      .orderBy("label")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_centroid" -> embCentroid,
+    "emb_norm_stats" -> embNormStats,
     "sim_cosine_topk" -> cosineTopK,
     "sim_cosine_topk_agg" -> cosineTopKAgg,
     "sim_ann_lsh_topk" -> annLshTopK,
@@ -62,6 +95,24 @@ object SimilarityQueries {
     s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
 
   val oracle: Map[String, String] = Map(
+    "emb_centroid" ->
+      """WITH ex AS (
+  SELECT label, embedding, unnest(range(1, len(embedding) + 1)) AS i
+  FROM embeddings
+)
+SELECT label, CAST(i - 1 AS INT) AS dim,
+  round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid,
+  count(*) AS n_vecs
+FROM ex GROUP BY label, i ORDER BY label, dim""",
+    "emb_norm_stats" ->
+      s"""WITH n AS (
+  SELECT label, sqrt(${dotSql("embedding", "embedding")}) AS nrm
+  FROM embeddings
+)
+SELECT label, round(min(nrm), 6) AS min_norm,
+  round(max(nrm), 6) AS max_norm,
+  round(avg(nrm), 6) AS avg_norm, count(*) AS n_vecs
+FROM n GROUP BY label ORDER BY label""",
     "sim_cosine_topk" ->
       s"""WITH q AS (
   SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 10

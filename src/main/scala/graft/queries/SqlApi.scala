@@ -243,7 +243,43 @@ ORDER BY n.n_name"""
       Map("minPrice" -> 50000, "prio" -> "1-URGENT"))
   }
 
+  /** SQL UNPIVOT syntax — wide per-status metrics melted back to long
+    * form in the FROM clause (the SQL spelling of the DataFrame
+    * `unpivot_metrics` melt; planned as a Generate, no shuffle beyond
+    * the feeding aggregation).
+    */
+  def unpivotSql(spark: SparkSession, dir: String): DataFrame = {
+    view(spark, dir, "orders")
+    spark.sql(
+      """SELECT o_orderstatus, metric, val FROM (
+           SELECT o_orderstatus,
+             CAST(count(*) AS DOUBLE) AS n_orders,
+             round(sum(o_totalprice), 2) AS total_price,
+             round(avg(o_totalprice), 4) AS avg_price
+           FROM orders GROUP BY o_orderstatus
+         ) UNPIVOT (val FOR metric IN (n_orders, total_price, avg_price))
+         ORDER BY o_orderstatus, metric""")
+  }
+
+  /** EXECUTE IMMEDIATE (Spark 4): SQL text composed as a value and run
+    * with positional USING binds — the dynamic-SQL escape hatch,
+    * injection-safe because the argument travels as a bind, not by
+    * string splicing.
+    */
+  def executeImmediate(spark: SparkSession, dir: String): DataFrame = {
+    view(spark, dir, "orders")
+    spark.sql(
+      """EXECUTE IMMEDIATE
+           'SELECT o_orderpriority, count(*) AS n,
+              round(max(o_totalprice), 2) AS max_price
+            FROM orders WHERE o_totalprice > ?
+            GROUP BY o_orderpriority ORDER BY o_orderpriority'
+         USING 400000""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_unpivot" -> unpivotSql,
+    "sql_execute_immediate" -> executeImmediate,
     "sql_parameterized" -> parameterized,
     "sql_native_funcs" -> nativeFuncs,
     "sql_recursive_cte" -> recursiveCte,
@@ -258,6 +294,25 @@ ORDER BY n.n_name"""
     "sql_window_clause" -> windowClause)
 
   val oracle: Map[String, String] = Map(
+    "sql_unpivot" ->
+      """WITH wide AS (
+  SELECT o_orderstatus,
+    CAST(count(*) AS DOUBLE) AS n_orders,
+    round(sum(o_totalprice), 2) AS total_price,
+    round(avg(o_totalprice), 4) AS avg_price
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, 'n_orders' AS metric, n_orders AS val FROM wide
+UNION ALL
+SELECT o_orderstatus, 'total_price', total_price FROM wide
+UNION ALL
+SELECT o_orderstatus, 'avg_price', avg_price FROM wide
+ORDER BY o_orderstatus, metric""",
+    "sql_execute_immediate" ->
+      """SELECT o_orderpriority, count(*) AS n,
+round(max(o_totalprice), 2) AS max_price
+FROM orders WHERE o_totalprice > 400000
+GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "sql_parameterized" ->
       """SELECT o_orderstatus, count(*) AS n,
 round(sum(o_totalprice), 2) AS revenue

@@ -296,7 +296,24 @@ ORDER BY cnt DESC, token""")
         count(lit(1)).as("n"))
       .orderBy("event_type")
 
+  /** Equi-WIDTH histogram via `width_bucket` — the fixed-grid complement
+    * of the equi-depth `stats_quantile_bins`: bucket id is pure row-local
+    * arithmetic (no sketch, no sort), one hash agg on a small key domain.
+    * Bounds chosen to cover o_totalprice at any SF; out-of-range values
+    * land in the 0 / n+1 overflow buckets per SQL-standard semantics,
+    * which the oracle mirrors exactly (width 25000 = 500000/20 is
+    * fp-exact, so the division is boundary-stable across engines).
+    */
+  def histogramWidth(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .select(width_bucket(col("o_totalprice"), lit(0.0), lit(500000.0),
+        lit(20)).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("bucket")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_histogram" -> histogramWidth,
     "agg_percentiles" -> percentiles,
     "sample_weighted" -> sampleWeighted,
     "array_hof_funcs" -> arrayHofFuncs,
@@ -322,6 +339,12 @@ SELECT item, count(*) AS %CNT% FROM tok WHERE item <> ''
 GROUP BY item ORDER BY count(*) DESC, item LIMIT 15"""
 
   val oracle: Map[String, String] = Map(
+    "stats_histogram" ->
+      """SELECT CASE WHEN o_totalprice < 0 THEN 0
+  WHEN o_totalprice >= 500000 THEN 21
+  ELSE CAST(floor(o_totalprice / 25000.0) AS BIGINT) + 1 END AS bucket,
+  count(*) AS n_orders
+FROM orders GROUP BY 1 ORDER BY bucket""",
     "agg_percentiles" ->
       """SELECT event_type,
   round(quantile_cont(value, 0.25), 4) AS p25,

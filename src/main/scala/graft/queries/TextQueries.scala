@@ -183,7 +183,31 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** URL parsing over a deterministically synthesized url column (the
+    * documents table carries no URLs): `parse_url` component extraction
+    * — host / path / query / single query-param / protocol — the
+    * domain-attribution primitives a web-corpus pipeline groups and
+    * filters by. All codegen'd expressions, one scan, no shuffle; the
+    * oracle states each component in closed form from the same fields.
+    */
+  def urlFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val url = concat(lit("https://"), col("source"), lit(".example.com/"),
+      col("lang"), lit("/doc/"), col("doc_id"),
+      lit("?ref="), pmod(col("doc_id"), lit(7)),
+      lit("&p="), pmod(col("doc_id"), lit(3)))
+    Tables(spark, dir, "documents")
+      .withColumn("url", url)
+      .select(col("doc_id"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY")).as("query"),
+        parse_url(col("url"), lit("QUERY"), lit("ref")).as("ref_param"),
+        parse_url(col("url"), lit("PROTOCOL")).as("scheme"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_url_funcs" -> urlFuncs,
     "text_pii_redact" -> piiRedact,
     "text_quality_score" -> qualityScore,
     "text_unigram_logprob" -> unigramLogprob,
@@ -202,6 +226,14 @@ object TextQueries {
   private val phoneRe = raw"\b\d{3}-\d{4}\b"
 
   val oracle: Map[String, String] = Map(
+    "text_url_funcs" ->
+      """SELECT doc_id,
+  source || '.example.com' AS host,
+  '/' || lang || '/doc/' || doc_id AS path,
+  'ref=' || (doc_id % 7) || '&p=' || (doc_id % 3) AS query,
+  CAST(doc_id % 7 AS VARCHAR) AS ref_param,
+  'https' AS scheme
+FROM documents ORDER BY doc_id""",
     "text_pii_redact" ->
       raw"""WITH aug AS (
   SELECT doc_id, text ||
