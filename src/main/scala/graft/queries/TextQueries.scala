@@ -206,7 +206,48 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** BM25 ranking of the corpus against a fixed query-term set — the
+    * classic retrieval scorer, fully relational: tokens are filtered to
+    * the query vocabulary BEFORE explode (the exchange carries only
+    * query-term hits, ~|q|/|V| of the corpus token mass), term tf and
+    * document length come from one (doc, term) hash agg, df from an agg
+    * over THAT (already-tiny) table, and corpus scalars (N, avgdl) ride
+    * a broadcast cross join. At 100 TB nothing scales with |V|: the
+    * shuffled rows are bounded by docs x query terms. The float chain
+    * mirrors the oracle op-for-op; only the final per-doc sum is
+    * rounded (reassociation noise), rank cut on the ROUNDED score.
+    */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    val qTerms = Seq("hash", "vector", "filter", "merge", "scan")
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast("double").as("dl"),
+        filter(col("ws"), t => t.isInCollection(qTerms)).as("qts"))
+    val tf = toks
+      .select(col("doc_id"), col("dl"), explode(col("qts")).as("term"))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).cast("double").as("dft"))
+    val stats = toks.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg("dl").as("avgdl"))
+    tf.join(broadcast(dft), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("dft") + lit(0.5)) /
+          (col("dft") + lit(0.5)) + lit(1.0)))
+      .withColumn("contrib",
+        col("idf") * col("tf") * lit(2.2) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(round(sum("contrib"), 6).as("bm25"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bm25_topk" -> bm25TopK,
     "text_url_funcs" -> urlFuncs,
     "text_pii_redact" -> piiRedact,
     "text_quality_score" -> qualityScore,
@@ -226,6 +267,35 @@ object TextQueries {
   private val phoneRe = raw"\b\d{3}-\d{4}\b"
 
   val oracle: Map[String, String] = Map(
+    "text_bm25_topk" ->
+      raw"""WITH toks AS (
+  SELECT doc_id,
+    list_filter($tokSql, w -> w <> '') AS ws
+  FROM documents
+), base AS (
+  SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl,
+    list_filter(ws, w -> w IN ('hash','vector','filter','merge','scan'))
+      AS qts
+  FROM toks
+), tf AS (
+  SELECT doc_id, dl, unnest(qts) AS term FROM base
+), tfa AS (
+  SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM tf GROUP BY doc_id, dl, term
+), dft AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS dft FROM tfa GROUP BY term
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM base
+), scored AS (
+  SELECT doc_id,
+    ln((n_docs - dft + 0.5) / (dft + 0.5) + 1.0) * tf * 2.2 /
+      (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS contrib
+  FROM tfa, dft, stats WHERE tfa.term = dft.term
+)
+SELECT doc_id, round(sum(contrib), 6) AS bm25,
+  count(*) AS n_terms_hit
+FROM scored GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id LIMIT 20""",
     "text_url_funcs" ->
       """SELECT doc_id,
   source || '.example.com' AS host,
