@@ -248,6 +248,43 @@ object CorpusPipeline {
     docs.where(pmod(col("doc_id"), lit(100)) < rate)
   }
 
+  /** `prepare` with free per-stage counters: `Observation` metrics ride
+    * the materializing job itself, so the language/quality/exact-dedup
+    * frontier counts cost ZERO extra scans — `funnel` pays a dedicated
+    * aggregation pass over the raw corpus; at 100 TB that pass is the
+    * difference between "metrics" and "metrics doubled my input I/O".
+    * The near-dedup stage count is read from the OUTPUT observation, so
+    * the whole report needs only the action the caller was already
+    * going to run.
+    *
+    * Returns the cleaned corpus and a thunk yielding the stage map;
+    * call it AFTER an action has materialized the frame (Observation
+    * blocks until its subtree has executed once).
+    */
+  def prepareObserved(docs: DataFrame, cfg: Config = Config())
+      : (DataFrame, () => Map[String, Long]) = {
+    import org.apache.spark.sql.Observation
+    val oIn = Observation(); val oLang = Observation()
+    val oQual = Observation(); val oExact = Observation()
+    val oNear = Observation()
+    val lang = languageFiltered(
+      docs.observe(oIn, count(lit(1)).as("n")), cfg)
+    val qual = qualityFiltered(
+      lang.observe(oLang, count(lit(1)).as("n")), cfg)
+    val exact = exactDeduped(
+      qual.observe(oQual, count(lit(1)).as("n")))
+    val near = nearDeduped(
+      exact.observe(oExact, count(lit(1)).as("n")), cfg)
+      .observe(oNear, count(lit(1)).as("n"))
+    val read = (o: Observation) => o.get("n").asInstanceOf[Long]
+    (near, () => Map(
+      "1_input" -> read(oIn),
+      "2_language" -> read(oLang),
+      "3_quality" -> read(oQual),
+      "4_exact_dedup" -> read(oExact),
+      "5_near_dedup" -> read(oNear)))
+  }
+
   /** Stage funnel: rows surviving each stage plus the token budget of
     * the final corpus.
     *

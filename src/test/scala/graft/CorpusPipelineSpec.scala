@@ -18,6 +18,17 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(funnel.last.getLong(2) > 0) // token budget reported
   }
 
+  test("observed stage counters agree with the dedicated funnel pass") {
+    val (prepared, metrics) = CorpusPipeline.prepareObserved(docs)
+    val nOut = prepared.count() // the caller's own action fires the obs
+    val observed = metrics()
+    val funnel = CorpusPipeline.funnel(docs)
+      .orderBy("stage").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(observed == funnel, s"observed=$observed funnel=$funnel")
+    assert(observed("5_near_dedup") == nOut)
+  }
+
   test("prepared corpus is english-only and free of near-dups") {
     val prepared = CorpusPipeline.prepare(docs)
     assert(prepared.select("lang").distinct().collect()
