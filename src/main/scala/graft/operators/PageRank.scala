@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration PageRank over an undirected pair list — the
+  * centrality diagnostic on the near-dup pair graph (which documents
+  * anchor big similarity neighborhoods) and the standard iterative-join
+  * workload shape: rank table joined to a PRE-PARTITIONED edge list
+  * each round, so every iteration's shuffle moves only the rank table
+  * (the edges stay where they are).
+  *
+  * Scale posture: the edge list (with per-source degree folded in) is
+  * repartitioned on `src` ONCE and persisted; each of the k iterations
+  * is then one shuffled join (rank, keyed by id) + one hash agg on
+  * `dst`. Rank rows are (id, double) — tiny relative to the corpus.
+  * For large k, checkpoint the rank table every ~10 rounds to truncate
+  * lineage (the connected-components lesson); the default k=3 needs no
+  * truncation. Dangling nodes cannot occur: the graph is undirected so
+  * every node has out-degree >= 1.
+  *
+  * Float parity: per-edge `rank/deg` then a per-dst sum, teleport
+  * spelled `(1 - damping) / n` — the oracle mirrors the exact op
+  * order; only the FINAL rank is rounded by the caller (reassociation
+  * noise in the sums).
+  */
+object PageRank {
+
+  /** Ranks after `iters` rounds; returns (doc_id, rank) un-rounded.
+    * `pairs` must carry one undirected edge per row as (ida, idb).
+    */
+  def ranks(pairs: DataFrame, iters: Int = 3,
+      damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val edges = pairs.select(col("ida").as("src"), col("idb").as("dst"))
+      .unionAll(pairs.select(col("idb").as("src"), col("ida").as("dst")))
+    val deg = edges.groupBy("src")
+      .agg(count(lit(1)).cast("double").as("deg"))
+    // one layout decision for the whole loop: contribution edges live
+    // partitioned by src; every round's join keys match this layout
+    val e = edges.join(deg, "src").repartition(col("src")).persist()
+    val n = e.select(countDistinct("src")).first().getLong(0).toDouble
+    val teleport = (1 - damping) / n
+    var r = e.select(col("src").as("id")).distinct()
+      .withColumn("rank", lit(1.0 / n))
+    for (_ <- 1 to iters) {
+      r = e.join(r, col("src") === col("id"))
+        .groupBy(col("dst"))
+        .agg(sum(col("rank") / col("deg")).as("s"))
+        .select(col("dst").as("id"),
+          (lit(teleport) + lit(damping) * col("s")).as("rank"))
+    }
+    // materialize before dropping the edge cache: the returned frame
+    // must not silently recompute the whole loop uncached downstream
+    val out = r.select(col("id").as("doc_id"), col("rank"))
+      .localCheckpoint(true)
+    e.unpersist()
+    out
+  }
+}

@@ -165,7 +165,19 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Fixed-iteration PageRank over the same verified pair graph — which
+    * documents anchor the biggest similarity neighborhoods. Three
+    * rounds, damping 0.85; the oracle unrolls the identical arithmetic
+    * as three CTE stages so the whole iterative-join loop is
+    * value-checked, not just row-counted.
+    */
+  def pagerank(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.PageRank.ranks(sharedPairs(spark, dir), iters = 3)
+      .select(col("doc_id"), round(col("rank"), 6).as("rank"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank" -> pagerank,
     "graph_node_stats" -> graphNodeStats,
     "join_fuzzy_probe" -> fuzzyNames,
     "dedup_cluster_sizes" -> clusterSizes,
@@ -227,6 +239,31 @@ edges AS (
 )"""
 
   val oracle: Map[String, String] = Map(
+    "graph_pagerank" ->
+      raw"""WITH $pairsCte,
+edges AS (
+  SELECT ida AS src, idb AS dst FROM pairs
+  UNION ALL SELECT idb AS src, ida AS dst FROM pairs
+), deg AS (
+  SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM edges GROUP BY src
+), ed AS (
+  SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)
+), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+r0 AS (SELECT src AS id, 1.0 / nn.n AS rank FROM deg, nn),
+r1 AS (
+  SELECT ed.dst AS id,
+    (1 - 0.85) / nn.n + 0.85 * sum(r.rank / ed.deg) AS rank
+  FROM ed JOIN r0 r ON r.id = ed.src, nn GROUP BY ed.dst, nn.n
+), r2 AS (
+  SELECT ed.dst AS id,
+    (1 - 0.85) / nn.n + 0.85 * sum(r.rank / ed.deg) AS rank
+  FROM ed JOIN r1 r ON r.id = ed.src, nn GROUP BY ed.dst, nn.n
+), r3 AS (
+  SELECT ed.dst AS id,
+    (1 - 0.85) / nn.n + 0.85 * sum(r.rank / ed.deg) AS rank
+  FROM ed JOIN r2 r ON r.id = ed.src, nn GROUP BY ed.dst, nn.n
+)
+SELECT id AS doc_id, round(rank, 6) AS rank FROM r3 ORDER BY doc_id""",
     "graph_node_stats" ->
       raw"""WITH $pairsCte,
 deg AS (

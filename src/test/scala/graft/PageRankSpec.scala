@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.PageRank
+
+class PageRankSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("ranks sum to 1 and a symmetric clique is uniform") {
+    // K4: every node identical by symmetry, so ranks must be equal and
+    // the distribution must stay a probability vector at every k
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)).toDF("ida", "idb")
+    val r = PageRank.ranks(k4, iters = 5).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r.size == 4)
+    assert(math.abs(r.values.sum - 1.0) < 1e-9, s"sum=${r.values.sum}")
+    assert(r.values.forall(v => math.abs(v - 0.25) < 1e-12), r.toString)
+  }
+
+  test("a hub out-ranks leaves on a star graph") {
+    val star = Seq((10L, 1L), (10L, 2L), (10L, 3L), (10L, 4L), (10L, 5L))
+      .toDF("ida", "idb")
+    val r = PageRank.ranks(star, iters = 10).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+    val leaves = (1L to 5L).map(r)
+    assert(leaves.forall(v => r(10L) > 2 * v),
+      s"hub=${r(10L)} leaves=$leaves")
+    // leaves are symmetric: identical ranks
+    assert(leaves.forall(v => math.abs(v - leaves.head) < 1e-12))
+  }
+}
