@@ -213,7 +213,29 @@ object EventQueries {
       .orderBy("user_id", "d")
   }
 
+  /** Cohort retention: users grouped by first-seen day, activity
+    * counted per 7-day offset from THEIR cohort day — the standard
+    * retention triangle. Two shuffles total: the per-user min (hash
+    * agg) and the user-keyed join back (NOT broadcast: the cohort
+    * table scales with the user population), then one count-distinct
+    * agg on the tiny (cohort, offset) key domain. Week offsets are
+    * day-arithmetic (floor(days/7)), not calendar-week truncation, so
+    * engine week-start conventions can't skew parity.
+    */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val cohorts = ev.groupBy("user_id").agg(min("d").as("cohort_day"))
+    ev.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"),
+        floor(datediff(col("d"), col("cohort_day")) / lit(7.0))
+          .as("week_offset"))
+      .agg(countDistinct("user_id").as("n_active"))
+      .orderBy("cohort_day", "week_offset")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_retention" -> retention,
     "events_gap_fill" -> gapFill,
     "events_rolling_avg" -> rollingAvg,
     "events_funnel_conversion" -> funnelConversion,
@@ -227,6 +249,18 @@ object EventQueries {
     "events_interval_join" -> intervalJoin)
 
   val oracle: Map[String, String] = Map(
+    "events_retention" ->
+      """WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS d FROM events
+), coh AS (
+  SELECT user_id, min(d) AS cohort_day FROM ev GROUP BY user_id
+)
+SELECT c.cohort_day,
+  CAST(floor(date_diff('day', c.cohort_day, e.d) / 7.0) AS BIGINT)
+    AS week_offset,
+  count(DISTINCT e.user_id) AS n_active
+FROM ev e JOIN coh c USING (user_id)
+GROUP BY 1, 2 ORDER BY cohort_day, week_offset""",
     "events_gap_fill" ->
       """WITH days AS (
   SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-01-14',

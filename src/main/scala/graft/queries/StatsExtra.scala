@@ -312,7 +312,29 @@ ORDER BY cnt DESC, token""")
       .agg(count(lit(1)).as("n_orders"))
       .orderBy("bucket")
 
+  /** Single-pass table profiling — the data-quality monitor a pipeline
+    * runs on every ingest batch: row count, per-column null counts,
+    * distinct cardinalities, numeric ranges and date bounds, ALL as
+    * combinable partials in ONE ungrouped aggregation (one scan; the
+    * exchange carries a single partial row per task). Multiple exact
+    * count-distincts share the scan via Catalyst's Expand rewrite.
+    */
+  def profileTable(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct("l_orderkey").as("d_orderkey"),
+        countDistinct("l_returnflag").as("d_returnflag"),
+        countDistinct("l_linestatus").as("d_linestatus"),
+        sum(col("l_returnflag").isNull.cast("long")).as("nulls_returnflag"),
+        round(min("l_extendedprice"), 2).as("min_price"),
+        round(max("l_extendedprice"), 2).as("max_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        min("l_shipdate").as("min_shipdate"),
+        max("l_shipdate").as("max_shipdate"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_profile" -> profileTable,
     "stats_histogram" -> histogramWidth,
     "agg_percentiles" -> percentiles,
     "sample_weighted" -> sampleWeighted,
@@ -339,6 +361,19 @@ SELECT item, count(*) AS %CNT% FROM tok WHERE item <> ''
 GROUP BY item ORDER BY count(*) DESC, item LIMIT 15"""
 
   val oracle: Map[String, String] = Map(
+    "stats_profile" ->
+      """SELECT count(*) AS n_rows,
+  count(DISTINCT l_orderkey) AS d_orderkey,
+  count(DISTINCT l_returnflag) AS d_returnflag,
+  count(DISTINCT l_linestatus) AS d_linestatus,
+  CAST(coalesce(sum(CASE WHEN l_returnflag IS NULL THEN 1 END), 0) AS BIGINT)
+    AS nulls_returnflag,
+  round(min(l_extendedprice), 2) AS min_price,
+  round(max(l_extendedprice), 2) AS max_price,
+  round(avg(l_quantity), 4) AS avg_qty,
+  min(l_shipdate) AS min_shipdate,
+  max(l_shipdate) AS max_shipdate
+FROM lineitem""",
     "stats_histogram" ->
       """SELECT CASE WHEN o_totalprice < 0 THEN 0
   WHEN o_totalprice >= 500000 THEN 21
