@@ -234,7 +234,36 @@ object EventQueries {
       .orderBy("cohort_day", "week_offset")
   }
 
+  /** Incremental rollup maintenance: the standing aggregate table is
+    * never recomputed from raw history — a new batch contributes its
+    * own (count, sum, min, max) partials and the two partial sets merge
+    * by re-aggregation (count/sum add, min/max fold, avg derived at
+    * read time from the merged sums). Here the 80/20 event split plays
+    * "existing rollup" and "new arrivals"; the oracle aggregates the
+    * raw union directly, proving the merged state is indistinguishable
+    * from a full recompute. At 100 TB this is the difference between
+    * touching a day of data and touching all of it.
+    */
+  def incrementalMerge(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    def partials(df: DataFrame): DataFrame =
+      df.groupBy("event_type").agg(
+        count(lit(1)).as("n"), sum("value").as("s"),
+        min("value").as("mn"), max("value").as("mx"))
+    val existing = partials(ev.where(pmod(col("event_id"), lit(5)) =!= 0))
+    val batch = partials(ev.where(pmod(col("event_id"), lit(5)) === 0))
+    existing.unionByName(batch)
+      .groupBy("event_type")
+      .agg(sum("n").as("n_events"),
+        round(sum("s"), 4).as("sum_value"),
+        round(sum("s") / sum("n"), 6).as("avg_value"),
+        round(min("mn"), 6).as("min_value"),
+        round(max("mx"), 6).as("max_value"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_incremental_merge" -> incrementalMerge,
     "events_retention" -> retention,
     "events_gap_fill" -> gapFill,
     "events_rolling_avg" -> rollingAvg,
@@ -249,6 +278,13 @@ object EventQueries {
     "events_interval_join" -> intervalJoin)
 
   val oracle: Map[String, String] = Map(
+    "events_incremental_merge" ->
+      """SELECT event_type, count(*) AS n_events,
+  round(sum(value), 4) AS sum_value,
+  round(sum(value) / count(*), 6) AS avg_value,
+  round(min(value), 6) AS min_value,
+  round(max(value), 6) AS max_value
+FROM events GROUP BY event_type ORDER BY event_type""",
     "events_retention" ->
       """WITH ev AS (
   SELECT user_id, CAST(ts AS DATE) AS d FROM events

@@ -344,7 +344,26 @@ object FuncsExtra {
         col("p_name").startsWith("blue").as("is_blue"))
       .orderBy("p_partkey")
 
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): nulls
+    * manufactured with nullif on both sides so NULL keys MATCH each
+    * other — the semantics plain `=` silently drops. Still planned as
+    * a hash equi join (null-safe equality is a valid equi key), not a
+    * nested loop.
+    */
+  def joinNullSafe(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"),
+        nullif(col("n_regionkey"), lit(2)).as("rk"))
+    val r = Tables(spark, dir, "region")
+      .select(nullif(col("r_regionkey"), lit(2)).as("rk2"),
+        col("r_name"))
+    n.join(r, col("rk") <=> col("rk2"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+      .orderBy("n_nationkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_null_safe" -> joinNullSafe,
     "string_funcs3" -> stringFuncs3,
     "agg_minmax_by" -> minmaxBy,
     "agg_corr_regr" -> corrFuncs,
@@ -368,6 +387,13 @@ object FuncsExtra {
     "agg_hll_sketch" -> hllSketch)
 
   val oracle: Map[String, String] = Map(
+    "join_null_safe" ->
+      """SELECT n.n_nationkey, n.n_name, r.r_name
+FROM (SELECT n_nationkey, n_name, nullif(n_regionkey, 2) AS rk
+      FROM nation) n
+JOIN (SELECT nullif(r_regionkey, 2) AS rk2, r_name FROM region) r
+  ON n.rk IS NOT DISTINCT FROM r.rk2
+ORDER BY n_nationkey""",
     "string_funcs3" ->
       """SELECT p_partkey,
   split_part(p_name, ' ', 2) AS second_word,
