@@ -262,7 +262,29 @@ object EventQueries {
       .orderBy("event_type")
   }
 
+  /** ML feature engineering: lagged values and short rolling stats per
+    * user in ONE window pass (one shuffle on user_id, one sort, every
+    * feature reuses the frame). Ordered by event_id — a total order
+    * both engines agree on exactly, immune to the ns-vs-us timestamp
+    * precision gap between the parquet file and Spark's TimestampType.
+    */
+  def lagFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    val w5 = w.rowsBetween(-4, Window.currentRow)
+    Tables(spark, dir, "events")
+      .where(col("user_id") < 40)
+      .select(col("user_id"), col("event_id"), col("value"),
+        round(lag("value", 1).over(w), 6).as("lag1"),
+        round(lag("value", 3).over(w), 6).as("lag3"),
+        round(avg("value").over(w5), 6).as("roll_mean5"),
+        round(max("value").over(w5), 6).as("roll_max5"),
+        count(lit(1)).over(w5).as("roll_n5"))
+      .orderBy("user_id", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_lag_features" -> lagFeatures,
     "events_incremental_merge" -> incrementalMerge,
     "events_retention" -> retention,
     "events_gap_fill" -> gapFill,
@@ -278,6 +300,18 @@ object EventQueries {
     "events_interval_join" -> intervalJoin)
 
   val oracle: Map[String, String] = Map(
+    "events_lag_features" ->
+      """SELECT user_id, event_id, value,
+  round(lag(value, 1) OVER w, 6) AS lag1,
+  round(lag(value, 3) OVER w, 6) AS lag3,
+  round(avg(value) OVER w5, 6) AS roll_mean5,
+  round(max(value) OVER w5, 6) AS roll_max5,
+  count(*) OVER w5 AS roll_n5
+FROM events WHERE user_id < 40
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id),
+  w5 AS (PARTITION BY user_id ORDER BY event_id
+         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id""",
     "events_incremental_merge" ->
       """SELECT event_type, count(*) AS n_events,
   round(sum(value), 4) AS sum_value,

@@ -277,7 +277,28 @@ ORDER BY n.n_name"""
          USING 400000""")
   }
 
+  private val filteredAggSql =
+    """SELECT o_orderpriority,
+  count(*) AS n_all,
+  count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+  round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2)
+    AS rev_finished,
+  round(avg(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 4)
+    AS avg_open
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  /** FILTER (WHERE ...) aggregate modifiers — per-aggregate predicates
+    * in ONE hash aggregation pass (the declarative form of "N metrics,
+    * N ad-hoc WHERE clauses" that otherwise becomes N scans). ANSI
+    * syntax shared verbatim with the oracle.
+    */
+  def filteredAgg(spark: SparkSession, dir: String): DataFrame = {
+    view(spark, dir, "orders")
+    spark.sql(filteredAggSql)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_filtered_agg" -> filteredAgg,
     "sql_unpivot" -> unpivotSql,
     "sql_execute_immediate" -> executeImmediate,
     "sql_parameterized" -> parameterized,
@@ -294,6 +315,7 @@ ORDER BY n.n_name"""
     "sql_window_clause" -> windowClause)
 
   val oracle: Map[String, String] = Map(
+    "sql_filtered_agg" -> filteredAggSql,
     "sql_unpivot" ->
       """WITH wide AS (
   SELECT o_orderstatus,
