@@ -223,10 +223,17 @@ object TextQueries {
       .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
       .select(col("doc_id"), size(col("ws")).cast("double").as("dl"),
         filter(col("ws"), t => t.isInCollection(qTerms)).as("qts"))
+    // tf is consumed twice (df derivation + the scoring join) but is
+    // tiny — one row per (doc, HIT term) with the text column already
+    // dropped — so it is materialized ONCE via localCheckpoint; without
+    // it each consumer re-tokenizes the whole corpus (exchange reuse
+    // does not fire across the higher-order-filter lambdas). Corpus
+    // scans are thereby capped at 2: this one and the stats pass.
     val tf = toks
       .select(col("doc_id"), col("dl"), explode(col("qts")).as("term"))
       .groupBy("doc_id", "dl", "term")
       .agg(count(lit(1)).cast("double").as("tf"))
+      .localCheckpoint(true)
     val dft = tf.groupBy("term").agg(count(lit(1)).cast("double").as("dft"))
     val stats = toks.agg(count(lit(1)).cast("double").as("n_docs"),
       avg("dl").as("avgdl"))

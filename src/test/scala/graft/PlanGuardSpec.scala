@@ -82,6 +82,33 @@ class PlanGuardSpec extends SparkSpec {
       "redaction must stay inside whole-stage codegen")
   }
 
+  test("bm25: corpus scanned at most twice, small sides broadcast") {
+    val df = graft.queries.TextQueries.bm25TopK(spark, sfDir)
+    val ns = nodes(df)
+    // tf is checkpointed and reused; only the tf pass and the corpus
+    // stats pass may touch the documents parquet
+    assert(ns.count(_.isInstanceOf[FileSourceScanExec]) <= 2,
+      "bm25 must not re-tokenize the corpus per consumer")
+    assert(ns.count(_.isInstanceOf[BroadcastHashJoinExec]) >= 1,
+      "df table must broadcast, never shuffle the tf side")
+  }
+
+  test("stats_profile: one scan feeds every profiling aggregate") {
+    val ns = nodes(graft.queries.StatsExtra.profileTable(spark, sfDir))
+    assert(ns.count(_.isInstanceOf[FileSourceScanExec]) === 1,
+      "profiling must be single-pass")
+  }
+
+  test("emb_centroid: partial+final agg, vectors never shuffle") {
+    val ns = nodes(graft.queries.SimilarityQueries.embCentroid(spark, sfDir))
+    assert(ns.count(_.isInstanceOf[HashAggregateExec]) >= 2,
+      "centroid sums must combine map-side")
+    val ex = ns.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+    assert(ex.forall(e => !e.child.schema.fieldNames.contains("embedding")),
+      "no exchange may carry the raw embedding column")
+  }
+
   test("context windows: row-local generator, no exchange") {
     val df = graft.pipeline.CorpusPipeline.contextWindows(
       Tables(spark, sfDir, "documents"), winSize = 16, stride = 8)
