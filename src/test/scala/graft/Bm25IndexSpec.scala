@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+
+import graft.operators.Bm25Index
+
+class Bm25IndexSpec extends SparkSpec {
+
+  private val terms = Seq("hash", "vector", "filter", "merge", "scan")
+  private lazy val idxPath = {
+    val p = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    Bm25Index.write(Tables(spark, sfDir, "documents"), "doc_id", "text", p)
+    p
+  }
+
+  test("index probe returns exactly the ad-hoc bm25 ranking") {
+    val fromIndex = Bm25Index.query(spark, idxPath, terms, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val adHoc = graft.queries.TextQueries.bm25TopK(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(fromIndex.toSeq == adHoc.toSeq,
+      s"index=${fromIndex.toSeq}\nadhoc=${adHoc.toSeq}")
+  }
+
+  test("term predicate reaches the postings scan for file skipping") {
+    val df = Bm25Index.query(spark, idxPath, Seq("vector", "merge"), k = 5)
+    df.collect()
+    def flat(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => flat(a.executedPlan)
+      case q: QueryStageExec => flat(q.plan)
+      case other => other +: other.children.flatMap(flat)
+    }
+    val scans = flat(df.queryExecution.executedPlan)
+      .collect { case s: FileSourceScanExec
+        if s.metadata.getOrElse("Location", "").contains("postings") => s }
+    assert(scans.nonEmpty &&
+      scans.head.metadata("PushedFilters").contains("In(term"),
+      "term IN (...) must push down to the postings parquet")
+  }
+
+  test("a single-term probe ranks by tf-normalized score only") {
+    // with one term, ordering must be monotone in tf/(tf + k1*(...)):
+    // longer docs with equal tf rank lower
+    val r = Bm25Index.query(spark, idxPath, Seq("hash"), k = 50)
+      .collect().map(x => (x.getLong(0), x.getDouble(1)))
+    assert(r.nonEmpty)
+    assert(r.map(_._2).toSeq == r.map(_._2).sorted(
+      Ordering[Double].reverse).toSeq, "scores must be non-increasing")
+  }
+}
