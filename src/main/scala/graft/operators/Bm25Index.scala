@@ -27,27 +27,50 @@ import graft.text.TextOps
   */
 object Bm25Index {
 
-  def write(docs: DataFrame, idCol: String, textCol: String,
-      path: String): Unit = {
-    val toks = docs
+  private def buildPostings(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs
       .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("ws"))
       .select(col("doc_id"), size(col("ws")).cast("double").as("dl"),
         explode(col("ws")).as("term"))
-    val postings = toks
       .groupBy("doc_id", "dl", "term")
       .agg(count(lit(1)).cast("double").as("tf"))
-      .localCheckpoint(true) // dfs + the write below share one pass
+      .localCheckpoint(true) // every consumer shares one tokenize pass
+
+  // stats are stored MERGEABLE — (n_docs, sum_dl), never a pre-divided
+  // average — so appends add partials instead of rebuilding; avgdl is
+  // derived at query time
+  private def writeDerived(postings: DataFrame, path: String,
+      mode: String): Unit = {
     postings
       .repartitionByRange(col("term"))
       .sortWithinPartitions("term")
-      .write.mode("overwrite").parquet(s"$path/postings")
+      .write.mode(mode).parquet(s"$path/postings")
     postings.groupBy("term")
       .agg(count(lit(1)).cast("double").as("dft"))
-      .write.mode("overwrite").parquet(s"$path/dfs")
+      .write.mode(mode).parquet(s"$path/dfs")
     postings.select(col("doc_id"), col("dl")).distinct()
-      .agg(count(lit(1)).cast("double").as("n_docs"), avg("dl").as("avgdl"))
-      .write.mode("overwrite").parquet(s"$path/stats")
+      .agg(count(lit(1)).cast("double").as("n_docs"),
+        sum("dl").as("sum_dl"))
+      .write.mode(mode).parquet(s"$path/stats")
   }
+
+  def write(docs: DataFrame, idCol: String, textCol: String,
+      path: String): Unit =
+    writeDerived(buildPostings(docs, idCol, textCol), path, "overwrite")
+
+  /** Incremental maintenance: a new document batch appends its own
+    * postings files and its own df/stats PARTIAL rows — batch-sized
+    * work, no corpus re-tokenization, no rewrite of existing files.
+    * The query path re-aggregates the (term, dft) partials and the
+    * (n_docs, sum_dl) partials at probe time (|q| + #appends rows —
+    * trivial forever). Batches must carry previously-unseen doc_ids;
+    * re-ingesting a doc double-counts it (dedupe upstream, the
+    * `Sinks.notYetWritten` pattern).
+    */
+  def appendToIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: String): Unit =
+    writeDerived(buildPostings(docs, idCol, textCol), path, "append")
 
   /** Top-k BM25 over the persisted index; identical arithmetic to the
     * ad-hoc path (k1=1.2, b=0.75, rank cut on the rounded score).
@@ -57,9 +80,13 @@ object Bm25Index {
     require(terms.nonEmpty, "query terms must be non-empty")
     val postings = spark.read.parquet(s"$path/postings")
       .where(col("term").isInCollection(terms))
+    // merge the per-append partials (a handful of rows) at probe time
     val dfs = spark.read.parquet(s"$path/dfs")
       .where(col("term").isInCollection(terms))
+      .groupBy("term").agg(sum("dft").as("dft"))
     val stats = spark.read.parquet(s"$path/stats")
+      .agg(sum("n_docs").as("n_docs"),
+        (sum("sum_dl") / sum("n_docs")).as("avgdl"))
     postings.join(broadcast(dfs), "term")
       .crossJoin(broadcast(stats))
       .withColumn("idf",

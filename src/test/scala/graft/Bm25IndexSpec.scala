@@ -40,6 +40,22 @@ class Bm25IndexSpec extends SparkSpec {
       "term IN (...) must push down to the postings parquet")
   }
 
+  test("append: 80% build + 20% batch probes like a full rebuild") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, sfDir, "documents")
+    val p = java.nio.file.Files.createTempDirectory("bm25app").toString
+    Bm25Index.write(docs.where(pmod(col("doc_id"), lit(5)) =!= 0),
+      "doc_id", "text", p)
+    Bm25Index.appendToIndex(docs.where(pmod(col("doc_id"), lit(5)) === 0),
+      "doc_id", "text", p)
+    val merged = Bm25Index.query(spark, p, terms, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val full = Bm25Index.query(spark, idxPath, terms, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(merged.toSeq == full.toSeq,
+      s"merged=${merged.toSeq}\nfull=${full.toSeq}")
+  }
+
   test("a single-term probe ranks by tf-normalized score only") {
     // with one term, ordering must be monotone in tf/(tf + k1*(...)):
     // longer docs with equal tf rank lower
