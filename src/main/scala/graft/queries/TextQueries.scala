@@ -253,7 +253,23 @@ object TextQueries {
       .limit(20)
   }
 
+  /** The persisted-index probe for the same query terms — build-once
+    * (keyed by the immutable dataset dir), then every probe is posting-
+    * list-sized work. Registered against the SAME oracle as the ad-hoc
+    * path: the index lifecycle must be result-invisible.
+    */
+  def bm25IndexTopK(spark: SparkSession, dir: String): DataFrame = {
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_idx_" +
+      Integer.toHexString(dir.hashCode)
+    if (!new java.io.File(s"$idx/postings/_SUCCESS").exists())
+      graft.operators.Bm25Index.write(
+        Tables(spark, dir, "documents"), "doc_id", "text", idx)
+    graft.operators.Bm25Index.query(spark, idx,
+      Seq("hash", "vector", "filter", "merge", "scan"), k = 20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bm25_index_topk" -> bm25IndexTopK,
     "text_bm25_topk" -> bm25TopK,
     "text_url_funcs" -> urlFuncs,
     "text_pii_redact" -> piiRedact,
@@ -273,8 +289,7 @@ object TextQueries {
   private val ipRe = raw"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
   private val phoneRe = raw"\b\d{3}-\d{4}\b"
 
-  val oracle: Map[String, String] = Map(
-    "text_bm25_topk" ->
+  private val bm25OracleSql =
       raw"""WITH toks AS (
   SELECT doc_id,
     list_filter($tokSql, w -> w <> '') AS ws
@@ -302,7 +317,11 @@ object TextQueries {
 SELECT doc_id, round(sum(contrib), 6) AS bm25,
   count(*) AS n_terms_hit
 FROM scored GROUP BY doc_id
-ORDER BY bm25 DESC, doc_id LIMIT 20""",
+ORDER BY bm25 DESC, doc_id LIMIT 20"""
+
+  val oracle: Map[String, String] = Map(
+    "text_bm25_topk" -> bm25OracleSql,
+    "text_bm25_index_topk" -> bm25OracleSql,
     "text_url_funcs" ->
       """SELECT doc_id,
   source || '.example.com' AS host,
