@@ -283,7 +283,34 @@ object EventQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** A/B-test readout: users split into variants by id parity, Welch's
+    * t statistic computed from per-variant (n, mean, sample variance) —
+    * ONE hash agg over the events, then a 2-row self-arrangement via
+    * conditional aggregation; the test statistic is closed-form column
+    * arithmetic. No collect, no per-variant scans: the pattern for
+    * experiment readouts over event logs at any scale.
+    */
+  def abTest(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(pmod(col("user_id"), lit(2)).as("variant"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        avg("value").as("m"), var_samp("value").as("v"))
+      .agg(
+        max(when(col("variant") === 0, col("n"))).as("n0"),
+        max(when(col("variant") === 1, col("n"))).as("n1"),
+        max(when(col("variant") === 0, col("m"))).as("m0"),
+        max(when(col("variant") === 1, col("m"))).as("m1"),
+        max(when(col("variant") === 0, col("v"))).as("v0"),
+        max(when(col("variant") === 1, col("v"))).as("v1"))
+      .select(
+        col("n0").cast("long").as("n0"), col("n1").cast("long").as("n1"),
+        round(col("m0"), 6).as("mean0"), round(col("m1"), 6).as("mean1"),
+        round((col("m1") - col("m0")) /
+          sqrt(col("v1") / col("n1") + col("v0") / col("n0")), 6)
+          .as("t_stat"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_ab_test" -> abTest,
     "events_lag_features" -> lagFeatures,
     "events_incremental_merge" -> incrementalMerge,
     "events_retention" -> retention,
@@ -300,6 +327,25 @@ object EventQueries {
     "events_interval_join" -> intervalJoin)
 
   val oracle: Map[String, String] = Map(
+    "events_ab_test" ->
+      """WITH byv AS (
+  SELECT user_id % 2 AS variant,
+    CAST(count(*) AS DOUBLE) AS n, avg(value) AS m, var_samp(value) AS v
+  FROM events GROUP BY 1
+), w AS (
+  SELECT
+    max(CASE WHEN variant = 0 THEN n END) AS n0,
+    max(CASE WHEN variant = 1 THEN n END) AS n1,
+    max(CASE WHEN variant = 0 THEN m END) AS m0,
+    max(CASE WHEN variant = 1 THEN m END) AS m1,
+    max(CASE WHEN variant = 0 THEN v END) AS v0,
+    max(CASE WHEN variant = 1 THEN v END) AS v1
+  FROM byv
+)
+SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+  round(m0, 6) AS mean0, round(m1, 6) AS mean1,
+  round((m1 - m0) / sqrt(v1 / n1 + v0 / n0), 6) AS t_stat
+FROM w""",
     "events_lag_features" ->
       """SELECT user_id, event_id, value,
   round(lag(value, 1) OVER w, 6) AS lag1,

@@ -362,7 +362,20 @@ object FuncsExtra {
       .orderBy("n_nationkey")
   }
 
+  /** explode_outer: generator that KEEPS rows whose array is empty
+    * (null element) — the difference between "docs with long words"
+    * and "all docs annotated with long words", which inner explode
+    * silently conflates.
+    */
+  def explodeOuterFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode_outer(filter(graft.text.TextOps.tokens(col("text")),
+          t => length(t) > 11)).as("long_word"))
+      .orderBy("doc_id", "long_word")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "array_explode_outer" -> explodeOuterFuncs,
     "join_null_safe" -> joinNullSafe,
     "string_funcs3" -> stringFuncs3,
     "agg_minmax_by" -> minmaxBy,
@@ -387,6 +400,17 @@ object FuncsExtra {
     "agg_hll_sketch" -> hllSketch)
 
   val oracle: Map[String, String] = Map(
+    "array_explode_outer" ->
+      raw"""WITH t AS (
+  SELECT doc_id, list_filter(list_filter(string_split_regex(
+    lower(regexp_replace(text, '[^a-zA-Z ]', ' ', 'g')), '\s+'),
+    w -> w <> ''), w -> length(w) > 11) AS l
+  FROM documents
+)
+SELECT doc_id,
+  unnest(CASE WHEN len(l) = 0 THEN [CAST(NULL AS VARCHAR)] ELSE l END)
+    AS long_word
+FROM t ORDER BY doc_id, long_word""",
     "join_null_safe" ->
       """SELECT n.n_nationkey, n.n_name, r.r_name
 FROM (SELECT n_nationkey, n_name, nullif(n_regionkey, 2) AS rk
