@@ -333,7 +333,25 @@ ORDER BY cnt DESC, token""")
         min("l_shipdate").as("min_shipdate"),
         max("l_shipdate").as("max_shipdate"))
 
+  /** Deterministic k-per-group sampling: rows ordered per group by a
+    * content hash (md5 — identical in both engines, unlike xxhash64)
+    * so the "random" sample is reproducible under retries and across
+    * engines; the row_number filter is exactly the shape the
+    * TopKPerKeyRewrite turns into the bounded-heap native node, so at
+    * scale only <= k rows per group per partition reach the shuffle.
+    */
+  def samplePerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables(spark, dir, "documents")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= 3)
+      .select(col("source"), col("doc_id"), col("rn"))
+      .orderBy("source", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_per_group" -> samplePerGroup,
     "stats_profile" -> profileTable,
     "stats_histogram" -> histogramWidth,
     "agg_percentiles" -> percentiles,
@@ -361,6 +379,15 @@ SELECT item, count(*) AS %CNT% FROM tok WHERE item <> ''
 GROUP BY item ORDER BY count(*) DESC, item LIMIT 15"""
 
   val oracle: Map[String, String] = Map(
+    "sample_per_group" ->
+      """WITH r AS (
+  SELECT source, doc_id,
+    row_number() OVER (PARTITION BY source
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+)
+SELECT source, doc_id, rn FROM r WHERE rn <= 3
+ORDER BY source, rn""",
     "stats_profile" ->
       """SELECT count(*) AS n_rows,
   count(DISTINCT l_orderkey) AS d_orderkey,
