@@ -38,4 +38,30 @@ object RangeJoin {
           col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("_bin")
   }
+
+  /** Interval-INTERVAL overlap join: pairs where
+    * `[loL, hiL]` and `[loR, hiR]` intersect (closed bounds). Both
+    * sides register in every bin they overlap; a candidate pair shows
+    * up once per SHARED bin, so instead of a distinct pass (an extra
+    * corpus-sized shuffle) each pair is emitted only from its FIRST
+    * shared bin — `bin == max(floor(loL/w), floor(loR/w))` — which
+    * the overlap predicate guarantees both sides registered. Exactly-
+    * once output with zero dedup cost; the join stays a shuffled hash
+    * join on the bin id.
+    */
+  def binnedOverlapJoin(left: DataFrame, right: DataFrame,
+      loL: String, hiL: String, loR: String, hiR: String,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def binOf(c: Column): Column = floor(c / lit(binWidth)).cast("long")
+    val lb = left.withColumn("_binl",
+      explode(sequence(binOf(col(loL)), binOf(col(hiL)))))
+    val rb = right.withColumn("_binr",
+      explode(sequence(binOf(col(loR)), binOf(col(hiR)))))
+    lb.join(rb,
+        col("_binl") === col("_binr") &&
+          col(loL) <= col(hiR) && col(loR) <= col(hiL) &&
+          col("_binl") === greatest(binOf(col(loL)), binOf(col(loR))))
+      .drop("_binl", "_binr")
+  }
 }

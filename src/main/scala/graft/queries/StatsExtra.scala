@@ -350,7 +350,30 @@ ORDER BY cnt DESC, token""")
       .orderBy("source", "rn")
   }
 
+  /** Interval-INTERVAL overlap join (±300 price bands on both sides)
+    * via bin blocking with first-shared-bin emission — exactly-once
+    * output with NO dedup shuffle (see RangeJoin.binnedOverlapJoin).
+    * The oracle states the overlap predicate directly; the binning is
+    * invisible in the result by construction.
+    */
+  def intervalOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .where(pmod(col("l_orderkey"), lit(50)) === 0)
+      .select((col("l_extendedprice") - lit(300.0)).as("l_lo"),
+        (col("l_extendedprice") + lit(300.0)).as("l_hi"))
+    val parts = Tables(spark, dir, "part")
+      .select(col("p_partkey"),
+        (col("p_retailprice") - lit(300.0)).as("r_lo"),
+        (col("p_retailprice") + lit(300.0)).as("r_hi"))
+    RangeJoin.binnedOverlapJoin(li, parts, "l_lo", "l_hi", "r_lo", "r_hi",
+        binWidth = 600.0)
+      .groupBy("p_partkey")
+      .agg(count(lit(1)).as("n_overlaps"))
+      .orderBy("p_partkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_interval_overlap" -> intervalOverlap,
     "sample_per_group" -> samplePerGroup,
     "stats_profile" -> profileTable,
     "stats_histogram" -> histogramWidth,
@@ -379,6 +402,18 @@ SELECT item, count(*) AS %CNT% FROM tok WHERE item <> ''
 GROUP BY item ORDER BY count(*) DESC, item LIMIT 15"""
 
   val oracle: Map[String, String] = Map(
+    "join_interval_overlap" ->
+      """WITH li AS (
+  SELECT l_extendedprice - 300.0 AS l_lo, l_extendedprice + 300.0 AS l_hi
+  FROM lineitem WHERE l_orderkey % 50 = 0
+), p AS (
+  SELECT p_partkey, p_retailprice - 300.0 AS r_lo,
+    p_retailprice + 300.0 AS r_hi
+  FROM part
+)
+SELECT p_partkey, count(*) AS n_overlaps
+FROM li JOIN p ON l_lo <= r_hi AND r_lo <= l_hi
+GROUP BY p_partkey ORDER BY p_partkey""",
     "sample_per_group" ->
       """WITH r AS (
   SELECT source, doc_id,
