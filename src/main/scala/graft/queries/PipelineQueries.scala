@@ -101,7 +101,33 @@ object PipelineQueries {
         Tables(spark, dir, "documents"), winSize = 16, stride = 8)
       .orderBy("doc_id", "win_idx")
 
+  /** Deterministic source-interleaved training order: position =
+    * (rank within source) * n_sources + source index — round-robin
+    * across domains so no training window sees one domain in a block.
+    * Scale shape: one per-source window (rank), a BROADCAST join to
+    * the tiny source-index dimension, and row-local position
+    * arithmetic — the global order is never materialized by a
+    * single-reducer sort; a writer would repartitionByRange(pos) to
+    * lay files out in training order.
+    */
+  def interleave(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir, "documents")
+    val srcIdx = docs.select(col("source")).distinct()
+      .withColumn("src_idx",
+        (dense_rank().over(Window.orderBy("source")) - 1).cast("long"))
+    val nSrc = srcIdx.count()
+    docs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy("doc_id")).cast("long"))
+      .join(broadcast(srcIdx), "source")
+      .select(col("doc_id"), col("source"),
+        ((col("rn") - 1) * lit(nSrc) + col("src_idx")).as("pos"))
+      .orderBy("pos")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_interleave" -> interleave,
     "pipeline_context_windows" -> contextWindows,
     "pipeline_keywords_v2_topk" -> keywordsV2TopK,
     "pipeline_pubmed_golden_v1" -> pubmedGoldenV1,
@@ -116,6 +142,21 @@ object PipelineQueries {
     raw"""CAST(len(list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z ]', ' ', 'g')), '\s+'), w -> w <> '')) AS BIGINT)"""
 
   val oracle: Map[String, String] = Map(
+    "pipeline_interleave" ->
+      """WITH s AS (
+  SELECT source,
+    CAST(dense_rank() OVER (ORDER BY source) - 1 AS BIGINT) AS src_idx
+  FROM (SELECT DISTINCT source FROM documents)
+), n AS (SELECT CAST(count(*) AS BIGINT) AS n_src FROM s),
+r AS (
+  SELECT doc_id, source,
+    CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+      AS BIGINT) AS rn
+  FROM documents
+)
+SELECT r.doc_id, r.source, (r.rn - 1) * n.n_src + s.src_idx AS pos
+FROM r JOIN s USING (source), n
+ORDER BY pos""",
     "pipeline_context_windows" ->
       raw"""WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS ws FROM documents
