@@ -309,7 +309,20 @@ object EventQueries {
           sqrt(col("v1") / col("n1") + col("v0") / col("n0")), 6)
           .as("t_stat"))
 
+  /** Activity heatmap: (day-of-week, hour-of-day) event matrix — the
+    * ops-dashboard rollup; one hash agg on a 7x24-bounded key domain.
+    * Spark numbers weekdays 1=Sunday..7, DuckDB 0..6: the oracle
+    * shifts by one rather than papering over the convention gap.
+    */
+  def heatmap(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hod"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"))
+      .orderBy("dow", "hod")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_heatmap" -> heatmap,
     "events_ab_test" -> abTest,
     "events_lag_features" -> lagFeatures,
     "events_incremental_merge" -> incrementalMerge,
@@ -327,6 +340,11 @@ object EventQueries {
     "events_interval_join" -> intervalJoin)
 
   val oracle: Map[String, String] = Map(
+    "events_heatmap" ->
+      """SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+  CAST(hour(ts) AS INT) AS hod,
+  count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY dow, hod""",
     "events_ab_test" ->
       """WITH byv AS (
   SELECT user_id % 2 AS variant,
