@@ -109,6 +109,36 @@ class PlanGuardSpec extends SparkSpec {
       "no exchange may carry the raw embedding column")
   }
 
+  test("stats_quantile_bins: no corpus-wide partition-less window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.{ObjectHashAggregateExec, SortAggregateExec}
+    val ns = nodes(graft.queries.StatsExtra.quantileBins(spark, sfDir))
+    def kids(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case _ => p.children
+    }
+    // a partition-less window is only acceptable over a PRE-AGGREGATED
+    // (bucket-count-sized) input: walking down from the window must hit
+    // an aggregation before any file scan
+    def scanBelowWithoutAgg(p: SparkPlan): Boolean = p match {
+      case _: HashAggregateExec | _: ObjectHashAggregateExec |
+           _: SortAggregateExec => false
+      case _: FileSourceScanExec => true
+      case other => kids(other).exists(scanBelowWithoutAgg)
+    }
+    val bad = ns.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty &&
+        scanBelowWithoutAgg(w.child) => w
+    }
+    assert(bad.isEmpty,
+      "partition-less windows may only ride the tiny bucket-offset table")
+    assert(ns.exists {
+      case w: WindowExec => w.partitionSpec.nonEmpty
+      case _ => false
+    }, "the rank pass must be a bucket-partitioned window")
+  }
+
   test("context windows: row-local generator, no exchange") {
     val df = graft.pipeline.CorpusPipeline.contextWindows(
       Tables(spark, sfDir, "documents"), winSize = 16, stride = 8)
