@@ -16,7 +16,7 @@ import graft.text.TextOps
   *     term range, so a probe's `term IN (...)` prunes via row-group
   *     min/max stats instead of scanning the vocabulary.
   *   - `dfs/`      — (term, dft) document frequencies.
-  *   - `stats/`    — single row (n_docs, avgdl).
+  *   - `stats/`    — mergeable (n_docs, sum_dl) partial rows.
   *
   * A probe reads |q| terms' postings (file-skipped), broadcasts the
   * |q|-row df table and the 1-row stats, and runs one per-doc hash agg
@@ -27,21 +27,27 @@ import graft.text.TextOps
   */
 object Bm25Index {
 
-  private def buildPostings(docs: DataFrame, idCol: String,
+  // one row per doc BEFORE the explode — docs that tokenize to zero
+  // tokens keep their row, so index stats count them exactly like the
+  // ad-hoc bm25TopK does (r3 advisor: the two paths share one oracle)
+  private def tokenizedDocs(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
     docs
       .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("ws"))
       .select(col("doc_id"), size(col("ws")).cast("double").as("dl"),
-        explode(col("ws")).as("term"))
-      .groupBy("doc_id", "dl", "term")
-      .agg(count(lit(1)).cast("double").as("tf"))
+        col("ws"))
       .localCheckpoint(true) // every consumer shares one tokenize pass
 
   // stats are stored MERGEABLE — (n_docs, sum_dl), never a pre-divided
   // average — so appends add partials instead of rebuilding; avgdl is
   // derived at query time
-  private def writeDerived(postings: DataFrame, path: String,
+  private def writeDerived(toks: DataFrame, path: String,
       mode: String): Unit = {
+    val postings = toks
+      .select(col("doc_id"), col("dl"), explode(col("ws")).as("term"))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .localCheckpoint(true)
     postings
       .repartitionByRange(col("term"))
       .sortWithinPartitions("term")
@@ -49,28 +55,45 @@ object Bm25Index {
     postings.groupBy("term")
       .agg(count(lit(1)).cast("double").as("dft"))
       .write.mode(mode).parquet(s"$path/dfs")
-    postings.select(col("doc_id"), col("dl")).distinct()
-      .agg(count(lit(1)).cast("double").as("n_docs"),
-        sum("dl").as("sum_dl"))
+    // from the PRE-explode doc list: a dl=0 doc contributes n_docs+1
+    // (sum_dl coalesced for the empty-batch append edge)
+    toks.agg(count(lit(1)).cast("double").as("n_docs"),
+        coalesce(sum("dl"), lit(0.0)).as("sum_dl"))
       .write.mode(mode).parquet(s"$path/stats")
   }
 
   def write(docs: DataFrame, idCol: String, textCol: String,
       path: String): Unit =
-    writeDerived(buildPostings(docs, idCol, textCol), path, "overwrite")
+    writeDerived(tokenizedDocs(docs, idCol, textCol), path, "overwrite")
 
   /** Incremental maintenance: a new document batch appends its own
     * postings files and its own df/stats PARTIAL rows — batch-sized
     * work, no corpus re-tokenization, no rewrite of existing files.
     * The query path re-aggregates the (term, dft) partials and the
     * (n_docs, sum_dl) partials at probe time (|q| + #appends rows —
-    * trivial forever). Batches must carry previously-unseen doc_ids;
-    * re-ingesting a doc double-counts it (dedupe upstream, the
-    * `Sinks.notYetWritten` pattern).
+    * trivial forever).
+    *
+    * Batches must carry previously-unseen doc_ids; re-ingesting a doc
+    * double-counts it. `dedupeAgainstExisting=true` enforces that with
+    * an anti-join against the index's own postings doc_ids (one scan of
+    * the doc_id column, index-sized not corpus-sized — the
+    * `Sinks.notYetWritten` pattern applied at the index boundary).
+    * Caveat: a previously-ingested ZERO-token doc has no postings row,
+    * so the guard cannot see it; its re-ingest would re-count it in
+    * stats (n_docs). Zero-token docs are corpus noise at that level —
+    * dedupe upstream if they matter.
     */
   def appendToIndex(docs: DataFrame, idCol: String, textCol: String,
-      path: String): Unit =
-    writeDerived(buildPostings(docs, idCol, textCol), path, "append")
+      path: String, dedupeAgainstExisting: Boolean = false): Unit = {
+    val batch =
+      if (!dedupeAgainstExisting) docs
+      else {
+        val seen = docs.sparkSession.read.parquet(s"$path/postings")
+          .select(col("doc_id")).distinct()
+        docs.join(seen, docs(idCol) === seen("doc_id"), "left_anti")
+      }
+    writeDerived(tokenizedDocs(batch, idCol, textCol), path, "append")
+  }
 
   /** Top-k BM25 over the persisted index; identical arithmetic to the
     * ad-hoc path (k1=1.2, b=0.75, rank cut on the rounded score).

@@ -195,12 +195,22 @@ object Multimodal {
     * adapts to the requested radius so the pigeonhole recall guarantee
     * ALWAYS holds: b bands catch every pair within Hamming b-1, so
     * maxHamming <= 3 blocks on 4 x 16-bit bands and 4..7 on 8 x 8-bit
-    * bands (wider buckets = more candidates — the price of the wider
-    * radius). Radii above 7 would need 16 x 4-bit bands whose buckets
+    * bands. Radii above 7 would need 16 x 4-bit bands whose buckets
     * collide a 1/16th of the corpus each; rejected rather than silently
     * under-recalled. Candidate join carries (id, hash) only.
+    *
+    * COST CLIFF at maxHamming >= 4: an 8-bit band bucket collides
+    * ~1/256 of a random corpus (vs ~1/65536 for the 16-bit bands), so
+    * candidate volume grows ~256x and quadratically in corpus size —
+    * correctness is unaffected (exact Hamming verify) but a large
+    * corpus at the wide radius needs `bucketCap`: buckets holding more
+    * than that many signatures are dropped from the candidate join
+    * (the shingle path's dfCap bargain — pairs agreeing ONLY on a
+    * too-hot band are traded for bounded cost; near-identical images
+    * still collide on their other, rarer bands). 0 = uncapped.
     */
-  def dhashPairs(packed: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def dhashPairs(packed: DataFrame, maxHamming: Int = 3,
+      bucketCap: Int = 0): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 7,
       s"maxHamming must be in [0, 7] (got $maxHamming): banded blocking " +
         "guarantees recall only up to bands-1 differing bits")
@@ -208,12 +218,21 @@ object Multimodal {
     val width = 64 / bands
     val mask = (1L << width) - 1
     val sig = dhashes(packed).repartition(col("id"))
-    val bandKeys = sig.select(
+    val allBandKeys = sig.select(
       col("id"), col("dhash"),
       posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), " +
           s"b -> shiftright(dhash, b * $width) & $mask)")))
       .toDF("id", "dhash", "band", "bval")
+    val bandKeys =
+      if (bucketCap <= 0) allBandKeys
+      else {
+        val cool = allBandKeys.groupBy("band", "bval")
+          .agg(count(lit(1)).as("bdf"))
+          .where(col("bdf") <= bucketCap)
+          .select("band", "bval")
+        allBandKeys.join(broadcast(cool), Seq("band", "bval"))
+      }
     bandKeys.as("a").join(bandKeys.as("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
           col("a.id") < col("b.id"))

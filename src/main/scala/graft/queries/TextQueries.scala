@@ -259,11 +259,19 @@ object TextQueries {
     * path: the index lifecycle must be result-invisible.
     */
   def bm25IndexTopK(spark: SparkSession, dir: String): DataFrame = {
+    // cache key = the FULL sanitized dataset path (an Int hashCode can
+    // collide across dirs); the rebuild guard is an explicit completion
+    // marker written AFTER all three index dirs land, so a crash
+    // between the postings write and the dfs/stats writes leaves a
+    // half-index that is rebuilt, never served (r3 advisor)
     val idx = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_idx_" +
-      Integer.toHexString(dir.hashCode)
-    if (!new java.io.File(s"$idx/postings/_SUCCESS").exists())
+      dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val marker = new java.io.File(s"$idx/_GRAFT_INDEX_COMPLETE")
+    if (!marker.exists()) {
       graft.operators.Bm25Index.write(
         Tables(spark, dir, "documents"), "doc_id", "text", idx)
+      marker.createNewFile()
+    }
     graft.operators.Bm25Index.query(spark, idx,
       Seq("hash", "vector", "filter", "merge", "scan"), k = 20)
   }

@@ -56,6 +56,38 @@ class Bm25IndexSpec extends SparkSpec {
       s"merged=${merged.toSeq}\nfull=${full.toSeq}")
   }
 
+  test("index stats count zero-token docs like the ad-hoc path") {
+    import spark.implicits._
+    // doc 2 tokenizes to NOTHING — it has no postings row, but n_docs
+    // must still count it (the ad-hoc path's stats do; r3 advisor)
+    val docs = Seq((1L, "hash map scan"), (2L, "!!! 123 ..."),
+      (3L, "vector merge")).toDF("doc_id", "text")
+    val p = java.nio.file.Files.createTempDirectory("bm25empty").toString
+    Bm25Index.write(docs, "doc_id", "text", p)
+    val st = spark.read.parquet(s"$p/stats").collect()(0)
+    assert(st.getDouble(st.fieldIndex("n_docs")) == 3.0,
+      "zero-token docs must count toward n_docs")
+    assert(st.getDouble(st.fieldIndex("sum_dl")) == 5.0)
+  }
+
+  test("appendToIndex dedupe guard drops already-ingested doc_ids") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, sfDir, "documents")
+    val p = java.nio.file.Files.createTempDirectory("bm25guard").toString
+    Bm25Index.write(docs.where(pmod(col("doc_id"), lit(5)) =!= 0),
+      "doc_id", "text", p)
+    // the WHOLE corpus re-offered: the guard must keep only the unseen
+    // 20%, so the merged index equals the full-corpus build
+    Bm25Index.appendToIndex(docs, "doc_id", "text", p,
+      dedupeAgainstExisting = true)
+    val merged = Bm25Index.query(spark, p, terms, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val full = Bm25Index.query(spark, idxPath, terms, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(merged.toSeq == full.toSeq,
+      s"merged=${merged.toSeq}\nfull=${full.toSeq}")
+  }
+
   test("a single-term probe ranks by tf-normalized score only") {
     // with one term, ordering must be monotone in tf/(tf + k1*(...)):
     // longer docs with equal tf rank lower

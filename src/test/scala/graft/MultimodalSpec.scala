@@ -18,6 +18,19 @@ class MultimodalSpec extends SparkSpec {
     row.foreach(r => assert(r.getString(0) == r.getString(1)))
   }
 
+  test("dhash bucketCap: generous cap is identity, tight cap a subset") {
+    val uncapped = Multimodal.dhashPairs(packed, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val generous = Multimodal.dhashPairs(packed, maxHamming = 6,
+        bucketCap = 1 << 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(generous == uncapped, "a cap above every bucket must be a no-op")
+    val tight = Multimodal.dhashPairs(packed, maxHamming = 6, bucketCap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight.subsetOf(uncapped),
+      "capping may only DROP candidates, never invent pairs")
+  }
+
   test("meta matches payload sizes") {
     val bad = packed
       .where(col("meta.n_bytes") =!= octet_length(col("payload")))
