@@ -60,7 +60,8 @@ class PubMedTable(props: Map[String, String]) extends Table
     new PubMedScanBuilder(
       options.getOrDefault("path", props.getOrElse("path", "")),
       options.getOrDefault("beginYear", props.getOrElse("beginYear", "1990")).toInt,
-      options.getOrDefault("endYear", props.getOrElse("endYear", "1991")).toInt)
+      options.getOrDefault("endYear", props.getOrElse("endYear", "1991")).toInt,
+      options.getOrDefault("pageSize", props.getOrElse("pageSize", "10000")).toLong)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new PubMedWriteBuilder(
       info.options().getOrDefault("path", props.getOrElse("path", "")),
@@ -79,7 +80,8 @@ class PubMedTable(props: Map[String, String]) extends Table
   *    count) skips the page download entirely — the reader materializes
   *    only the requested fields.
   */
-class PubMedScanBuilder(path: String, beginYear: Int, endYear: Int)
+class PubMedScanBuilder(path: String, beginYear: Int, endYear: Int,
+    pageSize: Long = 10000L)
     extends ScanBuilder with Scan with Batch
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsReportPartitioning {
@@ -126,7 +128,7 @@ class PubMedScanBuilder(path: String, beginYear: Int, endYear: Int)
       year <- yearLo until yearHi
       month <- 1 to 12 if monthEq.forall(_ == month)
     } yield PubMedMonthPartition(year, month, path,
-        required.fieldNames): InputPartition).toArray
+        required.fieldNames, pageSize): InputPartition).toArray
 
   /** One planned partition per (year, month): reported as
     * KeyGroupedPartitioning so downstream clustering requirements on
@@ -144,7 +146,8 @@ class PubMedScanBuilder(path: String, beginYear: Int, endYear: Int)
 }
 
 case class PubMedMonthPartition(year: Int, month: Int, path: String,
-    columns: Array[String]) extends InputPartition with HasPartitionKey {
+    columns: Array[String], pageSize: Long = 10000L)
+    extends InputPartition with HasPartitionKey {
   // the partition IS keyed by (year, month) — reporting it lets Spark
   // group-aggregate or storage-partition-join on those keys with NO
   // exchange (spark.sql.sources.v2.bucketing.enabled)
@@ -237,37 +240,53 @@ class PubMedFilesReader(p: PubMedFilesPartition)
 }
 
 object PubMedFilesReader {
-  private val maxAttempts = 4
 
-  /** Bounded exponential backoff (shared contract with the batch
-    * reader; D6 fix vs the reference's unbounded retry).
+  /** Bounded exponential backoff (shared [[Retry.withBackoff]] loop —
+    * one retry implementation for the file AND http fetchers; D6 fix
+    * vs the reference's unbounded retry). Exhaustion rethrows the raw
+    * IOException (harness contract, unchanged).
     */
-  def fetchPage(f: java.io.File): String = {
-    var attempt = 0
-    var delayMs = 250L
-    while (true) {
-      try {
-        return new String(java.nio.file.Files.readAllBytes(f.toPath),
-          java.nio.charset.StandardCharsets.UTF_8)
-      } catch {
-        case e: java.io.IOException =>
-          attempt += 1
-          if (attempt >= maxAttempts) throw e
-          Thread.sleep(delayMs)
-          delayMs *= 2
-      }
+  def fetchPage(f: java.io.File): String =
+    Retry.withBackoff(maxAttempts = 4, initialDelayMs = 250) { () =>
+      new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
     }
-    throw new IllegalStateException("unreachable")
-  }
 }
 
 /** Reads one month's pages. Bounded exponential backoff replaces the
   * reference's `while True: sleep(3)` (job_pubmed_submit.py:47-51, D6).
+  *
+  * Two transports behind one row contract, chosen by the path scheme:
+  *  - directory path: list `{year}_{month}_num_{retstart}` blobs (the
+  *    zero-egress harness default);
+  *  - `http(s)://base`: SEQUENTIAL retstart paging — GET
+  *    `base/{year}_{month}_num_{retstart}` for retstart 0, pageSize,
+  *    2*pageSize, ... until the server 404s (the reference pages
+  *    efetch by retstart+retmax the same way, job_pubmed_submit.py:
+  *    35-40; retmax=10000 is its page size). Each GET runs the shared
+  *    bounded-backoff loop with the NCBI failure taxonomy
+  *    ([[PubMedHttp.fetchPage]]); a 404 is the terminal no-more-pages
+  *    signal, never retried.
   */
 class PubMedMonthReader(p: PubMedMonthPartition)
     extends PartitionReader[InternalRow] {
 
-  private val pages: Iterator[java.io.File] = {
+  private val isHttp =
+    p.path.startsWith("http://") || p.path.startsWith("https://")
+  private var current: InternalRow = _
+
+  private def row(retstart: Long, content: () => String): InternalRow =
+    // materialize only the pruned columns; for the file transport the
+    // page fetch is skipped unless `content` was requested
+    InternalRow.fromSeq(p.columns.toSeq.map {
+      case "year" => p.year
+      case "month" => p.month
+      case "retstart" => retstart
+      case "content" => UTF8String.fromString(content())
+    })
+
+  // ---- file transport ----
+  private lazy val filePages: Iterator[java.io.File] = {
     val dir = new java.io.File(p.path)
     val prefix = s"${p.year}_${p.month}_num_"
     Option(dir.listFiles())
@@ -276,25 +295,29 @@ class PubMedMonthReader(p: PubMedMonthPartition)
       .sortBy(f => f.getName.stripPrefix(prefix).toLongOption.getOrElse(0L))
       .iterator
   }
-  private var current: InternalRow = _
 
-  private def fetchPage(f: java.io.File): String =
-    PubMedFilesReader.fetchPage(f)
+  // ---- http transport: probe-ahead pager ----
+  private var nextRetstart = 0L
+  private def fetchHttp(retstart: Long): Option[String] =
+    try Some(PubMedHttp.fetchPage(
+      s"${p.path.stripSuffix("/")}/${p.year}_${p.month}_num_$retstart"))
+    catch { case _: PubMedHttp.PageMissing => None }
 
   override def next(): Boolean =
-    if (!pages.hasNext) false
+    if (isHttp) {
+      fetchHttp(nextRetstart) match {
+        case Some(body) =>
+          current = row(nextRetstart, () => body)
+          nextRetstart += p.pageSize
+          true
+        case None => false
+      }
+    } else if (!filePages.hasNext) false
     else {
-      val f = pages.next()
+      val f = filePages.next()
       val retstart = f.getName.stripPrefix(s"${p.year}_${p.month}_num_")
         .toLongOption.getOrElse(0L)
-      // materialize only the pruned columns; the page fetch itself is
-      // skipped unless `content` was requested
-      current = InternalRow.fromSeq(p.columns.toSeq.map {
-        case "year" => p.year
-        case "month" => p.month
-        case "retstart" => retstart
-        case "content" => UTF8String.fromString(fetchPage(f))
-      })
+      current = row(retstart, () => PubMedFilesReader.fetchPage(f))
       true
     }
 
