@@ -95,6 +95,26 @@ class PubMedSourceSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
   }
 
+  test("registered pubmed_page_stats: year pushdown prunes planned partitions") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val df = graft.queries.PubMedQueries.pubmedPageStats(spark, sfDir)
+    assert(df.collect().nonEmpty)
+    def flat(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => flat(a.executedPlan)
+      case q: QueryStageExec => flat(q.plan)
+      case other => other +: other.children.flatMap(flat)
+    }
+    val scans = flat(df.queryExecution.executedPlan).collect {
+      case b: BatchScanExec => b }
+    assert(scans.nonEmpty, "the query must read through the pubmed DSv2 scan")
+    // beginYear 1990, endYear 1994, WHERE year >= 1991: the pushed
+    // filter must leave 3 years x 12 months, never 48 partitions
+    assert(scans.head.inputRDD.getNumPartitions == 36,
+      s"got ${scans.head.inputRDD.getNumPartitions} planned partitions")
+  }
+
   test("column pruning skips the content fetch") {
     val counted = readSource.select("year", "retstart")
     val rows = counted.collect()
