@@ -96,14 +96,19 @@ object DedupQueries {
     */
   def incrementalBatch(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
-    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_lsh_idx_" +
-      Integer.toHexString(dir.hashCode)
     // build-once is the point of the index: only (re)build when absent
-    // (keyed by the immutable dataset dir; a real deployment versions
-    // the index path by corpus snapshot)
-    if (!new java.io.File(s"$idx/bands/_SUCCESS").exists())
+    // (keyed by the FULL sanitized dataset path — hashCode collides —
+    // with a completion marker written after BOTH index dirs land, the
+    // same cache discipline as bm25IndexTopK; a real deployment
+    // versions the index path by corpus snapshot)
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_lsh_idx_" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val marker = new java.io.File(s"$idx/_GRAFT_INDEX_COMPLETE")
+    if (!marker.exists()) {
       Dedup.writeLshIndex(docs.where(pmod(col("doc_id"), lit(5)) =!= 0),
         "doc_id", "text", idx)
+      marker.createNewFile()
+    }
     Dedup.dedupAgainstIndex(docs.where(pmod(col("doc_id"), lit(5)) === 0),
         "doc_id", "text", idx, threshold = 0.5)
       .groupBy("batch_id")
