@@ -14,6 +14,13 @@ package graft.text
   */
 object Lemmatizer {
 
+  /** Irregular plurals: the standard English irregulars plus the
+    * f/fe- and Latin/Greek-plural classes a dictionary-less rule set
+    * cannot decide (wolves->wolf but waves->wave; all dictionary-
+    * validated in WordNet, table-driven here). Curated toward the
+    * biomedical vocabulary the reference's corpus carries
+    * (metastases, ganglia, mitochondria, ...).
+    */
   private val nounExceptions = Map(
     "men" -> "man", "women" -> "woman", "children" -> "child",
     "feet" -> "foot", "teeth" -> "tooth", "geese" -> "goose",
@@ -23,7 +30,27 @@ object Lemmatizer {
     "hypotheses" -> "hypothesis", "theses" -> "thesis",
     "indices" -> "index", "matrices" -> "matrix", "appendices" -> "appendix",
     "bacteria" -> "bacterium", "fungi" -> "fungus", "nuclei" -> "nucleus",
-    "stimuli" -> "stimulus", "larvae" -> "larva", "foci" -> "focus")
+    "stimuli" -> "stimulus", "larvae" -> "larva", "foci" -> "focus",
+    // f/fe plurals (no safe "ves" rule exists: waves->wave)
+    "wolves" -> "wolf", "knives" -> "knife", "leaves" -> "leaf",
+    "lives" -> "life", "wives" -> "wife", "halves" -> "half",
+    "calves" -> "calf", "shelves" -> "shelf", "thieves" -> "thief",
+    "loaves" -> "loaf", "scarves" -> "scarf", "elves" -> "elf",
+    "selves" -> "self", "hooves" -> "hoof",
+    // Latin/Greek plurals (biomedical-heavy)
+    "metastases" -> "metastasis", "prognoses" -> "prognosis",
+    "neuroses" -> "neurosis", "psychoses" -> "psychosis",
+    "oases" -> "oasis", "crises" -> "crisis",
+    "parentheses" -> "parenthesis", "syntheses" -> "synthesis",
+    "ganglia" -> "ganglion", "mitochondria" -> "mitochondrion",
+    "spectra" -> "spectrum", "media" -> "medium", "sera" -> "serum",
+    "strata" -> "stratum", "curricula" -> "curriculum",
+    "memoranda" -> "memorandum", "ova" -> "ovum", "genera" -> "genus",
+    "corpora" -> "corpus", "phyla" -> "phylum", "taxa" -> "taxon",
+    "alumni" -> "alumnus", "radii" -> "radius", "cacti" -> "cactus",
+    "vertebrae" -> "vertebra", "formulae" -> "formula",
+    "apices" -> "apex", "vertices" -> "vertex", "vortices" -> "vortex",
+    "codices" -> "codex")
 
   private val verbExceptions = Map(
     "is" -> "be", "are" -> "be", "was" -> "be", "were" -> "be",
@@ -33,11 +60,47 @@ object Lemmatizer {
     "went" -> "go", "gone" -> "go", "made" -> "make", "said" -> "say",
     "found" -> "find", "saw" -> "see", "seen" -> "see",
     "took" -> "take", "taken" -> "take", "gave" -> "give", "given" -> "give",
-    "showed" -> "show", "shown" -> "show", "used" -> "use", "using" -> "use")
+    "showed" -> "show", "shown" -> "show", "used" -> "use", "using" -> "use",
+    // common strong verbs (ablaut / -ought / -aught classes have no
+    // productive rule)
+    "came" -> "come", "knew" -> "know", "known" -> "know",
+    "grew" -> "grow", "grown" -> "grow", "threw" -> "throw",
+    "thrown" -> "throw", "drew" -> "draw", "drawn" -> "draw",
+    "flew" -> "fly", "flown" -> "fly",
+    "brought" -> "bring", "bought" -> "buy", "thought" -> "think",
+    "taught" -> "teach", "caught" -> "catch", "sought" -> "seek",
+    "fought" -> "fight",
+    "held" -> "hold", "kept" -> "keep", "left" -> "leave",
+    "lost" -> "lose", "met" -> "meet", "paid" -> "pay", "ran" -> "run",
+    "sold" -> "sell", "told" -> "tell", "sat" -> "sit",
+    "spoke" -> "speak", "spoken" -> "speak", "spent" -> "spend",
+    "stood" -> "stand", "understood" -> "understand",
+    "wrote" -> "write", "written" -> "write",
+    "began" -> "begin", "begun" -> "begin", "broke" -> "break",
+    "broken" -> "break", "chose" -> "choose", "chosen" -> "choose",
+    "ate" -> "eat", "eaten" -> "eat", "fell" -> "fall",
+    "fallen" -> "fall", "felt" -> "feel", "got" -> "get",
+    "gotten" -> "get", "heard" -> "hear", "hid" -> "hide",
+    "hidden" -> "hide", "led" -> "lead", "meant" -> "mean",
+    "rose" -> "rise", "risen" -> "rise", "sang" -> "sing",
+    "sung" -> "sing", "sent" -> "send", "slept" -> "sleep",
+    "swam" -> "swim", "swum" -> "swim", "wore" -> "wear",
+    "worn" -> "wear", "won" -> "win", "built" -> "build",
+    "became" -> "become", "begat" -> "beget", "bound" -> "bind",
+    "bred" -> "breed", "fed" -> "feed", "bled" -> "bleed",
+    "arose" -> "arise", "arisen" -> "arise",
+    // vowel+at e-droppers: same surface shape as treat/treated, which
+    // keeps its bare stem — only a dictionary separates them
+    "created" -> "create", "creates" -> "create", "creating" -> "create")
 
   private val adjExceptions = Map(
     "better" -> "good", "best" -> "good", "worse" -> "bad", "worst" -> "bad",
-    "further" -> "far", "furthest" -> "far")
+    "further" -> "far", "furthest" -> "far", "farther" -> "far",
+    "farthest" -> "far",
+    // -le adjectives whose stem loses the e ambiguously
+    "simpler" -> "simple", "simplest" -> "simple",
+    "abler" -> "able", "ablest" -> "able",
+    "gentler" -> "gentle", "gentlest" -> "gentle")
 
   private val vowels = "aeiou".toSet
 
@@ -56,15 +119,39 @@ object Lemmatizer {
   })
 
   /** Restore stem shape after stripping a verb/adj suffix: drop doubled
-    * final consonant (running -> run), restore final e on a
-    * consonant-vowel-consonant stem (making -> mak -> make).
+    * final consonant (running -> run), then restore the dropped final
+    * e where the stem shape makes it decidable without a dictionary:
+    *  - stems ending c/g/v/z (larg -> large, analyz -> analyze);
+    *  - 3-letter consonant-vowel-consonant stems (hop -> hope,
+    *    wid -> wide, lat -> late, mak -> make) — longer CVC stems are
+    *    NOT restored (open, edit, iron must stay bare; this is where
+    *    dictionary-less morphology is genuinely undecidable);
+    *  - consonant+"at"/"ut" stems of length >= 5 (generat -> generate,
+    *    comput -> compute — the Latinate verb class scientific prose
+    *    leans on; vowel+at stems like treat are left alone).
+    *
+    * Documented divergence-from-NLTK classes (NLTK validates every
+    * candidate against the WordNet dictionary, we cannot):
+    *  1. mid-length CVC e-droppers lemmatize bare ("decided" ->
+    *     "decid", not "decide" — unless c/g/v/z or at/ut catches them);
+    *  2. stems that END in a double consonant lose it ("added" ->
+    *     "ad") because doubling is indistinguishable from inflection;
+    *  3. rare consonant+at verbs over-restore ("combated" ->
+    *     "combate");
+    *  4. out-of-table irregulars fall through to the suffix rules.
     */
-  private def fixStem(s: String): String =
+  private def fixStem(s: String): String = {
+    def cons(c: Char) = !vowels(c)
     if (s.length >= 3 && s.last == s(s.length - 2) &&
-      !vowels(s.last) && s.last != 'l' && s.last != 's') s.dropRight(1)
+      cons(s.last) && s.last != 'l' && s.last != 's') s.dropRight(1)
     else if (s.length >= 3 && "cgvz".contains(s.last) &&
       s(s.length - 2) != 'n') s + "e" // larg->large but belong stays
+    else if (s.length == 3 && cons(s.last) && !"wxy".contains(s.last) &&
+      vowels(s(1)) && cons(s(0))) s + "e" // hop->hope
+    else if (s.length >= 5 && (s.endsWith("at") || s.endsWith("ut")) &&
+      cons(s(s.length - 3))) s + "e" // generat->generate
     else s
+  }
 
   def verb(w: String): String = verbExceptions.getOrElse(w, {
     if (w.length < 4) w
