@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Coverage, DedupQueries, EventQueries, FuncsExtra, MultimodalQueries, PipelineQueries, PlanOps, PubMedQueries, Relational, ScaleDiag, SimilarityQueries, SqlApi, StatsExtra, TextQueries}
+import graft.queries.{Coverage, DedupQueries, EventQueries, FuncsExtra, MultimodalQueries, PipelineQueries, PlanOps, PubMedQueries, Relational, ScaleDiag, SimilarityQueries, SqlApi, StatsExtra, TextQueries, TrainingQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every implemented operator registers a query here; SQL-expressible
@@ -22,7 +22,7 @@ object SparkEntry {
       PipelineQueries.queries ++ MultimodalQueries.queries ++
       Coverage.queries ++ PlanOps.queries ++ FuncsExtra.queries ++
       SqlApi.queries ++ StatsExtra.queries ++ ScaleDiag.queries ++
-      PubMedQueries.queries
+      PubMedQueries.queries ++ TrainingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +32,5 @@ object SparkEntry {
       PipelineQueries.oracle ++ MultimodalQueries.oracle ++
       Coverage.oracle ++ PlanOps.oracle ++ FuncsExtra.oracle ++
       SqlApi.oracle ++ StatsExtra.oracle ++ ScaleDiag.oracle ++
-      PubMedQueries.oracle
+      PubMedQueries.oracle ++ TrainingQueries.oracle
 }

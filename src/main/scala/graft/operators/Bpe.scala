@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextOps
+
+/** Distributed byte-pair-encoding tokenizer training — the missing
+  * link between corpus prep and an actual LLM tokenizer (public
+  * algorithm: Sennrich et al. 2016, "Neural Machine Translation of
+  * Rare Words with Subword Units").
+  *
+  * Scale shape (the part that matters at 100 TB): BPE trains on the
+  * WORD-FREQUENCY table, not the corpus — the corpus is scanned ONCE
+  * into (word, count) (Zipf-bounded, ~10^7 rows for web-scale text, no
+  * skew because it is already aggregated), and every merge round runs
+  * over that vocabulary table only: one pair-count aggregation
+  * (adjacent symbol pairs weighted by word count), one global top-1
+  * (orderBy+limit(1) -> TakeOrdered, one row to the driver), one
+  * symbol-array rewrite. Driver state = the merge list itself
+  * (nMerges pairs — the artifact being trained). The vocabulary table
+  * is localCheckpoint'ed each round so the plan stays flat instead of
+  * stacking nMerges lambda layers.
+  *
+  * Determinism: ties on pair count break lexicographically on (first,
+  * second) — run-to-run and cluster-layout independent, which the
+  * golden-hash pin requires. No end-of-word marker is used (documented
+  * simplification vs Sennrich's </w>; merges therefore never cross
+  * word boundaries but suffix tokens are not distinguished from
+  * mid-word ones).
+  */
+object Bpe {
+
+  /** One corpus scan -> the (word, cnt) training table. */
+  def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextOps.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Greedy left-to-right merge of one (a, b) pair inside a symbol
+    * array, as a fold — "aaa" under (a,a) becomes [aa, a], exactly the
+    * non-overlapping semantics reference BPE uses.
+    */
+  private[graft] def mergePair(a: String, b: String)(syms: Column): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) =>
+        when(size(acc) > 0 &&
+            element_at(acc, -1) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(x))))
+
+  /** Adjacent (a, b) symbol pairs of a word. */
+  private def adjacentPairs(syms: Column): Column =
+    when(size(syms) < 2, array().cast("array<struct<a:string,b:string>>"))
+      .otherwise(zip_with(
+        slice(syms, lit(1), size(syms) - 1),
+        slice(syms, lit(2), size(syms) - 1),
+        (x, y) => struct(x.as("a"), y.as("b"))))
+
+  /** Trains `nMerges` merges; returns (merge list in order, final
+    * vocabulary table (word, cnt, syms)). Stops early if no pair
+    * occurs twice.
+    */
+  def train(docs: DataFrame, textCol: String, nMerges: Int)
+      : (Seq[(String, String)], DataFrame) = {
+    var words = wordCounts(docs, textCol)
+      .withColumn("syms", split(col("word"), ""))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    while (merges.length < nMerges && !exhausted) {
+      val top = words
+        .select(col("cnt"), explode(adjacentPairs(col("syms"))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("cnt").as("total"))
+        .where(col("total") >= 2)
+        .orderBy(col("total").desc, col("a"), col("b"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((a, b))
+        words = words
+          .withColumn("syms", mergePair(a, b)(col("syms")))
+          .localCheckpoint(true) // flat plan: one lambda layer per round
+      }
+    }
+    (merges.toSeq, words)
+  }
+
+  /** Applies an already-trained merge list to a token column (array of
+    * words -> array of subword tokens). Stacks one fold per merge —
+    * fine for vocab-sized tables and specs; a production encoder for
+    * raw-corpus throughput would bake the merge ranks into a native
+    * expression instead (same preference order as the other graftx
+    * ops).
+    */
+  def encode(merges: Seq[(String, String)])(word: Column): Column =
+    merges.foldLeft(split(word, "")) { case (c, (a, b)) => mergePair(a, b)(c) }
+
+  /** Subword-vocabulary profile after `nMerges` merges: corpus-weighted
+    * token counts, top `topK` by (count desc, token) — the tokenizer
+    * health readout (how much of the corpus mass the learned subwords
+    * cover).
+    */
+  def vocabProfile(docs: DataFrame, textCol: String, nMerges: Int,
+      topK: Int): DataFrame = {
+    val (_, words) = train(docs, textCol, nMerges)
+    words
+      .select(col("cnt"), explode(col("syms")).as("token"))
+      .groupBy("token")
+      .agg(sum("cnt").as("n_occurrences"),
+        count(lit(1)).as("n_distinct_words"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(topK)
+  }
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** Fully distributed Lloyd k-means over an embedding column — the
+  * corpus-scale complement of IvfAnn's driver-sample trainer: here the
+  * E step assigns EVERY corpus vector each round (one scan, codegen'd
+  * arithmetic, no UDF) and the M step is one (cluster, dim) hash
+  * aggregation whose output is k x d rows — bounded driver state at
+  * any corpus size. Per iteration: one scan + one shuffle of k*d
+  * partial sums. Centroids ride the plan as literals (k*d floats —
+  * broadcast-variable territory, far under any practical limit for
+  * clustering-sized k).
+  *
+  * Everything is deterministic: init picks the k vectors with the
+  * smallest (md5(vec_id), vec_id) — content-addressed, engine- and
+  * layout-independent; the argmin breaks distance ties on the lower
+  * cluster index via lexicographic struct comparison.
+  */
+object LloydKMeans {
+
+  /** dist^2 to each literal centroid; argmin via array_min over
+    * (dist, idx) structs — struct ordering compares dist first, index
+    * second, so ties deterministically pick the lower index. Stays in
+    * codegen: DotProduct is a native expression and the rest is scalar
+    * arithmetic.
+    */
+  private def assignCol(cs: Array[Array[Float]]): Column = {
+    val xx = VectorOps.dot(col("embedding"), col("embedding"))
+    val entries = cs.zipWithIndex.map { case (c, j) =>
+      val cl = typedLit(c.toSeq)
+      val cc = c.map(x => x.toDouble * x.toDouble).sum
+      struct(
+        (xx - lit(2.0) * VectorOps.dot(col("embedding"), cl) + lit(cc))
+          .as("d"),
+        lit(j).as("i"))
+    }
+    array_min(array(entries: _*))
+  }
+
+  /** Deterministic, content-addressed initial centroids. */
+  private def init(corpus: DataFrame, k: Int): Array[Array[Float]] = {
+    val rows = corpus
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(k)
+      .select("embedding").collect()
+    require(rows.length == k, s"corpus has fewer than k=$k vectors")
+    rows.map(_.getSeq[Float](0).toArray)
+  }
+
+  /** Runs `iters` Lloyd rounds. Returns (final centroids, assigned
+    * frame with `cluster` and `dist2` columns, per-round inertia).
+    * Empty clusters keep their previous centroid (standard Lloyd
+    * degeneracy handling).
+    */
+  def fit(corpusRaw: DataFrame, k: Int, iters: Int)
+      : (Array[Array[Float]], DataFrame, Seq[Double]) = {
+    val corpus = VectorOps.requireVectors(corpusRaw, "LloydKMeans.fit")
+    var cs = init(corpus, k)
+    val inertia = scala.collection.mutable.ArrayBuffer.empty[Double]
+    (0 until iters).foreach { _ =>
+      val assigned = corpus.withColumn("a", assignCol(cs))
+        .select(col("vec_id"), col("embedding"),
+          col("a.i").as("cluster"), col("a.d").as("dist2"))
+      // M step + inertia in ONE aggregation pass over the long form:
+      // (cluster, dim) -> (sum, n); k*d rows to the driver, never data
+      val stats = assigned
+        .select(col("cluster"), col("dist2"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("cluster", "dim")
+        .agg(sum(col("v").cast("double")).as("s"),
+          count(lit(1)).as("n"),
+          // dist2 repeats per dim; divide back out after the agg
+          sum(col("dist2")).as("d2"))
+        .collect()
+      val d = cs(0).length
+      val sums = Array.fill(k, d)(0.0)
+      val counts = new Array[Long](k)
+      var sse = 0.0
+      stats.foreach { r =>
+        val (c, dim) = (r.getInt(0), r.getInt(1))
+        sums(c)(dim) = r.getDouble(2)
+        counts(c) = r.getLong(3)
+        if (dim == 0) sse += r.getDouble(4)
+      }
+      inertia += sse
+      cs = Array.tabulate(k) { c =>
+        if (counts(c) == 0L) cs(c)
+        else sums(c).map(x => (x / counts(c)).toFloat)
+      }
+    }
+    val finalAssigned = corpus.withColumn("a", assignCol(cs))
+      .select(col("vec_id"), col("embedding"),
+        col("a.i").as("cluster"), col("a.d").as("dist2"))
+    (cs, finalAssigned, inertia.toSeq)
+  }
+
+  /** Per-cluster readout: size and SSE — the clustering health profile
+    * a mixture/curation pipeline monitors.
+    */
+  def clusterStats(corpus: DataFrame, k: Int, iters: Int): DataFrame =
+    fit(corpus, k, iters)._2
+      .groupBy(col("cluster").cast("long").as("cluster"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum("dist2"), 4).as("sse"))
+      .orderBy("cluster")
+}

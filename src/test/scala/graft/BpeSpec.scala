@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Bpe
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // the classic Sennrich (2016) toy corpus, as repeated-word documents
+  private lazy val toy = Seq(
+    ("low ", 5), ("lower ", 2), ("newest ", 6), ("widest ", 3))
+    .flatMap { case (w, n) => Seq.fill(n)(w.trim) }
+    .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+    .toDF("doc_id", "text")
+
+  test("merge order on the Sennrich toy corpus") {
+    val (merges, _) = Bpe.train(toy, "text", nMerges = 4)
+    // es: 6+3=9; est: 9; then (l,o) and (o,w) tie at 7 ->
+    // lexicographic tie-break picks (l,o), then (lo,w)
+    assert(merges == Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")),
+      merges.toString)
+  }
+
+  test("greedy left-to-right merge is non-overlapping") {
+    val df = Seq(Seq("a", "a", "a", "a", "a")).toDF("syms")
+      .select(Bpe.mergePair("a", "a")(col("syms")).as("m"))
+    assert(df.collect()(0).getSeq[String](0) == Seq("aa", "aa", "a"))
+  }
+
+  test("encode applies trained merges to unseen words") {
+    val (merges, _) = Bpe.train(toy, "text", nMerges = 4)
+    val out = Seq("lowest").toDF("w")
+      .select(Bpe.encode(merges)(col("w")).as("t"))
+      .collect()(0).getSeq[String](0)
+    // l-o-w-e-s-t: es, then est, then lo, then low
+    assert(out == Seq("low", "est"), out.toString)
+  }
+
+  test("training conserves corpus mass and stops when exhausted") {
+    val (merges, words) = Bpe.train(toy, "text", nMerges = 1000)
+    // every merge must still cover the full corpus token mass
+    val mass = words.select(
+      sum(col("cnt") * size(col("syms")))).collect()(0).getLong(0)
+    assert(mass > 0)
+    // the toy corpus has < 1000 mergeable pairs: training must stop
+    assert(merges.length < 1000, s"ran ${merges.length} merges")
+    // fully-merged frequent words collapse to single symbols
+    val lowSyms = words.where(col("word") === "low")
+      .select("syms").collect()(0).getSeq[String](0)
+    assert(lowSyms == Seq("low"))
+  }
+
+  test("vocab profile on the real corpus is deterministic") {
+    val a = Bpe.vocabProfile(Tables(spark, sfDir, "documents"), "text",
+      nMerges = 10, topK = 15).collect().toSeq
+    val b = Bpe.vocabProfile(Tables(spark, sfDir, "documents"), "text",
+      nMerges = 10, topK = 15).collect().toSeq
+    assert(a == b, "training must be run-to-run deterministic")
+    assert(a.nonEmpty)
+  }
+}

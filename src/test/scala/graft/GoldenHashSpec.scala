@@ -13,6 +13,8 @@ class GoldenHashSpec extends SparkSpec {
     "agg_approx_distinct" -> "cbfd2bc22b0b1dff7524b80bb5580be3",
     "agg_hll_sketch" -> "525397935456c52f1c46a90eb6ea9d33",
     "dedup_incremental_batch" -> "d77b2c27c5d75e90ecc667645889569c",
+    "emb_kmeans_stats" -> "e8fb344a308aa32b1ee268f822d6cd38",
+    "text_bpe_vocab" -> "bd4a2a3bcf8fcbb396d1e010b95afd05",
     "dedup_minhash_lsh" -> "43b0854b6e50afe8ced0516d135f83e4",
     "dedup_simhash" -> "0e382879f002a691192647cfae2e5bf2",
     "multimodal_dhash_pairs" -> "12875c26c84f1ca9b47670ea49d96fce",
