@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.Tables
-import graft.operators.{Bpe, LloydKMeans}
+import graft.operators.{Bpe, EmbPca, LloydKMeans}
 
 /** Tokenizer-training and corpus-clustering readouts — the two
   * iterative training loops a data-prep engine runs on top of the
@@ -26,9 +26,16 @@ object TrainingQueries {
     LloydKMeans.clusterStats(
       Tables(spark, dir, "embeddings"), k = 8, iters = 4)
 
+  /** PCA eigenvalue spectrum of the embedding corpus (top 8): one
+    * sufficient-statistics pass + driver Jacobi eigensolve.
+    */
+  def pcaVariance(spark: SparkSession, dir: String): DataFrame =
+    EmbPca.varianceProfile(spark, dir, topK = 8)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_vocab" -> bpeVocab,
-    "emb_kmeans_stats" -> kmeansStats)
+    "emb_kmeans_stats" -> kmeansStats,
+    "emb_pca_variance" -> pcaVariance)
 
   val oracle: Map[String, String] = Map.empty
 }

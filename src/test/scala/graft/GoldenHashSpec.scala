@@ -14,6 +14,7 @@ class GoldenHashSpec extends SparkSpec {
     "agg_hll_sketch" -> "525397935456c52f1c46a90eb6ea9d33",
     "dedup_incremental_batch" -> "d77b2c27c5d75e90ecc667645889569c",
     "emb_kmeans_stats" -> "e8fb344a308aa32b1ee268f822d6cd38",
+    "emb_pca_variance" -> "5a1f4bca8fef27d7defe34f71cf38095",
     "text_bpe_vocab" -> "bd4a2a3bcf8fcbb396d1e010b95afd05",
     "dedup_minhash_lsh" -> "43b0854b6e50afe8ced0516d135f83e4",
     "dedup_simhash" -> "0e382879f002a691192647cfae2e5bf2",
