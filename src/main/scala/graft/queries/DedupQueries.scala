@@ -181,7 +181,17 @@ object DedupQueries {
       .select(col("doc_id"), round(col("rank"), 6).as("rank"))
       .orderBy("doc_id")
 
+  /** Exact-substring span dedup (Lee et al. 2022 style): duplicated
+    * 10-token windows keep only their globally-first occurrence; docs
+    * are rebuilt from surviving tokens. Fully oracle-checked — the
+    * md5-digest election replays bit-for-bit in DuckDB.
+    */
+  def exactSpans(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.SpanDedup.dedupSpans(
+      Tables(spark, dir, "documents"), "doc_id", "text", n = 10)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact_spans" -> exactSpans,
     "graph_pagerank" -> pagerank,
     "graph_node_stats" -> graphNodeStats,
     "join_fuzzy_probe" -> fuzzyNames,
@@ -244,6 +254,39 @@ edges AS (
 )"""
 
   val oracle: Map[String, String] = Map(
+    "dedup_exact_spans" ->
+      raw"""WITH toks AS (
+  SELECT doc_id, $tokSql AS ws FROM documents
+), grams AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS s,
+    md5(array_to_string(ws[CAST(u.i + 1 AS BIGINT):CAST(u.i + 10 AS BIGINT)],
+      ' ')) AS g
+  FROM toks, LATERAL (SELECT unnest(range(0, len(ws) - 9)) AS i) u
+), ranked AS (
+  SELECT doc_id, s,
+    row_number() OVER (PARTITION BY g ORDER BY doc_id, s) AS rn
+  FROM grams
+), removed AS (
+  SELECT DISTINCT doc_id, CAST(u.idx AS BIGINT) AS idx
+  FROM ranked, LATERAL (SELECT unnest(range(s, s + 10)) AS idx) u
+  WHERE rn > 1
+), tokidx AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) - 1 AS idx,
+    ws[CAST(u.i AS BIGINT)] AS tok
+  FROM toks, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i) u
+), kept AS (
+  SELECT k.doc_id,
+    md5(array_to_string(list(k.tok ORDER BY k.idx), ' ')) AS kept_digest,
+    count(*) AS n_kept
+  FROM tokidx k
+  ANTI JOIN removed r ON k.doc_id = r.doc_id AND k.idx = r.idx
+  GROUP BY k.doc_id
+)
+SELECT b.doc_id, CAST(len(b.ws) AS BIGINT) AS n_tokens,
+  CAST(len(b.ws) - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+  coalesce(kept_digest, md5('')) AS kept_digest
+FROM toks b LEFT JOIN kept USING (doc_id)
+ORDER BY doc_id""",
     "graph_pagerank" ->
       raw"""WITH $pairsCte,
 edges AS (
