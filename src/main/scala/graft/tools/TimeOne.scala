@@ -14,6 +14,9 @@ object TimeOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Bench-comparable numbers need a warm JVM: untimed sf0.001 pass
+    // first (same discipline as Bench.main)
+    graft.SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").count()
     val t0 = System.nanoTime()
     val n = graft.SparkEntry.queries(name)(spark, sfDir).count()
     println(f"TIMED $name rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.2f")
