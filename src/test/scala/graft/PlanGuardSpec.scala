@@ -139,6 +139,23 @@ class PlanGuardSpec extends SparkSpec {
     }, "the rank pass must be a bucket-partitioned window")
   }
 
+  test("emb_kmeans_stats: readout combines map-side, vectors never shuffle") {
+    val ns = nodes(graft.queries.TrainingQueries.kmeansStats(spark, sfDir))
+    val ex = ns.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+    assert(ex.forall(e => !e.child.schema.fieldNames.contains("embedding")),
+      "no exchange may carry the raw embedding column")
+    assert(ns.count(_.isInstanceOf[HashAggregateExec]) >= 2,
+      "cluster stats must aggregate partial+final")
+  }
+
+  test("dedup_exact_spans: every stage reads the tokenize checkpoint") {
+    val ns = nodes(graft.queries.DedupQueries.exactSpans(spark, sfDir))
+    assert(ns.count(_.isInstanceOf[FileSourceScanExec]) === 0,
+      "grams, counts and rebuild must share the checkpointed token " +
+        "table, never re-scan the corpus parquet")
+  }
+
   test("context windows: row-local generator, no exchange") {
     val df = graft.pipeline.CorpusPipeline.contextWindows(
       Tables(spark, sfDir, "documents"), winSize = 16, stride = 8)
