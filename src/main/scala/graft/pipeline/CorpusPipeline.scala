@@ -207,6 +207,35 @@ object CorpusPipeline {
       .select("doc_id", "n_tokens", "start_offset", "pack_id")
   }
 
+  /** Contiguous 0-based global ids in (source, doc_id) order WITHOUT a
+    * global sort — the stable example numbering a training run needs
+    * for reproducible shuffling, checkpoint resume and sample
+    * addressing (`row_number() OVER (ORDER BY ...)` computes the same
+    * thing through ONE reducer; this is the distributed prefix-sum
+    * form: per-(source, bucket) counts, a window over the tiny bucket
+    * table, within-bucket row_number). Ids are dense: 0..n-1 with no
+    * gaps, unlike monotonically_increasing_id whose values jump per
+    * partition.
+    */
+  def stableIds(docs: DataFrame, bucketWidth: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = docs.select(col("doc_id"), col("source"),
+      (col("doc_id") / bucketWidth).cast("long").as("_b"))
+    val offsets = bucketed
+      .groupBy("source", "_b").agg(count(lit(1)).as("_c"))
+      .withColumn("_off",
+        coalesce(sum("_c").over(
+          Window.orderBy("source", "_b")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("source", "_b", "_off")
+    bucketed
+      .join(broadcast(offsets), Seq("source", "_b"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("source", "_b").orderBy("doc_id")).cast("long"))
+      .select(col("doc_id"), col("source"),
+        (col("_off") + col("_rn") - 1).as("stable_id"))
+  }
+
   /** Sliding context windows: each document's token sequence cut into
     * overlapping windows of `size` tokens every `stride` tokens — the
     * long-document layout for models with a bounded context (each

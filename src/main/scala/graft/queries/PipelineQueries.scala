@@ -126,7 +126,16 @@ object PipelineQueries {
       .orderBy("pos")
   }
 
+  /** Dense 0-based example ids in (source, doc_id) order via the
+    * distributed prefix sum — never a single-reducer global
+    * row_number; the oracle IS that single-reducer form.
+    */
+  def stableIds(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.CorpusPipeline.stableIds(Tables(spark, dir, "documents"))
+      .orderBy("stable_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_stable_ids" -> stableIds,
     "pipeline_interleave" -> interleave,
     "pipeline_context_windows" -> contextWindows,
     "pipeline_keywords_v2_topk" -> keywordsV2TopK,
@@ -142,6 +151,11 @@ object PipelineQueries {
     raw"""CAST(len(list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z ]', ' ', 'g')), '\s+'), w -> w <> '')) AS BIGINT)"""
 
   val oracle: Map[String, String] = Map(
+    "pipeline_stable_ids" ->
+      """SELECT doc_id, source,
+  CAST(row_number() OVER (ORDER BY source, doc_id) - 1 AS BIGINT)
+    AS stable_id
+FROM documents ORDER BY stable_id""",
     "pipeline_interleave" ->
       """WITH s AS (
   SELECT source,
