@@ -107,4 +107,65 @@ object LloydKMeans {
       .agg(count(lit(1)).as("n_vecs"),
         round(sum("dist2"), 4).as("sse"))
       .orderBy("cluster")
+
+  // ---- streaming (mini-batch) path ---------------------------------
+
+  /** Running mini-batch state: centroids plus per-centroid counts of
+    * every vector ever folded in — k x d doubles of driver state, the
+    * clustering analogue of the BM25/IVF mergeable-partials lifecycle.
+    */
+  final case class MiniBatchState(centroids: Array[Array[Float]],
+      counts: Array[Long])
+
+  def initMiniBatch(firstBatch: DataFrame, k: Int): MiniBatchState =
+    MiniBatchState(
+      init(VectorOps.requireVectors(firstBatch, "LloydKMeans.initMiniBatch"),
+        k),
+      new Array[Long](k))
+
+  /** One mini-batch fold (public method: Sculley 2010, "Web-Scale
+    * K-Means Clustering"): assign the batch to the current centroids
+    * (one distributed pass, codegen argmin), then move each centroid
+    * toward its batch mean with the per-centroid running-mean rate
+    * m_c/(n_c + m_c) — so folding the whole corpus as ONE batch equals
+    * a single Lloyd round, and every batch is batch-sized work.
+    */
+  def miniBatchUpdate(state: MiniBatchState, batchRaw: DataFrame)
+      : MiniBatchState = {
+    val batch = VectorOps.requireVectors(batchRaw, "LloydKMeans.miniBatchUpdate")
+    val k = state.centroids.length
+    val d = state.centroids(0).length
+    val stats = batch.withColumn("a", assignCol(state.centroids))
+      .select(col("a.i").as("cluster"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("cluster", "dim")
+      .agg(sum(col("v").cast("double")).as("s"), count(lit(1)).as("m"))
+      .collect()
+    val sums = Array.fill(k, d)(0.0)
+    val m = new Array[Long](k)
+    stats.foreach { r =>
+      sums(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      m(r.getInt(0)) = r.getLong(3)
+    }
+    val centroids = Array.tabulate(k) { c =>
+      if (m(c) == 0L) state.centroids(c)
+      else {
+        val n = state.counts(c) + m(c)
+        val rate = m(c).toDouble / n
+        Array.tabulate(d) { i =>
+          val batchMean = sums(c)(i) / m(c)
+          (state.centroids(c)(i) * (1 - rate) + batchMean * rate).toFloat
+        }
+      }
+    }
+    MiniBatchState(centroids,
+      Array.tabulate(k)(c => state.counts(c) + m(c)))
+  }
+
+  /** Inertia of a corpus against fixed centroids (one scan). */
+  def inertia(corpusRaw: DataFrame, centroids: Array[Array[Float]]): Double = {
+    val corpus = VectorOps.requireVectors(corpusRaw, "LloydKMeans.inertia")
+    corpus.withColumn("a", assignCol(centroids))
+      .agg(sum(col("a.d"))).collect()(0).getDouble(0)
+  }
 }
