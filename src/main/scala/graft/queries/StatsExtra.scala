@@ -411,7 +411,23 @@ ORDER BY cnt DESC, token""")
       .orderBy("p_partkey")
   }
 
+  /** Deterministic uniform exact-k sample: rows ordered by a salted
+    * content hash (md5 — identical in both engines), cut at k. Runs as
+    * TakeOrderedAndProject (per-partition bounded heaps, k rows to the
+    * driver side of the shuffle) — the reproducible "give me 40 random
+    * docs" that plain `LIMIT` (partition-order-dependent) and
+    * `TABLESAMPLE` (engine RNG) cannot give across engines/retries.
+    */
+  def sampleUniformK(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(md5(concat(lit("u1"), col("doc_id").cast("string"))),
+        col("doc_id"))
+      .limit(40)
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_uniform_k" -> sampleUniformK,
     "join_interval_overlap" -> intervalOverlap,
     "sample_per_group" -> samplePerGroup,
     "stats_profile" -> profileTable,
@@ -441,6 +457,11 @@ SELECT item, count(*) AS %CNT% FROM tok WHERE item <> ''
 GROUP BY item ORDER BY count(*) DESC, item LIMIT 15"""
 
   val oracle: Map[String, String] = Map(
+    "sample_uniform_k" ->
+      """SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars FROM documents
+  ORDER BY md5('u1' || CAST(doc_id AS VARCHAR)), doc_id LIMIT 40)
+ORDER BY doc_id""",
     "join_interval_overlap" ->
       """WITH li AS (
   SELECT l_extendedprice - 300.0 AS l_lo, l_extendedprice + 300.0 AS l_hi

@@ -276,7 +276,104 @@ object TextQueries {
       Seq("hash", "vector", "filter", "merge", "scan"), k = 20)
   }
 
+  /** Hybrid retrieval by reciprocal-rank fusion (public method:
+    * Cormack et al. 2009): two retrievers rank the corpus for the same
+    * query — BM25 and a plain tf-idf dot score — and fuse as
+    * sum(1 / (60 + rank)). Both retrievers share ONE (doc, term, tf)
+    * materialization (the corpus is tokenized once); each ranking is
+    * cut to its top 50 with TakeOrdered BEFORE the row_number pass, so
+    * the only unpartitioned window runs over 50 rows by construction.
+    * Ranks are integers, so fusion has no cross-engine float-ordering
+    * hazard; scores are rounded exactly like the bm25 oracle before
+    * ranking so tie order is pinned on both engines.
+    */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qTerms = Seq("hash", "vector", "filter", "merge", "scan")
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast("double").as("dl"),
+        filter(col("ws"), t => t.isInCollection(qTerms)).as("qts"))
+    val tf = toks
+      .select(col("doc_id"), col("dl"), explode(col("qts")).as("term"))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .localCheckpoint(true)
+    val dft = tf.groupBy("term").agg(count(lit(1)).cast("double").as("dft"))
+    val stats = toks.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg("dl").as("avgdl"))
+    val scored = tf.join(broadcast(dft), "term")
+      .crossJoin(broadcast(stats))
+    val bm25 = scored
+      .withColumn("contrib",
+        log((col("n_docs") - col("dft") + lit(0.5)) /
+          (col("dft") + lit(0.5)) + lit(1.0)) * col("tf") * lit(2.2) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id").agg(round(sum("contrib"), 6).as("s"))
+      .orderBy(col("s").desc, col("doc_id")).limit(50)
+    val tfidf = scored
+      .withColumn("contrib",
+        col("tf") * log(col("n_docs") / col("dft")))
+      .groupBy("doc_id").agg(round(sum("contrib"), 6).as("s"))
+      .orderBy(col("s").desc, col("doc_id")).limit(50)
+    def ranked(df: DataFrame, rank: String) =
+      df.withColumn(rank, row_number().over(
+        Window.orderBy(col("s").desc, col("doc_id"))).cast("long"))
+        .select("doc_id", rank)
+    ranked(bm25, "rank_bm25")
+      .join(ranked(tfidf, "rank_tfidf"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        round(
+          coalesce(lit(1.0) / (lit(60) + col("rank_bm25")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rank_tfidf")), lit(0.0)),
+          6).as("rrf"),
+        coalesce(col("rank_bm25"), lit(0L)).as("rank_bm25"),
+        coalesce(col("rank_tfidf"), lit(0L)).as("rank_tfidf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  /** Bigram collocations by pointwise mutual information: adjacent
+    * token pairs vs their unigram marginals, min count 5 — the
+    * phrase-mining readout (which token pairs co-occur far above
+    * chance). Two hash aggs off one checkpointed tokenize pass, two
+    * scalar totals, marginal joins with no broadcast hint (a web-scale
+    * vocabulary is not small; AQE broadcasts when it actually is).
+    * ln rounded at 4 like the logprob oracle (cross-engine parity
+    * demonstrated there).
+    */
+  def pmiBigrams(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .select(TextOps.tokens(col("text")).as("ws"))
+      .localCheckpoint(true) // bigram + unigram aggs share the pass
+    val bg = toks
+      .select(explode(when(size(col("ws")) < 2,
+          array().cast("array<struct<w1:string,w2:string>>"))
+        .otherwise(zip_with(
+          slice(col("ws"), lit(1), size(col("ws")) - 1),
+          slice(col("ws"), lit(2), size(col("ws")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2"))))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+    val uni = toks.select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val nTok = uni.agg(sum("c")).collect()(0).getLong(0).toDouble
+    val nBg = bg.agg(sum("c_ab")).collect()(0).getLong(0).toDouble
+    bg.where(col("c_ab") >= 5)
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .select(col("w1"), col("w2"), col("c_ab"),
+        round(log((col("c_ab") / lit(nBg)) /
+          ((col("c1") / lit(nTok)) * (col("c2") / lit(nTok)))), 4)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_hybrid_rrf" -> hybridRrf,
+    "text_pmi_bigrams" -> pmiBigrams,
     "text_bm25_index_topk" -> bm25IndexTopK,
     "text_bm25_topk" -> bm25TopK,
     "text_url_funcs" -> urlFuncs,
@@ -327,7 +424,74 @@ SELECT doc_id, round(sum(contrib), 6) AS bm25,
 FROM scored GROUP BY doc_id
 ORDER BY bm25 DESC, doc_id LIMIT 20"""
 
+  private val hybridOracleSql =
+      raw"""WITH toks AS (
+  SELECT doc_id,
+    list_filter($tokSql, w -> w <> '') AS ws
+  FROM documents
+), base AS (
+  SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl,
+    list_filter(ws, w -> w IN ('hash','vector','filter','merge','scan'))
+      AS qts
+  FROM toks
+), tf AS (
+  SELECT doc_id, dl, unnest(qts) AS term FROM base
+), tfa AS (
+  SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM tf GROUP BY doc_id, dl, term
+), dft AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS dft FROM tfa GROUP BY term
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM base
+), bm AS (
+  SELECT doc_id, round(sum(
+    ln((n_docs - dft + 0.5) / (dft + 0.5) + 1.0) * tf * 2.2 /
+      (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS s
+  FROM tfa, dft, stats WHERE tfa.term = dft.term
+  GROUP BY doc_id ORDER BY s DESC, doc_id LIMIT 50
+), ti AS (
+  SELECT doc_id, round(sum(tf * ln(n_docs / dft)), 6) AS s
+  FROM tfa, dft, stats WHERE tfa.term = dft.term
+  GROUP BY doc_id ORDER BY s DESC, doc_id LIMIT 50
+), ra AS (
+  SELECT doc_id,
+    row_number() OVER (ORDER BY s DESC, doc_id) AS rank_bm25 FROM bm
+), rb AS (
+  SELECT doc_id,
+    row_number() OVER (ORDER BY s DESC, doc_id) AS rank_tfidf FROM ti
+)
+SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+  round(coalesce(1.0 / (60 + rank_bm25), 0) +
+    coalesce(1.0 / (60 + rank_tfidf), 0), 6) AS rrf,
+  coalesce(rank_bm25, 0) AS rank_bm25,
+  coalesce(rank_tfidf, 0) AS rank_tfidf
+FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+ORDER BY rrf DESC, doc_id LIMIT 20"""
+
+  private val pmiOracleSql =
+      raw"""WITH toks AS (
+  SELECT list_filter($tokSql, w -> w <> '') AS ws FROM documents
+), bg AS (
+  SELECT ws[CAST(u.i AS BIGINT)] AS w1, ws[CAST(u.i + 1 AS BIGINT)] AS w2
+  FROM toks, LATERAL (SELECT unnest(range(1, len(ws))) AS i) u
+), bgc AS (
+  SELECT w1, w2, count(*) AS c_ab FROM bg GROUP BY w1, w2
+), uni AS (
+  SELECT w, count(*) AS c FROM (SELECT unnest(ws) AS w FROM toks)
+  GROUP BY w
+), nt AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM uni),
+nb AS (SELECT CAST(sum(c_ab) AS DOUBLE) AS n FROM bgc)
+SELECT w1, w2, c_ab,
+  round(ln((c_ab / nb.n) / ((u1.c / nt.n) * (u2.c / nt.n))), 4) AS pmi
+FROM bgc
+JOIN uni u1 ON u1.w = w1
+JOIN uni u2 ON u2.w = w2, nt, nb
+WHERE c_ab >= 5
+ORDER BY pmi DESC, w1, w2 LIMIT 20"""
+
   val oracle: Map[String, String] = Map(
+    "text_hybrid_rrf" -> hybridOracleSql,
+    "text_pmi_bigrams" -> pmiOracleSql,
     "text_bm25_topk" -> bm25OracleSql,
     "text_bm25_index_topk" -> bm25OracleSql,
     "text_url_funcs" ->
