@@ -371,7 +371,24 @@ object TextQueries {
       .limit(20)
   }
 
+  /** Feature hashing (HashingTF-style): tokens bucketed by a content
+    * hash into a fixed 16-dim count vector, long form (doc, bucket, n)
+    * — the input layout for a linear quality classifier at corpus
+    * scale (no vocabulary broadcast, dimensionality fixed up front).
+    * md5-derived buckets so the oracle replays the hash exactly; a
+    * production run swaps xxhash64 (same shape, no string digest).
+    */
+  def hashedFeatures(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+      .withColumn("bucket",
+        pmod(conv(substring(md5(col("w")), 1, 7), 16, 10).cast("long"),
+          lit(16L)))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("n"))
+      .orderBy("doc_id", "bucket")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_hashed_features" -> hashedFeatures,
     "text_hybrid_rrf" -> hybridRrf,
     "text_pmi_bigrams" -> pmiBigrams,
     "text_bm25_index_topk" -> bm25IndexTopK,
@@ -490,6 +507,15 @@ WHERE c_ab >= 5
 ORDER BY pmi DESC, w1, w2 LIMIT 20"""
 
   val oracle: Map[String, String] = Map(
+    "text_hashed_features" ->
+      raw"""WITH tok AS (
+  SELECT doc_id, unnest(list_filter($tokSql, w -> w <> '')) AS w
+  FROM documents
+)
+SELECT doc_id,
+  CAST('0x' || substr(md5(w), 1, 7) AS BIGINT) % 16 AS bucket,
+  count(*) AS n
+FROM tok GROUP BY doc_id, bucket ORDER BY doc_id, bucket""",
     "text_hybrid_rrf" -> hybridOracleSql,
     "text_pmi_bigrams" -> pmiOracleSql,
     "text_bm25_topk" -> bm25OracleSql,
