@@ -7,8 +7,10 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning}
-import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
@@ -84,13 +86,61 @@ class PubMedScanBuilder(path: String, beginYear: Int, endYear: Int,
     pageSize: Long = 10000L)
     extends ScanBuilder with Scan with Batch
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsReportPartitioning {
+    with SupportsPushDownAggregates with SupportsReportPartitioning {
 
   private var yearLo = beginYear
   private var yearHi = endYear // exclusive
   private var monthEq: Option[Int] = None
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = PubMedSource.schema
+  // COUNT(*) pushdown: group columns (subset of year/month) when a
+  // page-count aggregation was pushed into the scan
+  private var aggGroupCols: Option[Seq[String]] = None
+
+  /** COUNT(*) grouped by (a subset of) the partition keys is answered
+    * from the page LISTING — one row per planned partition, no page
+    * fetch, no per-page rows. Partial pushdown contract
+    * (supportCompletePushDown=false): the scan emits per-partition
+    * partial counts and Spark SUMs them, which also makes a
+    * group-by-year-only pushdown correct (its 12 monthly partials
+    * merge upstream).
+    */
+  /** Grouping by EXACTLY (year, month) is complete at the source: each
+    * group maps to one planned partition, so the one row it emits is
+    * the final count — Spark plans NO re-aggregation (and the
+    * KeyGroupedPartitioning report keeps downstream joins on the
+    * ingest keys exchange-free). Any other accepted grouping stays
+    * partial: Spark sums the per-partition counts.
+    */
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean = {
+    val cols = aggregation.groupByExpressions.collect {
+      case f: NamedReference if f.fieldNames.length == 1 =>
+        f.fieldNames()(0)
+    }
+    cols.toSet == Set("year", "month") &&
+      aggregation.aggregateExpressions.nonEmpty &&
+      aggregation.aggregateExpressions.forall(_.isInstanceOf[CountStar])
+  }
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    val groupsOk = aggregation.groupByExpressions.forall {
+      case f: NamedReference =>
+        f.fieldNames.length == 1 &&
+          (f.fieldNames()(0) == "year" || f.fieldNames()(0) == "month")
+      case _ => false
+    }
+    val aggsOk = aggregation.aggregateExpressions.nonEmpty &&
+      aggregation.aggregateExpressions.forall(_.isInstanceOf[CountStar])
+    if (!groupsOk || !aggsOk) return false
+    val cols = aggregation.groupByExpressions.toSeq
+      .map(_.asInstanceOf[NamedReference].fieldNames()(0))
+    aggGroupCols = Some(cols)
+    required = StructType(
+      cols.map(c => StructField(c, IntegerType, nullable = false)) ++
+        aggregation.aggregateExpressions.indices
+          .map(i => StructField(s"count_$i", LongType, nullable = false)))
+    true
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
@@ -128,16 +178,25 @@ class PubMedScanBuilder(path: String, beginYear: Int, endYear: Int,
       year <- yearLo until yearHi
       month <- 1 to 12 if monthEq.forall(_ == month)
     } yield PubMedMonthPartition(year, month, path,
-        required.fieldNames, pageSize): InputPartition).toArray
+        required.fieldNames, pageSize, aggGroupCols): InputPartition).toArray
 
   /** One planned partition per (year, month): reported as
     * KeyGroupedPartitioning so downstream clustering requirements on
-    * the ingest keys are already satisfied at the scan.
+    * the ingest keys are already satisfied at the scan. With a pushed
+    * aggregation that dropped one of the keys from the output, the
+    * grouping no longer holds — report Unknown.
     */
-  override def outputPartitioning(): Partitioning =
-    new KeyGroupedPartitioning(
-      Array(Expressions.identity("year"), Expressions.identity("month")),
-      planInputPartitions().length)
+  override def outputPartitioning(): Partitioning = {
+    val keysPresent = aggGroupCols match {
+      case None => true
+      case Some(cols) => cols.toSet == Set("year", "month")
+    }
+    if (keysPresent)
+      new KeyGroupedPartitioning(
+        Array(Expressions.identity("year"), Expressions.identity("month")),
+        planInputPartitions().length)
+    else new UnknownPartitioning(planInputPartitions().length)
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] =
@@ -146,7 +205,8 @@ class PubMedScanBuilder(path: String, beginYear: Int, endYear: Int,
 }
 
 case class PubMedMonthPartition(year: Int, month: Int, path: String,
-    columns: Array[String], pageSize: Long = 10000L)
+    columns: Array[String], pageSize: Long = 10000L,
+    aggGroupCols: Option[Seq[String]] = None)
     extends InputPartition with HasPartitionKey {
   // the partition IS keyed by (year, month) — reporting it lets Spark
   // group-aggregate or storage-partition-join on those keys with NO
@@ -303,23 +363,55 @@ class PubMedMonthReader(p: PubMedMonthPartition)
       s"${p.path.stripSuffix("/")}/${p.year}_${p.month}_num_$retstart"))
     catch { case _: PubMedHttp.PageMissing => None }
 
-  override def next(): Boolean =
-    if (isHttp) {
-      fetchHttp(nextRetstart) match {
-        case Some(body) =>
-          current = row(nextRetstart, () => body)
-          nextRetstart += p.pageSize
-          true
-        case None => false
-      }
-    } else if (!filePages.hasNext) false
+  // pushed COUNT(*): one output row per partition, counted from the
+  // listing (file) or the 404-terminated probe sequence (http) — the
+  // page bodies are never materialized
+  private var aggEmitted = false
+  private def countPages(): Long =
+    if (!isHttp) filePages.length.toLong
     else {
-      val f = filePages.next()
-      val retstart = f.getName.stripPrefix(s"${p.year}_${p.month}_num_")
-        .toLongOption.getOrElse(0L)
-      current = row(retstart, () => PubMedFilesReader.fetchPage(f))
-      true
+      var n = 0L
+      while (fetchHttp(nextRetstart).isDefined) {
+        n += 1; nextRetstart += p.pageSize
+      }
+      n
     }
+
+  override def next(): Boolean = p.aggGroupCols match {
+    case Some(cols) =>
+      if (aggEmitted) false
+      else {
+        aggEmitted = true
+        val n = countPages()
+        // GROUP BY semantics: an empty month is NOT a zero-count group
+        if (n == 0L) false
+        else {
+          current = InternalRow.fromSeq(
+            cols.map {
+              case "year" => p.year
+              case "month" => p.month
+            } ++ p.columns.toSeq.drop(cols.length).map(_ => n))
+          true
+        }
+      }
+    case None =>
+      if (isHttp) {
+        fetchHttp(nextRetstart) match {
+          case Some(body) =>
+            current = row(nextRetstart, () => body)
+            nextRetstart += p.pageSize
+            true
+          case None => false
+        }
+      } else if (!filePages.hasNext) false
+      else {
+        val f = filePages.next()
+        val retstart = f.getName.stripPrefix(s"${p.year}_${p.month}_num_")
+          .toLongOption.getOrElse(0L)
+        current = row(retstart, () => PubMedFilesReader.fetchPage(f))
+        true
+      }
+  }
 
   override def get(): InternalRow = current
   override def close(): Unit = ()

@@ -82,8 +82,11 @@ class PubMedSourceSpec extends SparkSpec {
         .option("path", fixtureDir)
         .option("beginYear", "1999").option("endYear", "2001")
         .load()
-      val a = scan.groupBy("year", "month").agg(count(lit(1)).as("na"))
-      val b = scan.groupBy("year", "month").agg(count(lit(1)).as("nb"))
+      // max() is NOT aggregate-pushable (only COUNT(*) is), so this
+      // pins the ORIGINAL report-partitioning SPJ path — the pushed
+      // COUNT path has its own test above
+      val a = scan.groupBy("year", "month").agg(max("retstart").as("na"))
+      val b = scan.groupBy("year", "month").agg(max("retstart").as("nb"))
       val joined = a.join(b, Seq("year", "month"))
       joined.collect()
       val exchanges = joined.queryExecution.executedPlan.toString()
@@ -113,6 +116,43 @@ class PubMedSourceSpec extends SparkSpec {
     // filter must leave 3 years x 12 months, never 48 partitions
     assert(scans.head.inputRDD.getNumPartitions == 36,
       s"got ${scans.head.inputRDD.getNumPartitions} planned partitions")
+  }
+
+  test("COUNT(*) pushdown: page counts served from the listing") {
+    def base = spark.read.format("pubmed")
+      .option("path", fixtureDir)
+      .option("beginYear", "1999").option("endYear", "2001")
+      .load()
+    val pushed = base.groupBy("year", "month").count()
+    val viaRows = base.groupBy("year", "month")
+      .agg(count(lit(1)).as("count"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    val got = pushed.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == viaRows, s"pushed=$got rows=$viaRows")
+    // the scan itself must output the aggregated shape (count column),
+    // proving the aggregate reached the source
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def flat(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => flat(a.executedPlan)
+      case q: QueryStageExec => flat(q.plan)
+      case other => other +: other.children.flatMap(flat)
+    }
+    val scan = flat(pushed.queryExecution.executedPlan)
+      .collectFirst { case b: BatchScanExec => b }
+    assert(scan.nonEmpty &&
+      scan.get.schema.fieldNames.exists(_.startsWith("count_")),
+      s"scan schema ${scan.map(_.schema.fieldNames.toSeq)} — aggregate " +
+        "not pushed")
+    // group-by-year-only drops a partition key: partial counts from
+    // the 12 monthly partitions must merge upstream to the same total
+    val byYear = base.groupBy("year").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val wantByYear = viaRows.groupBy(_._1)
+      .view.mapValues(_.map(_._3).sum).toSet
+    assert(byYear == wantByYear, s"$byYear vs $wantByYear")
   }
 
   test("column pruning skips the content fetch") {
