@@ -9,7 +9,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.expressions.NamedReference
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
@@ -86,7 +86,8 @@ class PubMedScanBuilder(path: String, beginYear: Int, endYear: Int,
     pageSize: Long = 10000L)
     extends ScanBuilder with Scan with Batch
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates with SupportsReportPartitioning {
+    with SupportsPushDownAggregates with SupportsReportPartitioning
+    with SupportsRuntimeFiltering {
 
   private var yearLo = beginYear
   private var yearHi = endYear // exclusive
@@ -142,6 +143,31 @@ class PubMedScanBuilder(path: String, beginYear: Int, endYear: Int,
     true
   }
 
+  // runtime (dynamic-partition-pruning) key sets, delivered at
+  // EXECUTION time from the completed build side of a join
+  private var runtimeYears: Option[Set[Int]] = None
+  private var runtimeMonths: Option[Set[Int]] = None
+
+  /** Runtime filtering (the DSv2 form of dynamic partition pruning):
+    * a join on year/month against a small dimension delivers the
+    * dimension's key SET after its side executes, and the scan
+    * re-plans — months outside the set never even list their pages,
+    * the same fetch-avoidance static pushdown gives, but driven by
+    * DATA instead of literals.
+    */
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("year"), Expressions.column("month"))
+
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case org.apache.spark.sql.sources.In("year", vs) =>
+      runtimeYears = Some(vs.collect { case i: Int => i }.toSet)
+    case EqualTo("year", y: Int) => runtimeYears = Some(Set(y))
+    case org.apache.spark.sql.sources.In("month", vs) =>
+      runtimeMonths = Some(vs.collect { case i: Int => i }.toSet)
+    case EqualTo("month", m: Int) => runtimeMonths = Some(Set(m))
+    case _ => () // unsupported runtime filters are simply not applied
+  }
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
       case EqualTo("year", _: Int) | GreaterThan("year", _: Int) |
@@ -176,7 +202,9 @@ class PubMedScanBuilder(path: String, beginYear: Int, endYear: Int,
   override def planInputPartitions(): Array[InputPartition] =
     (for {
       year <- yearLo until yearHi
-      month <- 1 to 12 if monthEq.forall(_ == month)
+      if runtimeYears.forall(_.contains(year))
+      month <- 1 to 12
+      if monthEq.forall(_ == month) && runtimeMonths.forall(_.contains(month))
     } yield PubMedMonthPartition(year, month, path,
         required.fieldNames, pageSize, aggGroupCols): InputPartition).toArray
 

@@ -155,6 +155,38 @@ class PubMedSourceSpec extends SparkSpec {
     assert(byYear == wantByYear, s"$byYear vs $wantByYear")
   }
 
+  test("runtime filtering: a dim join prunes fetch partitions at execution") {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import spark.implicits._
+    // the DPP planner wants a REAL Filter node on the build side (a
+    // pre-folded LocalRelation does not count as selective)
+    val dim = spark.range(1990, 2010)
+      .select(col("id").cast("int").as("y"))
+      .where(col("y") === 1999)
+    val fact = spark.read.format("pubmed")
+      .option("path", fixtureDir)
+      .option("beginYear", "1999").option("endYear", "2001")
+      .load()
+    val joined = fact.join(broadcast(dim), fact("year") === dim("y"))
+      .select("year", "month", "retstart")
+    val rows = joined.collect()
+    assert(rows.nonEmpty && rows.forall(_.getInt(0) == 1999))
+    def flat(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => flat(a.executedPlan)
+      case q: QueryStageExec => flat(q.plan)
+      case other => other +: other.children.flatMap(flat)
+    }
+    val scan = flat(joined.queryExecution.executedPlan)
+      .collectFirst { case b: BatchScanExec => b }.get
+    // statically 24 (year, month) partitions are in range; the runtime
+    // year-set {1999} must prune to 12 BEFORE any page listing/fetch
+    assert(scan.inputRDD.getNumPartitions == 12,
+      s"got ${scan.inputRDD.getNumPartitions} partitions — runtime " +
+        s"filter not applied\n${joined.queryExecution.executedPlan}")
+  }
+
   test("column pruning skips the content fetch") {
     val counted = readSource.select("year", "retstart")
     val rows = counted.collect()
