@@ -124,6 +124,22 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Trigram stupid-backoff LM scoring ([[graft.operators.NgramLm]]):
+    * train on the even-doc_id half of the corpus, score the odd half —
+    * a real held-out split, so every backoff level (trigram hit,
+    * bigram backoff, add-one unigram floor) genuinely fires. One
+    * tokenize pass checkpointed and shared by both halves; scoring
+    * joins run over distinct trigram TYPES, never token events.
+    */
+  def trigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.NgramLm
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+      .localCheckpoint(true) // train + score share the tokenize pass
+    val lm = NgramLm.train(toks.where(pmod(col("doc_id"), lit(2)) === 0))
+    NgramLm.score(toks.where(pmod(col("doc_id"), lit(2)) === 1), lm)
+  }
+
   /** PII redaction over the corpus. The synthetic tables are PII-free
     * word soup, so deterministic PII (email / IPv4 / phone, presence
     * varying by doc_id modulus) is spliced in by a derivation the
@@ -397,6 +413,7 @@ object TextQueries {
     "text_pii_redact" -> piiRedact,
     "text_quality_score" -> qualityScore,
     "text_unigram_logprob" -> unigramLogprob,
+    "text_trigram_logprob" -> trigramLogprob,
     "text_gopher_quality" -> gopherQuality,
     "text_keyword_topk" -> keywordTopK,
     "text_inverted_index" -> invertedIndex,
@@ -567,6 +584,50 @@ SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
   (-1.5 + 0.01 * n + 2.0 * (nd / n) -
     0.5 * ((nc - (n - 1.0)) / n) + 1.2 * (ns / n)) > 0.0 AS keep
 FROM f ORDER BY doc_id""",
+    "text_trigram_logprob" ->
+      raw"""WITH tok AS (
+  SELECT doc_id, list_filter($tokSql, w -> w <> '') AS ws FROM documents
+), tri AS (
+  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2, ws[i+2] AS w3
+  FROM tok, unnest(range(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 3
+), c3t AS (
+  SELECT w1, w2, w3, count(*) AS c3 FROM tri WHERE doc_id % 2 = 0
+  GROUP BY 1, 2, 3
+), big AS (
+  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+  FROM tok, unnest(range(1, len(ws))) AS t(i) WHERE len(ws) >= 2
+), c2t AS (
+  SELECT w1, w2, count(*) AS c2 FROM big WHERE doc_id % 2 = 0 GROUP BY 1, 2
+), uni AS (
+  SELECT unnest(ws) AS w FROM tok WHERE doc_id % 2 = 0
+), c1t AS (SELECT w, count(*) AS c1 FROM uni GROUP BY 1),
+nv AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, CAST(count(DISTINCT w) AS DOUBLE) AS v
+  FROM uni
+), doctri AS (
+  SELECT doc_id, w1, w2, w3, count(*) AS m FROM tri WHERE doc_id % 2 = 1
+  GROUP BY 1, 2, 3, 4
+), types AS (SELECT DISTINCT w1, w2, w3 FROM doctri),
+scored AS (
+  SELECT t.w1, t.w2, t.w3,
+    ln(CASE
+      WHEN c3t.c3 IS NOT NULL THEN CAST(c3t.c3 AS DOUBLE) / p12.c2
+      WHEN s23.c2 IS NOT NULL THEN 0.4 * CAST(s23.c2 AS DOUBLE) / u2.c1
+      ELSE 0.4 * 0.4 * (COALESCE(u3.c1, 0) + 1)
+        / ((SELECT n FROM nv) + (SELECT v FROM nv))
+    END) AS lp
+  FROM types t
+  LEFT JOIN c3t ON t.w1 = c3t.w1 AND t.w2 = c3t.w2 AND t.w3 = c3t.w3
+  LEFT JOIN c2t p12 ON t.w1 = p12.w1 AND t.w2 = p12.w2
+  LEFT JOIN c2t s23 ON t.w2 = s23.w1 AND t.w3 = s23.w2
+  LEFT JOIN c1t u2 ON t.w2 = u2.w
+  LEFT JOIN c1t u3 ON t.w3 = u3.w
+)
+SELECT d.doc_id, CAST(sum(d.m) AS BIGINT) AS n_tri,
+  round(sum(d.m * s.lp) / sum(d.m), 4) AS avg_logprob
+FROM doctri d JOIN scored s
+  ON d.w1 = s.w1 AND d.w2 = s.w2 AND d.w3 = s.w3
+GROUP BY d.doc_id ORDER BY d.doc_id""",
     "text_unigram_logprob" ->
       raw"""WITH tok AS (
   SELECT doc_id, unnest(list_filter($tokSql, w -> w <> '')) AS word
