@@ -140,6 +140,55 @@ object TextQueries {
     NgramLm.score(toks.where(pmod(col("doc_id"), lit(2)) === 1), lm)
   }
 
+  /** The shared line table for the [[graft.operators.LineDedup]]
+    * queries. The synthetic corpus has no newlines, so "lines" are
+    * derived deterministically (the PII-splice pattern): the token
+    * stream chunked into 8-token lines, plus boilerplate lines spliced
+    * in by doc_id modulus — a newsletter header on every third doc and
+    * a legal footer on every fifth — which is exactly the repeated-
+    * across-documents structure the boilerplate pass exists to remove.
+    * The oracle mirrors the derivation verbatim; the CHECKED operators
+    * are the df-count/anti-join and first-occurrence aggregations.
+    */
+  private def linesTable(spark: SparkSession, dir: String): DataFrame = {
+    val header = "subscribe to our newsletter for updates"
+    val footer = "all rights reserved legal notice footer"
+    val noLines = array().cast("array<string>")
+    val ws = TextOps.tokens(col("text"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        concat(
+          when(pmod(col("doc_id"), lit(3)) === 0, array(lit(header)))
+            .otherwise(noLines),
+          // size=0 guard: sequence(0,-1) would infer step -1, not empty
+          when(size(ws) === 0, noLines).otherwise(transform(
+            sequence(lit(0), ceil(size(ws) / lit(8.0)).cast("int") - 1),
+            i => array_join(slice(ws, i * 8 + 1, lit(8)), " "))),
+          when(pmod(col("doc_id"), lit(5)) === 0, array(lit(footer)))
+            .otherwise(noLines)).as("ls"))
+      .select(col("doc_id"), posexplode(col("ls")).as(Seq("line_no", "line")))
+  }
+
+  /** Boilerplate removal ([[graft.operators.LineDedup.dropFrequent]]):
+    * lines shared by more than 20 documents are dropped everywhere,
+    * survivors reassembled into per-doc text in original line order.
+    */
+  def boilerplateDrop(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.LineDedup
+    LineDedup.reassemble(LineDedup.dropFrequent(linesTable(spark, dir), 20))
+      .orderBy("doc_id")
+  }
+
+  /** Exact corpus-level line dedup
+    * ([[graft.operators.LineDedup.keepFirst]]): each distinct line
+    * survives only at its first (doc_id, line_no) occurrence.
+    */
+  def lineDedupFirst(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.LineDedup
+    LineDedup.keepFirst(linesTable(spark, dir))
+      .orderBy("doc_id", "line_no")
+  }
+
   /** PII redaction over the corpus. The synthetic tables are PII-free
     * word soup, so deterministic PII (email / IPv4 / phone, presence
     * varying by doc_id modulus) is spliced in by a derivation the
@@ -410,6 +459,8 @@ object TextQueries {
     "text_bm25_index_topk" -> bm25IndexTopK,
     "text_bm25_topk" -> bm25TopK,
     "text_url_funcs" -> urlFuncs,
+    "text_boilerplate_drop" -> boilerplateDrop,
+    "text_line_dedup_first" -> lineDedupFirst,
     "text_pii_redact" -> piiRedact,
     "text_quality_score" -> qualityScore,
     "text_unigram_logprob" -> unigramLogprob,
@@ -584,6 +635,54 @@ SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
   (-1.5 + 0.01 * n + 2.0 * (nd / n) -
     0.5 * ((nc - (n - 1.0)) / n) + 1.2 * (ns / n)) > 0.0 AS keep
 FROM f ORDER BY doc_id""",
+    "text_boilerplate_drop" ->
+      raw"""WITH tok AS (
+  SELECT doc_id, list_filter($tokSql, w -> w <> '') AS ws FROM documents
+), doc AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 3 = 0
+      THEN ['subscribe to our newsletter for updates']
+      ELSE CAST([] AS VARCHAR[]) END)
+    || list_transform(range(0, CAST(ceil(len(ws) / 8.0) AS INT)),
+         i -> array_to_string(ws[i*8+1:i*8+8], ' '))
+    || (CASE WHEN doc_id % 5 = 0
+      THEN ['all rights reserved legal notice footer']
+      ELSE CAST([] AS VARCHAR[]) END) AS ls
+  FROM tok
+), lns AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS line_no, ls[i] AS line
+  FROM doc, unnest(range(1, len(ls) + 1)) AS t(i)
+), df AS (
+  SELECT line, count(DISTINCT doc_id) AS df FROM lns GROUP BY 1
+), kept AS (
+  SELECT l.doc_id, l.line_no, l.line
+  FROM lns l JOIN df ON l.line = df.line WHERE df.df <= 20
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+  string_agg(line, ' ' ORDER BY line_no) AS text
+FROM kept GROUP BY doc_id ORDER BY doc_id""",
+    "text_line_dedup_first" ->
+      raw"""WITH tok AS (
+  SELECT doc_id, list_filter($tokSql, w -> w <> '') AS ws FROM documents
+), doc AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 3 = 0
+      THEN ['subscribe to our newsletter for updates']
+      ELSE CAST([] AS VARCHAR[]) END)
+    || list_transform(range(0, CAST(ceil(len(ws) / 8.0) AS INT)),
+         i -> array_to_string(ws[i*8+1:i*8+8], ' '))
+    || (CASE WHEN doc_id % 5 = 0
+      THEN ['all rights reserved legal notice footer']
+      ELSE CAST([] AS VARCHAR[]) END) AS ls
+  FROM tok
+), lns AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS line_no, ls[i] AS line
+  FROM doc, unnest(range(1, len(ls) + 1)) AS t(i)
+)
+SELECT doc_id, line_no, line FROM (
+  SELECT doc_id, line_no, line,
+    row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+  FROM lns) WHERE rn = 1 ORDER BY doc_id, line_no""",
     "text_trigram_logprob" ->
       raw"""WITH tok AS (
   SELECT doc_id, list_filter($tokSql, w -> w <> '') AS ws FROM documents
