@@ -190,7 +190,41 @@ object DedupQueries {
     graft.operators.SpanDedup.dedupSpans(
       Tables(spark, dir, "documents"), "doc_id", "text", n = 10)
 
+  /** SemDeDup over the embeddings table ([[graft.operators.SemDedup]]):
+    * 8 Lloyd clusters (2 rounds), semantic-dup threshold 0.4. Golden-
+    * pinned — the k-means iteration is not SQL-expressible; the prune
+    * machinery itself is oracle-checked by `dedup_semantic_bylabel`.
+    */
+  def semantic(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.SemDedup.dedup(
+      Tables(spark, dir, "embeddings"), k = 8, iters = 2, eps = 0.4)
+      .orderBy("vec_id")
+
+  /** The SemDeDup prune chain (pairs -> components -> least-prototypical
+    * keeper) with an EXTERNAL clustering — the label column — so the
+    * whole decision is SQL-expressible and oracle-checked: dist2 =
+    * squared distance to the label centroid, rounded to 6 (the
+    * cross-engine comparison contract) before the keeper argmax.
+    */
+  def semanticByLabel(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val long = emb.select(col("vec_id"), col("label"),
+      posexplode(col("embedding")).as(Seq("dim", "v")))
+    val cent = long.groupBy("label", "dim")
+      .agg(avg(col("v").cast("double")).as("c"))
+    val d2 = long.join(cent, Seq("label", "dim"))
+      .groupBy("vec_id")
+      .agg(round(sum((col("v").cast("double") - col("c")) *
+        (col("v").cast("double") - col("c"))), 6).as("dist2"))
+    val assigned = emb.join(d2, Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"),
+        col("label").as("cluster"), col("dist2"))
+    graft.operators.SemDedup.prune(assigned, eps = 0.4).orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_semantic" -> semantic,
+    "dedup_semantic_bylabel" -> semanticByLabel,
     "dedup_exact_spans" -> exactSpans,
     "graph_pagerank" -> pagerank,
     "graph_node_stats" -> graphNodeStats,
@@ -253,7 +287,55 @@ edges AS (
   FROM reach GROUP BY src
 )"""
 
+  private val dotSql = (a: String, b: String) =>
+    s"list_sum(list_transform(list_zip($a, $b), " +
+      "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+  private val nrmSql = (a: String) =>
+    s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
   val oracle: Map[String, String] = Map(
+    "dedup_semantic_bylabel" ->
+      raw"""WITH RECURSIVE p AS (
+  SELECT a.vec_id AS ida, b.vec_id AS idb
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE round(${dotSql("a.embedding", "b.embedding")} /
+    (${nrmSql("a.embedding")} * ${nrmSql("b.embedding")}), 6) >= 0.4
+), edges AS (
+  SELECT ida AS src, idb AS dst FROM p UNION SELECT idb, ida FROM p
+), reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), comp AS (
+  SELECT src AS vec_id, least(src, min(dst)) AS component
+  FROM reach GROUP BY src
+), cent AS (
+  SELECT label, u.i AS dim, avg(CAST(embedding[u.i] AS DOUBLE)) AS c
+  FROM embeddings,
+    LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) u
+  GROUP BY 1, 2
+), d2 AS (
+  SELECT e.vec_id,
+    round(sum((CAST(e.embedding[u.i] AS DOUBLE) - c.c) *
+      (CAST(e.embedding[u.i] AS DOUBLE) - c.c)), 6) AS dist2
+  FROM embeddings e,
+    LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) u
+  JOIN cent c ON c.label = e.label AND c.dim = u.i
+  GROUP BY 1
+), keeper AS (
+  SELECT component, vec_id AS kid FROM (
+    SELECT cp.component, d.vec_id,
+      row_number() OVER (PARTITION BY cp.component
+        ORDER BY d.dist2 DESC, d.vec_id DESC) AS rn
+    FROM comp cp JOIN d2 d ON d.vec_id = cp.vec_id) WHERE rn = 1
+)
+SELECT e.vec_id, e.label AS cluster, cp.component,
+  (cp.component IS NULL OR e.vec_id = k.kid) AS keep
+FROM embeddings e
+LEFT JOIN comp cp ON cp.vec_id = e.vec_id
+LEFT JOIN keeper k ON k.component = cp.component
+ORDER BY e.vec_id""",
     "dedup_exact_spans" ->
       raw"""WITH toks AS (
   SELECT doc_id, $tokSql AS ws FROM documents

@@ -17,6 +17,7 @@ class GoldenHashSpec extends SparkSpec {
     "emb_pca_variance" -> "5a1f4bca8fef27d7defe34f71cf38095",
     "text_bpe_vocab" -> "bd4a2a3bcf8fcbb396d1e010b95afd05",
     "dedup_minhash_lsh" -> "43b0854b6e50afe8ced0516d135f83e4",
+    "dedup_semantic" -> "a60e4c40f2dae28e673b857707dcbde1",
     "dedup_simhash" -> "0e382879f002a691192647cfae2e5bf2",
     "multimodal_dhash_pairs" -> "12875c26c84f1ca9b47670ea49d96fce",
     "multimodal_features" -> "969a4d8ace527df432eafb21453c706f",
