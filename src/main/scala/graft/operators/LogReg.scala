@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** Distributed binary logistic regression over an embedding column —
+  * the trainable quality classifier of a data-curation pipeline
+  * (fastText-style filters: score documents against a small labeled
+  * set, keep by probability). `text_quality_score` covers INFERENCE
+  * with fixed weights; this is the TRAINING loop, built on the same
+  * sufficient-statistics shape as [[LloydKMeans]]:
+  *
+  *  - full-batch gradient descent: each iteration is ONE corpus scan.
+  *    The per-row error term (sigmoid(w.x + b) - y) is codegen'd scalar
+  *    arithmetic (native DotProduct against the weight literal); the
+  *    gradient is a (dim)-keyed hash aggregation of err * x_dim —
+  *    d+2 doubles to the driver per iteration (d gradient dims, bias,
+  *    loss), never data. Weights ride the plan as a literal — the
+  *    broadcast-variable pattern for d in the thousands.
+  *  - deterministic by construction: zero init, fixed iteration count
+  *    and learning rate; no sampling, no row-order dependence beyond
+  *    float reassociation (readouts round past it).
+  *
+  * L2 regularization keeps the separable case bounded; learning rate
+  * is per-example (gradient averaged over n).
+  */
+object LogReg {
+
+  /** Trained model: weights, bias, and per-iteration mean log-loss
+    * (strictly decreasing on any consistent dataset — the convergence
+    * diagnostic a training harness monitors).
+    */
+  final case class Model(w: Array[Double], b: Double, losses: Seq[Double])
+
+  private def sigmoid(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
+
+  /** Margin + probability columns for a weight/bias literal. Weights
+    * ride as a float literal (the native DotProduct contract, same as
+    * LloydKMeans centroids); the update arithmetic stays double.
+    */
+  private def probCol(w: Array[Double], b: Double): Column =
+    sigmoid(VectorOps.dot(col("embedding"),
+      typedLit(w.map(_.toFloat).toSeq)) + lit(b))
+
+  /** Fit on (embedding, y) where `yCol` evaluates to 0.0/1.0.
+    * One scan + one (dim)-keyed shuffle per iteration.
+    */
+  def fit(dataRaw: DataFrame, yCol: Column, iters: Int = 20,
+      lr: Double = 2.0, l2: Double = 1e-4): Model = {
+    // materialize (embedding, y) once: every iteration rescans this
+    // projection, so it pins in memory instead of re-reading the source
+    val data = VectorOps.requireVectors(dataRaw, "LogReg.fit")
+      .select(col("embedding"), yCol.cast("double").as("_y"))
+      .localCheckpoint(true)
+    val d = data.select(size(col("embedding"))).head().getInt(0)
+    var w = new Array[Double](d)
+    var b = 0.0
+    val losses = scala.collection.mutable.ArrayBuffer.empty[Double]
+    (0 until iters).foreach { _ =>
+      val p = probCol(w, b)
+      // clamp keeps the loss finite if a probability saturates
+      val pc = least(greatest(p, lit(1e-12)), lit(1.0 - 1e-12))
+      val ll = -(col("_y") * log(pc) + (lit(1.0) - col("_y")) * log(lit(1.0) - pc))
+      // gradient dims + bias + loss in ONE aggregation over the long
+      // form: bias/loss repeat per dim, divided back out on the driver
+      val rows = data
+        .select((p - col("_y")).as("_err"), ll.as("_ll"),
+          posexplode(col("embedding")).as(Seq("_dim", "_v")))
+        .groupBy("_dim")
+        .agg(sum(col("_err") * col("_v").cast("double")).as("g"),
+          sum(col("_err")).as("gb"),
+          sum(col("_ll")).as("l"),
+          count(lit(1)).as("n"))
+        .collect()
+      val n = rows.head.getLong(4).toDouble
+      var gb = 0.0
+      var loss = 0.0
+      val g = new Array[Double](d)
+      rows.foreach { r =>
+        g(r.getInt(0)) = r.getDouble(1)
+        if (r.getInt(0) == 0) { gb = r.getDouble(2); loss = r.getDouble(3) }
+      }
+      losses += loss / n
+      w = Array.tabulate(d)(i => w(i) - lr * (g(i) / n + l2 * w(i)))
+      b -= lr * gb / n
+    }
+    Model(w, b, losses.toSeq)
+  }
+
+  /** Probability column per row under a trained model (pure codegen —
+    * inference is scan-speed, exactly the `text_quality_score` path).
+    */
+  def score(dataRaw: DataFrame, m: Model): DataFrame = {
+    val data = VectorOps.requireVectors(dataRaw, "LogReg.score")
+    data.withColumn("prob", probCol(m.w, m.b))
+  }
+}

@@ -32,10 +32,36 @@ object TrainingQueries {
   def pcaVariance(spark: SparkSession, dir: String): DataFrame =
     EmbPca.varianceProfile(spark, dir, topK = 8)
 
+  /** Distributed logistic-regression training readout
+    * ([[graft.operators.LogReg]]): recover a linear teacher
+    * (y = e1 + e2 - e3 > 0 — the synthetic labels are NOT linearly
+    * separable in embedding space, so the optimizer check uses a
+    * recoverable target) with 30 full-batch GD rounds, then report the
+    * confusion profile per true class plus the final training loss.
+    * Deterministic (zero init, fixed schedule); golden-pinned like the
+    * other iterative trainers.
+    */
+  def logregEval(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val emb = Tables(spark, dir, "embeddings")
+    val y = (element_at(col("embedding"), 1) + element_at(col("embedding"), 2)
+      - element_at(col("embedding"), 3)) > 0
+    val m = graft.operators.LogReg.fit(emb, y, iters = 30, lr = 10.0)
+    graft.operators.LogReg.score(emb, m)
+      .groupBy(y.as("y_true"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("prob") >= 0.5).cast("long")).as("n_pred_pos"),
+        round(avg("prob"), 4).as("avg_prob"))
+      .withColumn("final_loss",
+        round(lit(m.losses.last), 4))
+      .orderBy("y_true")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_vocab" -> bpeVocab,
     "emb_kmeans_stats" -> kmeansStats,
-    "emb_pca_variance" -> pcaVariance)
+    "emb_pca_variance" -> pcaVariance,
+    "emb_logreg_eval" -> logregEval)
 
   val oracle: Map[String, String] = Map.empty
 }
