@@ -107,6 +107,28 @@ object Bpe {
   def encode(merges: Seq[(String, String)])(word: Column): Column =
     merges.foldLeft(split(word, "")) { case (c, (a, b)) => mergePair(a, b)(c) }
 
+  /** Tokenizer APPLICATION — per-document subword statistics under a
+    * freshly trained vocabulary: word count, subword count, and
+    * fertility (subwords per word, the standard tokenizer-quality
+    * readout). Encodes TYPES, not events: [[train]]'s vocabulary table
+    * already carries every distinct word's final symbols, so documents
+    * just join their word events against a vocabulary-sized table —
+    * the corpus is never re-folded through the merge stack.
+    */
+  def encodeProfile(docs: DataFrame, idCol: String, textCol: String,
+      nMerges: Int): DataFrame = {
+    val (_, words) = train(docs, textCol, nMerges)
+    val lens = words.select(col("word"),
+      size(col("syms")).cast("long").as("_ns"))
+    docs.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("word"))
+      .join(lens, "word")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_words"),
+        sum("_ns").as("n_subwords"),
+        round(avg("_ns"), 4).as("fertility"))
+      .orderBy(idCol)
+  }
+
   /** Subword-vocabulary profile after `nMerges` merges: corpus-weighted
     * token counts, top `topK` by (count desc, token) — the tokenizer
     * health readout (how much of the corpus mass the learned subwords

@@ -236,6 +236,52 @@ object CorpusPipeline {
         (col("_off") + col("_rn") - 1).as("stable_id"))
   }
 
+  /** Exact-proportion stratified train/val/test split: within every
+    * (lang, source) stratum, documents rank by (md5(doc_id), doc_id)
+    * — content-addressed, layout-independent — and the first
+    * floor(n*trainPct) go to train, the next floor(n*(trainPct+valPct))
+    * boundary to val, the rest to test. Unlike hash-threshold splits
+    * (pipeline_hash_split), proportions are EXACT per stratum,
+    * which is what a small-stratum eval set needs (a 1% hash split of
+    * a 300-doc language can easily be empty).
+    *
+    * Scale shape: the per-stratum rank is the distributed prefix-sum
+    * pattern again — buckets are the first two hex chars of the hash
+    * (256 per stratum, hash-ordered, so bucket order IS rank order),
+    * per-(stratum, bucket) counts aggregate map-side, the only
+    * ordered window runs over that tiny bucket table, and the
+    * within-bucket row_number is partitioned by (stratum, bucket).
+    * No corpus-wide single-reducer window at any size.
+    */
+  def stratifiedSplit(docs: DataFrame, trainPct: Double = 0.8,
+      valPct: Double = 0.1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(col("doc_id").cast("string"))
+    val bucketed = docs.select(col("doc_id"), col("lang"), col("source"),
+      h.as("_h"), substring(h, 1, 2).as("_b"))
+    val counts = bucketed.groupBy("lang", "source", "_b")
+      .agg(count(lit(1)).as("_c"))
+    val offsets = counts
+      .withColumn("_off",
+        coalesce(sum("_c").over(
+          Window.partitionBy("lang", "source").orderBy("_b")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_n",
+        sum("_c").over(Window.partitionBy("lang", "source")))
+      .select("lang", "source", "_b", "_off", "_n")
+    bucketed
+      .join(broadcast(offsets), Seq("lang", "source", "_b"))
+      .withColumn("_r",
+        col("_off") + row_number().over(
+          Window.partitionBy("lang", "source", "_b").orderBy("_h", "doc_id"))
+          .cast("long"))
+      .withColumn("split",
+        when(col("_r") <= floor(col("_n") * trainPct), "train")
+          .when(col("_r") <= floor(col("_n") * (trainPct + valPct)), "val")
+          .otherwise("test"))
+      .select("doc_id", "lang", "source", "split")
+  }
+
   /** Sliding context windows: each document's token sequence cut into
     * overlapping windows of `size` tokens every `stride` tokens — the
     * long-document layout for models with a bounded context (each

@@ -80,6 +80,19 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Exact-proportion stratified split
+    * ([[graft.pipeline.CorpusPipeline.stratifiedSplit]]): 80/10/10
+    * within every (lang, source) stratum, readout as per-stratum split
+    * counts plus an id checksum so the oracle pins the per-document
+    * assignment, not just the counts.
+    */
+  def stratifiedSplit(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.CorpusPipeline.stratifiedSplit(
+        Tables(spark, dir, "documents"))
+      .groupBy("lang", "source", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"))
+      .orderBy("lang", "source", "split")
+
   /** Domain-mixture sampling: src0 kept whole, src1 halved, src2 cut
     * to 10%, everything else 25% — per-source counts after the cut.
     */
@@ -144,6 +157,7 @@ object PipelineQueries {
     "pipeline_token_budget" -> tokenBudget,
     "pipeline_pack_sequences" -> packSequences,
     "pipeline_hash_split" -> hashSplit,
+    "pipeline_stratified_split" -> stratifiedSplit,
     "pipeline_source_budget" -> sourceBudget,
     "pipeline_mixture_sample" -> mixtureSample)
 
@@ -230,6 +244,25 @@ CASE WHEN substr(md5(text), 1, 1) IN ('e', 'f') THEN 'test'
      WHEN substr(md5(text), 1, 1) IN ('c', 'd') THEN 'val'
      ELSE 'train' END AS split
 FROM documents ORDER BY doc_id""",
+    "pipeline_stratified_split" ->
+      """WITH ranked AS (
+  SELECT doc_id, lang, source,
+    row_number() OVER (PARTITION BY lang, source
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r,
+    count(*) OVER (PARTITION BY lang, source) AS n
+  FROM documents
+), assigned AS (
+  SELECT doc_id, lang, source,
+    CASE WHEN r <= floor(n * 0.8) THEN 'train'
+         -- (0.8 + 0.1) not 0.9: the engine adds the two pcts in
+         -- IEEE double, one ulp above the 0.9 literal
+         WHEN r <= floor(n * (0.8 + 0.1)) THEN 'val'
+         ELSE 'test' END AS split
+  FROM ranked
+)
+SELECT lang, source, split, count(*) AS n_docs,
+  CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM assigned GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
     "pipeline_mixture_sample" ->
       """SELECT source, count(*) AS n_docs,
 CAST(sum(n_chars) AS BIGINT) AS total_chars

@@ -57,8 +57,18 @@ object TrainingQueries {
       .orderBy("y_true")
   }
 
+  /** Tokenizer application: per-document subword counts + fertility
+    * under a 20-merge BPE vocabulary ([[Bpe.encodeProfile]]) — the
+    * sequence-length profile that sizes packing and context windows
+    * once a real tokenizer replaces whitespace counting.
+    */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame =
+    Bpe.encodeProfile(Tables(spark, dir, "documents"), "doc_id", "text",
+      nMerges = 20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_vocab" -> bpeVocab,
+    "text_bpe_encode" -> bpeEncode,
     "emb_kmeans_stats" -> kmeansStats,
     "emb_pca_variance" -> pcaVariance,
     "emb_logreg_eval" -> logregEval)

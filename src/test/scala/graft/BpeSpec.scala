@@ -37,6 +37,17 @@ class BpeSpec extends SparkSpec {
     assert(out == Seq("low", "est"), out.toString)
   }
 
+  test("encodeProfile: per-doc subword counts and fertility, types-joined") {
+    // doc 0: "abab abab" -> (a,b) merges (cnt 4), then (ab,ab) (cnt 2):
+    // each "abab" is ONE symbol -> 2 words, 2 subwords, fertility 1.
+    // doc 1: "cd" -> pair (c,d) occurs once (< 2), never merged ->
+    // 1 word, 2 subwords, fertility 2.
+    val docs = Seq((0L, "abab abab"), (1L, "cd")).toDF("doc_id", "text")
+    val out = Bpe.encodeProfile(docs, "doc_id", "text", nMerges = 5)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out === Seq((0L, 2L, 2L, 1.0), (1L, 1L, 2L, 2.0)))
+  }
+
   test("training conserves corpus mass and stops when exhausted") {
     val (merges, words) = Bpe.train(toy, "text", nMerges = 1000)
     // every merge must still cover the full corpus token mass

@@ -16,6 +16,7 @@ class GoldenHashSpec extends SparkSpec {
     "emb_logreg_eval" -> "6853b1063ee39df1dfabf3ab6608ff0a",
     "emb_kmeans_stats" -> "e8fb344a308aa32b1ee268f822d6cd38",
     "emb_pca_variance" -> "5a1f4bca8fef27d7defe34f71cf38095",
+    "text_bpe_encode" -> "a6309a3d305f9717ebdd7563711d4a1f",
     "text_bpe_vocab" -> "bd4a2a3bcf8fcbb396d1e010b95afd05",
     "dedup_minhash_lsh" -> "43b0854b6e50afe8ced0516d135f83e4",
     "dedup_semantic" -> "a60e4c40f2dae28e673b857707dcbde1",
