@@ -32,6 +32,47 @@ object QuantileBin {
       .collect()(0).getSeq[Double](0).toArray
   }
 
+  /** EXACT ntile(k) over a total order, computed distributed: rows
+    * bucket by value range (`floor(value / bucketWidth)` — bucket order
+    * IS value order), per-bucket counts aggregate map-side, one window
+    * over the tiny bucket table yields bucket offsets, the per-row rank
+    * is offset + within-bucket row_number (partitioned window), and the
+    * tile from the rank is row-local integer math replicating SQL
+    * ntile's first-tiles-carry-the-remainder contract. Bit-identical to
+    * `ntile(k) OVER (ORDER BY value, ties...)` when the (value, tieCols)
+    * order is total — with NO corpus-wide single-reducer sort.
+    */
+  def exactNtile(df: DataFrame, k: Int, valueCol: String,
+      bucketWidth: Double, tieCols: Seq[String],
+      tileCol: String = "tile"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = col(valueCol) +: tieCols.map(col)
+    val bucketed = df.withColumn("_qb",
+      floor(col(valueCol).cast("double") / lit(bucketWidth)).cast("long"))
+    val counts = bucketed.groupBy("_qb").agg(count(lit(1)).as("_c"))
+    val offsets = counts
+      .withColumn("_cum", sum("_c").over(Window.orderBy("_qb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("_qb"), (col("_cum") - col("_c")).as("_off"))
+    val total = counts.agg(sum("_c").as("_n_total"))
+    bucketed
+      .join(broadcast(offsets), "_qb")
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("_qb").orderBy(ord: _*)).cast("long"))
+      .withColumn("_rank", col("_off") + col("_rn"))
+      .crossJoin(broadcast(total))
+      // ntile(k): base = n div k rows per tile, the first n % k tiles
+      // carry one extra; tile from rank is pure integer math
+      .withColumn("_base", expr(s"_n_total div $k"))
+      .withColumn("_rem", expr(s"_n_total % $k"))
+      .withColumn("_cut", col("_rem") * (col("_base") + 1))
+      .withColumn(tileCol,
+        when(col("_rank") <= col("_cut"),
+          expr("(_rank - 1) div (_base + 1)") + 1)
+          .otherwise(col("_rem") + expr("(_rank - _cut - 1) div _base") + 1))
+      .drop("_qb", "_off", "_rn", "_rank", "_n_total", "_base", "_rem", "_cut")
+  }
+
   /** Adds `binCol` (0-based) assigning each row to its equi-depth bin
     * via a codegen'd when-chain over the broadcast-free literal
     * cutpoints.

@@ -58,40 +58,18 @@ object StatsExtra {
     * (price, orderkey, linenumber) order is total — no tie straddles a
     * bucket boundary ambiguously. Requires n >= k (always, here).
     */
-  def quantileBins(spark: SparkSession, dir: String): DataFrame = {
-    val k = 8
-    val ord = Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-    val bucketed = Tables(spark, dir, "lineitem")
-      .select(ord: _*)
-      .withColumn("bkt", floor(col("l_extendedprice") / lit(100.0)).cast("long"))
-    val counts = bucketed.groupBy("bkt").agg(count(lit(1)).as("c"))
-    val offsets = counts
-      .withColumn("cum", sum("c").over(Window.orderBy("bkt")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .select(col("bkt"), (col("cum") - col("c")).as("off"))
-    val total = counts.agg(sum("c").as("n_total"))
-    bucketed
-      .join(broadcast(offsets), "bkt")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("bkt").orderBy(ord: _*)).cast("long"))
-      .withColumn("rank", col("off") + col("rn"))
-      .crossJoin(broadcast(total))
-      // ntile(k): base = n div k rows per tile, the first rem = n % k
-      // tiles carry one extra; tile from rank is pure integer math
-      .withColumn("base", expr(s"n_total div $k"))
-      .withColumn("rem", expr(s"n_total % $k"))
-      .withColumn("cut", col("rem") * (col("base") + 1))
-      .withColumn("tile",
-        when(col("rank") <= col("cut"),
-          expr("(rank - 1) div (base + 1)") + 1)
-          .otherwise(col("rem") + expr("(rank - cut - 1) div base") + 1))
+  def quantileBins(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.QuantileBin.exactNtile(
+        Tables(spark, dir, "lineitem")
+          .select("l_extendedprice", "l_orderkey", "l_linenumber"),
+        k = 8, valueCol = "l_extendedprice", bucketWidth = 100.0,
+        tieCols = Seq("l_orderkey", "l_linenumber"))
       .groupBy("tile")
       .agg(count(lit(1)).as("n"),
         min("l_extendedprice").as("min_price"),
         max("l_extendedprice").as("max_price"),
         round(sum("l_extendedprice"), 2).as("sum_price"))
       .orderBy("tile")
-  }
 
   /** Robust outlier flagging by median absolute deviation: two exact
     * medians via ExactQuantile (histogram-bracket selection — cheap

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -189,6 +189,24 @@ object TextQueries {
       .orderBy("doc_id", "line_no")
   }
 
+  /** CCNet-style perplexity buckets (Wenzek et al. 2020 §4.3, public):
+    * held-out documents cut into EXACT tertiles by trigram-LM score —
+    * tile 1 = highest perplexity (least natural), tile 3 = head. The
+    * ranking runs through [[graft.operators.QuantileBin.exactNtile]]
+    * (value-bucketed distributed rank), so there is no corpus-wide
+    * single-reducer sort at any scale.
+    */
+  def perplexityBuckets(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.QuantileBin.exactNtile(
+        trigramLogprob(spark, dir), k = 3, valueCol = "avg_logprob",
+        bucketWidth = 0.25, tieCols = Seq("doc_id"))
+      .groupBy("tile")
+      .agg(count(lit(1)).as("n_docs"),
+        min("avg_logprob").as("min_lp"),
+        max("avg_logprob").as("max_lp"),
+        sum("n_tri").as("n_tri_total"))
+      .orderBy("tile")
+
   /** PII redaction over the corpus. The synthetic tables are PII-free
     * word soup, so deterministic PII (email / IPv4 / phone, presence
     * varying by doc_id modulus) is spliced in by a derivation the
@@ -231,21 +249,47 @@ object TextQueries {
     * DuckDB oracle matches bit-for-bit; thresholding at 0 gives the
     * keep flag, monotone in the sigmoid anyway.
     */
-  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+  /** The fixed-weight linear quality logit shared by `qualityScore`
+    * and `domainTopK` — IEEE-exact in both engines (same op order).
+    */
+  private def qualityLogit: (Column, Column) = {
     val toks = split(col("text"), " ")
     val n = size(toks).cast("double")
     val nd = size(array_distinct(toks)).cast("double")
     val ns = size(filter(toks, t => t.isin(stop.map(s => s: Any): _*)))
       .cast("double")
     val meanLen = (length(col("text")).cast("double") - (n - lit(1.0))) / n
-    val logit = lit(-1.5) + lit(0.01) * n + lit(2.0) * (nd / n) -
-      lit(0.5) * meanLen + lit(1.2) * (ns / n)
+    (n, lit(-1.5) + lit(0.01) * n + lit(2.0) * (nd / n) -
+      lit(0.5) * meanLen + lit(1.2) * (ns / n))
+  }
+
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val (n, logit) = qualityLogit
     Tables(spark, dir, "documents").select(
       col("doc_id"),
       n.cast("long").as("n_tokens"),
       logit.as("quality_logit"),
       (logit > lit(0.0)).as("keep"))
       .orderBy("doc_id")
+  }
+
+  /** Per-domain quality curation: the top 5 documents per source by
+    * quality logit, ranked through the NATIVE bounded-heap
+    * top-k-per-key operator (org.apache.spark.sql.graftx.TopKPerKey) —
+    * the custom plan node doing [EXT] work: at most k rows per
+    * (source, input partition) reach the shuffle, where a window
+    * formulation would sort every document. Ordering is cross-engine
+    * stable because the logit is IEEE-exact in both engines and ties
+    * break on doc_id.
+    */
+  def domainTopK(spark: SparkSession, dir: String): DataFrame = {
+    val (_, logit) = qualityLogit
+    val scored = Tables(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), logit.as("quality_logit"))
+    org.apache.spark.sql.graftx.TopKPerKey.topK(scored,
+        keys = Seq("source"),
+        order = Seq(("quality_logit", true), ("doc_id", false)), k = 5)
+      .orderBy("source", "rank")
   }
 
   /** URL parsing over a deterministically synthesized url column (the
@@ -463,8 +507,10 @@ object TextQueries {
     "text_line_dedup_first" -> lineDedupFirst,
     "text_pii_redact" -> piiRedact,
     "text_quality_score" -> qualityScore,
+    "text_domain_topk" -> domainTopK,
     "text_unigram_logprob" -> unigramLogprob,
     "text_trigram_logprob" -> trigramLogprob,
+    "text_perplexity_buckets" -> perplexityBuckets,
     "text_gopher_quality" -> gopherQuality,
     "text_keyword_topk" -> keywordTopK,
     "text_inverted_index" -> invertedIndex,
@@ -478,6 +524,56 @@ object TextQueries {
   private val emailRe = raw"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
   private val ipRe = raw"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
   private val phoneRe = raw"\b\d{3}-\d{4}\b"
+
+  /** The trigram stupid-backoff scoring chain as a CTE prefix ending in
+    * `docscore(doc_id, n_tri, avg_logprob)` — shared by the trigram
+    * query and the perplexity-bucket readout built on top of it.
+    */
+  private val trigramScoreCte =
+    raw"""WITH tok AS (
+  SELECT doc_id, list_filter($tokSql, w -> w <> '') AS ws FROM documents
+), tri AS (
+  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2, ws[i+2] AS w3
+  FROM tok, unnest(range(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 3
+), c3t AS (
+  SELECT w1, w2, w3, count(*) AS c3 FROM tri WHERE doc_id % 2 = 0
+  GROUP BY 1, 2, 3
+), big AS (
+  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+  FROM tok, unnest(range(1, len(ws))) AS t(i) WHERE len(ws) >= 2
+), c2t AS (
+  SELECT w1, w2, count(*) AS c2 FROM big WHERE doc_id % 2 = 0 GROUP BY 1, 2
+), uni AS (
+  SELECT unnest(ws) AS w FROM tok WHERE doc_id % 2 = 0
+), c1t AS (SELECT w, count(*) AS c1 FROM uni GROUP BY 1),
+nv AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, CAST(count(DISTINCT w) AS DOUBLE) AS v
+  FROM uni
+), doctri AS (
+  SELECT doc_id, w1, w2, w3, count(*) AS m FROM tri WHERE doc_id % 2 = 1
+  GROUP BY 1, 2, 3, 4
+), types AS (SELECT DISTINCT w1, w2, w3 FROM doctri),
+scored AS (
+  SELECT t.w1, t.w2, t.w3,
+    ln(CASE
+      WHEN c3t.c3 IS NOT NULL THEN CAST(c3t.c3 AS DOUBLE) / p12.c2
+      WHEN s23.c2 IS NOT NULL THEN 0.4 * CAST(s23.c2 AS DOUBLE) / u2.c1
+      ELSE 0.4 * 0.4 * (COALESCE(u3.c1, 0) + 1)
+        / ((SELECT n FROM nv) + (SELECT v FROM nv))
+    END) AS lp
+  FROM types t
+  LEFT JOIN c3t ON t.w1 = c3t.w1 AND t.w2 = c3t.w2 AND t.w3 = c3t.w3
+  LEFT JOIN c2t p12 ON t.w1 = p12.w1 AND t.w2 = p12.w2
+  LEFT JOIN c2t s23 ON t.w2 = s23.w1 AND t.w3 = s23.w2
+  LEFT JOIN c1t u2 ON t.w2 = u2.w
+  LEFT JOIN c1t u3 ON t.w3 = u3.w
+), docscore AS (
+  SELECT d.doc_id, CAST(sum(d.m) AS BIGINT) AS n_tri,
+    round(sum(d.m * s.lp) / sum(d.m), 4) AS avg_logprob
+  FROM doctri d JOIN scored s
+    ON d.w1 = s.w1 AND d.w2 = s.w2 AND d.w3 = s.w3
+  GROUP BY d.doc_id
+)"""
 
   private val bm25OracleSql =
       raw"""WITH toks AS (
@@ -619,6 +715,28 @@ SELECT doc_id,
     '$ipRe', '<IP>', 'g'),
     '$phoneRe', '<PHONE>', 'g') AS redacted
 FROM aug ORDER BY doc_id""",
+    "text_domain_topk" ->
+      raw"""WITH f AS (
+  SELECT source, doc_id,
+    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd,
+    CAST(len(list_filter(string_split(text, ' '),
+      w -> w IN $stopSql)) AS DOUBLE) AS ns,
+    CAST(len(text) AS DOUBLE) AS nc
+  FROM documents
+), scored AS (
+  SELECT source, doc_id,
+    -1.5 + 0.01 * n + 2.0 * (nd / n) -
+      0.5 * ((nc - (n - 1.0)) / n) + 1.2 * (ns / n) AS quality_logit
+  FROM f
+), ranked AS (
+  SELECT source, doc_id, quality_logit,
+    row_number() OVER (PARTITION BY source
+      ORDER BY quality_logit DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT source, doc_id, quality_logit, rank FROM ranked
+WHERE rank <= 5 ORDER BY source, rank""",
     "text_quality_score" ->
       raw"""WITH f AS (
   SELECT doc_id,
@@ -684,49 +802,17 @@ SELECT doc_id, line_no, line FROM (
     row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
   FROM lns) WHERE rn = 1 ORDER BY doc_id, line_no""",
     "text_trigram_logprob" ->
-      raw"""WITH tok AS (
-  SELECT doc_id, list_filter($tokSql, w -> w <> '') AS ws FROM documents
-), tri AS (
-  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2, ws[i+2] AS w3
-  FROM tok, unnest(range(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 3
-), c3t AS (
-  SELECT w1, w2, w3, count(*) AS c3 FROM tri WHERE doc_id % 2 = 0
-  GROUP BY 1, 2, 3
-), big AS (
-  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
-  FROM tok, unnest(range(1, len(ws))) AS t(i) WHERE len(ws) >= 2
-), c2t AS (
-  SELECT w1, w2, count(*) AS c2 FROM big WHERE doc_id % 2 = 0 GROUP BY 1, 2
-), uni AS (
-  SELECT unnest(ws) AS w FROM tok WHERE doc_id % 2 = 0
-), c1t AS (SELECT w, count(*) AS c1 FROM uni GROUP BY 1),
-nv AS (
-  SELECT CAST(count(*) AS DOUBLE) AS n, CAST(count(DISTINCT w) AS DOUBLE) AS v
-  FROM uni
-), doctri AS (
-  SELECT doc_id, w1, w2, w3, count(*) AS m FROM tri WHERE doc_id % 2 = 1
-  GROUP BY 1, 2, 3, 4
-), types AS (SELECT DISTINCT w1, w2, w3 FROM doctri),
-scored AS (
-  SELECT t.w1, t.w2, t.w3,
-    ln(CASE
-      WHEN c3t.c3 IS NOT NULL THEN CAST(c3t.c3 AS DOUBLE) / p12.c2
-      WHEN s23.c2 IS NOT NULL THEN 0.4 * CAST(s23.c2 AS DOUBLE) / u2.c1
-      ELSE 0.4 * 0.4 * (COALESCE(u3.c1, 0) + 1)
-        / ((SELECT n FROM nv) + (SELECT v FROM nv))
-    END) AS lp
-  FROM types t
-  LEFT JOIN c3t ON t.w1 = c3t.w1 AND t.w2 = c3t.w2 AND t.w3 = c3t.w3
-  LEFT JOIN c2t p12 ON t.w1 = p12.w1 AND t.w2 = p12.w2
-  LEFT JOIN c2t s23 ON t.w2 = s23.w1 AND t.w3 = s23.w2
-  LEFT JOIN c1t u2 ON t.w2 = u2.w
-  LEFT JOIN c1t u3 ON t.w3 = u3.w
+      raw"""$trigramScoreCte
+SELECT doc_id, n_tri, avg_logprob FROM docscore ORDER BY doc_id""",
+    "text_perplexity_buckets" ->
+      raw"""$trigramScoreCte, tiled AS (
+  SELECT doc_id, n_tri, avg_logprob,
+    ntile(3) OVER (ORDER BY avg_logprob, doc_id) AS tile
+  FROM docscore
 )
-SELECT d.doc_id, CAST(sum(d.m) AS BIGINT) AS n_tri,
-  round(sum(d.m * s.lp) / sum(d.m), 4) AS avg_logprob
-FROM doctri d JOIN scored s
-  ON d.w1 = s.w1 AND d.w2 = s.w2 AND d.w3 = s.w3
-GROUP BY d.doc_id ORDER BY d.doc_id""",
+SELECT tile, count(*) AS n_docs, min(avg_logprob) AS min_lp,
+  max(avg_logprob) AS max_lp, CAST(sum(n_tri) AS BIGINT) AS n_tri_total
+FROM tiled GROUP BY tile ORDER BY tile""",
     "text_unigram_logprob" ->
       raw"""WITH tok AS (
   SELECT doc_id, unnest(list_filter($tokSql, w -> w <> '')) AS word

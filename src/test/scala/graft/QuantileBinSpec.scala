@@ -41,4 +41,18 @@ class QuantileBinSpec extends SparkSpec {
       .collect().map(r => Array(r.getDouble(0), r.getDouble(1))).head
     assert(cuts.head > lo && cuts.last < hi)
   }
+
+  test("exactNtile replicates SQL ntile incl. remainder-first tiles") {
+    import spark.implicits._
+    // n=7, k=3 -> tile sizes 3,2,2 in value order; values straddle
+    // bucket boundaries (width 10) to exercise the offset join
+    val df = Seq(5.0, 25.0, 15.0, 8.0, 31.0, 12.0, 29.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val out = graft.operators.QuantileBin
+      .exactNtile(df, k = 3, valueCol = "v", bucketWidth = 10.0,
+        tieCols = Seq("id"))
+    .select("v", "tile").as[(Double, Long)].collect().toMap
+    assert(out === Map(5.0 -> 1L, 8.0 -> 1L, 12.0 -> 1L,
+      15.0 -> 2L, 25.0 -> 2L, 29.0 -> 3L, 31.0 -> 3L))
+  }
 }
