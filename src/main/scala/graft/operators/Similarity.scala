@@ -73,6 +73,100 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** Hard-negative mining for contrastive training: per query, the k
+    * MOST similar corpus vectors whose label differs from the query's —
+    * close in embedding space but semantically wrong, the negatives
+    * that actually move a contrastive loss (vs easy random negatives).
+    * Same scale posture as [[cosineTopK]]: queries broadcast, one
+    * corpus pass; the label predicate rides the join condition so
+    * same-label candidates never reach the per-query top-k.
+    */
+  def hardNegatives(corpus0: DataFrame, queries0: DataFrame, k: Int,
+      labelCol: String = "label"): DataFrame = {
+    val corpus = VectorOps.requireVectors(corpus0, "corpus")
+    val queries = VectorOps.requireVectors(queries0, "queries")
+    val q = broadcast(queries.select(
+      col("vec_id").as("qid"), col("embedding").as("qemb"),
+      col(labelCol).as("_qlabel"),
+      VectorOps.norm(col("embedding")).as("qnrm")))
+    val c = corpus.select(col("vec_id"), col("embedding"),
+      col(labelCol).as("_clabel"),
+      VectorOps.norm(col("embedding")).as("nrm"))
+    val sims = c.join(q, col("vec_id") =!= col("qid") &&
+        col("_clabel") =!= col("_qlabel"))
+      .select(col("qid"), col("vec_id"),
+        round(VectorOps.dot(col("qemb"), col("embedding")) /
+          (col("qnrm") * col("nrm")), 6).as("sim"))
+    topK(sims, k)
+  }
+
+  /** Diversified top-k via Maximal Marginal Relevance (Carbonell &
+    * Goldstein 1998): greedily pick argmax of
+    * `lambda * rel(c) - (1 - lambda) * max_{s in picked} sim(c, s)` —
+    * relevant results that are NOT near-duplicates of results already
+    * chosen (the retrieval-time counterpart of SemDeDup).
+    *
+    * Scale shape: a brute-force pass scores the `pool` most relevant
+    * candidates per query (bounded: queries x pool rows), candidate
+    * embeddings are fetched back by key join, and the greedy selection
+    * runs inside `mapGroups` per query over <= pool vectors —
+    * O(pool^2 * dim) row-local work, never a corpus-wide pairwise
+    * product. Deterministic: relevance and pairwise sims round to 6dp
+    * before comparison, ties break on vec_id.
+    */
+  def mmrTopK(corpus0: DataFrame, queries0: DataFrame, k: Int,
+      pool: Int = 20, lambda: Double = 0.7): DataFrame = {
+    require(k <= pool, s"k=$k must be <= pool=$pool")
+    val corpus = VectorOps.requireVectors(corpus0, "corpus")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cands = cosineTopK(corpus, queries0, pool)
+      .select(col("qid"), col("vec_id"), col("sim"))
+    val withEmb = cands.join(
+        corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("qid"), col("vec_id"), col("sim"), col("embedding"))
+      .as[(Long, Long, Double, Array[Float])]
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    withEmb.groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val cs = it.toArray.sortBy(c => (-c._3, c._2)) // rel desc, id asc
+        val nrm = cs.map { c =>
+          var s = 0.0; val e = c._4; var i = 0
+          while (i < e.length) { s += e(i).toDouble * e(i).toDouble; i += 1 }
+          math.sqrt(s)
+        }
+        def sim(a: Int, b: Int): Double = {
+          val ea = cs(a)._4; val eb = cs(b)._4
+          var s = 0.0; var i = 0
+          while (i < ea.length) { s += ea(i).toDouble * eb(i).toDouble; i += 1 }
+          r6(s / (nrm(a) * nrm(b)))
+        }
+        val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+        val chosen = scala.collection.mutable.BitSet.empty
+        while (picked.length < math.min(k, cs.length)) {
+          var best = -1; var bestScore = Double.NegativeInfinity
+          var c = 0
+          while (c < cs.length) {
+            if (!chosen(c)) {
+              val div = if (picked.isEmpty) 0.0
+                else picked.map(p => sim(c, p._1)).max
+              val score = r6(lambda * cs(c)._3 - (1 - lambda) * div)
+              // strict > with rel-desc/id-asc scan order = tie on
+              // (score) breaks to higher rel then lower vec_id
+              if (score > bestScore) { best = c; bestScore = score }
+            }
+            c += 1
+          }
+          picked += ((best, bestScore)); chosen += best
+        }
+        picked.iterator.zipWithIndex.map { case ((ci, s), i) =>
+          (qid, cs(ci)._2, cs(ci)._3, s, (i + 1).toLong)
+        }
+      }
+      .toDF("qid", "vec_id", "sim", "mmr", "pick")
+      .orderBy("qid", "pick")
+  }
+
   private def topK(sims: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
     sims

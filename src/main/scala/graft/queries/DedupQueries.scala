@@ -66,6 +66,32 @@ object DedupQueries {
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")
 
+  /** Quality-aware canonical selection: within each near-dup cluster
+    * the KEPT document is the one with the highest quality logit (ties:
+    * lowest doc_id) instead of the smallest id — the production
+    * curation policy of "keep the best copy, not the first seen".
+    * Cost over plain survivors is one partitioned window over the
+    * component-labelled docs; singletons (component = self) pass
+    * through the same path untouched.
+    */
+  def survivorsQuality(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir, "documents")
+    val comps = Dedup.connectedComponents(sharedPairs(spark, dir))
+      .withColumnRenamed("doc_id", "cid")
+    val (_, logit) = TextQueries.qualityLogit
+    docs
+      .join(comps, col("doc_id") === col("cid"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+      .withColumn("q", logit)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("component")
+          .orderBy(col("q").desc, col("doc_id"))))
+      .where(col("rn") === 1)
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** Benchmark decontamination: every 25th doc plays the held-out eval
     * set; the rest of the corpus is flagged when it shares >= 5
     * distinct trigram shingles with any of it. The planted near-dup
@@ -235,6 +261,7 @@ object DedupQueries {
     "dedup_decontaminate" -> decontaminate,
     "dedup_components" -> components,
     "dedup_survivors" -> survivors,
+    "dedup_survivors_quality" -> survivorsQuality,
     "dedup_exact_md5" -> exactMd5,
     "dedup_shingle_jaccard" -> shingleJaccard,
     "dedup_minhash_lsh" -> minhashLsh,
@@ -518,5 +545,22 @@ GROUP BY size ORDER BY size""",
       raw"""WITH RECURSIVE $compCte
 SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
 WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)
-ORDER BY d.doc_id""")
+ORDER BY d.doc_id""",
+    "dedup_survivors_quality" ->
+      raw"""WITH RECURSIVE $compCte, ql AS (
+  ${TextQueries.qualityLogitCteSql}
+), lab AS (
+  SELECT d.doc_id, d.lang, d.source, d.n_chars,
+    COALESCE(c.component, d.doc_id) AS component, ql.quality_logit AS q
+  FROM documents d
+  LEFT JOIN comp c ON d.doc_id = c.doc_id
+  JOIN ql ON d.doc_id = ql.doc_id
+), ranked AS (
+  SELECT doc_id, lang, source, n_chars,
+    row_number() OVER (PARTITION BY component
+      ORDER BY q DESC, doc_id) AS rn
+  FROM lab
+)
+SELECT doc_id, lang, source, n_chars FROM ranked WHERE rn = 1
+ORDER BY doc_id""")
 }

@@ -80,11 +80,29 @@ object SimilarityQueries {
         count(lit(1)).as("n_vecs"))
       .orderBy("label")
 
+  /** Hard negatives for the first 10 vectors: nearest different-label
+    * neighbors — contrastive-training negative selection as a query.
+    */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame =
+    Similarity.hardNegatives(
+      Tables(spark, dir, "embeddings"), queriesSubset(spark, dir), k = 5)
+
+  /** Diversified retrieval: MMR re-rank of the top-20 pool down to 5
+    * picks per query. Rows-only in the driver (greedy selection is not
+    * SQL-expressible); GoldenHashSpec pins the exact output.
+    */
+  def mmrTopK(spark: SparkSession, dir: String): DataFrame =
+    Similarity.mmrTopK(
+      Tables(spark, dir, "embeddings"), queriesSubset(spark, dir),
+      k = 5, pool = 20, lambda = 0.7)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_centroid" -> embCentroid,
     "emb_norm_stats" -> embNormStats,
     "sim_cosine_topk" -> cosineTopK,
     "sim_cosine_topk_agg" -> cosineTopKAgg,
+    "sim_hard_negatives" -> hardNegatives,
+    "sim_mmr_topk" -> mmrTopK,
     "sim_ann_lsh_topk" -> annLshTopK,
     "sim_ann_ivf_topk" -> annIvfTopK,
     "sim_ann_pq_topk" -> annPqTopK,
@@ -113,6 +131,22 @@ SELECT label, round(min(nrm), 6) AS min_norm,
   round(max(nrm), 6) AS max_norm,
   round(avg(nrm), 6) AS avg_norm, count(*) AS n_vecs
 FROM n GROUP BY label ORDER BY label""",
+    "sim_hard_negatives" ->
+      s"""WITH q AS (
+  SELECT vec_id AS qid, embedding AS qemb, label AS qlabel
+  FROM embeddings WHERE vec_id < 10
+), pairs AS (
+  SELECT qid, e.vec_id,
+    round(${dotSql("qemb", "e.embedding")} /
+      (sqrt(${dotSql("qemb", "qemb")}) * sqrt(${dotSql("e.embedding", "e.embedding")})), 6) AS sim
+  FROM q, embeddings e WHERE e.vec_id <> qid AND e.label <> qlabel
+), ranked AS (
+  SELECT qid, vec_id, sim,
+    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+  FROM pairs
+)
+SELECT qid, vec_id, sim, rank FROM ranked WHERE rank <= 5
+ORDER BY qid, rank""",
     "sim_cosine_topk" ->
       s"""WITH q AS (
   SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 10

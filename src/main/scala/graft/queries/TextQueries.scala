@@ -249,10 +249,11 @@ object TextQueries {
     * DuckDB oracle matches bit-for-bit; thresholding at 0 gives the
     * keep flag, monotone in the sigmoid anyway.
     */
-  /** The fixed-weight linear quality logit shared by `qualityScore`
-    * and `domainTopK` — IEEE-exact in both engines (same op order).
+  /** The fixed-weight linear quality logit shared by `qualityScore`,
+    * `domainTopK` and DedupQueries' quality-aware survivor selection —
+    * IEEE-exact in both engines (same op order).
     */
-  private def qualityLogit: (Column, Column) = {
+  private[queries] def qualityLogit: (Column, Column) = {
     val toks = split(col("text"), " ")
     val n = size(toks).cast("double")
     val nd = size(array_distinct(toks)).cast("double")
@@ -520,6 +521,24 @@ object TextQueries {
 
   private val tokSql =
     raw"string_split_regex(lower(regexp_replace(text, '[^a-zA-Z ]', ' ', 'g')), '\s+')"
+
+  /** Oracle-side mirror of [[qualityLogit]]: a CTE body computing
+    * `q(doc_id, quality_logit)` over documents — shared with the
+    * DedupQueries quality-survivor oracle so both engines score with
+    * the exact same expression text.
+    */
+  private[queries] lazy val qualityLogitCteSql =
+    raw"""SELECT doc_id,
+    -1.5 + 0.01 * n + 2.0 * (nd / n) -
+      0.5 * ((nc - (n - 1.0)) / n) + 1.2 * (ns / n) AS quality_logit
+  FROM (
+    SELECT doc_id,
+      CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+      CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd,
+      CAST(len(list_filter(string_split(text, ' '),
+        w -> w IN $stopSql)) AS DOUBLE) AS ns,
+      CAST(len(text) AS DOUBLE) AS nc
+    FROM documents)"""
 
   private val emailRe = raw"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
   private val ipRe = raw"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"

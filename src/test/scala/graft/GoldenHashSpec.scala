@@ -32,6 +32,7 @@ class GoldenHashSpec extends SparkSpec {
     "sim_ann_pq_topk" -> "bda96752fe46b512b19f0d86e8064f3e",
     "sim_ann_sq_topk" -> "2c1f8c65a58d594d46e81abca1fe0a2c",
     "sim_cosine_dup_pairs" -> "80e4f96d247041563d0f7a26bfeb07ae",
+    "sim_mmr_topk" -> "9fd9c278ac7896919f4198731cf9a88d",
     "text_fingerprint_pairs" -> "c8c3294a5c21e4ce69cdce38e84aee10",
     "text_langid" -> "7f2e326d1bed50856ab3969e1f4bb37e")
 

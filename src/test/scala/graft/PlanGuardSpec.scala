@@ -139,6 +139,41 @@ class PlanGuardSpec extends SparkSpec {
     }, "the rank pass must be a bucket-partitioned window")
   }
 
+  test("text_domain_topk: per-source ranking runs the native bounded-heap node") {
+    val ns = nodes(graft.queries.TextQueries.domainTopK(spark, sfDir))
+    assert(ns.exists(_.isInstanceOf[
+        org.apache.spark.sql.graftx.TopKPerKeyPartialExec]) &&
+      ns.exists(_.isInstanceOf[
+        org.apache.spark.sql.graftx.TopKPerKeyFinalExec]),
+      "domain top-k must plan as partial+final TopKPerKey, not a full window sort")
+    import org.apache.spark.sql.execution.window.WindowExec
+    assert(!ns.exists(_.isInstanceOf[WindowExec]),
+      "no window operator may appear — the heap node replaces it")
+  }
+
+  test("text_perplexity_buckets: tertile cut has no corpus-wide partition-less window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.{ObjectHashAggregateExec, SortAggregateExec}
+    val ns = nodes(graft.queries.TextQueries.perplexityBuckets(spark, sfDir))
+    def kids(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case _ => p.children
+    }
+    def scanBelowWithoutAgg(p: SparkPlan): Boolean = p match {
+      case _: HashAggregateExec | _: ObjectHashAggregateExec |
+           _: SortAggregateExec => false
+      case _: FileSourceScanExec => true
+      case other => kids(other).exists(scanBelowWithoutAgg)
+    }
+    val bad = ns.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty &&
+        scanBelowWithoutAgg(w.child) => w
+    }
+    assert(bad.isEmpty,
+      "partition-less windows may only ride pre-aggregated bucket tables")
+  }
+
   test("emb_kmeans_stats: readout combines map-side, vectors never shuffle") {
     val ns = nodes(graft.queries.TrainingQueries.kmeansStats(spark, sfDir))
     val ex = ns.collect {

@@ -55,6 +55,45 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hard negatives: labels always differ from the query's") {
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = Similarity.hardNegatives(emb, queries, 5).collect()
+    assert(rows.groupBy(_.getLong(0)).size == 10)
+    rows.foreach { r =>
+      assert(labels(r.getLong(1)) != labels(r.getLong(0)),
+        s"pick ${r.getLong(1)} shares the query label")
+    }
+  }
+
+  test("mmr: first pick is top-1 relevance, a planted near-dup is demoted") {
+    import spark.implicits._
+    // query q looks like the x-axis; c1/c2 are nearly identical high-rel
+    // vectors, c3 is distinct but still relevant. Plain top-2 = {c1, c2};
+    // MMR (lambda .5) must swap the redundant c2 for c3.
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.02f, 0.0f)),   // c1: rel ~1
+      (2L, Array(1.0f, 0.03f, 0.0f)),   // c2: near-dup of c1
+      (3L, Array(0.8f, 0.0f, 0.6f)),    // c3: rel .8, diverse
+      (4L, Array(0.0f, 1.0f, 0.0f))     // far
+    ).toDF("vec_id", "embedding")
+    val q = Seq((100L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val picks = Similarity.mmrTopK(corpus, q, k = 2, pool = 4, lambda = 0.5)
+      .collect().map(r => (r.getLong(1), r.getLong(4)))
+    assert(picks.toSeq == Seq((1L, 1L), (3L, 2L)),
+      s"expected diverse pick order (1, 3), got ${picks.toSeq}")
+    // full-size run: picks are distinct, pick 1 = cosine rank 1
+    val full = Similarity.mmrTopK(emb, queries, k = 5, pool = 20)
+    val byQ = full.collect().groupBy(_.getLong(0))
+    val top1 = Similarity.cosineTopK(emb, queries, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byQ.foreach { case (qid, g) =>
+      assert(g.map(_.getLong(1)).distinct.length == g.length)
+      assert(g.minBy(_.getLong(4)).getLong(1) == top1(qid),
+        s"qid $qid: first MMR pick must be the most relevant")
+    }
+  }
+
   test("lsh ann recall vs brute force is useful and results are a subset") {
     val exact = Similarity.cosineTopK(emb, queries, 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
