@@ -167,6 +167,41 @@ object Similarity {
       .orderBy("qid", "pick")
   }
 
+  /** kNN-join classification: each unlabeled vector takes the majority
+    * label of its k nearest labeled neighbors (weak-supervision /
+    * auto-labeling primitive). Vote ties break by best similarity then
+    * smallest label, so the pick is engine-deterministic. Same scale
+    * posture as [[cosineTopK]]: the unlabeled BATCH broadcasts (label
+    * spreading processes bounded batches; the labeled corpus is the
+    * 100 TB side and is scanned once), votes aggregate map-side.
+    */
+  def knnClassify(labeled0: DataFrame, unlabeled0: DataFrame, k: Int,
+      labelCol: String = "label"): DataFrame = {
+    val labeled = VectorOps.requireVectors(labeled0, "labeled")
+    val unlabeled = VectorOps.requireVectors(unlabeled0, "unlabeled")
+    val q = broadcast(unlabeled.select(
+      col("vec_id").as("qid"), col("embedding").as("qemb"),
+      VectorOps.norm(col("embedding")).as("qnrm")))
+    val c = labeled.select(col("vec_id"), col("embedding"),
+      col(labelCol).as("_nl"),
+      VectorOps.norm(col("embedding")).as("nrm"))
+    val sims = c.join(q, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("_nl"),
+        round(VectorOps.dot(col("qemb"), col("embedding")) /
+          (col("qnrm") * col("nrm")), 6).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+    val knn = sims.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+    val votes = knn.groupBy("qid", "_nl")
+      .agg(count(lit(1)).as("n_votes"), max("sim").as("best_sim"))
+    val pick = Window.partitionBy("qid")
+      .orderBy(col("n_votes").desc, col("best_sim").desc, col("_nl"))
+    votes.withColumn("rn", row_number().over(pick))
+      .where(col("rn") === 1)
+      .select(col("qid").as("vec_id"), col("_nl").as("pred_label"),
+        col("n_votes"))
+  }
+
   private def topK(sims: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
     sims

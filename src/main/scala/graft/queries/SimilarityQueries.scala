@@ -96,7 +96,25 @@ object SimilarityQueries {
       Tables(spark, dir, "embeddings"), queriesSubset(spark, dir),
       k = 5, pool = 20, lambda = 0.7)
 
+  /** Auto-labeling readout: every 5th vector plays unlabeled and takes
+    * the majority label of its 5 nearest labeled neighbors. The
+    * synthetic labels are only weakly geometric (same-label avg cosine
+    * ~0.009 vs ~-0.004 cross), so accuracy sits near chance — the
+    * oracle pins the VOTE MECHANICS (neighbor set, tie-breaks), which
+    * is what the operator owns.
+    */
+  def knnClassify(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val unl = e.where(pmod(col("vec_id"), lit(5)) === 0)
+    val lab = e.where(pmod(col("vec_id"), lit(5)) =!= 0)
+    Similarity.knnClassify(lab, unl.select("vec_id", "embedding"), k = 5)
+      .join(unl.select(col("vec_id"), col("label").as("true_label")), Seq("vec_id"))
+      .select("vec_id", "true_label", "pred_label", "n_votes")
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_knn_classify" -> knnClassify,
     "emb_centroid" -> embCentroid,
     "emb_norm_stats" -> embNormStats,
     "sim_cosine_topk" -> cosineTopK,
@@ -131,6 +149,32 @@ SELECT label, round(min(nrm), 6) AS min_norm,
   round(max(nrm), 6) AS max_norm,
   round(avg(nrm), 6) AS avg_norm, count(*) AS n_vecs
 FROM n GROUP BY label ORDER BY label""",
+    "emb_knn_classify" ->
+      s"""WITH unl AS (
+  SELECT vec_id AS qid, embedding AS qemb, label AS true_label
+  FROM embeddings WHERE vec_id % 5 = 0
+), lab AS (
+  SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 5 <> 0
+), pairs AS (
+  SELECT qid, true_label, l.vec_id, l.label,
+    round(${dotSql("qemb", "l.embedding")} /
+      (sqrt(${dotSql("qemb", "qemb")}) * sqrt(${dotSql("l.embedding", "l.embedding")})), 6) AS sim
+  FROM unl, lab l
+), knn AS (
+  SELECT qid, true_label, label, sim,
+    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+  FROM pairs
+), votes AS (
+  SELECT qid, true_label, label, count(*) AS n_votes, max(sim) AS best_sim
+  FROM knn WHERE rank <= 5 GROUP BY qid, true_label, label
+), pick AS (
+  SELECT qid, true_label, label AS pred_label, n_votes,
+    row_number() OVER (PARTITION BY qid
+      ORDER BY n_votes DESC, best_sim DESC, label) AS rn
+  FROM votes
+)
+SELECT qid AS vec_id, true_label, pred_label, CAST(n_votes AS BIGINT) AS n_votes
+FROM pick WHERE rn = 1 ORDER BY vec_id""",
     "sim_hard_negatives" ->
       s"""WITH q AS (
   SELECT vec_id AS qid, embedding AS qemb, label AS qlabel

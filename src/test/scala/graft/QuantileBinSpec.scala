@@ -42,6 +42,25 @@ class QuantileBinSpec extends SparkSpec {
     assert(cuts.head > lo && cuts.last < hi)
   }
 
+  test("exactNtile == SQL ntile on 1000 random values, several k") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    val df = (0 until 1000).map(i => (i.toLong, rnd.nextDouble() * 40 - 20))
+      .toDF("id", "v").cache()
+    for (k <- Seq(3, 7, 32)) {
+      val mine = graft.operators.QuantileBin
+        .exactNtile(df, k = k, valueCol = "v", bucketWidth = 1.0,
+          tieCols = Seq("id"))
+        .select("id", "tile").as[(Long, Long)].collect().toMap
+      val ref = df.select(col("id"),
+          ntile(k).over(Window.orderBy(col("v"), col("id"))).cast("long").as("t"))
+        .as[(Long, Long)].collect().toMap
+      assert(mine === ref, s"disagreement at k=$k")
+    }
+    df.unpersist()
+  }
+
   test("exactNtile replicates SQL ntile incl. remainder-first tiles") {
     import spark.implicits._
     // n=7, k=3 -> tile sizes 3,2,2 in value order; values straddle

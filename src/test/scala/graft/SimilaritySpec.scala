@@ -94,6 +94,33 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("mmr at lambda=1 degenerates to plain cosine top-k") {
+    val plain = Similarity.cosineTopK(emb, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(1)))
+    val mmr = Similarity.mmrTopK(emb, queries, k = 5, pool = 20, lambda = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(4), r.getLong(1)))
+    assert(mmr.sorted.toSeq == plain.sorted.toSeq)
+  }
+
+  test("knn classify: pred is a neighbor label with a correct vote count") {
+    val unl = emb.where(col("vec_id") % 5 === 0)
+    val lab = emb.where(col("vec_id") % 5 =!= 0)
+    val labels = lab.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val knn = Similarity.cosineTopK(lab, unl, 5).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, g) => q -> g.map(r => labels(r.getLong(1))) }
+    val preds = Similarity.knnClassify(lab,
+      unl.select("vec_id", "embedding"), 5).collect()
+    assert(preds.length == knn.size)
+    preds.foreach { r =>
+      val (q, pred, n) = (r.getLong(0), r.getInt(1), r.getLong(2))
+      val votes = knn(q).groupBy(identity).view.mapValues(_.length)
+      assert(votes(pred) == n, s"qid $q: vote count mismatch")
+      assert(votes.values.max == n, s"qid $q: pred must be a modal label")
+    }
+  }
+
   test("lsh ann recall vs brute force is useful and results are a subset") {
     val exact = Similarity.cosineTopK(emb, queries, 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
