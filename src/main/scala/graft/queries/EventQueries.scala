@@ -337,7 +337,63 @@ object EventQueries {
     "events_asof_join" -> asofClickPurchase,
     "events_asof_forward" -> asofForwardClickPurchase,
     "events_asof_tolerance" -> asofToleranceClickPurchase,
+    "events_pattern_funnel" -> patternFunnel,
+    "events_pattern_greedy" -> patternGreedy,
     "events_interval_join" -> intervalJoin)
+
+  /** Sequence pattern view -> click -> purchase within 48 hours, as a
+    * cascade of forward as-of joins (each step = earliest next-step
+    * event at-or-after the previous one; matches may overlap). The
+    * Spark-first MATCH_RECOGNIZE: windowed joins instead of a per-key
+    * state machine — no per-key memory contract, oracle = DuckDB
+    * chained ASOF JOIN. 48 h ~= the 25th percentile of unbounded spans
+    * on the synthetic stream, so the bound genuinely filters while
+    * keeping the result populated at every SF.
+    */
+  def patternFunnel(spark: SparkSession, dir: String): DataFrame =
+    patternCascade(spark, dir, boundUs = 48L * 3600L * 1000000L)
+
+  private[graft] def patternCascade(spark: SparkSession, dir: String,
+      boundUs: Long): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    def typed(t: String, idName: String) = ev
+      .where(col("event_type") === t)
+      .select(col("event_id").as(idName), col("user_id"), col("ts"))
+    val vc = graft.operators.AsOfJoin.asOfForward(
+        typed("view", "view_id"), typed("click", "click_id"),
+        "user_id", "ts")
+      .select(
+        col("left.view_id").as("view_id"),
+        col("left.user_id").as("user_id"),
+        col("left.ts").as("v_ts"),
+        col("right.click_id").as("click_id"),
+        col("right.ts").as("ts"))
+    graft.operators.AsOfJoin.asOfForward(
+        vc, typed("purchase", "purchase_id"), "user_id", "ts")
+      .select(
+        col("left.view_id").as("view_id"),
+        col("left.user_id").as("user_id"),
+        col("left.click_id").as("click_id"),
+        col("right.purchase_id").as("purchase_id"),
+        (unix_micros(col("right.ts")) - unix_micros(col("left.v_ts")))
+          .as("span_us"))
+      .where(col("span_us") <= boundUs)
+      .orderBy("view_id")
+  }
+
+  /** The same pattern under strict MATCH_RECOGNIZE "skip past last
+    * row" semantics: non-overlapping greedy matches via
+    * [[graft.operators.SeqMatch.greedyMatches]]. Rows-only in the
+    * driver (sequential consumption is not SQL-expressible);
+    * GoldenHashSpec pins the exact output, SeqMatchSpec pins the
+    * semantics and the funnel-cascade agreement.
+    */
+  def patternGreedy(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.SeqMatch.greedyMatches(
+        Tables(spark, dir, "events"),
+        Seq("view", "click", "purchase"),
+        "user_id", "ts", "event_type", "event_id")
+      .orderBy("user_id", "match_no")
 
   val oracle: Map[String, String] = Map(
     "events_heatmap" ->
@@ -491,6 +547,17 @@ FROM (SELECT * FROM events WHERE event_type = 'click') c
 ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
   ON c.user_id = p.user_id AND c.ts >= p.ts
 ORDER BY click_id""",
+    "events_pattern_funnel" ->
+      """SELECT v.event_id AS view_id, v.user_id,
+c.event_id AS click_id, p.event_id AS purchase_id,
+epoch_us(p.ts) - epoch_us(v.ts) AS span_us
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON v.user_id = c.user_id AND v.ts <= c.ts
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND c.ts <= p.ts
+WHERE epoch_us(p.ts) - epoch_us(v.ts) <= 172800000000
+ORDER BY view_id""",
     "events_asof_forward" ->
       """SELECT c.event_id AS click_id, c.user_id,
 p.event_id AS purchase_id, round(p.value, 2) AS purchase_value,

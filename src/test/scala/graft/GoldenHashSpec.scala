@@ -14,6 +14,7 @@ class GoldenHashSpec extends SparkSpec {
     "agg_hll_sketch" -> "525397935456c52f1c46a90eb6ea9d33",
     "dedup_incremental_batch" -> "d77b2c27c5d75e90ecc667645889569c",
     "emb_logreg_eval" -> "6853b1063ee39df1dfabf3ab6608ff0a",
+    "events_pattern_greedy" -> "a1e399738aa6d63a2dd7bd239831ae45",
     "emb_kmeans_stats" -> "e8fb344a308aa32b1ee268f822d6cd38",
     "emb_pca_variance" -> "5a1f4bca8fef27d7defe34f71cf38095",
     "text_bpe_encode" -> "a6309a3d305f9717ebdd7563711d4a1f",
