@@ -210,6 +210,72 @@ object EventStreams {
     q.awaitTermination()
   }
 
+  final case class PatternBuf(step: Int, ids: List[Long], startUs: Long,
+    matchNo: Long, pending: List[(Long, String, Long)])
+  final case class PatternHit(user_id: Long, match_no: Long,
+    step_ids: Seq[Long], span_us: Long)
+
+  /** Streaming CEP: the greedy skip-past-last-row sequence automaton
+    * ([[graft.operators.SeqMatch.greedyMatches]] is the batch twin)
+    * over a watermarked stream. Out-of-order arrival is handled the
+    * only correct way for ORDER-SENSITIVE state machines: events
+    * buffer in per-key state until the watermark passes them, then
+    * feed the automaton in (event-time, id) order — so the match set
+    * is invariant to micro-batch chopping and any intra-delay
+    * disorder, and agrees exactly with the batch run (spec-pinned).
+    * Per-key state = automaton registers + the above-watermark tail,
+    * bounded by delay x per-key arrival rate (the bound every
+    * watermarked stateful operator carries). Production adds idle
+    * eviction exactly like [[runningUserTotals]]; omitted here to keep
+    * completed-prefix counters exact for the parity spec.
+    */
+  def patternMatches(events: Dataset[EventRow], steps: Seq[String],
+      delay: String = "10 minutes"): Dataset[PatternHit] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+          GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[EventRow], state: GroupState[PatternBuf]) =>
+          val prev = state.getOption.getOrElse(PatternBuf(0, Nil, 0L, 0L, Nil))
+          val incoming = rows.map { r =>
+            val i = r.ts.toInstant
+            (i.getEpochSecond * 1000000L + i.getNano / 1000L,
+              r.event_type, r.event_id)
+          }.toList
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ready, pending) =
+            (prev.pending ++ incoming).partition(_._1 <= wmUs)
+          var step = prev.step
+          var ids = prev.ids
+          var start = prev.startUs
+          var matchNo = prev.matchNo
+          val hits = List.newBuilder[PatternHit]
+          ready.sortBy(e => (e._1, e._3)).foreach { e =>
+            if (e._2 == steps(step)) {
+              if (step == 0) start = e._1
+              ids = e._3 :: ids
+              step += 1
+              if (step == steps.length) {
+                matchNo += 1
+                hits += PatternHit(uid, matchNo, ids.reverse, e._1 - start)
+                step = 0
+                ids = Nil
+              }
+            }
+          }
+          state.update(PatternBuf(step, ids, start, matchNo, pending))
+          // a group with buffered rows but no future input must still
+          // drain once the watermark passes them: anchor an event-time
+          // timer just past the earliest pending event (guaranteed
+          // above the current watermark, so always legal)
+          if (pending.nonEmpty)
+            state.setTimeoutTimestamp(pending.map(_._1).min / 1000L + 1L)
+          hits.result().iterator
+      }
+  }
+
   /** Output-mode helper used by the spec: run a streaming DataFrame to
     * completion against a memory sink and return the result table.
     */

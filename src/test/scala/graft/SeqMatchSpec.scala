@@ -1,8 +1,13 @@
 package graft
 
+import java.sql.Timestamp
+
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 
 import graft.operators.SeqMatch
+import graft.streaming.EventStreams
 
 class SeqMatchSpec extends SparkSpec {
 
@@ -39,6 +44,60 @@ class SeqMatchSpec extends SparkSpec {
       assert(ns.toSeq == (1L to ns.length).toSeq,
         s"user $u: match_no must be dense from 1")
     }
+  }
+
+  test("streaming CEP equals the batch automaton despite chopping and disorder") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val base = 1704067200000L
+    def ev(id: Long, user: Long, min: Long, t: String) =
+      EventStreams.EventRow(id, new Timestamp(base + min * 60000L), user, t, 0.0)
+    val all = Seq(
+      ev(1, 1, 0, "view"), ev(2, 1, 5, "click"), ev(3, 1, 7, "view"),
+      ev(4, 1, 9, "purchase"), ev(5, 1, 12, "view"), ev(6, 1, 15, "click"),
+      ev(7, 1, 21, "purchase"),
+      ev(8, 2, 1, "click"), ev(9, 2, 3, "view"), ev(10, 2, 6, "click"),
+      ev(11, 2, 8, "error"), ev(12, 2, 13, "purchase"))
+    // chunks chop mid-pattern and are internally out of order
+    val chunks = Seq(
+      Seq(all(2), all(0), all(1), all(8), all(7)),
+      Seq(all(4), all(3), all(9), all(10)),
+      Seq(all(6), all(5), all(11)))
+    val steps = Seq("view", "click", "purchase")
+
+    val stream = MemoryStream[EventStreams.EventRow]
+    val out = EventStreams.patternMatches(stream.toDS(), steps)
+    val ckpt = java.nio.file.Files.createTempDirectory("cep-ckpt").toString
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Seq[Long], Long)]
+    def run(): Unit = {
+      val q = out.writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[EventStreams.PatternHit], _: Long) =>
+            got ++= b.collect()
+              .map(h => (h.user_id, h.match_no, h.step_ids, h.span_us))
+            ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    chunks.foreach { ch => stream.addData(ch); run() }
+    // two sentinel rounds: the first advances the watermark past every
+    // real event, the second processes with that watermark visible
+    stream.addData(Seq(ev(98, 1, 600, "flush"))); run()
+    stream.addData(Seq(ev(99, 2, 601, "flush"))); run()
+
+    val batch = SeqMatch.greedyMatches(
+        all.toDF().select(col("user_id"),
+          col("ts"), col("event_type"), col("event_id")),
+        steps, "user_id", "ts", "event_type", "event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Seq(r.getLong(2), r.getLong(3), r.getLong(4)), r.getLong(5)))
+    assert(batch.nonEmpty && got.toSet == batch.toSet,
+      s"streamed ${got.toSet} != batch ${batch.toSet}")
   }
 
   test("greedy first match agrees with the as-of cascade at its anchor") {
