@@ -339,7 +339,28 @@ object EventQueries {
     "events_asof_tolerance" -> asofToleranceClickPurchase,
     "events_pattern_funnel" -> patternFunnel,
     "events_pattern_greedy" -> patternGreedy,
+    "events_decayed_value" -> decayedValue,
     "events_interval_join" -> intervalJoin)
+
+  /** Exponentially time-decayed per-user value (tau = 7 days, anchored
+    * at the stream's max timestamp) — the feature-store recency
+    * primitive: one broadcast scalar + one hash aggregation, decay
+    * weights computed row-locally inside the scan. 6dp rounding
+    * absorbs engine summation order.
+    */
+  def decayedValue(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val tauUs = 7.0 * 86400e6
+    val m = ev.agg(max("ts").as("m"))
+    ev.crossJoin(broadcast(m))
+      .groupBy("user_id")
+      .agg(
+        round(sum(col("value") *
+          exp(-(unix_micros(col("m")) - unix_micros(col("ts"))) / lit(tauUs))),
+          6).as("decayed_value"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
 
   /** Sequence pattern view -> click -> purchase within 48 hours, as a
     * cascade of forward as-of joins (each step = earliest next-step
@@ -547,6 +568,13 @@ FROM (SELECT * FROM events WHERE event_type = 'click') c
 ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
   ON c.user_id = p.user_id AND c.ts >= p.ts
 ORDER BY click_id""",
+    "events_decayed_value" ->
+      """WITH mx AS (SELECT max(ts) AS m FROM events)
+SELECT user_id,
+  round(sum(value * exp(-(epoch_us(m) - epoch_us(ts)) / (7.0 * 86400e6))), 6)
+    AS decayed_value,
+  count(*) AS n_events
+FROM events, mx GROUP BY user_id ORDER BY user_id""",
     "events_pattern_funnel" ->
       """SELECT v.event_id AS view_id, v.user_id,
 c.event_id AS click_id, p.event_id AS purchase_id,

@@ -207,6 +207,29 @@ object TextQueries {
         sum("n_tri").as("n_tri_total"))
       .orderBy("tile")
 
+  /** Character-level Shannon entropy per document — the cheap
+    * gibberish / encoding-noise signal (natural prose sits ~3.5-4.5
+    * bits/char; base64 blobs and repeated-char junk fall far outside).
+    * Computed ROW-LOCALLY with array HOFs (distinct chars -> counts ->
+    * -sum p log2 p), so the 100 TB plan is scan-speed with ZERO
+    * exchange — never the naive explode-per-character shuffle, whose
+    * volume is the corpus itself. 6dp rounding absorbs the
+    * engine-order summation difference vs the oracle's group-by form.
+    */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val cs = split(col("text"), "")
+    val n = size(cs).cast("double")
+    val counts = transform(array_distinct(cs),
+      c => size(filter(cs, x => x === c)).cast("double"))
+    val ent = aggregate(counts, lit(0.0),
+      (acc, cnt) => acc - (cnt / n) * log2(cnt / n))
+    Tables(spark, dir, "documents").select(
+        col("doc_id"),
+        round(ent, 6).as("char_entropy"),
+        length(col("text")).cast("long").as("n_chars"))
+      .orderBy("doc_id")
+  }
+
   /** PII redaction over the corpus. The synthetic tables are PII-free
     * word soup, so deterministic PII (email / IPv4 / phone, presence
     * varying by doc_id modulus) is spliced in by a derivation the
@@ -508,6 +531,7 @@ object TextQueries {
     "text_line_dedup_first" -> lineDedupFirst,
     "text_pii_redact" -> piiRedact,
     "text_quality_score" -> qualityScore,
+    "text_char_entropy" -> charEntropy,
     "text_domain_topk" -> domainTopK,
     "text_unigram_logprob" -> unigramLogprob,
     "text_trigram_logprob" -> trigramLogprob,
@@ -734,6 +758,17 @@ SELECT doc_id,
     '$ipRe', '<IP>', 'g'),
     '$phoneRe', '<PHONE>', 'g') AS redacted
 FROM aug ORDER BY doc_id""",
+    "text_char_entropy" ->
+      raw"""WITH ch AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+), f AS (
+  SELECT doc_id, c, CAST(count(*) AS DOUBLE) AS n FROM ch GROUP BY 1, 2
+), tot AS (
+  SELECT doc_id, sum(n) AS t FROM f GROUP BY 1
+)
+SELECT f.doc_id, round(-sum((n / t) * log2(n / t)), 6) AS char_entropy,
+  CAST(t AS BIGINT) AS n_chars
+FROM f JOIN tot USING (doc_id) GROUP BY f.doc_id, t ORDER BY doc_id""",
     "text_domain_topk" ->
       raw"""WITH f AS (
   SELECT source, doc_id,

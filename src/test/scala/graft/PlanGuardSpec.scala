@@ -139,6 +139,26 @@ class PlanGuardSpec extends SparkSpec {
     }, "the rank pass must be a bucket-partitioned window")
   }
 
+  test("text_char_entropy: row-local HOF arithmetic, no exchange before the sort") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // the computation without the query's presentation orderBy must be
+    // a single scan->project (the explode-per-character formulation
+    // would shuffle the whole corpus); limit(1) stops global-sort
+    // planning without changing operator shape
+    import org.apache.spark.sql.functions._
+    val cs = split(col("text"), "")
+    val n = size(cs).cast("double")
+    val counts = transform(array_distinct(cs),
+      c => size(filter(cs, x => x === c)).cast("double"))
+    val ent = aggregate(counts, lit(0.0),
+      (acc, cnt) => acc - (cnt / n) * log2(cnt / n))
+    val df = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), round(ent, 6).as("char_entropy"))
+    val ns = nodes(df)
+    assert(!ns.exists(_.isInstanceOf[ShuffleExchangeExec]),
+      "char entropy must not exchange")
+  }
+
   test("text_domain_topk: per-source ranking runs the native bounded-heap node") {
     val ns = nodes(graft.queries.TextQueries.domainTopK(spark, sfDir))
     assert(ns.exists(_.isInstanceOf[
