@@ -113,7 +113,18 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
+  /** Unbiased deterministic negatives for the first 50 anchors: 5
+    * different-label partners each from the md5 hash stream.
+    */
+  def randomNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    graft.operators.NegativeSample.randomNegatives(
+      e.select("vec_id", "label"),
+      e.where(col("vec_id") < 50).select("vec_id", "label"), k = 5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_random_negatives" -> randomNegatives,
     "emb_knn_classify" -> knnClassify,
     "emb_centroid" -> embCentroid,
     "emb_norm_stats" -> embNormStats,
@@ -149,6 +160,25 @@ SELECT label, round(min(nrm), 6) AS min_norm,
   round(max(nrm), 6) AS max_norm,
   round(avg(nrm), 6) AS avg_norm, count(*) AS n_vecs
 FROM n GROUP BY label ORDER BY label""",
+    "sim_random_negatives" ->
+      s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+anchors AS (
+  SELECT vec_id AS aid, label AS albl FROM embeddings WHERE vec_id < 50
+), cand AS (
+  SELECT aid, albl, j,
+    CAST('0x' || substr(md5(CAST(aid AS VARCHAR) || '#' || CAST(j AS VARCHAR)), 1, 15) AS BIGINT) % nn.n AS cid
+  FROM anchors, unnest(range(0, 16)) AS t(j), nn
+), excl AS (
+  SELECT c.aid, c.cid, min(c.j) AS jmin
+  FROM cand c JOIN embeddings e ON c.cid = e.vec_id
+  WHERE c.cid <> c.aid AND e.label <> c.albl
+  GROUP BY c.aid, c.cid
+), ranked AS (
+  SELECT aid, cid, row_number() OVER (PARTITION BY aid ORDER BY jmin) AS rank
+  FROM excl
+)
+SELECT aid AS vec_id, cid AS neg_id, rank FROM ranked WHERE rank <= 5
+ORDER BY vec_id, rank""",
     "emb_knn_classify" ->
       s"""WITH unl AS (
   SELECT vec_id AS qid, embedding AS qemb, label AS true_label

@@ -94,6 +94,24 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("random negatives: exactly k per anchor, different label, stable") {
+    import graft.operators.NegativeSample
+    val corpus = emb.select("vec_id", "label")
+    val anchors = emb.where(col("vec_id") < 20).select("vec_id", "label")
+    val a = NegativeSample.randomNegatives(corpus, anchors, k = 4).collect()
+    val b = NegativeSample.randomNegatives(corpus, anchors, k = 4).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq, "must be run-stable")
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byA = a.groupBy(_.getLong(0))
+    assert(byA.size == 20 && byA.values.forall(_.length == 4))
+    a.foreach { r =>
+      assert(r.getLong(1) != r.getLong(0))
+      assert(labels(r.getLong(1)) != labels(r.getLong(0)),
+        s"negative ${r.getLong(1)} shares anchor ${r.getLong(0)}'s label")
+    }
+  }
+
   test("mmr at lambda=1 degenerates to plain cosine top-k") {
     val plain = Similarity.cosineTopK(emb, queries, 5)
       .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(1)))
