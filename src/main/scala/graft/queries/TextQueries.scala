@@ -153,20 +153,33 @@ object TextQueries {
   private def linesTable(spark: SparkSession, dir: String): DataFrame = {
     val header = "subscribe to our newsletter for updates"
     val footer = "all rights reserved legal notice footer"
-    val noLines = array().cast("array<string>")
-    val ws = TextOps.tokens(col("text"))
-    Tables(spark, dir, "documents")
-      .select(col("doc_id"),
-        concat(
-          when(pmod(col("doc_id"), lit(3)) === 0, array(lit(header)))
-            .otherwise(noLines),
+    val noIdx = array().cast("array<int>")
+    // tokens are computed ONCE per document in the projection BELOW the
+    // generator: a chunk-slicing lambda that references the tokenize
+    // expression directly would re-run the regex tokenizer PER CHUNK
+    // (HOF lambdas evaluate interpreted — no codegen subexpression
+    // elimination), which profiled at ~8x the whole query's cost.
+    // Generate is an expression-inlining barrier, so exploding chunk
+    // INDICES and slicing the carried token array above it keeps
+    // tokenization linear in the corpus.
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+    toks
+      .select(col("doc_id"), col("ws"),
+        posexplode(concat(
+          when(pmod(col("doc_id"), lit(3)) === 0, array(lit(-2)))
+            .otherwise(noIdx),
           // size=0 guard: sequence(0,-1) would infer step -1, not empty
-          when(size(ws) === 0, noLines).otherwise(transform(
-            sequence(lit(0), ceil(size(ws) / lit(8.0)).cast("int") - 1),
-            i => array_join(slice(ws, i * 8 + 1, lit(8)), " "))),
-          when(pmod(col("doc_id"), lit(5)) === 0, array(lit(footer)))
-            .otherwise(noLines)).as("ls"))
-      .select(col("doc_id"), posexplode(col("ls")).as(Seq("line_no", "line")))
+          when(size(col("ws")) === 0, noIdx).otherwise(sequence(lit(0),
+            ceil(size(col("ws")) / lit(8.0)).cast("int") - 1)),
+          when(pmod(col("doc_id"), lit(5)) === 0, array(lit(-1)))
+            .otherwise(noIdx))).as(Seq("line_no", "chunk")))
+      .select(col("doc_id"), col("line_no"),
+        when(col("chunk") === -2, lit(header))
+          .when(col("chunk") === -1, lit(footer))
+          .otherwise(array_join(
+            slice(col("ws"), col("chunk") * 8 + 1, lit(8)), " "))
+          .as("line"))
   }
 
   /** Boilerplate removal ([[graft.operators.LineDedup.dropFrequent]]):
@@ -175,7 +188,11 @@ object TextQueries {
     */
   def boilerplateDrop(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.LineDedup
-    LineDedup.reassemble(LineDedup.dropFrequent(linesTable(spark, dir), 20))
+    // the line table feeds BOTH sides of dropFrequent's anti-join;
+    // checkpoint it once instead of re-tokenizing the corpus twice
+    // (the BM25 localCheckpoint pattern)
+    LineDedup.reassemble(LineDedup.dropFrequent(
+        linesTable(spark, dir).localCheckpoint(), 20))
       .orderBy("doc_id")
   }
 
@@ -198,7 +215,11 @@ object TextQueries {
     */
   def perplexityBuckets(spark: SparkSession, dir: String): DataFrame =
     graft.operators.QuantileBin.exactNtile(
-        trigramLogprob(spark, dir), k = 3, valueCol = "avg_logprob",
+        // exactNtile references its input in three subtrees (bucket
+        // counts, offsets and the rank join); checkpoint the doc-score
+        // table (tiny) so the trigram-LM chain runs once, not thrice
+        trigramLogprob(spark, dir).localCheckpoint(),
+        k = 3, valueCol = "avg_logprob",
         bucketWidth = 0.25, tieCols = Seq("doc_id"))
       .groupBy("tile")
       .agg(count(lit(1)).as("n_docs"),
