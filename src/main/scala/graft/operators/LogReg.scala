@@ -44,8 +44,43 @@ object LogReg {
     sigmoid(VectorOps.dot(col("embedding"),
       typedLit(w.map(_.toFloat).toSeq)) + lit(b))
 
-  /** Fit on (embedding, y) where `yCol` evaluates to 0.0/1.0.
-    * One scan + one (dim)-keyed shuffle per iteration.
+  /** Packed gradient buffer: [g_0..g_{d-1}, g_bias, loss_sum, n] in
+    * one map-side-combining typed aggregation (the EmbPca.MomentsAgg
+    * pattern) — the whole per-iteration exchange is ONE (d+3)-double
+    * array per partition, versus the earlier posexplode form shuffling
+    * rows x dims exploded rows per iteration.
+    */
+  private class GradAgg(d: Int) extends
+      org.apache.spark.sql.expressions.Aggregator[
+        (Seq[Float], Double, Double), Array[Double], Array[Double]] {
+    private val len = d + 3
+    override def zero: Array[Double] = new Array[Double](len)
+    override def reduce(b: Array[Double],
+        x: (Seq[Float], Double, Double)): Array[Double] = {
+      val (e, err, ll) = x
+      require(e.length == d, s"embedding dim ${e.length} != $d")
+      var i = 0
+      while (i < d) { b(i) += err * e(i).toDouble; i += 1 }
+      b(d) += err
+      b(d + 1) += ll
+      b(d + 2) += 1
+      b
+    }
+    override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+      var i = 0
+      while (i < len) { a(i) += b(i); i += 1 }
+      a
+    }
+    override def finish(r: Array[Double]): Array[Double] = r
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+  }
+
+  /** Fit on (embedding, y) where `yCol` evaluates to 0.0/1.0. One scan
+    * per iteration; the exchange is one packed (d+3)-double partial
+    * per partition (map-side-combining typed aggregation).
     */
   def fit(dataRaw: DataFrame, yCol: Column, iters: Int = 20,
       lr: Double = 2.0, l2: Double = 1e-4): Model = {
@@ -58,33 +93,24 @@ object LogReg {
     var w = new Array[Double](d)
     var b = 0.0
     val losses = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val spark = data.sparkSession
+    import spark.implicits._
+    val agg = new GradAgg(d)
     (0 until iters).foreach { _ =>
       val p = probCol(w, b)
       // clamp keeps the loss finite if a probability saturates
       val pc = least(greatest(p, lit(1e-12)), lit(1.0 - 1e-12))
       val ll = -(col("_y") * log(pc) + (lit(1.0) - col("_y")) * log(lit(1.0) - pc))
-      // gradient dims + bias + loss in ONE aggregation over the long
-      // form: bias/loss repeat per dim, divided back out on the driver
-      val rows = data
-        .select((p - col("_y")).as("_err"), ll.as("_ll"),
-          posexplode(col("embedding")).as(Seq("_dim", "_v")))
-        .groupBy("_dim")
-        .agg(sum(col("_err") * col("_v").cast("double")).as("g"),
-          sum(col("_err")).as("gb"),
-          sum(col("_ll")).as("l"),
-          count(lit(1)).as("n"))
-        .collect()
-      val n = rows.head.getLong(4).toDouble
-      var gb = 0.0
-      var loss = 0.0
-      val g = new Array[Double](d)
-      rows.foreach { r =>
-        g(r.getInt(0)) = r.getDouble(1)
-        if (r.getInt(0) == 0) { gb = r.getDouble(2); loss = r.getDouble(3) }
-      }
-      losses += loss / n
+      val buf = data
+        .select(col("embedding"), (p - col("_y")).as("_err"), ll.as("_ll"))
+        .as[(Seq[Float], Double, Double)]
+        .select(agg.toColumn)
+        .head()
+      val n = buf(d + 2)
+      losses += buf(d + 1) / n
+      val g = buf
       w = Array.tabulate(d)(i => w(i) - lr * (g(i) / n + l2 * w(i)))
-      b -= lr * gb / n
+      b -= lr * g(d) / n
     }
     Model(w, b, losses.toSeq)
   }

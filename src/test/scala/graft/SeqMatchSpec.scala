@@ -46,6 +46,42 @@ class SeqMatchSpec extends SparkSpec {
     }
   }
 
+  test("greedy agrees with a reference fold on 500 random events") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val types = Array("view", "click", "purchase", "error", "signup")
+    val evs = (1L to 500L).map { id =>
+      (rnd.nextInt(7).toLong, id * 7 % 5000, types(rnd.nextInt(5)), id)
+    }
+    val steps = Seq("view", "click", "purchase")
+    // independent reference: per-user sorted fold of the same semantics
+    val expected = evs.groupBy(_._1).toSeq.flatMap { case (u, g) =>
+      var step = 0; var ids = List.empty[Long]; var start = 0L; var n = 0L
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Long, Long, Long)]
+      g.sortBy(e => (e._2, e._4)).foreach { e =>
+        if (e._3 == steps(step)) {
+          if (step == 0) start = e._2
+          ids ::= e._4; step += 1
+          if (step == 3) {
+            n += 1
+            val Seq(a, b, c) = ids.reverse
+            out += ((u, n, a, b, c, e._2 - start))
+            step = 0; ids = Nil
+          }
+        }
+      }
+      out
+    }.toSet
+    val got = SeqMatch.greedyMatches(
+        evs.toDF("user_id", "us", "event_type", "event_id")
+          .withColumn("ts", timestamp_micros(col("us"))),
+        steps, "user_id", "ts", "event_type", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(expected.nonEmpty && got == expected)
+  }
+
   test("streaming CEP equals the batch automaton despite chopping and disorder") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
