@@ -9,7 +9,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.expressions.NamedReference
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
@@ -87,7 +87,7 @@ class PubMedScanBuilder(path: String, beginYear: Int, endYear: Int,
     extends ScanBuilder with Scan with Batch
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsReportPartitioning
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering with SupportsPushDownLimit {
 
   private var yearLo = beginYear
   private var yearHi = endYear // exclusive
@@ -190,6 +190,20 @@ class PubMedScanBuilder(path: String, beginYear: Int, endYear: Int,
   }
   override def pushedFilters(): Array[Filter] = pushed
 
+  // LIMIT pushdown: each partition reader stops after `limit` rows --
+  // for the file transport that caps the listing walk, for http it
+  // caps the page probes (and so the fetches). PARTIAL contract
+  // (isPartiallyPushed): Spark still applies the global limit above,
+  // this only stops partitions from reading past what any global
+  // result could use. Not combined with a pushed aggregation: a
+  // partial count limited per partition would drop partials.
+  private var limitPushed: Option[Int] = None
+  override def pushLimit(l: Int): Boolean = {
+    if (aggGroupCols.nonEmpty) false
+    else { limitPushed = Some(l); true }
+  }
+  override def isPartiallyPushed(): Boolean = true
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
@@ -206,7 +220,8 @@ class PubMedScanBuilder(path: String, beginYear: Int, endYear: Int,
       month <- 1 to 12
       if monthEq.forall(_ == month) && runtimeMonths.forall(_.contains(month))
     } yield PubMedMonthPartition(year, month, path,
-        required.fieldNames, pageSize, aggGroupCols): InputPartition).toArray
+        required.fieldNames, pageSize, aggGroupCols,
+        limitPushed): InputPartition).toArray
 
   /** One planned partition per (year, month): reported as
     * KeyGroupedPartitioning so downstream clustering requirements on
@@ -234,7 +249,8 @@ class PubMedScanBuilder(path: String, beginYear: Int, endYear: Int,
 
 case class PubMedMonthPartition(year: Int, month: Int, path: String,
     columns: Array[String], pageSize: Long = 10000L,
-    aggGroupCols: Option[Seq[String]] = None)
+    aggGroupCols: Option[Seq[String]] = None,
+    limit: Option[Int] = None)
     extends InputPartition with HasPartitionKey {
   // the partition IS keyed by (year, month) — reporting it lets Spark
   // group-aggregate or storage-partition-join on those keys with NO
@@ -423,11 +439,13 @@ class PubMedMonthReader(p: PubMedMonthPartition)
         }
       }
     case None =>
-      if (isHttp) {
+      if (p.limit.exists(emitted >= _)) false
+      else if (isHttp) {
         fetchHttp(nextRetstart) match {
           case Some(body) =>
             current = row(nextRetstart, () => body)
             nextRetstart += p.pageSize
+            emitted += 1
             true
           case None => false
         }
@@ -437,9 +455,12 @@ class PubMedMonthReader(p: PubMedMonthPartition)
         val retstart = f.getName.stripPrefix(s"${p.year}_${p.month}_num_")
           .toLongOption.getOrElse(0L)
         current = row(retstart, () => PubMedFilesReader.fetchPage(f))
+        emitted += 1
         true
       }
   }
+
+  private var emitted = 0
 
   override def get(): InternalRow = current
   override def close(): Unit = ()

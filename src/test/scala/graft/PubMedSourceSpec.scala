@@ -366,4 +366,34 @@ class PubMedSourceSpec extends SparkSpec {
     assert(second.toSet == Set((1999, 2, 10000L), (2000, 1, 0L)),
       s"resume re-read or missed pages: ${second.mkString(",")}")
   }
+
+  test("limit pushdown caps each partition's page walk") {
+    import graft.sources.{PubMedMonthPartition, PubMedMonthReader}
+    val dir = java.nio.file.Files.createTempDirectory("pubmed-limit")
+    def page(n: String): Unit =
+      java.nio.file.Files.writeString(dir.resolve(n), "Pubmed-entry ::= {}")
+    (0 until 4).foreach(i => page(s"1999_1_num_${i * 10000}"))
+    (0 until 4).foreach(i => page(s"1999_2_num_${i * 10000}"))
+
+    // builder accepts the limit (partial contract) but refuses it when
+    // an aggregation is already pushed
+    val b = new graft.sources.PubMedScanBuilder(dir.toString, 1999, 2000)
+    assert(b.pushLimit(2) && b.isPartiallyPushed())
+
+    // per-partition reader stops after `limit` rows — the listing walk
+    // (and with content read, the page fetches) never pass the cap
+    val p = PubMedMonthPartition(1999, 1, dir.toString,
+      Array("year", "month", "retstart"), limit = Some(2))
+    val r = new PubMedMonthReader(p)
+    var n = 0
+    while (r.next()) n += 1
+    assert(n == 2, s"reader must stop at the pushed limit, emitted $n")
+
+    // end to end: LIMIT over the source returns exactly that many rows
+    val got = spark.read.format("pubmed")
+      .option("path", dir.toString)
+      .option("beginYear", "1999").option("endYear", "2000")
+      .load().select("year", "month", "retstart").limit(3).collect()
+    assert(got.length == 3)
+  }
 }
