@@ -93,4 +93,64 @@ object Sinks {
       }
     pending.join(existing, keyCols, "left_anti")
   }
+
+  /** Versioned dataset snapshots — the training-corpus lifecycle the
+    * operator docs reference ("a real deployment versions the index /
+    * vocab by corpus snapshot"), without a table format dependency:
+    *
+    *  - every write lands a NEW immutable `v=N` directory (N =
+    *    max existing + 1); nothing ever rewrites a published version,
+    *    so a training run pinned to `readVersion(root, 7)` is
+    *    reproducible forever regardless of later ingest;
+    *  - a `_GRAFT_VERSION_COMPLETE` marker is written AFTER the
+    *    parquet commit, and readers resolve versions only through
+    *    markers — a crash mid-write leaves an invisible orphan
+    *    directory, never a readable partial snapshot (the same
+    *    marker-after-data discipline as the BM25/LSH index caches);
+    *  - `readLatest` resolves the newest COMPLETE version at call
+    *    time, so concurrent writers and readers never race.
+    *
+    * At 100 TB a snapshot write is one pass of whatever produced the
+    * DataFrame; the version directory is the unit of retention
+    * (drop old `v=N` dirs whole) and of compaction ([[compact]] on a
+    * version dir before its marker lands).
+    */
+  def writeVersion(df: DataFrame, root: String): Long = {
+    val dir = new java.io.File(root)
+    dir.mkdirs()
+    // number from ALL version dirs, complete or not: a crashed
+    // writer's orphan must be skipped past, never collided with
+    val next = listDirs(root).lastOption.map(_ + 1).getOrElse(1L)
+    val vdir = s"$root/v=$next"
+    df.write.mode("errorifexists").parquet(vdir)
+    new java.io.File(s"$vdir/$VersionMarker").createNewFile()
+    next
+  }
+
+  def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
+    require(new java.io.File(s"$root/v=$v/$VersionMarker").exists(),
+      s"version $v is absent or incomplete under $root")
+    spark.read.parquet(s"$root/v=$v")
+  }
+
+  def readLatest(spark: SparkSession, root: String): DataFrame = {
+    val vs = listComplete(root)
+    require(vs.nonEmpty, s"no complete versions under $root")
+    spark.read.parquet(s"$root/v=${vs.last}")
+  }
+
+  def listComplete(root: String): Seq[Long] =
+    listDirs(root, completeOnly = true)
+
+  private def listDirs(root: String, completeOnly: Boolean = false): Seq[Long] = {
+    val re = raw"v=(\d+)".r
+    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .flatMap(f => f.getName match {
+        case re(n) if !completeOnly ||
+            new java.io.File(f, VersionMarker).exists() => Some(n.toLong)
+        case _ => None
+      }).sorted.toSeq
+  }
+
+  private val VersionMarker = "_GRAFT_VERSION_COMPLETE"
 }

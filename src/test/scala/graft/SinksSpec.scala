@@ -147,6 +147,33 @@ class SinksSpec extends SparkSpec {
     assert(plain === salted)
   }
 
+  test("versioned snapshots: immutable, pinned reads, incomplete invisible") {
+    import graft.sources.Sinks
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("vsink").toString
+    val v1 = Sinks.writeVersion(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), root)
+    val v2 = Sinks.writeVersion(Seq((1L, "a2")).toDF("k", "s"), root)
+    assert(v1 == 1L && v2 == 2L && Sinks.listComplete(root) == Seq(1L, 2L))
+    // pinned read is unaffected by the later snapshot
+    assert(Sinks.readVersion(spark, root, 1L).count() == 2)
+    assert(Sinks.readLatest(spark, root).as[(Long, String)].collect()
+      .toSet == Set((1L, "a2")))
+    // a crash mid-write (data landed, marker didn't) stays invisible to
+    // readers AND is not counted when numbering the next version
+    val orphan = new java.io.File(s"$root/v=3")
+    Seq((9L, "x")).toDF("k", "s").write.parquet(orphan.toString)
+    assert(Sinks.listComplete(root) == Seq(1L, 2L))
+    assert(Sinks.readLatest(spark, root).count() == 1)
+    intercept[IllegalArgumentException] {
+      Sinks.readVersion(spark, root, 3L)
+    }
+    // the next writer skips PAST the orphan (no collision) and its
+    // snapshot becomes the new latest
+    val v4 = Sinks.writeVersion(Seq((7L, "z")).toDF("k", "s"), root)
+    assert(v4 == 4L && Sinks.listComplete(root) == Seq(1L, 2L, 4L))
+    assert(Sinks.readLatest(spark, root).count() == 1)
+  }
+
   test("salted join equals plain join") {
     val li = Tables(spark, sfDir, "lineitem")
       .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
