@@ -321,7 +321,51 @@ object EventQueries {
         round(sum("value"), 2).as("sum_value"))
       .orderBy("dow", "hod")
 
+  /** The events table read as a CDC changelog: key = user_id, sequence
+    * = event_id (globally ordered), op = delete tombstone on "error"
+    * events, payload = (event_type, value). Shared by the CDC queries.
+    */
+  private def changelog(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events").select(
+      col("user_id"),
+      col("event_id").as("seq"),
+      when(col("event_type") === "error", lit("D")).otherwise(lit("U"))
+        .as("op"),
+      col("event_type"), col("value"))
+
+  /** Incremental CDC snapshot maintenance: compact 80% of the
+    * changelog into a snapshot, merge the remaining 20% as a batch
+    * ([[graft.operators.Cdc.applyChangelog]] — batch-sized work, not
+    * history-sized), read the live state. The %5 split interleaves the
+    * two sequences on purpose: per key the batch may hold only STALE
+    * changes, which must lose to the snapshot's newer row (tombstones
+    * included) — the oracle is a one-shot latest-per-key over the full
+    * history, so any resurrection or stale overwrite hash-mismatches.
+    */
+  def cdcState(spark: SparkSession, dir: String): DataFrame = {
+    val ev = changelog(spark, dir)
+    val snap = graft.operators.Cdc.compact(
+      ev.where(pmod(col("seq"), lit(5)) =!= 0), Seq("user_id"), "seq")
+    val next = graft.operators.Cdc.applyChangelog(
+      snap, ev.where(pmod(col("seq"), lit(5)) === 0), Seq("user_id"), "seq")
+    graft.operators.Cdc.current(next, "op").orderBy("user_id")
+  }
+
+  /** SCD type-2 dimension history from the same changelog: one version
+    * row per upsert with [valid_from_seq, valid_to_seq) bounds, deletes
+    * closing but not emitting. One shuffle + per-key sort.
+    */
+  def scd2History(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Cdc.scd2(
+      changelog(spark, dir).where(col("user_id") < 40),
+      Seq("user_id"), "seq", "op")
+      .select(col("user_id"), col("event_type"), col("value"),
+        col("valid_from_seq"), col("valid_to_seq"), col("is_current"))
+      .orderBy("user_id", "valid_from_seq")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_cdc_state" -> cdcState,
+    "events_scd2_history" -> scd2History,
     "events_heatmap" -> heatmap,
     "events_ab_test" -> abTest,
     "events_lag_features" -> lagFeatures,
@@ -417,6 +461,24 @@ object EventQueries {
       .orderBy("user_id", "match_no")
 
   val oracle: Map[String, String] = Map(
+    "events_cdc_state" ->
+      """WITH ranked AS (
+  SELECT user_id, event_id AS seq, event_type, value,
+    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events)
+SELECT user_id, seq, event_type, value
+FROM ranked WHERE rn = 1 AND event_type <> 'error'
+ORDER BY user_id""",
+    "events_scd2_history" ->
+      """WITH hist AS (
+  SELECT user_id, event_type, value, event_id AS valid_from_seq,
+    lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id)
+      AS valid_to_seq
+  FROM events WHERE user_id < 40)
+SELECT user_id, event_type, value, valid_from_seq, valid_to_seq,
+  valid_to_seq IS NULL AS is_current
+FROM hist WHERE event_type <> 'error'
+ORDER BY user_id, valid_from_seq""",
     "events_heatmap" ->
       """SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
   CAST(hour(ts) AS INT) AS hod,

@@ -211,6 +211,22 @@ class PlanGuardSpec extends SparkSpec {
         "table, never re-scan the corpus parquet")
   }
 
+  test("cdc apply: no cartesian, batch collapses with partial aggregation") {
+    val ns = nodes(graft.queries.EventQueries.cdcState(spark, sfDir))
+    assert(!ns.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]),
+      "snapshot-batch merge must be a keyed join, never a cross product")
+    assert(!ns.exists(p =>
+      p.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec] ||
+        p.isInstanceOf[org.apache.spark.sql.execution.window.WindowGroupLimitExec]),
+      "compaction must be max_by aggregation (map-side partial), not a " +
+        "row_number window (full sort per partition)")
+    val aggs = ns.count(p => p.isInstanceOf[HashAggregateExec] ||
+      p.isInstanceOf[org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec] ||
+      p.isInstanceOf[org.apache.spark.sql.execution.aggregate.SortAggregateExec])
+    assert(aggs >= 4, s"expected partial+final max_by pairs, saw $aggs agg nodes")
+  }
+
   test("context windows: row-local generator, no exchange") {
     val df = graft.pipeline.CorpusPipeline.contextWindows(
       Tables(spark, sfDir, "documents"), winSize = 16, stride = 8)
