@@ -104,6 +104,33 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
       .orderBy("source")
 
+  /** Temperature-scaled source-mixture weights (the multilingual-
+    * corpus sampling recipe: raw size share p_i flattened to
+    * p_i^α / Σ p_j^α so small sources are up-weighted without letting
+    * any source dominate). α = 0.5, so the power is `sqrt` — correctly
+    * rounded IEEE in both engines, keeping the oracle bit-exact where
+    * a libm `pow` would risk last-ulp drift. `boost` is the resulting
+    * up/down-sampling factor a sampler (e.g. [[mixtureSample]]) would
+    * apply per source. Shape: one hash agg over the corpus; the
+    * normalizing sums ride a window over the GROUPED table (rows =
+    * #sources, a bounded dimension — never corpus-wide).
+    */
+  def mixtureTemperature(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy()
+    val src = Tables(spark, dir, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+    src
+      .withColumn("p_raw", col("n_chars") / sum("n_chars").over(all))
+      .withColumn("w", sqrt(col("p_raw")))
+      .select(col("source"), col("n_docs"), col("n_chars"),
+        round(col("p_raw"), 6).as("p_raw"),
+        round(col("w") / sum("w").over(all), 6).as("p_temp"),
+        round(col("w") / sum("w").over(all) / col("p_raw"), 6).as("boost"))
+      .orderBy("source")
+  }
+
   /** Sliding context windows (size 16, stride 8): the long-document
     * layout step — overlapping token windows so a bounded-context
     * model never sees a span without its left context. Row-local
@@ -159,7 +186,8 @@ object PipelineQueries {
     "pipeline_hash_split" -> hashSplit,
     "pipeline_stratified_split" -> stratifiedSplit,
     "pipeline_source_budget" -> sourceBudget,
-    "pipeline_mixture_sample" -> mixtureSample)
+    "pipeline_mixture_sample" -> mixtureSample,
+    "pipeline_mixture_temperature" -> mixtureTemperature)
 
   private val tokSql =
     raw"""CAST(len(list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z ]', ' ', 'g')), '\s+'), w -> w <> '')) AS BIGINT)"""
@@ -270,5 +298,18 @@ FROM documents
 WHERE doc_id % 100 < CASE source
   WHEN 'src0' THEN 100 WHEN 'src1' THEN 50 WHEN 'src2' THEN 10
   ELSE 25 END
-GROUP BY source ORDER BY source""")
+GROUP BY source ORDER BY source""",
+    "pipeline_mixture_temperature" ->
+      """WITH s AS (
+  SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+  FROM documents GROUP BY source),
+t AS (
+  SELECT source, n_docs, n_chars,
+    n_chars / (sum(n_chars) OVER () * 1.0) AS p_raw,
+    sqrt(n_chars / (sum(n_chars) OVER () * 1.0)) AS w
+  FROM s)
+SELECT source, n_docs, n_chars, round(p_raw, 6) AS p_raw,
+  round(w / sum(w) OVER (), 6) AS p_temp,
+  round(w / sum(w) OVER () / p_raw, 6) AS boost
+FROM t ORDER BY source""")
 }
