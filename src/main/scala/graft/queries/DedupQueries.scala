@@ -106,6 +106,36 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Cross-source contamination matrix: distinct trigram-shingle
+    * overlap between every source pair — the "is subset A leaking into
+    * subset B" audit run before declaring eval/train subsets disjoint.
+    * Shape at 100 TB: shingles collapse to DISTINCT (source, hash)
+    * first (one shuffle), and the self-join's per-gram fan-out is
+    * bounded by the SOURCE COUNT (≤ C(n_sources, 2) pairs per gram) —
+    * the matrix itself is n_sources²-bounded however large the corpus.
+    * Per-source set sizes ride a broadcast join for the Jaccard.
+    */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val ss = Tables(spark, dir, "documents")
+      .select(col("source"), explode(
+        org.apache.spark.sql.graftx.TextShingles.column(col("text")))
+        .as("s"))
+      .distinct()
+    val sizes = ss.groupBy("source").agg(count(lit(1)).as("n"))
+    ss.as("x").join(ss.as("y"),
+        col("x.s") === col("y.s") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.withColumnRenamed("source", "source_a")
+        .withColumnRenamed("n", "na")), "source_a")
+      .join(broadcast(sizes.withColumnRenamed("source", "source_b")
+        .withColumnRenamed("n", "nb")), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        round(col("n_shared") / (col("na") + col("nb") - col("n_shared")), 6)
+          .as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Sub-document dedup: 10-token chunks deduplicated corpus-wide,
     * documents reassembled from surviving chunks (CCNet-style).
     */
@@ -259,6 +289,7 @@ object DedupQueries {
     "dedup_incremental_batch" -> incrementalBatch,
     "dedup_chunk_level" -> chunkLevel,
     "dedup_decontaminate" -> decontaminate,
+    "dedup_source_overlap" -> sourceOverlap,
     "dedup_components" -> components,
     "dedup_survivors" -> survivors,
     "dedup_survivors_quality" -> survivorsQuality,
@@ -506,6 +537,27 @@ SELECT ch.doc_id, count(*) AS n_chunks,
 FROM ch JOIN k USING (doc_id, chunk_idx)
 GROUP BY ch.doc_id
 ORDER BY doc_id""",
+    "dedup_source_overlap" ->
+      raw"""WITH toks AS (
+  SELECT source, $tokSql AS ws FROM documents
+), sh AS (
+  SELECT source, list_distinct(list_transform(
+    range(1, greatest(len(ws) - 1, 1)),
+    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shs
+  FROM toks WHERE len(ws) >= 3
+), ss AS (
+  SELECT DISTINCT source, unnest(shs) AS s FROM sh
+), cnt AS (
+  SELECT source, count(*) AS n FROM ss GROUP BY source
+)
+SELECT x.source AS source_a, y.source AS source_b,
+  count(*) AS n_shared,
+  round(count(*) * 1.0 / (ca.n + cb.n - count(*)), 6) AS jaccard
+FROM ss x JOIN ss y ON x.s = y.s AND x.source < y.source
+JOIN cnt ca ON ca.source = x.source
+JOIN cnt cb ON cb.source = y.source
+GROUP BY x.source, y.source, ca.n, cb.n
+ORDER BY source_a, source_b""",
     "dedup_decontaminate" ->
       raw"""WITH toks AS (
   SELECT doc_id, $tokSql AS ws FROM documents

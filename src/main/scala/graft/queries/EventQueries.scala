@@ -363,7 +363,40 @@ object EventQueries {
         col("valid_from_seq"), col("valid_to_seq"), col("is_current"))
       .orderBy("user_id", "valid_from_seq")
 
+  /** Point-in-time (temporal) join: each click event joined to the
+    * state version that was valid WHEN IT HAPPENED — the offline
+    * feature-store correctness rule (no leakage from future state).
+    * Dimension = SCD2 history of the user's non-click changes; facts =
+    * clicks. Shape: the single-shuffle as-of composition picks the
+    * latest version with valid_from <= seq, and one residual filter
+    * handles tombstone gaps (a click after a delete matches NOTHING —
+    * an earlier version can't contain it because versions tile
+    * disjointly). The oracle is the full inequality range join, so any
+    * leakage across a version boundary or through a delete gap
+    * hash-mismatches.
+    */
+  def pitJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = changelog(spark, dir)
+    val dim = graft.operators.Cdc
+      .scd2(ev.where(col("event_type") =!= "click"), Seq("user_id"), "seq", "op")
+      .withColumnRenamed("valid_from_seq", "seq")
+    val clicks = ev.where(col("event_type") === "click")
+      .select("user_id", "seq", "value")
+    graft.operators.AsOfJoin.asOf(clicks, dim, "user_id", "seq")
+      .where(col("right.valid_to_seq").isNull ||
+        col("left.seq") < col("right.valid_to_seq"))
+      .select(
+        col("left.user_id").as("user_id"),
+        col("left.seq").as("click_seq"),
+        col("left.value").as("click_value"),
+        col("right.event_type").as("state_type"),
+        col("right.value").as("state_value"),
+        col("right.seq").as("valid_from_seq"))
+      .orderBy("user_id", "click_seq")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_pit_join" -> pitJoin,
     "events_cdc_state" -> cdcState,
     "events_scd2_history" -> scd2History,
     "events_heatmap" -> heatmap,
@@ -461,6 +494,25 @@ object EventQueries {
       .orderBy("user_id", "match_no")
 
   val oracle: Map[String, String] = Map(
+    "events_pit_join" ->
+      """WITH chg AS (
+  SELECT user_id, event_id AS seq, event_type, value
+  FROM events WHERE event_type <> 'click'),
+hist AS (
+  SELECT user_id, seq, event_type, value,
+    lead(seq) OVER (PARTITION BY user_id ORDER BY seq) AS valid_to_seq
+  FROM chg),
+ver AS (SELECT * FROM hist WHERE event_type <> 'error'),
+clicks AS (
+  SELECT user_id, event_id AS seq, value FROM events
+  WHERE event_type = 'click')
+SELECT c.user_id, c.seq AS click_seq, c.value AS click_value,
+  v.event_type AS state_type, v.value AS state_value,
+  v.seq AS valid_from_seq
+FROM clicks c JOIN ver v
+  ON c.user_id = v.user_id AND v.seq <= c.seq
+  AND (v.valid_to_seq IS NULL OR c.seq < v.valid_to_seq)
+ORDER BY c.user_id, click_seq""",
     "events_cdc_state" ->
       """WITH ranked AS (
   SELECT user_id, event_id AS seq, event_type, value,

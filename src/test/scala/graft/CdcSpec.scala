@@ -72,6 +72,22 @@ class CdcSpec extends SparkSpec {
       (3L, 4L, Some(7L), false))) // key 3 ends deleted: nothing current
   }
 
+  test("pit join: version boundaries respected, delete gap matches nothing") {
+    // state changes for key 1: a1@1, deleted@4, a2@6
+    val state = log((1L, 1L, "U", "a1"), (1L, 4L, "D", "a1"), (1L, 6L, "U", "a2"))
+    val dim = Cdc.scd2(state, Seq("k"), "seq", "op")
+      .withColumnRenamed("valid_from_seq", "seq")
+    // facts at seq 2 (inside v1), 5 (inside the delete gap), 7 (inside v2)
+    val facts = Seq((1L, 2L), (1L, 5L), (1L, 7L)).toDF("k", "seq")
+    val got = graft.operators.AsOfJoin.asOf(facts, dim, "k", "seq")
+      .where(col("right.valid_to_seq").isNull ||
+        col("left.seq") < col("right.valid_to_seq"))
+      .select(col("left.seq").as("fact_seq"), col("right.v").as("state"))
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((2L, "a1"), (7L, "a2")),
+      "seq 5 falls in the delete gap and must match nothing")
+  }
+
   test("query composition: two-phase apply matches latest-per-key on events") {
     val got = graft.queries.EventQueries.cdcState(spark, sfDir)
     val ev = Tables(spark, sfDir, "events")
