@@ -541,7 +541,60 @@ object TextQueries {
       .groupBy("doc_id", "bucket").agg(count(lit(1)).as("n"))
       .orderBy("doc_id", "bucket")
 
+  /** One unigram-LM vocabulary per dataset dir, trained once per JVM
+    * and shared by the vocab/encode queries (the BPE pair does the
+    * same via its own train call; here the trained artifact is a
+    * driver-sized Seq, so a memo is the natural cache). Deterministic:
+    * [[graft.operators.UnigramLm.train]] is partition-layout
+    * independent, so the memo changes cost, never content.
+    */
+  private val ulmCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[(String, Long, Double)], DataFrame)]()
+  private def ulmVocabFor(spark: SparkSession, dir: String)
+      : (Seq[(String, Long, Double)], DataFrame) =
+    // keyed per (session, dir): the cached word-type DataFrame is
+    // session-bound (localCheckpoint blocks die with their session)
+    ulmCache.computeIfAbsent(
+      s"${System.identityHashCode(spark)}:$dir", _ =>
+      graft.operators.UnigramLm.train(Tables(spark, dir, "documents"),
+        "text", targetVocab = 512, maxPieceLen = 5, emIters = 2,
+        maxCandidates = 2048))
+
+  /** Unigram-LM (SentencePiece-family) trained vocabulary: top pieces
+    * by corpus-weighted Viterbi use count. Rows-only for the driver
+    * (EM floats aren't cross-engine SQL); golden-hash pinned.
+    */
+  def ulmVocab(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ulmVocabFor(spark, dir)._1.toDF("piece", "n_uses", "logprob")
+      .select(col("piece"), col("n_uses"),
+        round(col("logprob"), 6).as("logprob"))
+      .orderBy(col("n_uses").desc, col("piece")).limit(200)
+  }
+
+  /** Tokenizer application under the trained unigram-LM vocab:
+    * per-document word/subword counts + fertility. Encodes word TYPES
+    * (distinct words segment once, events join the type table) — the
+    * same never-refold-the-corpus shape as the BPE profile.
+    */
+  def ulmEncode(spark: SparkSession, dir: String): DataFrame = {
+    val (vocab, words) = ulmVocabFor(spark, dir)
+    val lp = vocab.map(v => (v._1, v._3)).toMap
+    val seg = graft.operators.UnigramLm.segment(lp, maxPieceLen = 5)
+    val docs = Tables(spark, dir, "documents")
+    val types = words
+      .select(col("word"), size(seg(col("word"))).cast("long").as("_ns"))
+    docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
+      .join(types, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("_ns").as("n_subwords"),
+        round(avg("_ns"), 4).as("fertility"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_ulm_vocab" -> ulmVocab,
+    "text_ulm_encode" -> ulmEncode,
     "text_hashed_features" -> hashedFeatures,
     "text_hybrid_rrf" -> hybridRrf,
     "text_pmi_bigrams" -> pmiBigrams,

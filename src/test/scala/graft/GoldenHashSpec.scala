@@ -19,6 +19,8 @@ class GoldenHashSpec extends SparkSpec {
     "emb_pca_variance" -> "5a1f4bca8fef27d7defe34f71cf38095",
     "text_bpe_encode" -> "a6309a3d305f9717ebdd7563711d4a1f",
     "text_bpe_vocab" -> "bd4a2a3bcf8fcbb396d1e010b95afd05",
+    "text_ulm_encode" -> "afa98d2bdb4d88ddc90758543230202f",
+    "text_ulm_vocab" -> "f51349e0a16d43db2d4d313d8ee3675a",
     "dedup_minhash_lsh" -> "43b0854b6e50afe8ced0516d135f83e4",
     "dedup_semantic" -> "a60e4c40f2dae28e673b857707dcbde1",
     "dedup_simhash" -> "0e382879f002a691192647cfae2e5bf2",

@@ -77,6 +77,33 @@ class StreamingRecoverySpec extends SparkSpec {
     assert(out.head.getString(1).contains("<EMAIL>"))
   }
 
+  test("stream-static join: broadcast dim enrichment and blocklist anti-filter") {
+    // The two stream-static shapes every ingest pipeline needs: enrich
+    // arrivals against a slow dimension (inner, broadcast — no stream
+    // state, re-read per micro-batch) and drop arrivals matching a
+    // static blocklist (left_anti). Neither requires a watermark:
+    // stream-static joins are stateless on the stream side.
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    stream.addData(Seq(
+      (1L, "alpha"), (2L, "beta"), (3L, "gamma"), (4L, "alpha")))
+    val dim = Seq(("alpha", "keep-a"), ("beta", "keep-b"), ("gamma", "bad"))
+      .toDF("tag", "label")
+    val block = Seq("bad").toDF("label")
+
+    val enriched = stream.toDF().toDF("id", "tag")
+      .join(broadcast(dim), "tag")
+      .join(block, Seq("label"), "left_anti")
+    val out = EventStreams.runToMemory(enriched,
+      "stream_static_join", org.apache.spark.sql.streaming.OutputMode.Append())
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("label")))
+      .toSet
+    assert(out == Set((1L, "keep-a"), (2L, "keep-b"), (4L, "keep-a")),
+      "gamma rows must be anti-filtered, the rest labeled from the dim")
+  }
+
   test("foreachBatch into the dynamic-partition upsert sink is idempotent") {
     import graft.sources.Sinks
     val srcDir = Files.createTempDirectory("graft-upsert-src").toString
