@@ -65,6 +65,42 @@ object TextQueries {
         4).as("stop_ratio"))
   }
 
+  /** Multi-signal quality blend: per-doc signals standardized against
+    * corpus statistics and averaged into ONE rank score — the "combine
+    * length, diversity and stopword evidence into a single filter
+    * column" step (z-score normalization, not percent_rank, precisely
+    * because ranking would need a corpus-wide partition-less window;
+    * the mean/stddev pair is one hash agg + a broadcast of 6 scalars).
+    * Float-parity discipline: signals are exact (integer counts and
+    * integer-ratio divisions), corpus stats are rounded to 6 BEFORE
+    * standardizing, so the per-row z arithmetic is identical IEEE ops
+    * on identical operands in both engines.
+    */
+  def qualityBlend(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val toks = TextOps.tokens(col("text"))
+    val nTok = TextOps.tokenCount(col("text")).cast("double")
+    val sig = docs.select(
+      col("doc_id"),
+      nTok.as("s_len"),
+      (size(TextOps.distinctTokens(col("text"))).cast("double") /
+        greatest(nTok, lit(1.0))).as("s_div"),
+      (size(filter(toks, t => t.isin(stop.map(s => s: Any): _*)))
+        .cast("double") / greatest(nTok, lit(1.0))).as("s_stop"))
+    val st = sig.agg(
+      round(avg("s_len"), 6).as("m_len"), round(stddev("s_len"), 6).as("d_len"),
+      round(avg("s_div"), 6).as("m_div"), round(stddev("s_div"), 6).as("d_div"),
+      round(avg("s_stop"), 6).as("m_stop"), round(stddev("s_stop"), 6).as("d_stop"))
+    val z = (s: String) => (col(s"s_$s") - col(s"m_$s")) / col(s"d_$s")
+    sig.crossJoin(broadcast(st))
+      .select(col("doc_id"),
+        round(z("len"), 4).as("z_len"),
+        round(z("div"), 4).as("z_div"),
+        round(z("stop"), 4).as("z_stop"),
+        round((z("len") + z("div") + z("stop")) / 3.0, 4).as("blend"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus statistics grouped by language. */
   def langStats(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
@@ -131,14 +167,29 @@ object TextQueries {
     * tokenize pass checkpointed and shared by both halves; scoring
     * joins run over distinct trigram TYPES, never token events.
     */
-  def trigramLogprob(spark: SparkSession, dir: String): DataFrame = {
-    import graft.operators.NgramLm
-    val toks = Tables(spark, dir, "documents")
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
-      .localCheckpoint(true) // train + score share the tokenize pass
-    val lm = NgramLm.train(toks.where(pmod(col("doc_id"), lit(2)) === 0))
-    NgramLm.score(toks.where(pmod(col("doc_id"), lit(2)) === 1), lm)
-  }
+  def trigramLogprob(spark: SparkSession, dir: String): DataFrame =
+    trigramScored(spark, dir)
+
+  /** The held-out trigram score table, trained once per (session, dir)
+    * and shared by [[trigramLogprob]] and [[perplexityBuckets]] — the
+    * LM build is the expensive part and both queries consume the SAME
+    * deterministic scores, so the memo changes cost, never content.
+    * The checkpoint also serves as the multi-consumer barrier
+    * (exactNtile reads its input in three subtrees).
+    */
+  private val trigramCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def trigramScored(spark: SparkSession, dir: String): DataFrame =
+    trigramCache.computeIfAbsent(
+      s"${System.identityHashCode(spark)}:$dir", _ => {
+        import graft.operators.NgramLm
+        val toks = Tables(spark, dir, "documents")
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+          .localCheckpoint(true) // train + score share the tokenize pass
+        val lm = NgramLm.train(toks.where(pmod(col("doc_id"), lit(2)) === 0))
+        NgramLm.score(toks.where(pmod(col("doc_id"), lit(2)) === 1), lm)
+          .localCheckpoint(true)
+      })
 
   /** The shared line table for the [[graft.operators.LineDedup]]
     * queries. The synthetic corpus has no newlines, so "lines" are
@@ -215,10 +266,7 @@ object TextQueries {
     */
   def perplexityBuckets(spark: SparkSession, dir: String): DataFrame =
     graft.operators.QuantileBin.exactNtile(
-        // exactNtile references its input in three subtrees (bucket
-        // counts, offsets and the rank join); checkpoint the doc-score
-        // table (tiny) so the trigram-LM chain runs once, not thrice
-        trigramLogprob(spark, dir).localCheckpoint(),
+        trigramScored(spark, dir),
         k = 3, valueCol = "avg_logprob",
         bucketWidth = 0.25, tieCols = Seq("doc_id"))
       .groupBy("tile")
@@ -614,6 +662,7 @@ object TextQueries {
     "text_keyword_topk" -> keywordTopK,
     "text_inverted_index" -> invertedIndex,
     "text_quality_stats" -> qualityStats,
+    "text_quality_blend" -> qualityBlend,
     "text_lang_stats" -> langStats,
     "text_token_counts" -> tokenCounts)
 
@@ -1017,6 +1066,33 @@ SELECT d.doc_id, d.n_chars,
        COALESCE(a.n_stop, 0) AS n_stop,
        round(COALESCE(a.n_stop, 0) / GREATEST(COALESCE(a.n_tokens, 0), 1), 4) AS stop_ratio
 FROM documents d LEFT JOIN agg a USING (doc_id)""",
+    "text_quality_blend" ->
+      raw"""WITH tok AS (
+  SELECT doc_id, unnest($tokSql) AS word FROM documents
+), agg AS (
+  SELECT doc_id,
+         count(*) FILTER (WHERE word <> '') AS n_tokens,
+         count(DISTINCT word) FILTER (WHERE word <> '') AS n_distinct,
+         count(*) FILTER (WHERE word <> '' AND word IN $stopSql) AS n_stop
+  FROM tok GROUP BY doc_id
+), sig AS (
+  SELECT d.doc_id,
+         COALESCE(a.n_tokens, 0) * 1.0 AS s_len,
+         COALESCE(a.n_distinct, 0) / GREATEST(COALESCE(a.n_tokens, 0), 1) AS s_div,
+         COALESCE(a.n_stop, 0) / GREATEST(COALESCE(a.n_tokens, 0), 1) AS s_stop
+  FROM documents d LEFT JOIN agg a USING (doc_id)
+), st AS (
+  SELECT round(avg(s_len), 6) AS m_len, round(stddev(s_len), 6) AS d_len,
+         round(avg(s_div), 6) AS m_div, round(stddev(s_div), 6) AS d_div,
+         round(avg(s_stop), 6) AS m_stop, round(stddev(s_stop), 6) AS d_stop
+  FROM sig)
+SELECT doc_id,
+  round((s_len - m_len) / d_len, 4) AS z_len,
+  round((s_div - m_div) / d_div, 4) AS z_div,
+  round((s_stop - m_stop) / d_stop, 4) AS z_stop,
+  round(((s_len - m_len) / d_len + (s_div - m_div) / d_div +
+         (s_stop - m_stop) / d_stop) / 3, 4) AS blend
+FROM sig, st ORDER BY doc_id""",
     "text_lang_stats" ->
       raw"""WITH tc AS (
   SELECT doc_id, lang, source, n_chars,
