@@ -401,4 +401,30 @@ object CorpusPipeline {
     exact.unpersist()
     out
   }
+
+  /** `funnel` semantics at one-action cost: the stage counters ride
+    * the near-dedup materialization itself (`prepareObserved`), so the
+    * raw corpus is never re-scanned for metrics and no intermediate
+    * frontier is cached — at 100 TB the dedicated metric pass and the
+    * full-corpus persist are both real costs this variant deletes.
+    * Verified row-for-row identical to `funnel` in CorpusPipelineSpec.
+    */
+  def funnelObserved(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (near, metrics) = prepareObserved(docs, cfg)
+    val row = near
+      .agg(count(lit(1)),
+        sum(tokenStatsUdf(col("text")).getField("_1").cast("long")))
+      .collect()(0)
+    val (nearCount, tokenBudget) = (row.getLong(0), row.getLong(1))
+    val m = metrics()
+    Seq(
+      ("1_input", m("1_input"), 0L),
+      ("2_language", m("2_language"), 0L),
+      ("3_quality", m("3_quality"), 0L),
+      ("4_exact_dedup", m("4_exact_dedup"), 0L),
+      ("5_near_dedup", nearCount, tokenBudget))
+      .toDF("stage", "n_docs", "total_tokens")
+  }
 }

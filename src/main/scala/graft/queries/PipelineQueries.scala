@@ -35,9 +35,23 @@ object PipelineQueries {
       .orderBy("word")
   }
 
-  /** The full training-data preparation funnel over the corpus. */
+  /** DSIR importance weights over the corpus: target = the English
+    * slice, raw = everything; every doc scored by how target-like its
+    * hashed-unigram distribution is ([[graft.operators.Dsir]]). The
+    * md5-bucket hash is cross-engine, so this is fully oracle-checked.
+    */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dsir.importanceWeights(
+        Tables(spark, dir, "documents"), col("lang") === "en", m = 64)
+      .orderBy("doc_id")
+
+  /** The full training-data preparation funnel over the corpus. The
+    * observed variant: counters ride the materializing job, no
+    * dedicated metric scan, no persist (funnel() is the independent
+    * cross-check in CorpusPipelineSpec).
+    */
   def corpusFunnel(spark: SparkSession, dir: String): DataFrame =
-    graft.pipeline.CorpusPipeline.funnel(Tables(spark, dir, "documents"))
+    graft.pipeline.CorpusPipeline.funnelObserved(Tables(spark, dir, "documents"))
 
   /** Token-budget cap: first documents (in id order) whose running
     * token total fits 10k tokens — distributed prefix sum inside,
@@ -187,12 +201,37 @@ object PipelineQueries {
     "pipeline_stratified_split" -> stratifiedSplit,
     "pipeline_source_budget" -> sourceBudget,
     "pipeline_mixture_sample" -> mixtureSample,
-    "pipeline_mixture_temperature" -> mixtureTemperature)
+    "pipeline_mixture_temperature" -> mixtureTemperature,
+    "pipeline_dsir_weights" -> dsirWeights)
 
   private val tokSql =
     raw"""CAST(len(list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z ]', ' ', 'g')), '\s+'), w -> w <> '')) AS BIGINT)"""
 
   val oracle: Map[String, String] = Map(
+    "pipeline_dsir_weights" ->
+      raw"""WITH tok AS (
+  SELECT doc_id, lang = 'en' AS t,
+    unnest(list_filter(string_split_regex(lower(regexp_replace(text,
+      '[^a-zA-Z ]', ' ', 'g')), '\s+'), w -> w <> '')) AS w
+  FROM documents
+), docb AS (
+  SELECT doc_id, t,
+    CAST('0x' || substr(md5(w), 1, 7) AS BIGINT) % 64 AS bucket,
+    CAST(count(*) AS BIGINT) AS n
+  FROM tok GROUP BY 1, 2, 3
+), perb AS (
+  SELECT bucket, sum(CASE WHEN t THEN n ELSE 0 END) AS ct, sum(n) AS cr
+  FROM docb GROUP BY 1
+), tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM perb),
+lr AS (
+  SELECT bucket,
+    ln((ct + 1.0) / (tt + 64.0)) - ln((cr + 1.0) / (tr + 64.0)) AS lr
+  FROM perb, tot
+)
+SELECT d.doc_id, CAST(sum(d.n) AS BIGINT) AS n_tokens,
+  round(sum(d.n * lr.lr), 4) AS logw
+FROM docb d JOIN lr USING (bucket)
+GROUP BY d.doc_id ORDER BY d.doc_id""",
     "pipeline_stable_ids" ->
       """SELECT doc_id, source,
   CAST(row_number() OVER (ORDER BY source, doc_id) - 1 AS BIGINT)

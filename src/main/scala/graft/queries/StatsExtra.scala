@@ -215,6 +215,36 @@ object StatsExtra {
     Tables(spark, dir, "documents")
       .select(explode(TextOps.tokens(col("text"))).as("token"))
 
+  /** Per-source KMV sketches of the token vocabulary, shared by both
+    * sketch queries ([[graft.operators.KmvSketch]]), k = 64.
+    */
+  private def kmvSketches(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.KmvSketch.sketch(
+      Tables(spark, dir, "documents")
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("w")),
+      "source", col("w"), k = 64)
+
+  /** Per-source distinct-vocabulary KMV estimate next to the exact
+    * count — oracle-checked down to the ESTIMATOR value (DuckDB
+    * replays the identical k-th-min arithmetic), not just the shape.
+    */
+  def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.KmvSketch
+    kmvSketches(spark, dir)
+      .select(col("source"), col("n_exact"),
+        round(KmvSketch.estimate(col("mins"), 64), 4).as("est_distinct"))
+      .orderBy("source")
+  }
+
+  /** Pairwise source vocabulary overlap from the sketches ALONE —
+    * the corpora are never joined; set algebra runs on #sources^2/2
+    * rows of 64 longs. The scale story: cross-dataset contamination /
+    * overlap matrices at 100 TB cost one sketch pass per corpus.
+    */
+  def kmvOverlap(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.KmvSketch.overlap(kmvSketches(spark, dir), "source", 64)
+      .orderBy("src_a", "src_b")
+
   /** Heavy hitters via Misra-Gries candidates + exact recount
     * (HeavyHitters.exactTopK). Equals the unbounded groupBy top-k —
     * the oracle — while every stage stays candidate-bounded.
@@ -424,7 +454,9 @@ ORDER BY cnt DESC, token""")
     "dedup_edit_distance" -> editDistancePairs,
     "agg_theta_setops" -> thetaSetOps,
     "text_heavy_topk" -> heavyTopK,
-    "text_heavy_topk_cms" -> heavyTopKCms)
+    "text_heavy_topk_cms" -> heavyTopKCms,
+    "sketch_kmv_distinct" -> kmvDistinct,
+    "sketch_kmv_overlap" -> kmvOverlap)
 
   private val heavyTopKSql =
     raw"""WITH tok AS (
@@ -434,7 +466,55 @@ ORDER BY cnt DESC, token""")
 SELECT item, count(*) AS %CNT% FROM tok WHERE item <> ''
 GROUP BY item ORDER BY count(*) DESC, item LIMIT 15"""
 
+  private val kmvHashCte =
+    raw"""WITH tok AS (
+  SELECT source, unnest(list_filter(string_split_regex(lower(
+    regexp_replace(text, '[^a-zA-Z ]', ' ', 'g')), '\s+'),
+    w -> w <> '')) AS w
+  FROM documents
+), h AS (
+  SELECT DISTINCT source,
+    CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS hv
+  FROM tok
+), r AS (
+  SELECT source, hv,
+    row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+  FROM h
+)"""
+
   val oracle: Map[String, String] = Map(
+    "sketch_kmv_distinct" -> (kmvHashCte + raw""",
+g AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_exact,
+    max(CASE WHEN rn = 64 THEN hv END) AS kth
+  FROM r GROUP BY source
+)
+SELECT source, n_exact,
+  round(CASE WHEN n_exact < 64 THEN CAST(n_exact AS DOUBLE)
+    ELSE 63.0 * 1152921504606846976.0 / CAST(kth AS DOUBLE) END, 4)
+    AS est_distinct
+FROM g ORDER BY source"""),
+    "sketch_kmv_overlap" -> (kmvHashCte + raw""",
+g AS (
+  SELECT source, list(hv ORDER BY hv) FILTER (WHERE rn <= 64) AS l
+  FROM r GROUP BY source
+), p AS (
+  SELECT a.source AS src_a, b.source AS src_b, a.l AS la, b.l AS lb
+  FROM g a JOIN g b ON a.source < b.source
+), u AS (
+  SELECT src_a, src_b, la, lb,
+    list_slice(list_sort(list_distinct(list_concat(la, lb))), 1, 64) AS uni
+  FROM p
+)
+SELECT src_a, src_b,
+  round(CAST(len(list_intersect(uni, list_intersect(la, lb))) AS DOUBLE)
+    / len(uni), 4) AS jaccard_est,
+  round(CAST(len(list_intersect(uni, list_intersect(la, lb))) AS DOUBLE)
+    / len(uni) *
+    CASE WHEN len(uni) < 64 THEN CAST(len(uni) AS DOUBLE)
+      ELSE 63.0 * 1152921504606846976.0 / CAST(uni[64] AS DOUBLE) END, 4)
+    AS inter_est
+FROM u ORDER BY src_a, src_b"""),
     "sample_uniform_k" ->
       """SELECT doc_id, source, n_chars FROM (
   SELECT doc_id, source, n_chars FROM documents

@@ -29,6 +29,12 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(observed("5_near_dedup") == nOut)
   }
 
+  test("funnelObserved is row-for-row identical to the dedicated funnel pass") {
+    val a = CorpusPipeline.funnelObserved(docs).orderBy("stage").collect().toSeq
+    val b = CorpusPipeline.funnel(docs).orderBy("stage").collect().toSeq
+    assert(a == b, s"observed=$a dedicated=$b")
+  }
+
   test("prepared corpus is english-only and free of near-dups") {
     val prepared = CorpusPipeline.prepare(docs)
     assert(prepared.select("lang").distinct().collect()
