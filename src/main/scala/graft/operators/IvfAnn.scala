@@ -167,6 +167,57 @@ object IvfAnn {
       .orderBy("qid", "rank")
   }
 
+  /** Approximate kNN JOIN / kNN graph: top-k corpus neighbors for
+    * EVERY vector of `queries` (often the corpus itself) — the
+    * all-rows ANN join behind kNN graphs (semantic-dedup clustering,
+    * label propagation, graph diversity sampling). Unlike [[ivfTopK]]
+    * (queries broadcast — right when the probe set is a small lookup
+    * list), BOTH sides here are unbounded: candidates come from a
+    * SHUFFLE equi-join on list_id (corpus assigned once, queries
+    * explode to their nprobe nearest lists, both sides co-partition on
+    * the list key), and the per-query top-k is the map-side-combining
+    * typed [[graft.functions.TopKAggregator]], so at most k rows per
+    * (partition, query) reach the final shuffle — never a window over
+    * the full candidate fan-out, never a broadcast of an unbounded
+    * side. With nprobe = nlist the probe covers every list, so the
+    * result equals the exact brute-force graph (IvfAnnSpec pins this);
+    * smaller nprobe trades recall for touching ~nprobe/nlist of the
+    * corpus per query.
+    */
+  def knnJoin(corpus0: DataFrame, queries0: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, sampleMod: Int = 0): DataFrame = {
+    val corpus = VectorOps.requireVectors(corpus0, "corpus")
+    val queries = VectorOps.requireVectors(queries0, "queries")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cs = trainCentroids(corpus, nlist, sampleMod)
+    val assigned = corpus.select(
+      col("vec_id"), col("embedding"),
+      VectorOps.norm(col("embedding")).as("nrm"),
+      assignUdf(cs)(col("embedding")).as("list_id"))
+    val probes = queries.select(
+      col("vec_id").as("qid"), col("embedding").as("qemb"),
+      VectorOps.norm(col("embedding")).as("qnrm"),
+      explode(probeUdf(cs, nprobe)(col("embedding"))).as("list_id"))
+    val sims = assigned.join(probes, Seq("list_id"))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(VectorOps.dot(col("qemb"), col("embedding")) /
+          (col("qnrm") * col("nrm")), 6).as("sim"))
+    val agg = new graft.functions.TopKAggregator(k)
+    sims.as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => graft.functions.ScoredId(r._2, r._3))
+      .agg(agg.toColumn)
+      .flatMap { case (qid, top) =>
+        top.iterator.zipWithIndex.map { case (s, i) =>
+          (qid, s.id, s.sim, (i + 1).toLong)
+        }
+      }
+      .toDF("qid", "vec_id", "sim", "rank")
+      .orderBy("qid", "rank")
+  }
+
   /** IVF top-k: assign corpus once, probe nprobe lists per query,
     * exact cosine rerank. Candidate join carries ids + list id only.
     */

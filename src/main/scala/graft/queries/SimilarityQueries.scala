@@ -28,6 +28,18 @@ object SimilarityQueries {
     graft.operators.IvfAnn.ivfTopK(
       Tables(spark, dir, "embeddings"), queriesSubset(spark, dir), k = 5)
 
+  /** Full kNN graph over the embedding table via the shuffle-
+    * partitioned ANN join ([[graft.operators.IvfAnn.knnJoin]] — no
+    * broadcast of either side, map-side-combining top-k). Probing all
+    * nlist lists makes the result EXACTLY the brute-force graph, so
+    * the driver oracle checks the join machinery end to end; the
+    * pruned (nprobe < nlist) recall path is pinned in IvfAnnSpec.
+    */
+  def knnGraph(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.IvfAnn.knnJoin(
+      Tables(spark, dir, "embeddings"), Tables(spark, dir, "embeddings"),
+      k = 5, nlist = 8, nprobe = 8)
+
   def annLshTopK(spark: SparkSession, dir: String): DataFrame =
     Similarity.annLshTopK(
       Tables(spark, dir, "embeddings"), queriesSubset(spark, dir), k = 5)
@@ -132,6 +144,7 @@ object SimilarityQueries {
     "sim_cosine_topk_agg" -> cosineTopKAgg,
     "sim_hard_negatives" -> hardNegatives,
     "sim_mmr_topk" -> mmrTopK,
+    "sim_knn_graph" -> knnGraph,
     "sim_ann_lsh_topk" -> annLshTopK,
     "sim_ann_ivf_topk" -> annIvfTopK,
     "sim_ann_pq_topk" -> annPqTopK,
@@ -237,6 +250,21 @@ ORDER BY qid, rank""",
 SELECT qid, vec_id, sim, rank FROM ranked WHERE rank <= 5
 ORDER BY qid, rank"""
   ) ++ Map(
+    // all-lists probe == exact brute-force graph, so plain SQL is the oracle
+    "sim_knn_graph" ->
+      s"""WITH pairs AS (
+  SELECT q.vec_id AS qid, e.vec_id,
+    round(${dotSql("q.embedding", "e.embedding")} /
+      (sqrt(${dotSql("q.embedding", "q.embedding")}) *
+       sqrt(${dotSql("e.embedding", "e.embedding")})), 6) AS sim
+  FROM embeddings q, embeddings e WHERE e.vec_id <> q.vec_id
+), ranked AS (
+  SELECT qid, vec_id, sim,
+    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+  FROM pairs
+)
+SELECT qid, vec_id, sim, rank FROM ranked WHERE rank <= 5
+ORDER BY qid, rank""") ++ Map(
     // identical semantics via the typed aggregator — same oracle shape
     "sim_cosine_topk_agg" ->
       s"""WITH q AS (
