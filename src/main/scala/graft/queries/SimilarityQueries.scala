@@ -38,7 +38,7 @@ object SimilarityQueries {
   def knnGraph(spark: SparkSession, dir: String): DataFrame =
     graft.operators.IvfAnn.knnJoin(
       Tables(spark, dir, "embeddings"), Tables(spark, dir, "embeddings"),
-      k = 5, nlist = 8, nprobe = 8)
+      k = 5, nlist = 64, nprobe = 64, sampleMod = 4)
 
   def annLshTopK(spark: SparkSession, dir: String): DataFrame =
     Similarity.annLshTopK(
