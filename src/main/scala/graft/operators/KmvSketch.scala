@@ -78,6 +78,38 @@ object KmvSketch {
       .otherwise(lit((k - 1).toDouble) * lit(HashSpace) /
         element_at(mins, k).cast("double"))
 
+  /** Persist per-group sketches: (group, mins) parquet. The whole
+    * state is #groups x k longs — the operational win of a sketch
+    * index: incremental distinct/overlap over a 100 TB corpus costs
+    * one bounded-size merge per ingest batch, never a corpus re-scan.
+    */
+  def writeSketches(df: DataFrame, groupCol: String, valueCol: Column,
+      k: Int, dir: String): Unit =
+    sketch(df, groupCol, valueCol, k)
+      .select(col(groupCol), col("mins"))
+      .write.mode("overwrite").parquet(dir)
+
+  /** Fold a new batch into a persisted sketch table. K-min-of-union is
+    * associative and commutative, so any batch chopping yields the
+    * SAME state as a one-shot build over all data (StreamingKmvSpec
+    * pins exact equality) — this is what makes the sketch safe to
+    * maintain from foreachBatch on a stream. The merged state is
+    * localCheckpoint-materialized before the overwrite so the read and
+    * the write of `dir` never race.
+    */
+  def mergeInto(batch: DataFrame, groupCol: String, valueCol: Column,
+      k: Int, dir: String): Unit = {
+    val spark = batch.sparkSession
+    val kmin = udaf(new KMinAgg(k), Encoders.scalaLong)
+    val oldHv = spark.read.parquet(dir)
+      .select(col(groupCol), explode(col("mins")).as("hv"))
+    val newHv = batch.select(col(groupCol), hash60(valueCol).as("hv"))
+    val merged = oldHv.union(newHv).distinct()
+      .groupBy(groupCol).agg(kmin(col("hv")).as("mins"))
+      .localCheckpoint(true)
+    merged.write.mode("overwrite").parquet(dir)
+  }
+
   /** Pairwise overlap between all group sketches: union two sketches
     * (merge, keep k smallest), estimate the union size, estimate
     * Jaccard as the fraction of the union sketch present in BOTH

@@ -227,6 +227,48 @@ class PlanGuardSpec extends SparkSpec {
     assert(aggs >= 4, s"expected partial+final max_by pairs, saw $aggs agg nodes")
   }
 
+  test("sim_knn_graph: heap top-k below exchange, no window, no cross join") {
+    val ns = nodes(graft.queries.SimilarityQueries.knnGraph(spark, sfDir))
+    assert(ns.exists(_.isInstanceOf[
+        org.apache.spark.sql.graftx.TopKPerKeyPartialExec]) &&
+      ns.exists(_.isInstanceOf[
+        org.apache.spark.sql.graftx.TopKPerKeyFinalExec]),
+      "per-query top-k must be the native bounded-heap pair")
+    assert(!ns.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.window.WindowExec]),
+      "no window sort over the candidate fan-out")
+    assert(!ns.exists(p =>
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec] ||
+        p.isInstanceOf[
+          org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      "candidates must come from the list_id equi-join, never a cross join")
+  }
+
+  test("pipeline_dsir_weights: consumers read the checkpoint, aggs combine map-side") {
+    val ns = nodes(graft.queries.PipelineQueries.dsirWeights(spark, sfDir))
+    assert(ns.count(_.isInstanceOf[FileSourceScanExec]) === 0,
+      "distribution fit and weight join must share the one checkpointed " +
+        "tokenize pass, never re-scan the corpus")
+    assert(ns.count(_.isInstanceOf[HashAggregateExec]) >= 2,
+      "bucket counts and weights must aggregate partial+final")
+    assert(!ns.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.window.WindowExec]),
+      "no window operator anywhere in the weight computation")
+  }
+
+  test("sketch_kmv_distinct: map-side-combining sketch agg, no window sort") {
+    val ns = nodes(graft.queries.StatsExtra.kmvDistinct(spark, sfDir))
+    val aggs = ns.count(p => p.isInstanceOf[HashAggregateExec] ||
+      p.isInstanceOf[org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec] ||
+      p.isInstanceOf[org.apache.spark.sql.execution.aggregate.SortAggregateExec])
+    assert(aggs >= 4,
+      s"distinct + sketch build must both run partial+final, saw $aggs")
+    assert(!ns.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.window.WindowExec]),
+      "the k-th-min must come from the bounded k-min buffers, not a " +
+        "per-group window sort (the oracle's formulation)")
+  }
+
   test("context windows: row-local generator, no exchange") {
     val df = graft.pipeline.CorpusPipeline.contextWindows(
       Tables(spark, sfDir, "documents"), winSize = 16, stride = 8)
