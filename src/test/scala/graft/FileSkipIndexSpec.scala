@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{FileSkipIndex, ZOrder}
+
+/** File-skipping index over a Z-order-clustered layout: pruned reads
+  * must equal the full-scan filter exactly, and the clustered layout
+  * must actually let ranges skip files (that is the point of pairing
+  * the index with ZOrder.clusterWrite).
+  */
+class FileSkipIndexSpec extends SparkSpec {
+
+  private lazy val li = Tables(spark, sfDir, "lineitem")
+    .select("l_orderkey", "l_partkey", "l_extendedprice", "l_quantity")
+
+  test("pruned range read == full-scan filter; clustered ranges skip files") {
+    val dataDir = Files.createTempDirectory("skip-data").toString
+    val idxDir = Files.createTempDirectory("skip-idx").toString
+    ZOrder.clusterWrite(li, "l_extendedprice", "l_quantity",
+      numFiles = 16, path = dataDir)
+    FileSkipIndex.writeIndex(spark, dataDir,
+      Seq("l_extendedprice", "l_quantity"), idxDir)
+
+    val (lo, hi) = (1000.0, 2000.0)
+    val pruned = FileSkipIndex.prunedRead(spark, dataDir, idxDir,
+        "l_extendedprice", lo, hi)
+      .orderBy("l_orderkey", "l_partkey", "l_extendedprice")
+      .collect().toSeq
+    val full = spark.read.parquet(dataDir)
+      .where(col("l_extendedprice").between(lo, hi))
+      .orderBy("l_orderkey", "l_partkey", "l_extendedprice")
+      .collect().toSeq
+    assert(pruned == full)
+    assert(full.nonEmpty, "test range must select something")
+
+    val (touched, total) = FileSkipIndex.pruneStats(spark, idxDir,
+      "l_extendedprice", lo, hi)
+    assert(total == 16)
+    assert(touched < total / 2,
+      s"clustered layout should skip most files: touched $touched/$total")
+    // the second clustered dimension skips too (z-order, not a sort)
+    val (tq, _) = FileSkipIndex.pruneStats(spark, idxDir,
+      "l_quantity", 1.0, 5.0)
+    assert(tq < total,
+      s"secondary dimension should also skip: touched $tq/$total")
+  }
+
+  test("empty-range prune reads nothing but keeps the schema") {
+    val dataDir = Files.createTempDirectory("skip-data2").toString
+    val idxDir = Files.createTempDirectory("skip-idx2").toString
+    ZOrder.clusterWrite(li, "l_extendedprice", "l_quantity", 4, dataDir)
+    FileSkipIndex.writeIndex(spark, dataDir, Seq("l_extendedprice"), idxDir)
+    val out = FileSkipIndex.prunedRead(spark, dataDir, idxDir,
+      "l_extendedprice", -2.0, -1.0)
+    assert(out.count() == 0)
+    assert(out.schema.fieldNames.contains("l_quantity"))
+  }
+}
