@@ -640,7 +640,42 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Per-document trigram novelty in corpus (doc_id) order — diversity
+    * accounting: how many of a document's trigram TYPES appear here
+    * first vs were already contributed by an earlier document. The
+    * standard "is the tail of this corpus still adding content"
+    * curation readout (a falling novelty curve says later sources are
+    * re-treading earlier ones).
+    *
+    * Scale shape: ONE tokenize pass builds the distinct (doc, gram)
+    * type table (checkpointed — the first-occurrence election and the
+    * per-doc readout both consume it); the election is a map-side-
+    * combining min agg per gram; the join back is co-partitioned on
+    * the gram key with no broadcast hint (a web-scale gram vocabulary
+    * is not small; AQE broadcasts when it actually is).
+    */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val types = Tables(spark, dir, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+      .where(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws) - 3), " +
+          "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")).as("g"))
+      .distinct()
+      .localCheckpoint(true)
+    val first = types.groupBy("g").agg(min("doc_id").as("first_doc"))
+    types.join(first, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_gram_types"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_gram_types"), 4))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_ngram_novelty" -> ngramNovelty,
     "text_ulm_vocab" -> ulmVocab,
     "text_ulm_encode" -> ulmEncode,
     "text_hashed_features" -> hashedFeatures,
@@ -837,6 +872,21 @@ WHERE c_ab >= 5
 ORDER BY pmi DESC, w1, w2 LIMIT 20"""
 
   val oracle: Map[String, String] = Map(
+    "text_ngram_novelty" ->
+      raw"""WITH tok AS (
+  SELECT doc_id, list_filter($tokSql, w -> w <> '') AS ws FROM documents
+), tri AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+  FROM tok, unnest(range(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 3
+), types AS (SELECT DISTINCT doc_id, g FROM tri),
+firsts AS (SELECT g, min(doc_id) AS first_doc FROM types GROUP BY 1)
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_gram_types,
+  CAST(sum(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_novel,
+  round(CAST(sum(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END)
+    AS DOUBLE) / count(*), 4) AS novelty
+FROM types t JOIN firsts f USING (g)
+GROUP BY 1 ORDER BY 1""",
     "text_hashed_features" ->
       raw"""WITH tok AS (
   SELECT doc_id, unnest(list_filter($tokSql, w -> w <> '')) AS w
