@@ -73,6 +73,40 @@ class ScaleRehearsalSpec extends SparkSpec {
     assert(t < 180.0, f"fuzzy join took $t%.1fs — unbounded?")
   }
 
+  test("knnJoin at 10x vectors: pruned probe stays bounded, recall holds") {
+    import graft.operators.IvfAnn
+    // 10x the sf0.01 embedding table: perturbed replicas in disjoint
+    // id ranges (same construction as docs10 — near-neighbor structure
+    // survives so recall is measurable, cardinality is 10x)
+    val base = Tables(spark, "/root/testdata/sf0.01", "embeddings")
+      .select("vec_id", "embedding")
+    val emb10 = (0 until 10).map { r =>
+      base.select(
+        (col("vec_id") + lit(r * 10000000L)).as("vec_id"),
+        expr(s"transform(embedding, (x, i) -> " +
+          s"x + float(0.001) * float($r) * float(if(i % 2 = 0, 1, -1)))")
+          .cast("array<float>").as("embedding"))
+    }.reduce(_ unionByName _).localCheckpoint(true)
+    val n = emb10.count()
+    val (rows, t) = timed {
+      IvfAnn.knnJoin(emb10, emb10, k = 5, nlist = 64, nprobe = 8,
+        sampleMod = 10).count()
+    }
+    info(f"10x knn graph: $n vectors, $rows edges in $t%.1fs " +
+      "(nprobe/nlist = 8/64 — candidates ~1/8 of brute force)")
+    assert(rows == n * 5, "every vector must get k neighbors")
+    assert(t < 180.0, f"pruned knn graph took $t%.1fs — unbounded?")
+    // replicas of the same base vector are near-identical: the pruned
+    // graph must still surface replica neighbors for most queries
+    val sameBase = IvfAnn.knnJoin(emb10, emb10, k = 5, nlist = 64,
+        nprobe = 8, sampleMod = 10)
+      .where(pmod(col("qid"), lit(10000000L)) ===
+        pmod(col("vec_id"), lit(10000000L)))
+      .select("qid").distinct().count()
+    assert(sameBase > n / 2,
+      s"only $sameBase/$n queries kept a replica neighbor — recall collapsed?")
+  }
+
   test("dedupAgainstIndex at 10x: batch probe is batch-sized work") {
     val idx = java.nio.file.Files
       .createTempDirectory("graft-rehearsal-lsh").toString
