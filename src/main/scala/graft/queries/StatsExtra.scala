@@ -245,6 +245,47 @@ object StatsExtra {
     graft.operators.KmvSketch.overlap(kmvSketches(spark, dir), "source", 64)
       .orderBy("src_a", "src_b")
 
+  /** Exact tie-handled AUC (Mann-Whitney midranks) of the quality-logit
+    * classifier against the English label — the standard filter-model
+    * evaluation, computed DISTRIBUTED with no global sort or
+    * partition-less window: rows collapse to distinct-score groups
+    * (one hash agg), cumulative-count-below comes from the bucketed
+    * prefix sum (per-bucket partials -> tiny offset window ->
+    * within-bucket cumsum), and AUC reads off one final aggregation.
+    * Every midrank term is a half-integer, so double summation is
+    * EXACT in any order — AUC is bit-deterministic and the DuckDB
+    * oracle (a plain window-rank formulation) replays it to the last
+    * bit. Scale: shuffles are score-cardinality-sized, never row-sized.
+    */
+  def statsAuc(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (_, logit) = TextQueries.qualityLogit
+    val g = Tables(spark, dir, "documents")
+      .select(logit.as("s"), (col("lang") === "en").as("y"))
+      .groupBy("s").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("np"))
+      .withColumn("_b", floor(col("s") * 4).cast("long"))
+      .localCheckpoint(true) // offsets + readout share one evaluation
+    val off = g.groupBy("_b").agg(sum("n").as("_bn"))
+      .withColumn("_off", coalesce(sum("_bn").over(
+        Window.orderBy("_b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_b", "_off")
+    val ranked = g.join(broadcast(off), "_b")
+      .withColumn("_cum", sum("n").over(
+        Window.partitionBy("_b").orderBy("s")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cb", col("_off") + col("_cum") - col("n"))
+    ranked.agg(
+      sum("np").cast("long").as("n_pos"),
+      (sum("n") - sum("np")).cast("long").as("n_neg"),
+      round(
+        (sum(col("np") * (col("cb") + (col("n") + lit(1.0)) / 2)) -
+          sum("np") * (sum("np") + lit(1.0)) / 2) /
+          (sum("np") * (sum("n") - sum("np"))), 6).as("auc"))
+  }
+
   /** Heavy hitters via Misra-Gries candidates + exact recount
     * (HeavyHitters.exactTopK). Equals the unbounded groupBy top-k —
     * the oracle — while every stage stays candidate-bounded.
@@ -456,7 +497,8 @@ ORDER BY cnt DESC, token""")
     "text_heavy_topk" -> heavyTopK,
     "text_heavy_topk_cms" -> heavyTopKCms,
     "sketch_kmv_distinct" -> kmvDistinct,
-    "sketch_kmv_overlap" -> kmvOverlap)
+    "sketch_kmv_overlap" -> kmvOverlap,
+    "stats_auc" -> statsAuc)
 
   private val heavyTopKSql =
     raw"""WITH tok AS (
@@ -483,6 +525,26 @@ GROUP BY item ORDER BY count(*) DESC, item LIMIT 15"""
 )"""
 
   val oracle: Map[String, String] = Map(
+    "stats_auc" ->
+      s"""WITH ql AS (
+  ${TextQueries.qualityLogitCteSql}
+), lab AS (
+  SELECT ql.quality_logit AS s, (d.lang = 'en') AS y
+  FROM documents d JOIN ql ON d.doc_id = ql.doc_id
+), g AS (
+  SELECT s, count(*) AS n, sum(CASE WHEN y THEN 1 ELSE 0 END) AS np
+  FROM lab GROUP BY 1
+), r AS (
+  SELECT s, n, np, COALESCE(sum(n) OVER (ORDER BY s
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM g
+)
+SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+  CAST(sum(n - np) AS BIGINT) AS n_neg,
+  round((sum(np * (cb + (n + 1.0) / 2)) -
+      sum(np) * (sum(np) + 1.0) / 2) /
+    (sum(np) * (sum(n) - sum(np))), 6) AS auc
+FROM r""",
     "sketch_kmv_distinct" -> (kmvHashCte + raw""",
 g AS (
   SELECT source, CAST(count(*) AS BIGINT) AS n_exact,
