@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -286,6 +286,49 @@ object StatsExtra {
           (sum("np") * (sum("n") - sum("np"))), 6).as("auc"))
   }
 
+  /** Poisson-bootstrap confidence interval for a corpus mean (mean
+    * chars/doc) — the distributed-bootstrap formulation (Chamandy et
+    * al., Google 2012): each row contributes an independent Poisson(1)
+    * weight per replicate, so R resampled estimates ride ONE scan as
+    * R weighted-sum aggregate pairs (map-side combining) — no
+    * row-replication explode, no R x corpus shuffle, no reseeded
+    * re-scans. The weights inverse-CDF a seedless md5 hash stream
+    * (the repo's cross-engine randomness construction), weighted sums
+    * of integers stay exact in doubles, and the replicate means sort
+    * in a 40-element array — so the whole CI is bit-deterministic and
+    * fully oracle-checked, not a "statistics are close" test.
+    */
+  def statsBootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    val R = 40
+    def u(r: Int): Column =
+      conv(substring(md5(concat(lit(s"bs$r:"),
+        col("doc_id").cast("string"))), 1, 13), 16, 10)
+        .cast("long").cast("double") / lit(4503599627370496.0) // 2^52
+    def w(r: Int): Column = {
+      val uu = u(r)
+      when(uu < 0.36787944117144233, 0.0)
+        .when(uu < 0.7357588823428847, 1.0)
+        .when(uu < 0.9196986029286058, 2.0)
+        .when(uu < 0.9810118431238462, 3.0)
+        .when(uu < 0.9963401531726563, 4.0)
+        .when(uu < 0.9994058151824183, 5.0)
+        .otherwise(6.0)
+    }
+    val x = col("n_chars").cast("double")
+    val aggs = (0 until R).flatMap(r =>
+      Seq(sum(w(r) * x).as(s"_sx$r"), sum(w(r)).as(s"_sw$r")))
+    val means = array((0 until R).map(r =>
+      col(s"_sx$r") / col(s"_sw$r")): _*)
+    val allAggs = (sum(x) / count(lit(1))).as("_mean") +: aggs
+    Tables(spark, dir, "documents")
+      .agg(count(lit(1)).as("n_docs"), allAggs: _*)
+      .withColumn("_m", array_sort(means))
+      .select(col("n_docs"),
+        round(col("_mean"), 6).as("mean_chars"),
+        round(element_at(col("_m"), 2), 6).as("ci_lo"),
+        round(element_at(col("_m"), R - 1), 6).as("ci_hi"))
+  }
+
   /** Heavy hitters via Misra-Gries candidates + exact recount
     * (HeavyHitters.exactTopK). Equals the unbounded groupBy top-k —
     * the oracle — while every stage stays candidate-bounded.
@@ -498,7 +541,8 @@ ORDER BY cnt DESC, token""")
     "text_heavy_topk_cms" -> heavyTopKCms,
     "sketch_kmv_distinct" -> kmvDistinct,
     "sketch_kmv_overlap" -> kmvOverlap,
-    "stats_auc" -> statsAuc)
+    "stats_auc" -> statsAuc,
+    "stats_bootstrap_ci" -> statsBootstrapCi)
 
   private val heavyTopKSql =
     raw"""WITH tok AS (
@@ -524,7 +568,38 @@ GROUP BY item ORDER BY count(*) DESC, item LIMIT 15"""
   FROM h
 )"""
 
+  private val bootstrapCiSql: String = {
+    val R = 40
+    def uSql(r: Int) =
+      s"(CAST('0x' || substr(md5('bs$r:' || CAST(doc_id AS VARCHAR)), " +
+        "1, 13) AS BIGINT) / 4503599627370496.0)"
+    def wSql(r: Int) =
+      s"""CASE WHEN ${uSql(r)} < 0.36787944117144233 THEN 0.0
+    WHEN ${uSql(r)} < 0.7357588823428847 THEN 1.0
+    WHEN ${uSql(r)} < 0.9196986029286058 THEN 2.0
+    WHEN ${uSql(r)} < 0.9810118431238462 THEN 3.0
+    WHEN ${uSql(r)} < 0.9963401531726563 THEN 4.0
+    WHEN ${uSql(r)} < 0.9994058151824183 THEN 5.0
+    ELSE 6.0 END"""
+    val sums = (0 until R).map(r =>
+      s"sum((${wSql(r)}) * CAST(n_chars AS DOUBLE)) AS sx$r,\n" +
+        s"    sum(${wSql(r)}) AS sw$r").mkString(",\n    ")
+    val meansList = (0 until R).map(r => s"sx$r / sw$r").mkString(", ")
+    s"""WITH g AS (
+  SELECT count(*) AS n_docs,
+    sum(CAST(n_chars AS DOUBLE)) / count(*) AS mean_chars,
+    $sums
+  FROM documents
+)
+SELECT CAST(n_docs AS BIGINT) AS n_docs,
+  round(mean_chars, 6) AS mean_chars,
+  round(list_sort([$meansList])[2], 6) AS ci_lo,
+  round(list_sort([$meansList])[${R - 1}], 6) AS ci_hi
+FROM g"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "stats_bootstrap_ci" -> bootstrapCiSql,
     "stats_auc" ->
       s"""WITH ql AS (
   ${TextQueries.qualityLogitCteSql}
