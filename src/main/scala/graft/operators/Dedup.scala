@@ -135,6 +135,47 @@ object Dedup {
     verifyJaccard(cand, sh, threshold, verifyBroadcast)
   }
 
+  /** Blocking-quality audit for the inverted-index candidate strategy:
+    * one row of the numbers every entity-resolution deployment tracks —
+    * how many candidate pairs blocking admitted vs the quadratic
+    * all-pairs space (reduction ratio), and what fraction survived
+    * exact verification (pairs quality / precision). The candidate
+    * chain is IDENTICAL to [[jaccardPairs]]; counts are three bounded
+    * actions over checkpointed intermediates (shingle table + candidate
+    * ids), never a re-tokenize per count. The readout arithmetic runs
+    * driver-side on the collected scalars with the exact IEEE op order
+    * the DuckDB oracle uses, so the query hash-checks.
+    */
+  def blockingAudit(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, dfCap: Int = 50, minShared: Int = 1): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = shingled(docs, idCol, textCol).localCheckpoint(true)
+    val ex = sh.select(col("doc_id"), explode(col("shs")).as("s"))
+    val rare = ex.groupBy("s").agg(count(lit(1)).as("df"))
+      .where(col("df") <= dfCap && col("df") >= 2)
+    val exc = ex.join(broadcast(rare.select("s")), "s")
+      .repartition(col("s"))
+    val cand = exc.as("a").join(exc.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .agg(count(lit(1)).as("_shared"))
+      .where(col("_shared") >= minShared)
+      .select("ida", "idb")
+      .localCheckpoint(true)
+    val nd = sh.count()
+    val nc = cand.count()
+    val nv = verifyJaccard(cand, sh, threshold).count()
+    val allPairs = nd.toDouble * (nd - 1).toDouble / 2.0
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((nd, nc, nv,
+        r6(1.0 - nc.toDouble / allPairs),
+        r6(nv.toDouble / nc.toDouble)))
+      .toDF("n_docs", "n_candidates", "n_verified",
+        "reduction_ratio", "pairs_quality")
+  }
+
   /** MinHash-LSH near-dup pairs: band the signature (native codegen
     * expression [[org.apache.spark.sql.graftx.MinHashBands]] — seeded
     * permutations baked into the plan, no UDF serde), bucket-join,

@@ -36,6 +36,14 @@ object DedupQueries {
   def shingleJaccard(spark: SparkSession, dir: String): DataFrame =
     sharedPairs(spark, dir).orderBy("ida", "idb")
 
+  /** Blocking economics of the shared pair graph's parameters:
+    * reduction ratio vs all-pairs and verification precision — the
+    * numbers that justify (or indict) a blocking configuration.
+    */
+  def blockingAudit(spark: SparkSession, dir: String): DataFrame =
+    Dedup.blockingAudit(Tables(spark, dir, "documents"),
+      "doc_id", "text", threshold = 0.2, dfCap = 50, minShared = 2)
+
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(Tables(spark, dir, "documents"),
         "doc_id", "text", threshold = 0.5)
@@ -295,6 +303,7 @@ object DedupQueries {
     "dedup_survivors_quality" -> survivorsQuality,
     "dedup_exact_md5" -> exactMd5,
     "dedup_shingle_jaccard" -> shingleJaccard,
+    "dedup_blocking_audit" -> blockingAudit,
     "dedup_minhash_lsh" -> minhashLsh,
     "dedup_simhash" -> simhashPairs)
 
@@ -584,6 +593,17 @@ FROM documents GROUP BY md5(text) ORDER BY digest""",
       raw"""WITH $pairsCte
 SELECT ida, idb, jaccard FROM verified WHERE jaccard >= 0.2
 ORDER BY ida, idb""",
+    "dedup_blocking_audit" ->
+      raw"""WITH $pairsCte
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM sh) AS n_docs,
+  (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+  (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_verified,
+  round(1.0 - (SELECT CAST(count(*) AS DOUBLE) FROM cand) /
+    ((SELECT CAST(count(*) AS DOUBLE) FROM sh) *
+     ((SELECT CAST(count(*) AS BIGINT) FROM sh) - 1) / 2.0), 6)
+    AS reduction_ratio,
+  round((SELECT CAST(count(*) AS DOUBLE) FROM pairs) /
+    (SELECT CAST(count(*) AS DOUBLE) FROM cand), 6) AS pairs_quality""",
     "dedup_components" ->
       raw"""WITH RECURSIVE $compCte
 SELECT doc_id, component FROM comp ORDER BY doc_id""",
