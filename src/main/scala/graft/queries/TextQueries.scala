@@ -674,7 +674,52 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    * are maximal stopword-free token runs; each word scores
+    * degree/freq over phrase instances (degree = summed length of the
+    * phrases it appears in), and a phrase scores the sum of its words'
+    * scores — the classic no-model keyphrase ranker, top 30 phrase
+    * types.
+    *
+    * Scale shape: the phrase segmentation is a PER-DOCUMENT window
+    * (running stopword count partitioned by doc_id — never global),
+    * word stats are one hash agg over phrase-word instances, and the
+    * phrase score joins word stats back on the word key with no
+    * broadcast hint. Top-30 executes as TakeOrdered.
+    */
+  def rakeTopK(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))))
+      .toDF("doc_id", "pos", "w")
+    val grouped = toks
+      .withColumn("_stop", col("w").isin(stop.map(s => s: Any): _*))
+      .withColumn("grp", sum(when(col("_stop"), 1L).otherwise(0L)).over(
+        Window.partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .where(!col("_stop"))
+      .localCheckpoint(true) // word stats + phrase rebuild share it
+    val phrases = grouped.groupBy("doc_id", "grp")
+      .agg(count(lit(1)).as("plen"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          s => s.getField("w"))).as("phrase"))
+    val wordStats = grouped
+      .join(phrases.select("doc_id", "grp", "plen"), Seq("doc_id", "grp"))
+      .groupBy("w").agg(count(lit(1)).as("freq"), sum("plen").as("degree"))
+    grouped
+      .join(phrases, Seq("doc_id", "grp"))
+      .join(wordStats, "w")
+      .groupBy("phrase")
+      .agg((count(lit(1)) / max("plen")).cast("long").as("n_occurrences"),
+        round(sum(col("degree").cast("double") / col("freq")) /
+          (count(lit(1)) / max("plen")), 4).as("score"))
+      .orderBy(col("score").desc, col("phrase"))
+      .limit(30)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_rake_topk" -> rakeTopK,
     "text_ngram_novelty" -> ngramNovelty,
     "text_ulm_vocab" -> ulmVocab,
     "text_ulm_encode" -> ulmEncode,
@@ -872,6 +917,37 @@ WHERE c_ab >= 5
 ORDER BY pmi DESC, w1, w2 LIMIT 20"""
 
   val oracle: Map[String, String] = Map(
+    "text_rake_topk" ->
+      raw"""WITH tokl AS (
+  SELECT doc_id, list_filter($tokSql, w -> w <> '') AS ws FROM documents
+), tok AS (
+  SELECT doc_id, i AS pos, ws[i] AS w
+  FROM tokl, unnest(range(1, len(ws) + 1)) AS t(i)
+), m AS (
+  SELECT doc_id, pos, w, (w IN $stopSql) AS st FROM tok
+), g AS (
+  SELECT doc_id, pos, w, st,
+    sum(CASE WHEN st THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM m
+), pw AS (SELECT doc_id, grp, pos, w FROM g WHERE NOT st),
+ph AS (
+  SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS plen,
+    string_agg(w, ' ' ORDER BY pos) AS phrase
+  FROM pw GROUP BY 1, 2
+), wstat AS (
+  SELECT w, count(*) AS freq, sum(plen) AS degree
+  FROM pw JOIN ph USING (doc_id, grp) GROUP BY 1
+), inst AS (
+  SELECT ph.phrase, ph.plen, pw.w FROM pw JOIN ph USING (doc_id, grp)
+)
+SELECT phrase,
+  CAST(count(*) / max(plen) AS BIGINT) AS n_occurrences,
+  round(sum(CAST(degree AS DOUBLE) / freq) / (count(*) / max(plen)), 4)
+    AS score
+FROM inst JOIN wstat USING (w)
+GROUP BY phrase
+ORDER BY score DESC, phrase LIMIT 30""",
     "text_ngram_novelty" ->
       raw"""WITH tok AS (
   SELECT doc_id, list_filter($tokSql, w -> w <> '') AS ws FROM documents
