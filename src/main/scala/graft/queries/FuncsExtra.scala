@@ -344,6 +344,32 @@ object FuncsExtra {
         col("p_name").startsWith("blue").as("is_blue"))
       .orderBy("p_partkey")
 
+  /** Fourth string/date scalar wave — the Spark 4 additions plus the
+    * MySQL-compat family: dayname/monthname (3-letter names, DuckDB
+    * strftime mirrors), substring_index, overlay, elt, find_in_set,
+    * zeroifnull/nullifzero. Each has a closed-form DuckDB equivalent,
+    * so the whole row is hash-checked; all codegen built-ins, one
+    * scan, zero exchanges before the presentation sort.
+    */
+  def stringFuncs4(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .where(col("o_orderkey") % 7 === 0)
+      .select(
+        col("o_orderkey"),
+        expr("dayname(cast(o_orderdate as date))").as("dname"),
+        expr("monthname(cast(o_orderdate as date))").as("mname"),
+        substring_index(col("o_orderpriority"), "-", 1).as("prio_code"),
+        expr("overlay(o_orderpriority placing 'X' from 2 for 1)")
+          .as("overlaid"),
+        expr("elt(1 + cast(o_orderkey % 3 as int), 'alpha', 'beta', 'gamma')")
+          .as("elt_pick"),
+        expr("find_in_set(o_orderstatus, 'O,F,P')").cast("long")
+          .as("status_slot"),
+        expr("zeroifnull(nullif(o_custkey % 5, 0))").cast("long")
+          .as("cust_z"),
+        expr("nullifzero(o_custkey % 5)").cast("long").as("cust_n"))
+      .orderBy("o_orderkey")
+
   /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): nulls
     * manufactured with nullif on both sides so NULL keys MATCH each
     * other — the semantics plain `=` silently drops. Still planned as
@@ -378,6 +404,7 @@ object FuncsExtra {
     "array_explode_outer" -> explodeOuterFuncs,
     "join_null_safe" -> joinNullSafe,
     "string_funcs3" -> stringFuncs3,
+    "string_funcs4" -> stringFuncs4,
     "agg_minmax_by" -> minmaxBy,
     "agg_corr_regr" -> corrFuncs,
     "xml_roundtrip" -> xmlRoundtrip,
@@ -418,6 +445,21 @@ FROM (SELECT n_nationkey, n_name, nullif(n_regionkey, 2) AS rk
 JOIN (SELECT nullif(r_regionkey, 2) AS rk2, r_name FROM region) r
   ON n.rk IS NOT DISTINCT FROM r.rk2
 ORDER BY n_nationkey""",
+    "string_funcs4" ->
+      """SELECT o_orderkey,
+  strftime(o_orderdate, '%a') AS dname,
+  strftime(o_orderdate, '%b') AS mname,
+  array_to_string(list_slice(string_split(o_orderpriority, '-'), 1, 1), '-')
+    AS prio_code,
+  substr(o_orderpriority, 1, 1) || 'X' || substr(o_orderpriority, 3)
+    AS overlaid,
+  CASE (1 + o_orderkey % 3) WHEN 1 THEN 'alpha' WHEN 2 THEN 'beta'
+    ELSE 'gamma' END AS elt_pick,
+  CAST(coalesce(list_position(string_split('O,F,P', ','), o_orderstatus), 0)
+    AS BIGINT) AS status_slot,
+  CAST(coalesce(nullif(o_custkey % 5, 0), 0) AS BIGINT) AS cust_z,
+  CAST(nullif(o_custkey % 5, 0) AS BIGINT) AS cust_n
+FROM orders WHERE o_orderkey % 7 = 0 ORDER BY o_orderkey""",
     "string_funcs3" ->
       """SELECT p_partkey,
   split_part(p_name, ' ', 2) AS second_word,
