@@ -147,7 +147,8 @@ object Dedup {
     * the DuckDB oracle uses, so the query hash-checks.
     */
   def blockingAudit(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double, dfCap: Int = 50, minShared: Int = 1): DataFrame = {
+      threshold: Double, dfCap: Int = 50, minShared: Int = 1,
+      verified: Option[DataFrame] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val sh = shingled(docs, idCol, textCol).localCheckpoint(true)
@@ -165,7 +166,12 @@ object Dedup {
       .localCheckpoint(true)
     val nd = sh.count()
     val nc = cand.count()
-    val nv = verifyJaccard(cand, sh, threshold).count()
+    // callers with an already-materialized verified pair table (the
+    // shared NearDupGraph cache) pass it so the verify join isn't
+    // recomputed; it MUST come from the same (threshold, dfCap,
+    // minShared) parameters or the precision readout lies
+    val nv = verified.map(_.count())
+      .getOrElse(verifyJaccard(cand, sh, threshold).count())
     val allPairs = nd.toDouble * (nd - 1).toDouble / 2.0
     def r6(x: Double) =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble

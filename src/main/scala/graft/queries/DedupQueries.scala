@@ -42,7 +42,8 @@ object DedupQueries {
     */
   def blockingAudit(spark: SparkSession, dir: String): DataFrame =
     Dedup.blockingAudit(Tables(spark, dir, "documents"),
-      "doc_id", "text", threshold = 0.2, dfCap = 50, minShared = 2)
+      "doc_id", "text", threshold = 0.2, dfCap = 50, minShared = 2,
+      verified = Some(sharedPairs(spark, dir)))
 
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(Tables(spark, dir, "documents"),
