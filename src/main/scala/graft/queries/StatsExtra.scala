@@ -286,6 +286,42 @@ object StatsExtra {
           (sum("np") * (sum("n") - sum("np"))), 6).as("auc"))
   }
 
+  /** Per-slice AUC — the fairness/robustness readout (does the quality
+    * filter discriminate equally well on every source?). Same midrank
+    * machinery as [[statsAuc]] but every stage keys by source, so even
+    * the prefix-sum offset window is partitioned — the grouped variant
+    * has NO partition-less window anywhere.
+    */
+  def statsAucBySource(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (_, logit) = TextQueries.qualityLogit
+    val g = Tables(spark, dir, "documents")
+      .select(col("source"), logit.as("s"), (col("lang") === "en").as("y"))
+      .groupBy("source", "s").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("np"))
+      .withColumn("_b", floor(col("s") * 4).cast("long"))
+      .localCheckpoint(true)
+    val off = g.groupBy("source", "_b").agg(sum("n").as("_bn"))
+      .withColumn("_off", coalesce(sum("_bn").over(
+        Window.partitionBy("source").orderBy("_b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("source", "_b", "_off")
+    val ranked = g.join(broadcast(off), Seq("source", "_b"))
+      .withColumn("_cum", sum("n").over(
+        Window.partitionBy("source", "_b").orderBy("s")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cb", col("_off") + col("_cum") - col("n"))
+    ranked.groupBy("source").agg(
+      sum("np").cast("long").as("n_pos"),
+      (sum("n") - sum("np")).cast("long").as("n_neg"),
+      round(
+        (sum(col("np") * (col("cb") + (col("n") + lit(1.0)) / 2)) -
+          sum("np") * (sum("np") + lit(1.0)) / 2) /
+          (sum("np") * (sum("n") - sum("np"))), 6).as("auc"))
+      .orderBy("source")
+  }
+
   /** Poisson-bootstrap confidence interval for a corpus mean (mean
     * chars/doc) — the distributed-bootstrap formulation (Chamandy et
     * al., Google 2012): each row contributes an independent Poisson(1)
@@ -542,6 +578,7 @@ ORDER BY cnt DESC, token""")
     "sketch_kmv_distinct" -> kmvDistinct,
     "sketch_kmv_overlap" -> kmvOverlap,
     "stats_auc" -> statsAuc,
+    "stats_auc_by_source" -> statsAucBySource,
     "stats_bootstrap_ci" -> statsBootstrapCi)
 
   private val heavyTopKSql =
@@ -600,6 +637,27 @@ FROM g"""
 
   val oracle: Map[String, String] = Map(
     "stats_bootstrap_ci" -> bootstrapCiSql,
+    "stats_auc_by_source" ->
+      s"""WITH ql AS (
+  ${TextQueries.qualityLogitCteSql}
+), lab AS (
+  SELECT d.source, ql.quality_logit AS s, (d.lang = 'en') AS y
+  FROM documents d JOIN ql ON d.doc_id = ql.doc_id
+), g AS (
+  SELECT source, s, count(*) AS n,
+    sum(CASE WHEN y THEN 1 ELSE 0 END) AS np
+  FROM lab GROUP BY 1, 2
+), r AS (
+  SELECT source, s, n, np, COALESCE(sum(n) OVER (PARTITION BY source
+    ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM g
+)
+SELECT source, CAST(sum(np) AS BIGINT) AS n_pos,
+  CAST(sum(n - np) AS BIGINT) AS n_neg,
+  round((sum(np * (cb + (n + 1.0) / 2)) -
+      sum(np) * (sum(np) + 1.0) / 2) /
+    (sum(np) * (sum(n) - sum(np))), 6) AS auc
+FROM r GROUP BY source ORDER BY source""",
     "stats_auc" ->
       s"""WITH ql AS (
   ${TextQueries.qualityLogitCteSql}

@@ -718,7 +718,40 @@ object TextQueries {
       .limit(30)
   }
 
+  /** TextTiling-style topic-shift segmentation (Hearst 1997,
+    * vocabulary-introduction variant): at every 5-token gap, the
+    * fraction of the right 10-token block's vocabulary NOT present in
+    * the left block; a gap scoring >= 0.6 is a candidate topic
+    * boundary — the long-document chunking signal that splits on
+    * topic shifts instead of fixed strides.
+    *
+    * Everything is a row-local array HOF fold (transform over gap
+    * positions, slice/distinct/except per gap, sequential aggregate
+    * for the mean — identical fold order in both engines): ZERO
+    * exchanges at any corpus size, the same plan class as
+    * text_char_entropy.
+    */
+  def segmentation(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+      .withColumn("fr", expr(
+        """CASE WHEN size(ws) >= 20 THEN
+             transform(sequence(10, size(ws) - 10, 5), p ->
+               size(array_except(array_distinct(slice(ws, p + 1, 10)),
+                                 array_distinct(slice(ws, p - 9, 10)))) /
+               cast(size(array_distinct(slice(ws, p + 1, 10))) as double))
+           ELSE array() END"""))
+      .select(
+        col("doc_id"),
+        size(col("fr")).cast("long").as("n_gaps"),
+        expr("size(filter(fr, x -> x >= 0.6))").cast("long")
+          .as("n_boundaries"),
+        round(expr("aggregate(fr, cast(0.0 as double), (a, x) -> a + x)") /
+          greatest(size(col("fr")), lit(1)), 4).as("avg_new_frac"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_segmentation" -> segmentation,
     "text_rake_topk" -> rakeTopK,
     "text_ngram_novelty" -> ngramNovelty,
     "text_ulm_vocab" -> ulmVocab,
@@ -917,6 +950,25 @@ WHERE c_ab >= 5
 ORDER BY pmi DESC, w1, w2 LIMIT 20"""
 
   val oracle: Map[String, String] = Map(
+    "text_segmentation" ->
+      raw"""WITH tok AS (
+  SELECT doc_id, list_filter($tokSql, w -> w <> '') AS ws FROM documents
+), fr AS (
+  SELECT doc_id,
+    CASE WHEN len(ws) >= 20 THEN
+      list_transform(range(10, len(ws) - 10 + 1, 5), p ->
+        len(list_filter(list_distinct(list_slice(ws, p + 1, p + 10)),
+          x -> NOT list_contains(list_distinct(list_slice(ws, p - 9, p)),
+            x))) /
+        CAST(len(list_distinct(list_slice(ws, p + 1, p + 10))) AS DOUBLE))
+    ELSE [] END AS f
+  FROM tok
+)
+SELECT doc_id, CAST(len(f) AS BIGINT) AS n_gaps,
+  CAST(len(list_filter(f, x -> x >= 0.6)) AS BIGINT) AS n_boundaries,
+  round(COALESCE(list_sum(f), 0.0) / greatest(len(f), 1), 4)
+    AS avg_new_frac
+FROM fr ORDER BY doc_id""",
     "text_rake_topk" ->
       raw"""WITH tokl AS (
   SELECT doc_id, list_filter($tokSql, w -> w <> '') AS ws FROM documents

@@ -73,6 +73,15 @@ class DsirSpec extends SparkSpec {
       s"target mean ${w(true)} should exceed off-target mean ${w(false)}")
   }
 
+  test("target == raw corpus => every weight is exactly zero") {
+    // when the target slice IS the whole corpus, ct == cr and tt == tr
+    // per bucket, so each log-ratio is a difference of identical IEEE
+    // doubles — exactly 0.0, not approximately
+    val w = Dsir.importanceWeights(docs, lit(true), m = 16)
+      .select("logw").distinct().collect().map(_.getDouble(0)).toSeq
+    assert(w == Seq(0.0), s"nonzero weights under identity target: $w")
+  }
+
   test("select keeps the k highest-weight docs, deterministically") {
     val a = Dsir.select(docs, col("lang") === "en", k = 10)
       .collect().map(_.getLong(0)).toSeq
