@@ -177,4 +177,26 @@ object GraftProps extends Properties("graft") {
         .compute(UTF8String.fromString(s), 7, 4).toLongArray().toSeq
       native == Fingerprint.winnow(s)
     }
+
+  // --- kmv bottom-k buffer ---------------------------------------------
+
+  private val hashSeq: Gen[List[Long]] =
+    Gen.listOf(Gen.choose(0L, 1L << 60))
+
+  property("kmin buffer == sorted distinct take k, any insertion order") =
+    forAll(hashSeq, Gen.choose(1, 8)) { (vs, k) =>
+      val agg = new graft.operators.KmvSketch.KMinAgg(k)
+      val built = vs.foldLeft(agg.zero)(agg.reduce)
+      built == vs.distinct.sorted.take(k) &&
+        built == scala.util.Random.shuffle(vs).foldLeft(agg.zero)(agg.reduce)
+    }
+
+  property("kmin merge is associative and agrees with one-shot build") =
+    forAll(hashSeq, hashSeq, hashSeq, Gen.choose(1, 8)) { (a, b, c, k) =>
+      val agg = new graft.operators.KmvSketch.KMinAgg(k)
+      def build(xs: List[Long]) = xs.foldLeft(agg.zero)(agg.reduce)
+      val left = agg.merge(agg.merge(build(a), build(b)), build(c))
+      val right = agg.merge(build(a), agg.merge(build(b), build(c)))
+      left == right && left == build(a ++ b ++ c)
+    }
 }
