@@ -750,7 +750,40 @@ object TextQueries {
           greatest(size(col("fr")), lit(1)), 4).as("avg_new_frac"))
       .orderBy("doc_id")
 
+  /** Flesch-Kincaid-style readability grade — the classic prose
+    * complexity signal quality filters blend in. Syllables are the
+    * standard vowel-group heuristic (runs of [aeiouy], min 1/word);
+    * the corpus has no sentence punctuation, so sentences are the
+    * fixed-width pseudo-sentence convention (ceil(words/15)). Pure
+    * row-local fold — zero exchanges; both engines run the identical
+    * sequential arithmetic so the grade is bit-stable.
+    */
+  def readability(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+      .where(size(col("ws")) > 0)
+      .withColumn("_syl", expr(
+        "aggregate(transform(ws, w -> greatest(" +
+          "size(regexp_extract_all(w, '[aeiouy]+', 0)), 1)), 0, " +
+          "(a, x) -> a + x)"))
+      .select(
+        col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        col("_syl").cast("long").as("n_syllables"),
+        ceil(size(col("ws")) / lit(15.0)).cast("long").as("n_sentences"),
+        // raw IEEE double, no round: every input is an exact integer,
+        // so the arithmetic is bit-identical in both engines (the
+        // float-parity rule — round() on row-level arithmetic is the
+        // boundary-flip hazard, not the fix)
+        (lit(0.39) * (size(col("ws")).cast("double") /
+          ceil(size(col("ws")) / lit(15.0)).cast("double")) +
+          lit(11.8) * (col("_syl").cast("double") /
+            size(col("ws")).cast("double")) - lit(15.59))
+          .as("fk_grade"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_readability" -> readability,
     "text_segmentation" -> segmentation,
     "text_rake_topk" -> rakeTopK,
     "text_ngram_novelty" -> ngramNovelty,
@@ -950,6 +983,24 @@ WHERE c_ab >= 5
 ORDER BY pmi DESC, w1, w2 LIMIT 20"""
 
   val oracle: Map[String, String] = Map(
+    "text_readability" ->
+      raw"""WITH tok AS (
+  SELECT doc_id, list_filter($tokSql, w -> w <> '') AS ws FROM documents
+), syl AS (
+  SELECT doc_id, ws,
+    list_sum(list_transform(ws, w ->
+      greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1))) AS s
+  FROM tok WHERE len(ws) > 0
+)
+SELECT doc_id,
+  CAST(len(ws) AS BIGINT) AS n_words,
+  CAST(s AS BIGINT) AS n_syllables,
+  CAST(ceil(len(ws) / 15.0) AS BIGINT) AS n_sentences,
+  0.39 * (CAST(len(ws) AS DOUBLE) /
+      CAST(ceil(len(ws) / 15.0) AS DOUBLE)) +
+    11.8 * (CAST(s AS DOUBLE) / CAST(len(ws) AS DOUBLE)) - 15.59
+    AS fk_grade
+FROM syl ORDER BY doc_id""",
     "text_segmentation" ->
       raw"""WITH tok AS (
   SELECT doc_id, list_filter($tokSql, w -> w <> '') AS ws FROM documents
