@@ -322,6 +322,79 @@ object StatsExtra {
       .orderBy("source")
   }
 
+  /** Two-sample Kolmogorov-Smirnov distance between the quality-score
+    * distributions of two corpus slices (English vs rest) — the
+    * distribution-drift alarm run between corpus snapshots or sources
+    * before a mixture change ships. Exact, not sampled: per-distinct-
+    * score counts for both slices in ONE hash agg, both empirical CDFs
+    * from the same bucketed prefix sum (offset window rides the tiny
+    * bucket table), and D = max |F_a - F_b| reads off one aggregation.
+    * The CDF ratios are exact-integer divisions and max is order-
+    * independent, so the raw double is bit-stable across engines.
+    */
+  def statsKsDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (_, logit) = TextQueries.qualityLogit
+    val g = Tables(spark, dir, "documents")
+      .select(logit.as("s"), (col("lang") === "en").as("a"))
+      .groupBy("s").agg(
+        sum(when(col("a"), 1L).otherwise(0L)).as("na"),
+        sum(when(!col("a"), 1L).otherwise(0L)).as("nb"))
+      .withColumn("_b", floor(col("s") * 4).cast("long"))
+      .localCheckpoint(true)
+    val off = g.groupBy("_b")
+      .agg(sum("na").as("_bna"), sum("nb").as("_bnb"))
+      .withColumn("_offa", coalesce(sum("_bna").over(
+        Window.orderBy("_b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_offb", coalesce(sum("_bnb").over(
+        Window.orderBy("_b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_b", "_offa", "_offb")
+    val tot = g.agg(sum("na"), sum("nb")).collect()(0)
+    val (ta, tb) = (tot.getLong(0), tot.getLong(1))
+    val w = Window.partitionBy("_b").orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.join(broadcast(off), "_b")
+      .withColumn("cuma", col("_offa") + sum("na").over(w))
+      .withColumn("cumb", col("_offb") + sum("nb").over(w))
+      .agg(
+        lit(ta).as("n_a"), lit(tb).as("n_b"),
+        max(abs(col("cuma").cast("double") / lit(ta.toDouble) -
+          col("cumb").cast("double") / lit(tb.toDouble))).as("ks_d"))
+  }
+
+  /** Population Stability Index between the same two slices over
+    * fixed-width score bins with Laplace smoothing — the binned drift
+    * metric ops dashboards track (PSI < 0.1 stable, > 0.25 shifted).
+    * One hash agg on a bounded bin domain; the per-bin terms then sum
+    * in EXPLICIT bin order via a sequential array fold (collect the
+    * tiny bin table into one sorted array — #bins elements), so the
+    * float sum has engine-identical term order and the raw double
+    * hash-matches; totals are two driver scalars.
+    */
+  def statsPsiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val (_, logit) = TextQueries.qualityLogit
+    val g = Tables(spark, dir, "documents")
+      .select(floor(logit * 2).cast("long").as("bin"),
+        (col("lang") === "en").as("a"))
+      .groupBy("bin").agg(
+        sum(when(col("a"), 1L).otherwise(0L)).as("na"),
+        sum(when(!col("a"), 1L).otherwise(0L)).as("nb"))
+    val t = g.agg(sum("na"), sum("nb"), count(lit(1))).collect()(0)
+    val (ta, tb, k) = (t.getLong(0), t.getLong(1), t.getLong(2))
+    val pa = (col("na").cast("double") + lit(0.5)) /
+      lit(ta.toDouble + k * 0.5)
+    val pb = (col("nb").cast("double") + lit(0.5)) /
+      lit(tb.toDouble + k * 0.5)
+    g.select(col("bin"), ((pa - pb) * log(pa / pb)).as("term"))
+      .agg(collect_list(struct(col("bin"), col("term"))).as("_ts"))
+      .select(
+        lit(k).as("n_bins"),
+        expr("aggregate(array_sort(_ts), cast(0.0 as double), " +
+          "(acc, x) -> acc + x.term)").as("psi"))
+  }
+
   /** Poisson-bootstrap confidence interval for a corpus mean (mean
     * chars/doc) — the distributed-bootstrap formulation (Chamandy et
     * al., Google 2012): each row contributes an independent Poisson(1)
@@ -579,7 +652,9 @@ ORDER BY cnt DESC, token""")
     "sketch_kmv_overlap" -> kmvOverlap,
     "stats_auc" -> statsAuc,
     "stats_auc_by_source" -> statsAucBySource,
-    "stats_bootstrap_ci" -> statsBootstrapCi)
+    "stats_bootstrap_ci" -> statsBootstrapCi,
+    "stats_ks_drift" -> statsKsDrift,
+    "stats_psi_drift" -> statsPsiDrift)
 
   private val heavyTopKSql =
     raw"""WITH tok AS (
@@ -637,6 +712,52 @@ FROM g"""
 
   val oracle: Map[String, String] = Map(
     "stats_bootstrap_ci" -> bootstrapCiSql,
+    "stats_psi_drift" ->
+      s"""WITH ql AS (
+  ${TextQueries.qualityLogitCteSql}
+), lab AS (
+  SELECT floor(ql.quality_logit * 2) AS bin, (d.lang = 'en') AS a
+  FROM documents d JOIN ql ON d.doc_id = ql.doc_id
+), g AS (
+  SELECT bin, sum(CASE WHEN a THEN 1 ELSE 0 END) AS na,
+    sum(CASE WHEN a THEN 0 ELSE 1 END) AS nb
+  FROM lab GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(na) AS DOUBLE) AS ta, CAST(sum(nb) AS DOUBLE) AS tb,
+    CAST(count(*) AS BIGINT) AS k
+  FROM g
+), terms AS (
+  SELECT g.bin,
+    ((CAST(na AS DOUBLE) + 0.5) / (ta + k * 0.5) -
+     (CAST(nb AS DOUBLE) + 0.5) / (tb + k * 0.5)) *
+    ln(((CAST(na AS DOUBLE) + 0.5) / (ta + k * 0.5)) /
+       ((CAST(nb AS DOUBLE) + 0.5) / (tb + k * 0.5))) AS term
+  FROM g, tot
+)
+SELECT tot.k AS n_bins, list_sum(list(term ORDER BY bin)) AS psi
+FROM terms, tot GROUP BY tot.k""",
+    "stats_ks_drift" ->
+      s"""WITH ql AS (
+  ${TextQueries.qualityLogitCteSql}
+), lab AS (
+  SELECT ql.quality_logit AS s, (d.lang = 'en') AS a
+  FROM documents d JOIN ql ON d.doc_id = ql.doc_id
+), g AS (
+  SELECT s, sum(CASE WHEN a THEN 1 ELSE 0 END) AS na,
+    sum(CASE WHEN a THEN 0 ELSE 1 END) AS nb
+  FROM lab GROUP BY 1
+), r AS (
+  SELECT s,
+    sum(na) OVER (ORDER BY s
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+    sum(nb) OVER (ORDER BY s
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
+  FROM g
+), tot AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM g)
+SELECT CAST(tot.ta AS BIGINT) AS n_a, CAST(tot.tb AS BIGINT) AS n_b,
+  max(abs(CAST(cuma AS DOUBLE) / CAST(tot.ta AS DOUBLE) -
+    CAST(cumb AS DOUBLE) / CAST(tot.tb AS DOUBLE))) AS ks_d
+FROM r, tot GROUP BY tot.ta, tot.tb""",
     "stats_auc_by_source" ->
       s"""WITH ql AS (
   ${TextQueries.qualityLogitCteSql}
