@@ -45,6 +45,40 @@ object PipelineQueries {
         Tables(spark, dir, "documents"), col("lang") === "en", m = 64)
       .orderBy("doc_id")
 
+  /** Deterministic per-epoch training order: every epoch reshuffles
+    * the corpus by ranking on a seedless per-epoch hash — reproducible
+    * across runs/engines with no RNG state, and every epoch's order is
+    * independent (the "reshuffle each epoch" contract). The global
+    * rank is assembled WITHOUT a global sort: hash-prefix buckets,
+    * per-(epoch, bucket) counts, an offset window over the tiny bucket
+    * table (partitioned by epoch), and a within-bucket row_number —
+    * the same distributed prefix-sum discipline as stable_ids, with
+    * the hash itself as the order key.
+    */
+  def epochOrder(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(concat(lit("ep"), col("epoch"), lit(":"), col("doc_id")))
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(sequence(lit(0), lit(1))).as("epoch"))
+      .select(col("doc_id"), col("epoch").cast("long").as("epoch"))
+      .withColumn("_h", h)
+      .withColumn("_b", conv(substring(col("_h"), 1, 2), 16, 10)
+        .cast("long"))
+      .localCheckpoint(true) // offsets + rank share one evaluation
+    val off = docs.groupBy("epoch", "_b").agg(count(lit(1)).as("_c"))
+      .withColumn("_off", coalesce(sum("_c").over(
+        Window.partitionBy("epoch").orderBy("_b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("epoch", "_b", "_off")
+    docs.join(broadcast(off), Seq("epoch", "_b"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("epoch", "_b")
+          .orderBy(col("_h"), col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("epoch"),
+        (col("_off") + col("_rn") - 1).as("pos"))
+      .orderBy("epoch", "pos")
+  }
+
   /** The full training-data preparation funnel over the corpus. The
     * observed variant: counters ride the materializing job, no
     * dedicated metric scan, no persist (funnel() is the independent
@@ -202,12 +236,20 @@ object PipelineQueries {
     "pipeline_source_budget" -> sourceBudget,
     "pipeline_mixture_sample" -> mixtureSample,
     "pipeline_mixture_temperature" -> mixtureTemperature,
-    "pipeline_dsir_weights" -> dsirWeights)
+    "pipeline_dsir_weights" -> dsirWeights,
+    "pipeline_epoch_order" -> epochOrder)
 
   private val tokSql =
     raw"""CAST(len(list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z ]', ' ', 'g')), '\s+'), w -> w <> '')) AS BIGINT)"""
 
   val oracle: Map[String, String] = Map(
+    "pipeline_epoch_order" ->
+      """SELECT doc_id, epoch,
+  CAST(row_number() OVER (PARTITION BY epoch
+    ORDER BY md5('ep' || epoch || ':' || doc_id), doc_id) - 1 AS BIGINT)
+    AS pos
+FROM documents, (SELECT CAST(unnest(range(0, 2)) AS BIGINT) AS epoch)
+ORDER BY epoch, pos""",
     "pipeline_dsir_weights" ->
       raw"""WITH tok AS (
   SELECT doc_id, lang = 'en' AS t,
