@@ -40,6 +40,31 @@ object SimilarityQueries {
       Tables(spark, dir, "embeddings"), Tables(spark, dir, "embeddings"),
       k = 5, nlist = 64, nprobe = 64, sampleMod = 4)
 
+  /** ANN index-quality monitoring as a first-class query: per-query
+    * recall@5 of the IVF probe against the exact brute-force top-k —
+    * the number a deployment watches to decide when centroids need
+    * retraining (writeIndex). Deterministic end to end (seeded
+    * training, rounded sims, id tie-breaks), so the readout is
+    * golden-hash-pinned; the IVF side has no SQL twin, hence rows-only
+    * at the driver.
+    */
+  def annRecallEval(spark: SparkSession, dir: String): DataFrame = {
+    val exact = Similarity.cosineTopK(
+      Tables(spark, dir, "embeddings"), queriesSubset(spark, dir), k = 5)
+    val approx = graft.operators.IvfAnn.ivfTopK(
+      Tables(spark, dir, "embeddings"), queriesSubset(spark, dir), k = 5)
+    val hits = exact.select("qid", "vec_id")
+      .join(approx.select("qid", "vec_id"), Seq("qid", "vec_id"))
+      .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+    exact.select("qid").distinct()
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / lit(5.0))
+          .as("recall_at_5"))
+      .orderBy("qid")
+  }
+
   def annLshTopK(spark: SparkSession, dir: String): DataFrame =
     Similarity.annLshTopK(
       Tables(spark, dir, "embeddings"), queriesSubset(spark, dir), k = 5)
@@ -145,6 +170,7 @@ object SimilarityQueries {
     "sim_hard_negatives" -> hardNegatives,
     "sim_mmr_topk" -> mmrTopK,
     "sim_knn_graph" -> knnGraph,
+    "sim_ann_recall" -> annRecallEval,
     "sim_ann_lsh_topk" -> annLshTopK,
     "sim_ann_ivf_topk" -> annIvfTopK,
     "sim_ann_pq_topk" -> annPqTopK,

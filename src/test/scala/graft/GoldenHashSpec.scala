@@ -30,6 +30,7 @@ class GoldenHashSpec extends SparkSpec {
     "pipeline_keywords_v2_topk" -> "6b921c7d188b6c6c51175481cf05257f",
     "pipeline_pubmed_golden_v1" -> "04fb954481c2e40e6c7956d429608712",
     "sample_weighted" -> "9e7a9649cf54bb730cf5b20d136166b1",
+    "sim_ann_recall" -> "5058dcccb093298c56b67839be9e00d3",
     "sim_ann_ivf_topk" -> "02e54421e21c2b3b5b88a2bd4836c225",
     "sim_ann_lsh_topk" -> "619f08f55d6d3d8122e642f1b23a9e63",
     "sim_ann_pq_topk" -> "bda96752fe46b512b19f0d86e8064f3e",
