@@ -269,6 +269,40 @@ class PlanGuardSpec extends SparkSpec {
         "per-group window sort (the oracle's formulation)")
   }
 
+  test("stats_ks_drift: partition-less windows only above aggregations") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.{ObjectHashAggregateExec, SortAggregateExec}
+    val ns = nodes(graft.queries.StatsExtra.statsKsDrift(spark, sfDir))
+    def kids(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case _ => p.children
+    }
+    def scanBelowWithoutAgg(p: SparkPlan): Boolean = p match {
+      case _: HashAggregateExec | _: ObjectHashAggregateExec |
+           _: SortAggregateExec => false
+      case _: FileSourceScanExec => true
+      case other => kids(other).exists(scanBelowWithoutAgg)
+    }
+    val bad = ns.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty &&
+        scanBelowWithoutAgg(w.child) => w
+    }
+    assert(bad.isEmpty,
+      "the CDF prefix sum may only window the bucket-count table")
+  }
+
+  test("pipeline_epoch_order: every window is partitioned (epoch/bucket)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val ns = nodes(graft.queries.PipelineQueries.epochOrder(spark, sfDir))
+    val bad = ns.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty,
+      "epoch reshuffle must never plan a partition-less window — the " +
+        "offset window keys by epoch, the rank by (epoch, bucket)")
+  }
+
   test("context windows: row-local generator, no exchange") {
     val df = graft.pipeline.CorpusPipeline.contextWindows(
       Tables(spark, sfDir, "documents"), winSize = 16, stride = 8)
