@@ -62,10 +62,29 @@ object Bpe {
     */
   def train(docs: DataFrame, textCol: String, nMerges: Int)
       : (Seq[(String, String)], DataFrame) = {
+    val (merges, snaps) = trainSnapshots(docs, textCol, Seq(nMerges))
+    (merges, snaps(nMerges))
+  }
+
+  /** One greedy training run to `snapAt.max` merges, with the
+    * vocabulary table snapshotted at every requested merge count.
+    * Greedy BPE is PREFIX-DETERMINISTIC — the first k merges of a
+    * longer run are exactly train(k)'s merges — so consumers wanting
+    * different vocabulary sizes (the 20-merge encoder profile and the
+    * 30-merge vocab profile) share ONE training loop instead of
+    * re-running the per-round pair-count jobs from scratch. Returns
+    * (full merge list, snapshot map); early exhaustion maps any larger
+    * requested count to the final table (same as train's contract).
+    */
+  def trainSnapshots(docs: DataFrame, textCol: String, snapAt: Seq[Int])
+      : (Seq[(String, String)], Map[Int, DataFrame]) = {
+    val nMerges = snapAt.max
     var words = wordCounts(docs, textCol)
       .withColumn("syms", split(col("word"), ""))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val snaps = scala.collection.mutable.Map.empty[Int, DataFrame]
+    if (snapAt.contains(0)) snaps(0) = words
     var exhausted = false
     var pendingLayers = 0
     while (merges.length < nMerges && !exhausted) {
@@ -87,14 +106,16 @@ object Bpe {
         // stacking would blow analysis time (measured: per-round
         // checkpoints cost ~2x more wall clock than every-4th)
         pendingLayers += 1
-        if (pendingLayers == 4) {
+        if (pendingLayers == 4 || snapAt.contains(merges.length)) {
           words = words.localCheckpoint(true)
           pendingLayers = 0
         }
+        if (snapAt.contains(merges.length)) snaps(merges.length) = words
       }
     }
     if (pendingLayers > 0) words = words.localCheckpoint(true)
-    (merges.toSeq, words)
+    snapAt.foreach(k => if (!snaps.contains(k)) snaps(k) = words)
+    (merges.toSeq, snaps.toMap)
   }
 
   /** Applies an already-trained merge list to a token column (array of
@@ -116,8 +137,13 @@ object Bpe {
     * the corpus is never re-folded through the merge stack.
     */
   def encodeProfile(docs: DataFrame, idCol: String, textCol: String,
-      nMerges: Int): DataFrame = {
-    val (_, words) = train(docs, textCol, nMerges)
+      nMerges: Int): DataFrame =
+    encodeProfileFrom(docs, idCol, textCol, train(docs, textCol, nMerges)._2)
+
+  /** [[encodeProfile]] against an already-trained vocabulary table —
+    * the [[trainSnapshots]] consumer path. */
+  def encodeProfileFrom(docs: DataFrame, idCol: String, textCol: String,
+      words: DataFrame): DataFrame = {
     val lens = words.select(col("word"),
       size(col("syms")).cast("long").as("_ns"))
     docs.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("word"))
@@ -135,8 +161,11 @@ object Bpe {
     * cover).
     */
   def vocabProfile(docs: DataFrame, textCol: String, nMerges: Int,
-      topK: Int): DataFrame = {
-    val (_, words) = train(docs, textCol, nMerges)
+      topK: Int): DataFrame =
+    vocabProfileFrom(train(docs, textCol, nMerges)._2, topK)
+
+  /** [[vocabProfile]] against an already-trained vocabulary table. */
+  def vocabProfileFrom(words: DataFrame, topK: Int): DataFrame =
     words
       .select(col("cnt"), explode(col("syms")).as("token"))
       .groupBy("token")
@@ -144,5 +173,4 @@ object Bpe {
         count(lit(1)).as("n_distinct_words"))
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(topK)
-  }
 }

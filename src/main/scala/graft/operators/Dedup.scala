@@ -111,6 +111,17 @@ object Dedup {
       threshold: Double, dfCap: Int = 50, minShared: Int = 1,
       verifyBroadcast: Boolean = true): DataFrame = {
     val sh = shingled(docs, idCol, textCol)
+    verifyJaccard(jaccardCandidates(sh, dfCap, minShared), sh, threshold,
+      verifyBroadcast)
+  }
+
+  /** Candidate (ida, idb) id pairs from the inverted-index blocking
+    * chain over a [[shingled]] table — factored out so the pair
+    * computation and the blocking audit can share one materialization
+    * (see [[NearDupGraph]]).
+    */
+  def jaccardCandidates(sh: DataFrame, dfCap: Int,
+      minShared: Int): DataFrame = {
     val ex = sh.select(col("doc_id"), explode(col("shs")).as("s"))
     val rare = ex.groupBy("s").agg(count(lit(1)).as("df"))
       .where(col("df") <= dfCap && col("df") >= 2)
@@ -126,13 +137,12 @@ object Dedup {
     // 1.13M -> 112k candidates, all true pairs retained — a jaccard
     // >= 0.2 pair over ~50-shingle docs shares ~17 shingles, so
     // requiring 2 is the same recall bargain dfCap already makes).
-    val cand = exc.as("a").join(exc.as("b"),
+    exc.as("a").join(exc.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
       .agg(count(lit(1)).as("_shared"))
       .where(col("_shared") >= minShared)
       .select("ida", "idb")
-    verifyJaccard(cand, sh, threshold, verifyBroadcast)
   }
 
   /** Blocking-quality audit for the inverted-index candidate strategy:
@@ -149,29 +159,23 @@ object Dedup {
   def blockingAudit(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, dfCap: Int = 50, minShared: Int = 1,
       verified: Option[DataFrame] = None): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     val sh = shingled(docs, idCol, textCol).localCheckpoint(true)
-    val ex = sh.select(col("doc_id"), explode(col("shs")).as("s"))
-    val rare = ex.groupBy("s").agg(count(lit(1)).as("df"))
-      .where(col("df") <= dfCap && col("df") >= 2)
-    val exc = ex.join(broadcast(rare.select("s")), "s")
-      .repartition(col("s"))
-    val cand = exc.as("a").join(exc.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
-      .agg(count(lit(1)).as("_shared"))
-      .where(col("_shared") >= minShared)
-      .select("ida", "idb")
-      .localCheckpoint(true)
-    val nd = sh.count()
-    val nc = cand.count()
-    // callers with an already-materialized verified pair table (the
-    // shared NearDupGraph cache) pass it so the verify join isn't
-    // recomputed; it MUST come from the same (threshold, dfCap,
-    // minShared) parameters or the precision readout lies
+    val cand = jaccardCandidates(sh, dfCap, minShared).localCheckpoint(true)
     val nv = verified.map(_.count())
       .getOrElse(verifyJaccard(cand, sh, threshold).count())
+    blockingReadout(docs.sparkSession, sh.count(), cand.count(), nv)
+  }
+
+  /** The audit readout from already-counted scalars: driver arithmetic
+    * with the exact IEEE op order the DuckDB oracle uses, so the query
+    * hash-checks. Shared by the standalone [[blockingAudit]] and the
+    * cached-graph path ([[NearDupGraph]] consumers, which count the
+    * SHARED candidate/pair materializations instead of recomputing the
+    * blocking cascade).
+    */
+  def blockingReadout(spark: org.apache.spark.sql.SparkSession,
+      nd: Long, nc: Long, nv: Long): DataFrame = {
+    import spark.implicits._
     val allPairs = nd.toDouble * (nd - 1).toDouble / 2.0
     def r6(x: Double) =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble

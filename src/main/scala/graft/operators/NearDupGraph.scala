@@ -18,27 +18,45 @@ import org.apache.spark.sql.DataFrame
   */
 object NearDupGraph {
 
+  /** The shared artifacts: blocking candidates (id pairs) and the
+    * exact-verified pair graph, both persisted. `nDocs` rides along so
+    * audit consumers don't re-count the corpus.
+    */
+  final case class PairGraph(nDocs: Long, candidates: DataFrame,
+      pairs: DataFrame)
+
   private val MaxEntries = 16
   private val cache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    scala.collection.concurrent.TrieMap.empty[String, PairGraph]
 
-  /** Exact verified Jaccard pairs (see [[Dedup.jaccardPairs]]),
-    * computed once per (cacheKey, params) and persisted. The memo is
-    * BOUNDED (16 entries — each is a pair table, tiny next to its
-    * corpus): a long-lived session cycling datasets evicts and
-    * unpersists the surplus instead of pinning executor memory.
+  /** Candidates + exact verified Jaccard pairs (see
+    * [[Dedup.jaccardPairs]]), computed once per (cacheKey, params) and
+    * persisted. The memo is BOUNDED (16 entries — each holds id-pair
+    * tables, tiny next to their corpus): a long-lived session cycling
+    * datasets evicts and unpersists the surplus instead of pinning
+    * executor memory.
     */
-  def pairs(docs: DataFrame, idCol: String, textCol: String,
+  def graph(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, dfCap: Int = 50, minShared: Int = 1,
-      cacheKey: String): DataFrame =
+      cacheKey: String): PairGraph =
     cache.getOrElseUpdate(
       s"$cacheKey|$idCol|$textCol|$threshold|$dfCap|$minShared", {
       if (cache.size >= MaxEntries) synchronized {
         cache.keys.take(cache.size - MaxEntries + 1).foreach { k =>
-          cache.remove(k).foreach(_.unpersist())
+          cache.remove(k).foreach { g =>
+            g.candidates.unpersist(); g.pairs.unpersist()
+          }
         }
       }
-      Dedup.jaccardPairs(docs, idCol, textCol, threshold, dfCap, minShared)
-        .persist()
+      val sh = Dedup.shingled(docs, idCol, textCol)
+      val cand = Dedup.jaccardCandidates(sh, dfCap, minShared).persist()
+      val pairs = Dedup.verifyJaccard(cand, sh, threshold).persist()
+      PairGraph(docs.count(), cand, pairs)
     })
+
+  /** The verified pair graph alone (the common consumer). */
+  def pairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, dfCap: Int = 50, minShared: Int = 1,
+      cacheKey: String): DataFrame =
+    graph(docs, idCol, textCol, threshold, dfCap, minShared, cacheKey).pairs
 }

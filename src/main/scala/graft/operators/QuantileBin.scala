@@ -34,11 +34,12 @@ object QuantileBin {
 
   /** EXACT ntile(k) over a total order, computed distributed: rows
     * bucket by value range (`floor(value / bucketWidth)` — bucket order
-    * IS value order), per-bucket counts aggregate map-side, one window
-    * over the tiny bucket table yields bucket offsets, the per-row rank
-    * is offset + within-bucket row_number (partitioned window), and the
-    * tile from the rank is row-local integer math replicating SQL
-    * ntile's first-tiles-carry-the-remainder contract. Bit-identical to
+    * IS value order), per-bucket counts aggregate map-side, the tiny
+    * bucket table's offsets come from [[BoundedPrefix]] (driver scan —
+    * no partition-less WindowExec stage), the per-row rank is offset +
+    * within-bucket row_number (partitioned window), and the tile from
+    * the rank is row-local integer math replicating SQL ntile's
+    * first-tiles-carry-the-remainder contract. Bit-identical to
     * `ntile(k) OVER (ORDER BY value, ties...)` when the (value, tieCols)
     * order is total — with NO corpus-wide single-reducer sort.
     */
@@ -50,10 +51,10 @@ object QuantileBin {
     val bucketed = df.withColumn("_qb",
       floor(col(valueCol).cast("double") / lit(bucketWidth)).cast("long"))
     val counts = bucketed.groupBy("_qb").agg(count(lit(1)).as("_c"))
-    val offsets = counts
-      .withColumn("_cum", sum("_c").over(Window.orderBy("_qb")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .select(col("_qb"), (col("_cum") - col("_c")).as("_off"))
+      .localCheckpoint(true) // offsets + total share one counting scan
+    val offsets = BoundedPrefix.offsets(
+      counts, Nil, Seq("_qb"), Seq("_c" -> "_off"))
+      .select("_qb", "_off")
     val total = counts.agg(sum("_c").as("_n_total"))
     bucketed
       .join(broadcast(offsets), "_qb")

@@ -102,10 +102,13 @@ object CorpusPipeline {
     * The cumulative sum is a DISTRIBUTED prefix sum, not a global
     * window (a `Window.orderBy` with no partition keys funnels the
     * whole corpus through ONE reducer): docs bucket by id range,
-    * per-bucket sums aggregate map-side, a window over the tiny bucket
-    * table computes bucket offsets, and the within-bucket cumsum runs
+    * per-bucket sums aggregate map-side, the tiny bucket table's
+    * offsets come from [[graft.operators.BoundedPrefix]] (driver scan,
+    * zipWithIndex-style), and the within-bucket cumsum runs
     * partitioned by bucket. Every shuffle is bounded; the only ordered
-    * structure is the bucket table (#buckets rows).
+    * structure is the bucket table (#buckets rows). The tokenized
+    * projection is checkpointed so the offset pass and the readout
+    * share one tokenization scan.
     */
   def tokenBudgetSample(docs: DataFrame, budget: Long,
       bucketWidth: Long = 1000L): DataFrame = {
@@ -114,12 +117,10 @@ object CorpusPipeline {
       col("doc_id"),
       tokenStatsUdf(col("text")).getField("_1").cast("long").as("n_tokens"),
       (col("doc_id") / bucketWidth).cast("long").as("_b"))
-    val offsets = withTok
-      .groupBy("_b").agg(sum("n_tokens").as("_bt"))
-      .withColumn("_off",
-        coalesce(sum("_bt").over(
-          Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
+      .localCheckpoint(true)
+    val offsets = graft.operators.BoundedPrefix.offsets(
+      withTok.groupBy("_b").agg(sum("n_tokens").as("_bt")),
+      Nil, Seq("_b"), Seq("_bt" -> "_off"))
       .select("_b", "_off")
     withTok
       .join(broadcast(offsets), "_b")
@@ -188,12 +189,10 @@ object CorpusPipeline {
       col("doc_id"),
       tokenStatsUdf(col("text")).getField("_1").cast("long").as("n_tokens"),
       (col("doc_id") / bucketWidth).cast("long").as("_b"))
-    val offsets = withTok
-      .groupBy("_b").agg(sum("n_tokens").as("_bt"))
-      .withColumn("_off",
-        coalesce(sum("_bt").over(
-          Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
+      .localCheckpoint(true)
+    val offsets = graft.operators.BoundedPrefix.offsets(
+      withTok.groupBy("_b").agg(sum("n_tokens").as("_bt")),
+      Nil, Seq("_b"), Seq("_bt" -> "_off"))
       .select("_b", "_off")
     withTok
       .join(broadcast(offsets), "_b")
@@ -212,8 +211,9 @@ object CorpusPipeline {
     * for reproducible shuffling, checkpoint resume and sample
     * addressing (`row_number() OVER (ORDER BY ...)` computes the same
     * thing through ONE reducer; this is the distributed prefix-sum
-    * form: per-(source, bucket) counts, a window over the tiny bucket
-    * table, within-bucket row_number). Ids are dense: 0..n-1 with no
+    * form: per-(source, bucket) counts, driver-scanned offsets over
+    * the tiny bucket table, within-bucket row_number). Ids are dense:
+    * 0..n-1 with no
     * gaps, unlike monotonically_increasing_id whose values jump per
     * partition.
     */
@@ -221,12 +221,10 @@ object CorpusPipeline {
     import org.apache.spark.sql.expressions.Window
     val bucketed = docs.select(col("doc_id"), col("source"),
       (col("doc_id") / bucketWidth).cast("long").as("_b"))
-    val offsets = bucketed
-      .groupBy("source", "_b").agg(count(lit(1)).as("_c"))
-      .withColumn("_off",
-        coalesce(sum("_c").over(
-          Window.orderBy("source", "_b")
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .localCheckpoint(true)
+    val offsets = graft.operators.BoundedPrefix.offsets(
+      bucketed.groupBy("source", "_b").agg(count(lit(1)).as("_c")),
+      Nil, Seq("source", "_b"), Seq("_c" -> "_off"))
       .select("source", "_b", "_off")
     bucketed
       .join(broadcast(offsets), Seq("source", "_b"))

@@ -38,12 +38,17 @@ object DedupQueries {
 
   /** Blocking economics of the shared pair graph's parameters:
     * reduction ratio vs all-pairs and verification precision — the
-    * numbers that justify (or indict) a blocking configuration.
+    * numbers that justify (or indict) a blocking configuration. Counts
+    * the SHARED candidate/pair materializations (NearDupGraph) — the
+    * blocking cascade is never recomputed for the audit.
     */
-  def blockingAudit(spark: SparkSession, dir: String): DataFrame =
-    Dedup.blockingAudit(Tables(spark, dir, "documents"),
-      "doc_id", "text", threshold = 0.2, dfCap = 50, minShared = 2,
-      verified = Some(sharedPairs(spark, dir)))
+  def blockingAudit(spark: SparkSession, dir: String): DataFrame = {
+    val g = graft.operators.NearDupGraph.graph(
+      Tables(spark, dir, "documents"), "doc_id", "text",
+      threshold = 0.2, dfCap = 50, minShared = 2, cacheKey = dir)
+    Dedup.blockingReadout(spark, g.nDocs, g.candidates.count(),
+      g.pairs.count())
+  }
 
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(Tables(spark, dir, "documents"),

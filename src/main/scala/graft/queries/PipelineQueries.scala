@@ -160,22 +160,25 @@ object PipelineQueries {
     * a libm `pow` would risk last-ulp drift. `boost` is the resulting
     * up/down-sampling factor a sampler (e.g. [[mixtureSample]]) would
     * apply per source. Shape: one hash agg over the corpus; the
-    * normalizing sums ride a window over the GROUPED table (rows =
-    * #sources, a bounded dimension — never corpus-wide).
+    * normalizing totals are single-row aggregates of the GROUPED table
+    * (rows = #sources, a bounded dimension — never corpus-wide)
+    * cross-joined back as broadcast literals — no global-window stage.
     */
   def mixtureTemperature(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val all = Window.partitionBy()
     val src = Tables(spark, dir, "documents")
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
-    src
-      .withColumn("p_raw", col("n_chars") / sum("n_chars").over(all))
+      .localCheckpoint(true) // totals + readout share one corpus agg
+    val totChars = src.agg(sum("n_chars").as("_tc"))
+    val withW = src.crossJoin(broadcast(totChars))
+      .withColumn("p_raw", col("n_chars") / col("_tc"))
       .withColumn("w", sqrt(col("p_raw")))
+    val totW = withW.agg(sum("w").as("_tw"))
+    withW.crossJoin(broadcast(totW))
       .select(col("source"), col("n_docs"), col("n_chars"),
         round(col("p_raw"), 6).as("p_raw"),
-        round(col("w") / sum("w").over(all), 6).as("p_temp"),
-        round(col("w") / sum("w").over(all) / col("p_raw"), 6).as("boost"))
+        round(col("w") / col("_tw"), 6).as("p_temp"),
+        round(col("w") / col("_tw") / col("p_raw"), 6).as("boost"))
       .orderBy("source")
   }
 
@@ -201,10 +204,15 @@ object PipelineQueries {
   def interleave(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables(spark, dir, "documents")
-    val srcIdx = docs.select(col("source")).distinct()
-      .withColumn("src_idx",
-        (dense_rank().over(Window.orderBy("source")) - 1).cast("long"))
-    val nSrc = srcIdx.count()
+    // The source dimension is bounded; index it with one driver sort
+    // (the dense_rank-over-everything form costs a single-reducer
+    // window stage for the same bounded table).
+    val srcs = docs.select(col("source")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val srcIdx = spark.createDataFrame(
+      srcs.toIndexedSeq.zipWithIndex.map { case (s, i) => (s, i.toLong) })
+      .toDF("source", "src_idx")
+    val nSrc = srcs.length.toLong
     docs
       .withColumn("rn", row_number().over(
         Window.partitionBy("source").orderBy("doc_id")).cast("long"))

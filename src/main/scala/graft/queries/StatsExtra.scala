@@ -267,10 +267,9 @@ object StatsExtra {
         sum(when(col("y"), 1L).otherwise(0L)).as("np"))
       .withColumn("_b", floor(col("s") * 4).cast("long"))
       .localCheckpoint(true) // offsets + readout share one evaluation
-    val off = g.groupBy("_b").agg(sum("n").as("_bn"))
-      .withColumn("_off", coalesce(sum("_bn").over(
-        Window.orderBy("_b")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val off = graft.operators.BoundedPrefix.offsets(
+      g.groupBy("_b").agg(sum("n").as("_bn")),
+      Nil, Seq("_b"), Seq("_bn" -> "_off"))
       .select("_b", "_off")
     val ranked = g.join(broadcast(off), "_b")
       .withColumn("_cum", sum("n").over(
@@ -327,8 +326,9 @@ object StatsExtra {
     * distribution-drift alarm run between corpus snapshots or sources
     * before a mixture change ships. Exact, not sampled: per-distinct-
     * score counts for both slices in ONE hash agg, both empirical CDFs
-    * from the same bucketed prefix sum (offset window rides the tiny
-    * bucket table), and D = max |F_a - F_b| reads off one aggregation.
+    * from the same bucketed prefix sum (offsets driver-scanned off the
+    * tiny bucket table), and D = max |F_a - F_b| reads off one
+    * aggregation.
     * The CDF ratios are exact-integer divisions and max is order-
     * independent, so the raw double is bit-stable across engines.
     */
@@ -342,14 +342,9 @@ object StatsExtra {
         sum(when(!col("a"), 1L).otherwise(0L)).as("nb"))
       .withColumn("_b", floor(col("s") * 4).cast("long"))
       .localCheckpoint(true)
-    val off = g.groupBy("_b")
-      .agg(sum("na").as("_bna"), sum("nb").as("_bnb"))
-      .withColumn("_offa", coalesce(sum("_bna").over(
-        Window.orderBy("_b")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("_offb", coalesce(sum("_bnb").over(
-        Window.orderBy("_b")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val off = graft.operators.BoundedPrefix.offsets(
+      g.groupBy("_b").agg(sum("na").as("_bna"), sum("nb").as("_bnb")),
+      Nil, Seq("_b"), Seq("_bna" -> "_offa", "_bnb" -> "_offb"))
       .select("_b", "_offa", "_offb")
     val tot = g.agg(sum("na"), sum("nb")).collect()(0)
     val (ta, tb) = (tot.getLong(0), tot.getLong(1))

@@ -490,7 +490,6 @@ object TextQueries {
     * ranking so tie order is pinned on both engines.
     */
   def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val qTerms = Seq("hash", "vector", "filter", "merge", "scan")
     val toks = Tables(spark, dir, "documents")
       .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
@@ -519,10 +518,19 @@ object TextQueries {
         col("tf") * log(col("n_docs") / col("dft")))
       .groupBy("doc_id").agg(round(sum("contrib"), 6).as("s"))
       .orderBy(col("s").desc, col("doc_id")).limit(50)
-    def ranked(df: DataFrame, rank: String) =
-      df.withColumn(rank, row_number().over(
-        Window.orderBy(col("s").desc, col("doc_id"))).cast("long"))
-        .select("doc_id", rank)
+    // The candidate lists are ≤50 rows BY CONSTRUCTION (TakeOrdered
+    // with limit), so rank them on the driver (the BoundedPrefix
+    // recipe) instead of paying a single-reducer global-window stage;
+    // each collect rides the checkpointed term-frequency table.
+    def ranked(df: DataFrame, rank: String) = {
+      import spark.implicits._
+      df.select(col("doc_id"), col("s")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+        .sortBy { case (id, s) => (-s, id) }
+        .zipWithIndex
+        .map { case ((id, _), i) => (id, (i + 1).toLong) }
+        .toSeq.toDF("doc_id", rank)
+    }
     ranked(bm25, "rank_bm25")
       .join(ranked(tfidf, "rank_tfidf"), Seq("doc_id"), "full_outer")
       .select(col("doc_id"),

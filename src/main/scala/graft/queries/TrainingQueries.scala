@@ -12,12 +12,23 @@ import graft.operators.{Bpe, EmbPca, LloydKMeans}
   */
 object TrainingQueries {
 
+  /** The 20- and 30-merge vocabulary tables from ONE training run per
+    * dataset (greedy BPE is prefix-deterministic, see
+    * [[Bpe.trainSnapshots]]) — the vocab and encoder profiles were
+    * measured re-running the whole per-round job ladder each.
+    */
+  private val bpeCache = scala.collection.concurrent.TrieMap
+    .empty[String, Map[Int, DataFrame]]
+  private def bpeWords(spark: SparkSession, dir: String): Map[Int, DataFrame] =
+    bpeCache.getOrElseUpdate(dir,
+      Bpe.trainSnapshots(Tables(spark, dir, "documents"), "text",
+        Seq(20, 30))._2)
+
   /** BPE subword vocabulary after 30 merges over the documents corpus:
     * corpus-weighted token occurrences for the top 40 subwords.
     */
   def bpeVocab(spark: SparkSession, dir: String): DataFrame =
-    Bpe.vocabProfile(Tables(spark, dir, "documents"), "text",
-      nMerges = 30, topK = 40)
+    Bpe.vocabProfileFrom(bpeWords(spark, dir)(30), topK = 40)
 
   /** Distributed Lloyd k-means over the embeddings table: per-cluster
     * sizes and SSE after 4 full-corpus rounds (k=8).
@@ -63,8 +74,8 @@ object TrainingQueries {
     * once a real tokenizer replaces whitespace counting.
     */
   def bpeEncode(spark: SparkSession, dir: String): DataFrame =
-    Bpe.encodeProfile(Tables(spark, dir, "documents"), "doc_id", "text",
-      nMerges = 20)
+    Bpe.encodeProfileFrom(Tables(spark, dir, "documents"), "doc_id", "text",
+      bpeWords(spark, dir)(20))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_vocab" -> bpeVocab,

@@ -269,27 +269,17 @@ class PlanGuardSpec extends SparkSpec {
         "per-group window sort (the oracle's formulation)")
   }
 
-  test("stats_ks_drift: partition-less windows only above aggregations") {
+  test("stats_ks_drift: no partition-less window at all (BoundedPrefix)") {
     import org.apache.spark.sql.execution.window.WindowExec
-    import org.apache.spark.sql.execution.aggregate.{ObjectHashAggregateExec, SortAggregateExec}
+    // Since the bucket offsets moved to BoundedPrefix (driver-scanned
+    // bounded table), the KS plan must have NO partition-less window
+    // anywhere — the per-bucket CDF windows are all keyed by _b.
     val ns = nodes(graft.queries.StatsExtra.statsKsDrift(spark, sfDir))
-    def kids(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-      case q: QueryStageExec => Seq(q.plan)
-      case _ => p.children
-    }
-    def scanBelowWithoutAgg(p: SparkPlan): Boolean = p match {
-      case _: HashAggregateExec | _: ObjectHashAggregateExec |
-           _: SortAggregateExec => false
-      case _: FileSourceScanExec => true
-      case other => kids(other).exists(scanBelowWithoutAgg)
-    }
     val bad = ns.collect {
-      case w: WindowExec if w.partitionSpec.isEmpty &&
-        scanBelowWithoutAgg(w.child) => w
+      case w: WindowExec if w.partitionSpec.isEmpty => w
     }
     assert(bad.isEmpty,
-      "the CDF prefix sum may only window the bucket-count table")
+      "the KS CDF must never plan a partition-less window")
   }
 
   test("pipeline_epoch_order: every window is partitioned (epoch/bucket)") {

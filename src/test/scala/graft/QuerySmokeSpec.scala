@@ -11,8 +11,20 @@ class QuerySmokeSpec extends SparkSpec {
 
   test("every query entry has a distinct, runnable plan") {
     SparkEntry.queries.foreach { case (name, fn) =>
-      val n = fn(spark, sfDir).count()
+      val df = fn(spark, sfDir)
+      val n = df.count()
       assert(n >= 0, s"$name failed to execute")
+      // Registry-wide scale guard: no registered query may plan a
+      // partition-less Window (the single-reducer stage that moves
+      // ALL rows to one task — the canonical 100 TB anti-pattern, and
+      // the source of the WindowExec warnings in earlier bench runs).
+      // Bounded prefix sums go through BoundedPrefix instead.
+      val bad = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty,
+        s"$name plans a partition-less Window (single-reducer stage)")
     }
   }
 
