@@ -55,43 +55,74 @@ object LloydKMeans {
     * frame with `cluster` and `dist2` columns, per-round inertia).
     * Empty clusters keep their previous centroid (standard Lloyd
     * degeneracy handling).
+    *
+    * The E/M loop runs over a cached primitive-array RDD with the
+    * centroids captured in the task closure (the [[LogReg.fit]]
+    * rationale: centroid LITERALS change every round, so the
+    * DataFrame form re-analyzes and recompiles the k-way argmin
+    * codegen per iteration — pure fixed cost). Arithmetic is
+    * bit-compatible with [[assignCol]]: same xx - 2*dot + cc expansion,
+    * dots accumulated left-to-right in double, ties keep the lower
+    * cluster index. E and M fuse into ONE pass; the per-iteration
+    * exchange is k*(d+1)+1 doubles per partition to the driver
+    * (sums, counts, sse), merged in ascending partition order —
+    * never data. The FINAL assignment stays on the declarative
+    * DataFrame path so downstream readouts keep codegen + pushdown.
     */
   def fit(corpusRaw: DataFrame, k: Int, iters: Int)
       : (Array[Array[Float]], DataFrame, Seq[Double]) = {
     val corpus = VectorOps.requireVectors(corpusRaw, "LloydKMeans.fit")
     var cs = init(corpus, k)
+    val d = cs(0).length
     val inertia = scala.collection.mutable.ArrayBuffer.empty[Double]
-    (0 until iters).foreach { _ =>
-      val assigned = corpus.withColumn("a", assignCol(cs))
-        .select(col("vec_id"), col("embedding"),
-          col("a.i").as("cluster"), col("a.d").as("dist2"))
-      // M step + inertia in ONE aggregation pass over the long form:
-      // (cluster, dim) -> (sum, n); k*d rows to the driver, never data
-      val stats = assigned
-        .select(col("cluster"), col("dist2"),
-          posexplode(col("embedding")).as(Seq("dim", "v")))
-        .groupBy("cluster", "dim")
-        .agg(sum(col("v").cast("double")).as("s"),
-          count(lit(1)).as("n"),
-          // dist2 repeats per dim; divide back out after the agg
-          sum(col("dist2")).as("d2"))
-        .collect()
-      val d = cs(0).length
-      val sums = Array.fill(k, d)(0.0)
-      val counts = new Array[Long](k)
-      var sse = 0.0
-      stats.foreach { r =>
-        val (c, dim) = (r.getInt(0), r.getInt(1))
-        sums(c)(dim) = r.getDouble(2)
-        counts(c) = r.getLong(3)
-        if (dim == 0) sse += r.getDouble(4)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val rdd = corpus.select(col("embedding")).as[Seq[Float]].rdd
+      .map(_.toArray)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      (0 until iters).foreach { _ =>
+        val cls = cs // stable closure capture
+        val cc = cls.map(c => c.map(x => x.toDouble * x.toDouble).sum)
+        // packed partial: [sums k*d | counts k | sse]
+        val partials = rdd.mapPartitionsWithIndex { (ix, it) =>
+          val buf = new Array[Double](k * d + k + 1)
+          while (it.hasNext) {
+            val e = it.next()
+            var xx = 0.0
+            var i = 0
+            while (i < d) { xx += e(i).toDouble * e(i).toDouble; i += 1 }
+            var best = 0
+            var bestD = Double.PositiveInfinity
+            var j = 0
+            while (j < k) {
+              var dot = 0.0
+              i = 0
+              while (i < d) { dot += e(i).toDouble * cls(j)(i).toDouble; i += 1 }
+              val dist = xx - 2.0 * dot + cc(j)
+              if (dist < bestD) { bestD = dist; best = j }
+              j += 1
+            }
+            i = 0
+            while (i < d) { buf(best * d + i) += e(i).toDouble; i += 1 }
+            buf(k * d + best) += 1
+            buf(k * d + k) += bestD
+          }
+          Iterator((ix, buf))
+        }.collect().sortBy(_._1).map(_._2)
+        val agg = new Array[Double](k * d + k + 1)
+        partials.foreach { p =>
+          var i = 0
+          while (i < agg.length) { agg(i) += p(i); i += 1 }
+        }
+        inertia += agg(k * d + k)
+        cs = Array.tabulate(k) { c =>
+          val n = agg(k * d + c)
+          if (n == 0.0) cs(c)
+          else Array.tabulate(d)(i => (agg(c * d + i) / n).toFloat)
+        }
       }
-      inertia += sse
-      cs = Array.tabulate(k) { c =>
-        if (counts(c) == 0L) cs(c)
-        else sums(c).map(x => (x / counts(c)).toFloat)
-      }
-    }
+    } finally rdd.unpersist(blocking = false)
     val finalAssigned = corpus.withColumn("a", assignCol(cs))
       .select(col("vec_id"), col("embedding"),
         col("a.i").as("cluster"), col("a.d").as("dist2"))

@@ -12,13 +12,12 @@ import graft.functions.VectorOps
   * with fixed weights; this is the TRAINING loop, built on the same
   * sufficient-statistics shape as [[LloydKMeans]]:
   *
-  *  - full-batch gradient descent: each iteration is ONE corpus scan.
-  *    The per-row error term (sigmoid(w.x + b) - y) is codegen'd scalar
-  *    arithmetic (native DotProduct against the weight literal); the
-  *    gradient is a (dim)-keyed hash aggregation of err * x_dim —
-  *    d+2 doubles to the driver per iteration (d gradient dims, bias,
-  *    loss), never data. Weights ride the plan as a literal — the
-  *    broadcast-variable pattern for d in the thousands.
+  *  - full-batch gradient descent: each iteration is ONE corpus scan
+  *    over a cached primitive-array RDD with the weights captured in
+  *    the task closure (the MLlib shape; see `fit` for why the
+  *    DataFrame-literal form loses here). The exchange per iteration
+  *    is d+3 doubles per partition to the driver — gradient dims,
+  *    bias, loss, count — never data.
   *  - deterministic by construction: zero init, fixed iteration count
   *    and learning rate; no sampling, no row-order dependence beyond
   *    float reassociation (readouts round past it).
@@ -44,75 +43,75 @@ object LogReg {
     sigmoid(VectorOps.dot(col("embedding"),
       typedLit(w.map(_.toFloat).toSeq)) + lit(b))
 
-  /** Packed gradient buffer: [g_0..g_{d-1}, g_bias, loss_sum, n] in
-    * one map-side-combining typed aggregation (the EmbPca.MomentsAgg
-    * pattern) — the whole per-iteration exchange is ONE (d+3)-double
-    * array per partition, versus the earlier posexplode form shuffling
-    * rows x dims exploded rows per iteration.
-    */
-  private class GradAgg(d: Int) extends
-      org.apache.spark.sql.expressions.Aggregator[
-        (Seq[Float], Double, Double), Array[Double], Array[Double]] {
-    private val len = d + 3
-    override def zero: Array[Double] = new Array[Double](len)
-    override def reduce(b: Array[Double],
-        x: (Seq[Float], Double, Double)): Array[Double] = {
-      val (e, err, ll) = x
-      require(e.length == d, s"embedding dim ${e.length} != $d")
-      var i = 0
-      while (i < d) { b(i) += err * e(i).toDouble; i += 1 }
-      b(d) += err
-      b(d + 1) += ll
-      b(d + 2) += 1
-      b
-    }
-    override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
-      var i = 0
-      while (i < len) { a(i) += b(i); i += 1 }
-      a
-    }
-    override def finish(r: Array[Double]): Array[Double] = r
-    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
-    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
-  }
-
   /** Fit on (embedding, y) where `yCol` evaluates to 0.0/1.0. One scan
     * per iteration; the exchange is one packed (d+3)-double partial
-    * per partition (map-side-combining typed aggregation).
+    * per partition.
+    *
+    * The iteration body is a cached primitive-array RDD with the
+    * weights captured in the task closure (the MLlib gradient-descent
+    * shape). A DataFrame form would splice the weights in as literals,
+    * so every round re-analyzes the plan and RECOMPILES whole-stage
+    * codegen — a per-iteration fixed cost that dominates when rounds
+    * are many and scans are cheap. Here the corpus is decoded out of
+    * Tungsten exactly once; each round is pure closure arithmetic
+    * (identical to the codegen'd form: weights cast to float, dot
+    * accumulated left-to-right in double — the DotProduct contract)
+    * and partials merge on the driver in ascending partition order,
+    * which is MORE deterministic than a shuffled single-reducer merge.
+    * This is the documented RDD exception: an iterative optimizer's
+    * inner loop, d+3 doubles per partition per round to the driver,
+    * never data.
     */
   def fit(dataRaw: DataFrame, yCol: Column, iters: Int = 20,
       lr: Double = 2.0, l2: Double = 1e-4): Model = {
-    // materialize (embedding, y) once: every iteration rescans this
-    // projection, so it pins in memory instead of re-reading the source
     val data = VectorOps.requireVectors(dataRaw, "LogReg.fit")
       .select(col("embedding"), yCol.cast("double").as("_y"))
-      .localCheckpoint(true)
-    val d = data.select(size(col("embedding"))).head().getInt(0)
-    var w = new Array[Double](d)
-    var b = 0.0
-    val losses = scala.collection.mutable.ArrayBuffer.empty[Double]
     val spark = data.sparkSession
     import spark.implicits._
-    val agg = new GradAgg(d)
-    (0 until iters).foreach { _ =>
-      val p = probCol(w, b)
-      // clamp keeps the loss finite if a probability saturates
-      val pc = least(greatest(p, lit(1e-12)), lit(1.0 - 1e-12))
-      val ll = -(col("_y") * log(pc) + (lit(1.0) - col("_y")) * log(lit(1.0) - pc))
-      val buf = data
-        .select(col("embedding"), (p - col("_y")).as("_err"), ll.as("_ll"))
-        .as[(Seq[Float], Double, Double)]
-        .select(agg.toColumn)
-        .head()
-      val n = buf(d + 2)
-      losses += buf(d + 1) / n
-      val g = buf
-      w = Array.tabulate(d)(i => w(i) - lr * (g(i) / n + l2 * w(i)))
-      b -= lr * g(d) / n
-    }
-    Model(w, b, losses.toSeq)
+    val rdd = data.as[(Seq[Float], Double)].rdd
+      .map { case (e, y) => (e.toArray, y) }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val d = rdd.first()._1.length
+      var w = new Array[Double](d)
+      var b = 0.0
+      val losses = scala.collection.mutable.ArrayBuffer.empty[Double]
+      (0 until iters).foreach { _ =>
+        val wf = w.map(_.toFloat)
+        val bb = b
+        val partials = rdd.mapPartitionsWithIndex { (ix, it) =>
+          val buf = new Array[Double](d + 3)
+          while (it.hasNext) {
+            val (e, y) = it.next()
+            require(e.length == d, s"embedding dim ${e.length} != $d")
+            var dot = 0.0
+            var i = 0
+            while (i < d) { dot += e(i).toDouble * wf(i).toDouble; i += 1 }
+            val p = 1.0 / (1.0 + math.exp(-(dot + bb)))
+            val err = p - y
+            // clamp keeps the loss finite if a probability saturates
+            val pc = math.min(math.max(p, 1e-12), 1.0 - 1e-12)
+            val ll = -(y * math.log(pc) + (1.0 - y) * math.log(1.0 - pc))
+            i = 0
+            while (i < d) { buf(i) += err * e(i).toDouble; i += 1 }
+            buf(d) += err
+            buf(d + 1) += ll
+            buf(d + 2) += 1
+          }
+          Iterator((ix, buf))
+        }.collect().sortBy(_._1).map(_._2)
+        val g = new Array[Double](d + 3)
+        partials.foreach { p =>
+          var i = 0
+          while (i < d + 3) { g(i) += p(i); i += 1 }
+        }
+        val n = g(d + 2)
+        losses += g(d + 1) / n
+        w = Array.tabulate(d)(i => w(i) - lr * (g(i) / n + l2 * w(i)))
+        b -= lr * g(d) / n
+      }
+      Model(w, b, losses.toSeq)
+    } finally rdd.unpersist(blocking = false)
   }
 
   /** Probability column per row under a trained model (pure codegen —
