@@ -82,6 +82,20 @@ object Bpe {
     var words = wordCounts(docs, textCol)
       .withColumn("syms", split(col("word"), ""))
       .localCheckpoint(true)
+    // Driver fast path (the Dedup union-find gate pattern): BPE trains
+    // on the WORD-FREQUENCY table, which is Zipf-bounded — ~10^7 rows
+    // for web-scale text — and every production tokenizer trainer
+    // (Sennrich's reference impl included) runs the merge loop
+    // in-memory over exactly this table. When it fits the gate, the
+    // corpus-scan -> (word, cnt) aggregation stays distributed and only
+    // the vocabulary-sized loop moves to the driver, replacing
+    // nMerges x (pair-count job + top-1 job + periodic checkpoint)
+    // with a single collect. Semantics are replicated exactly (integer
+    // counts, (total desc, a, b) tie order, greedy non-overlap merge),
+    // so goldens are bit-identical; beyond the gate the distributed
+    // loop below remains the 100 TB path.
+    if (words.count() <= driverTrainMaxWords)
+      return trainOnDriver(words, nMerges, snapAt)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val snaps = scala.collection.mutable.Map.empty[Int, DataFrame]
     if (snapAt.contains(0)) snaps(0) = words
@@ -115,6 +129,90 @@ object Bpe {
     }
     if (pendingLayers > 0) words = words.localCheckpoint(true)
     snapAt.foreach(k => if (!snaps.contains(k)) snaps(k) = words)
+    (merges.toSeq, snaps.toMap)
+  }
+
+  /** Gate for the in-memory training loop: word-frequency tables under
+    * this row count collect to the driver (a few hundred MB at worst —
+    * the scale HuggingFace/ SentencePiece trainers operate at); larger
+    * vocabularies use the distributed per-round jobs.
+    */
+  private[graft] val driverTrainMaxWords = 2000000L
+
+  /** The in-memory merge loop over a collected (word, cnt) table.
+    * Exact replica of the distributed round: pair totals are
+    * cnt-weighted adjacent-symbol counts, the winner is the
+    * lexicographically-first (a, b) among the max totals >= 2, and the
+    * merge rewrites each word greedily left-to-right without overlap.
+    * All-integer arithmetic — no float divergence risk vs the
+    * distributed path.
+    */
+  private def trainOnDriver(words: DataFrame, nMerges: Int,
+      snapAt: Seq[Int]): (Seq[(String, String)], Map[Int, DataFrame]) = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val rows = words.select(col("word"), col("cnt")).as[(String, Long)]
+      .collect()
+    val cnts = rows.map(_._2)
+    var syms: Array[Array[String]] = rows.map(_._1.split(""))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val snaps = scala.collection.mutable.Map.empty[Int, DataFrame]
+    def snapshot(): DataFrame = {
+      val frozen = rows.indices.map(i =>
+        (rows(i)._1, cnts(i), syms(i).toSeq))
+      spark.createDataFrame(spark.sparkContext.parallelize(frozen, 1))
+        .toDF("word", "cnt", "syms")
+    }
+    if (snapAt.contains(0)) snaps(0) = snapshot()
+    var exhausted = false
+    while (merges.length < nMerges && !exhausted) {
+      val totals = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      var i = 0
+      while (i < syms.length) {
+        val s = syms(i)
+        var j = 0
+        while (j < s.length - 1) {
+          val k = (s(j), s(j + 1))
+          totals(k) = totals.getOrElse(k, 0L) + cnts(i)
+          j += 1
+        }
+        i += 1
+      }
+      val best = totals.iterator.filter(_._2 >= 2L).reduceOption { (x, y) =>
+        // (total desc, a asc, b asc) — the distributed orderBy contract
+        val c = java.lang.Long.compare(y._2, x._2)
+        if (c < 0) x
+        else if (c > 0) y
+        else {
+          val ca = x._1._1.compareTo(y._1._1)
+          if (ca < 0) x
+          else if (ca > 0) y
+          else if (x._1._2.compareTo(y._1._2) <= 0) x else y
+        }
+      }
+      best match {
+        case None => exhausted = true
+        case Some(((a, b), _)) =>
+          merges += ((a, b))
+          val ab = a + b
+          syms = syms.map { s =>
+            if (s.length < 2) s
+            else {
+              val out = new scala.collection.mutable.ArrayBuffer[String](s.length)
+              var j = 0
+              while (j < s.length) {
+                if (j < s.length - 1 && s(j) == a && s(j + 1) == b) {
+                  out += ab; j += 2
+                } else { out += s(j); j += 1 }
+              }
+              out.toArray
+            }
+          }
+          if (snapAt.contains(merges.length)) snaps(merges.length) = snapshot()
+      }
+    }
+    snapAt.foreach(k => if (!snaps.contains(k)) snaps(k) = snapshot())
     (merges.toSeq, snaps.toMap)
   }
 
