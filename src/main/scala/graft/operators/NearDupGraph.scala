@@ -48,7 +48,10 @@ object NearDupGraph {
           }
         }
       }
-      val sh = Dedup.shingled(docs, idCol, textCol)
+      // materialize the shingle table once: the candidate chain and the
+      // verify join both read it, and without the barrier each persisted
+      // consumer re-tokenizes + re-shingles the corpus inside its own DAG
+      val sh = Dedup.shingled(docs, idCol, textCol).localCheckpoint(true)
       val cand = Dedup.jaccardCandidates(sh, dfCap, minShared).persist()
       val pairs = Dedup.verifyJaccard(cand, sh, threshold).persist()
       PairGraph(docs.count(), cand, pairs)

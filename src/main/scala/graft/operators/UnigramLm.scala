@@ -74,32 +74,78 @@ object UnigramLm {
       maxCandidates: Int = 4096): (Seq[(String, Long, Double)], DataFrame) = {
     val spark = docs.sparkSession
     val words = Bpe.wordCounts(docs, textCol).localCheckpoint(true)
+    // Driver fast path, same gate + rationale as [[Bpe.trainOnDriver]]:
+    // the whole EM loop runs over the Zipf-bounded word-TYPE table, so
+    // when that fits in memory the corpus scan stays distributed and
+    // the per-iteration jobs (substring seeding + one Viterbi recount
+    // per EM round, 5 jobs total) collapse into in-memory loops over
+    // the SAME `viterbi` and the same integer count arithmetic —
+    // results are identical, not approximately equal. Past the gate the
+    // distributed passes below remain the 100 TB path.
+    val wordArr: Array[(String, Long)] =
+      if (words.count() <= Bpe.driverTrainMaxWords) {
+        import spark.implicits._
+        words.select(col("word"), col("cnt")).as[(String, Long)].collect()
+      } else null
 
     // candidate seeding: corpus-frequency top-K substrings + ALL single
     // chars (coverage floor). Substring explode is bounded per word
     // type; the top-K is one TakeOrdered.
-    val subs = words
-      .select(col("cnt"), col("word"),
-        explode(sequence(lit(1), length(col("word")))).as("i"))
-      .select(col("cnt"), col("word"), col("i"),
-        explode(sequence(lit(1), least(lit(maxPieceLen),
-          length(col("word")) - col("i") + 1))).as("l"))
-      .select(expr("substring(word, i, l)").as("piece"), col("cnt"))
-      .groupBy("piece").agg(sum("cnt").as("n"))
-    val chars = subs.where(length(col("piece")) === 1)
-    val top = subs.where(length(col("piece")) > 1)
-      .orderBy(col("n").desc, col("piece")).limit(maxCandidates)
-    val seeded = chars.unionByName(top)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val seeded: Array[(String, Long)] =
+      if (wordArr != null) {
+        val totals = scala.collection.mutable.HashMap.empty[String, Long]
+        wordArr.foreach { case (w, cnt) =>
+          var i = 0
+          while (i < w.length) {
+            var l = 1
+            val maxL = math.min(maxPieceLen, w.length - i)
+            while (l <= maxL) {
+              val p = w.substring(i, i + l)
+              totals(p) = totals.getOrElse(p, 0L) + cnt
+              l += 1
+            }
+            i += 1
+          }
+        }
+        val chars = totals.iterator.filter(_._1.length == 1).toArray
+        val top = totals.iterator.filter(_._1.length > 1).toArray
+          .sortBy { case (p, n) => (-n, p) }.take(maxCandidates)
+        chars ++ top
+      } else {
+        val subs = words
+          .select(col("cnt"), col("word"),
+            explode(sequence(lit(1), length(col("word")))).as("i"))
+          .select(col("cnt"), col("word"), col("i"),
+            explode(sequence(lit(1), least(lit(maxPieceLen),
+              length(col("word")) - col("i") + 1))).as("l"))
+          .select(expr("substring(word, i, l)").as("piece"), col("cnt"))
+          .groupBy("piece").agg(sum("cnt").as("n"))
+        val chars = subs.where(length(col("piece")) === 1)
+        val top = subs.where(length(col("piece")) > 1)
+          .orderBy(col("n").desc, col("piece")).limit(maxCandidates)
+        chars.unionByName(top)
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+      }
 
     var counts: Map[String, Long] = seeded.toMap
     var vocabLp: Map[String, Double] = normalize(counts)
+
+    def uses(lp: Map[String, Double]): Map[String, Long] =
+      if (wordArr != null) {
+        val acc = scala.collection.mutable.HashMap.empty[String, Long]
+        wordArr.foreach { case (w, cnt) =>
+          viterbi(w, lp, maxPieceLen).foreach { p =>
+            acc(p) = acc.getOrElse(p, 0L) + cnt
+          }
+        }
+        acc.toMap
+      } else countUses(spark, words, lp, maxPieceLen)
 
     // hard EM: segment word types under the broadcast model, recount
     // corpus-weighted, renormalize. Pieces that win no segmentation
     // drop out (chars keep a floor so coverage never breaks).
     for (_ <- 1 to emIters) {
-      counts = countUses(spark, words, vocabLp, maxPieceLen)
+      counts = uses(vocabLp)
       val floored = withCharFloor(counts, vocabLp)
       vocabLp = normalize(floored)
     }
@@ -114,7 +160,7 @@ object UnigramLm {
     vocabLp = normalize(withCharFloor(
       counts.filter { case (p, _) => kept.contains(p) },
       vocabLp.filter { case (p, _) => kept.contains(p) }))
-    val finalCounts = countUses(spark, words, vocabLp, maxPieceLen)
+    val finalCounts = uses(vocabLp)
     val vocab = kept.toSeq.sorted.map { p =>
       (p, finalCounts.getOrElse(p, 0L), vocabLp(p))
     }.sortBy { case (p, n, _) => (-n, p) }
