@@ -28,6 +28,34 @@ class QuerySmokeSpec extends SparkSpec {
     }
   }
 
+  test("no registered query executes a shuffle cartesian product") {
+    // Registry-wide scale guard #2: CartesianProductExec materializes
+    // |L| x |R| via an all-pairs shuffle — unbounded at corpus scale.
+    // Broadcast nested-loop joins are NOT flagged: AQE only picks them
+    // when one side is genuinely small (1-row normalizing aggregates,
+    // literal grids), which is the bounded pattern several queries use
+    // deliberately.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    def flat(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => flat(a.executedPlan)
+      case q: QueryStageExec => q +: flat(q.plan)
+      case r: ReusedExchangeExec => Seq(r)
+      case _ => p +: p.children.flatMap(flat)
+    }
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect() // finalize AQE
+      val carts = flat(df.queryExecution.executedPlan)
+        .collect { case c: CartesianProductExec => c }
+      if (carts.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"shuffle cartesian product in: ${offenders.mkString(", ")}")
+  }
+
   test("every oracle key has a matching query") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")
