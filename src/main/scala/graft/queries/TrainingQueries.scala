@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.Tables
-import graft.operators.{Bpe, EmbPca, LloydKMeans}
+import graft.operators.{Bpe, EmbPca, LloydKMeans, WordPiece}
 
 /** Tokenizer-training and corpus-clustering readouts — the two
   * iterative training loops a data-prep engine runs on top of the
@@ -77,9 +77,39 @@ object TrainingQueries {
     Bpe.encodeProfileFrom(Tables(spark, dir, "documents"), "doc_id", "text",
       bpeWords(spark, dir)(20))
 
+  /** One WordPiece model per (session, dir), shared by the vocab and
+    * encoder profiles — same memo rationale as [[bpeWords]].
+    */
+  private val wpCache = scala.collection.concurrent.TrieMap
+    .empty[String, (WordPiece.Model, DataFrame)]
+  private def wpModel(spark: SparkSession, dir: String)
+      : (WordPiece.Model, DataFrame) =
+    wpCache.getOrElseUpdate(s"${System.identityHashCode(spark)}:$dir",
+      WordPiece.train(Tables(spark, dir, "documents"), "text",
+        nMerges = 30))
+
+  /** WordPiece subword vocabulary after 30 likelihood-ratio merges:
+    * corpus-weighted occurrence totals for the top 40 pieces
+    * (##-prefixed continuations distinct from word-initial pieces).
+    */
+  def wordpieceVocab(spark: SparkSession, dir: String): DataFrame =
+    WordPiece.vocabProfile(wpModel(spark, dir)._2, topK = 40)
+
+  /** Tokenizer application: per-document greedy longest-match-first
+    * encoding stats under the trained WordPiece vocab — word/subword/
+    * OOV counts + fertility (the BERT tokenizer readout).
+    */
+  def wordpieceEncode(spark: SparkSession, dir: String): DataFrame = {
+    val (model, types) = wpModel(spark, dir)
+    WordPiece.encodeProfile(Tables(spark, dir, "documents"),
+      "doc_id", "text", model, types)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_vocab" -> bpeVocab,
     "text_bpe_encode" -> bpeEncode,
+    "text_wordpiece_vocab" -> wordpieceVocab,
+    "text_wordpiece_encode" -> wordpieceEncode,
     "emb_kmeans_stats" -> kmeansStats,
     "emb_pca_variance" -> pcaVariance,
     "emb_logreg_eval" -> logregEval)

@@ -21,6 +21,8 @@ class GoldenHashSpec extends SparkSpec {
     "text_bpe_vocab" -> "bd4a2a3bcf8fcbb396d1e010b95afd05",
     "text_ulm_encode" -> "afa98d2bdb4d88ddc90758543230202f",
     "text_ulm_vocab" -> "f51349e0a16d43db2d4d313d8ee3675a",
+    "text_wordpiece_encode" -> "f6bb3df64df1f420682d0c66b4340606",
+    "text_wordpiece_vocab" -> "220d857d5c8a5ce9c098de19dcc65442",
     "dedup_minhash_lsh" -> "43b0854b6e50afe8ced0516d135f83e4",
     "dedup_semantic" -> "a60e4c40f2dae28e673b857707dcbde1",
     "dedup_simhash" -> "0e382879f002a691192647cfae2e5bf2",
