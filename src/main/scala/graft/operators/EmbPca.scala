@@ -158,6 +158,29 @@ object EmbPca {
     }
   }
 
+  /** Adds a `m2` squared-Mahalanobis-distance column: (x-μ)ᵀΣ⁻¹(x-μ)
+    * factored through the eigendecomposition Σ = VΛVᵀ as
+    * Σ_j ((x-μ)·v_j)² / λ_j — the multivariate embedding-space outlier
+    * score (encoding glitches, off-manifold junk, adversarial inserts
+    * that no per-dimension z-score catches). Pure codegen: d dot
+    * products against literal component vectors, compiled once —
+    * scan-speed inference, ZERO exchange, exactly the [[project]]
+    * shape. Eigenvalues are floored at `eps` x trace so rank-deficient
+    * directions don't explode the score (the standard ridge).
+    */
+  def mahalanobis(corpusRaw: DataFrame, model: Model,
+      eps: Double = 1e-9): DataFrame = {
+    val corpus = VectorOps.requireVectors(corpusRaw, "EmbPca.mahalanobis")
+    val floor = eps * model.eigenvalues.sum
+    val terms = model.components.zip(model.eigenvalues).map { case (w, ev) =>
+      val wf = typedLit(w.map(_.toFloat).toSeq)
+      val muW = model.mean.zip(w).map { case (m, x) => m * x }.sum
+      val p = VectorOps.dot(col("embedding"), wf) - lit(muW)
+      p * p / lit(math.max(ev, floor))
+    }
+    corpus.withColumn("m2", terms.reduce(_ + _))
+  }
+
   /** Registered readout: eigenvalue spectrum of the top components
     * with explained-variance ratios.
     */

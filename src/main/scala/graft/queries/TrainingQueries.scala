@@ -52,20 +52,83 @@ object TrainingQueries {
     * Deterministic (zero init, fixed schedule); golden-pinned like the
     * other iterative trainers.
     */
+  import org.apache.spark.sql.Column
+
+  /** The linear-teacher label shared by the logreg queries: y = e1 +
+    * e2 - e3 > 0 (recoverable target; the synthetic labels are NOT
+    * linearly separable in embedding space).
+    */
+  private def teacherLabel: Column = {
+    import org.apache.spark.sql.functions._
+    (element_at(col("embedding"), 1) + element_at(col("embedding"), 2)
+      - element_at(col("embedding"), 3)) > 0
+  }
+
+  /** One trained logreg model per (session, dir), shared by the eval
+    * and calibration readouts (training is 30 full scans — the
+    * expensive artifact; both consumers read the same deterministic
+    * weights, so the memo changes cost, never content).
+    */
+  private val logregCache = scala.collection.concurrent.TrieMap
+    .empty[String, graft.operators.LogReg.Model]
+  private def logregModel(spark: SparkSession, dir: String)
+      : graft.operators.LogReg.Model =
+    logregCache.getOrElseUpdate(s"${System.identityHashCode(spark)}:$dir",
+      graft.operators.LogReg.fit(Tables(spark, dir, "embeddings"),
+        teacherLabel, iters = 30, lr = 10.0))
+
   def logregEval(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val emb = Tables(spark, dir, "embeddings")
-    val y = (element_at(col("embedding"), 1) + element_at(col("embedding"), 2)
-      - element_at(col("embedding"), 3)) > 0
-    val m = graft.operators.LogReg.fit(emb, y, iters = 30, lr = 10.0)
+    val m = logregModel(spark, dir)
     graft.operators.LogReg.score(emb, m)
-      .groupBy(y.as("y_true"))
+      .groupBy(teacherLabel.as("y_true"))
       .agg(count(lit(1)).as("n"),
         sum((col("prob") >= 0.5).cast("long")).as("n_pred_pos"),
         round(avg("prob"), 4).as("avg_prob"))
       .withColumn("final_loss",
         round(lit(m.losses.last), 4))
       .orderBy("y_true")
+  }
+
+  /** Classifier calibration (reliability diagram): predicted
+    * probabilities cut into 10 fixed-width bins, mean predicted prob vs
+    * empirical positive rate per bin — the readout that decides
+    * whether a quality classifier's scores can gate thresholds
+    * directly or need recalibration. One scan over the scored frame
+    * (scoring is codegen inference), one 10-key hash agg.
+    */
+  def logregCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val emb = Tables(spark, dir, "embeddings")
+    val m = logregModel(spark, dir)
+    graft.operators.LogReg.score(emb, m)
+      .select(teacherLabel.cast("long").as("y"), col("prob"),
+        least(floor(col("prob") * 10).cast("long"), lit(9L)).as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        round(avg("prob"), 4).as("avg_prob"),
+        round(avg(col("y").cast("double")), 4).as("frac_pos"))
+      .orderBy("bin")
+  }
+
+  /** Multivariate embedding-space outlier scoring
+    * ([[graft.operators.EmbPca.mahalanobis]]): the 20 most anomalous
+    * vectors by squared Mahalanobis distance under the corpus' own
+    * covariance — the filter that catches off-manifold embeddings
+    * (encoder glitches, corrupt inputs) that no per-dimension z-score
+    * sees. One moments pass (the PCA fit) + one codegen scoring scan
+    * ending in TakeOrdered; golden-pinned (driver eigensolve is not
+    * SQL-expressible).
+    */
+  def mahalanobisOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val emb = Tables(spark, dir, "embeddings")
+    val model = EmbPca.fit(emb)
+    EmbPca.mahalanobis(emb, model)
+      .select(col("vec_id"), round(col("m2"), 4).as("m2"))
+      .orderBy(col("m2").desc, col("vec_id"))
+      .limit(20)
   }
 
   /** Tokenizer application: per-document subword counts + fertility
@@ -112,7 +175,9 @@ object TrainingQueries {
     "text_wordpiece_encode" -> wordpieceEncode,
     "emb_kmeans_stats" -> kmeansStats,
     "emb_pca_variance" -> pcaVariance,
-    "emb_logreg_eval" -> logregEval)
+    "emb_logreg_eval" -> logregEval,
+    "emb_logreg_calibration" -> logregCalibration,
+    "emb_mahalanobis_outliers" -> mahalanobisOutliers)
 
   val oracle: Map[String, String] = Map.empty
 }

@@ -60,6 +60,67 @@ class EmbPcaSpec extends SparkSpec {
       "planted direction must dominate the spectrum")
   }
 
+  test("mahalanobis via eigen route equals the explicit inverse") {
+    // small 3-d dataset with a full-rank covariance; compare the
+    // factored Σ_j pc_j²/λ_j score against (x-μ)ᵀΣ⁻¹(x-μ) computed by
+    // direct Gaussian elimination on the driver
+    val rows = (0 until 60).map { i =>
+      val a = (i % 11).toDouble - 5
+      val b = ((i * 7) % 13).toDouble - 6
+      val c = 0.5 * a - 0.25 * b + ((i * 3) % 5).toDouble - 2
+      (i.toLong, Seq(a.toFloat, b.toFloat, c.toFloat))
+    }.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    val m = EmbPca.fit(rows)
+    val got = EmbPca.mahalanobis(rows, m)
+      .select("vec_id", "m2").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // rebuild Σ from the eigen decomposition and invert it explicitly
+    val d = 3
+    val cov = Array.tabulate(d, d)((i, j) =>
+      m.components.indices.map(k =>
+        m.eigenvalues(k) * m.components(k)(i) * m.components(k)(j)).sum)
+    val aug = Array.tabulate(d)(i =>
+      Array.tabulate(2 * d)(j =>
+        if (j < d) cov(i)(j) else if (j - d == i) 1.0 else 0.0))
+    for (p <- 0 until d) {
+      val piv = (p until d).maxBy(r => math.abs(aug(r)(p)))
+      val t = aug(p); aug(p) = aug(piv); aug(piv) = t
+      val f = aug(p)(p)
+      for (j <- 0 until 2 * d) aug(p)(j) /= f
+      for (r <- 0 until d if r != p) {
+        val g = aug(r)(p)
+        for (j <- 0 until 2 * d) aug(r)(j) -= g * aug(p)(j)
+      }
+    }
+    val inv = Array.tabulate(d, d)((i, j) => aug(i)(j + d))
+    val data = rows.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    data.foreach { case (id, x) =>
+      val c = Array.tabulate(d)(i => x(i) - m.mean(i))
+      var want = 0.0
+      for (i <- 0 until d; j <- 0 until d) want += c(i) * inv(i)(j) * c(j)
+      assert(math.abs(got(id) - want) < 1e-6 * math.max(1.0, want),
+        s"vec $id: eigen-route $got vs explicit $want")
+    }
+  }
+
+  test("planted off-manifold outlier gets the top mahalanobis score") {
+    val dim = 6
+    val rows = (0 until 100).map { i =>
+      val v =
+        if (i == 57) Array.tabulate(dim)(j => if (j == 5) 40f else 0f)
+        else Array.tabulate(dim)(j =>
+          (((i * 31 + j * 17) % 9) - 4).toFloat * (if (j == 5) 0.01f else 1f))
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    val m = EmbPca.fit(rows)
+    val top = EmbPca.mahalanobis(rows, m)
+      .orderBy(col("m2").desc).select("vec_id").first().getLong(0)
+    assert(top == 57L, s"expected planted outlier 57, got $top")
+  }
+
   test("jacobi eigensolver matches a hand-checkable 2x2") {
     // [[2, 1], [1, 2]] has eigenvalues 3 and 1
     val (vals, vecs) = EmbPca.jacobiEigen(
