@@ -790,7 +790,87 @@ object TextQueries {
           .as("fk_grade"))
       .orderBy("doc_id")
 
+  /** The retrieval-eval query set: three multi-term queries over the
+    * corpus vocabulary. Shared by the Spark query and its oracle text.
+    */
+  private val irQueries: Seq[(Long, Seq[String])] = Seq(
+    (1L, Seq("hash", "vector", "filter")),
+    (2L, Seq("merge", "scan", "sort", "join")),
+    (3L, Seq("stream", "window", "data")))
+
+  /** Retrieval-quality evaluation — nDCG@10, MRR@10 and precision@10
+    * of the BM25 ranking against deterministic graded relevance
+    * (grade = number of query terms occurring at least TWICE in the
+    * document — a breadth-of-coverage criterion deliberately distinct
+    * from BM25's tf/length preferences, so rank and relevance order
+    * genuinely disagree; relevant = grade >= 2, gain = 2^grade - 1).
+    * The search-quality readout an embedding/BM25 retrieval stack is
+    * monitored by.
+    *
+    * Scale shape: ONE tokenize pass for all queries (term filter on
+    * the union vocabulary), scoring joins over (doc, term) HIT rows
+    * only, rankings via per-query top-k windows (the native
+    * TopKPerKey rewrite fires — k rows per query per partition reach
+    * the shuffle). Scores round to 6dp BEFORE ranking with doc_id
+    * tie-break — the cross-engine rank-determinism contract the BM25
+    * oracle already uses. Fully oracle-checked, iteration-free.
+    */
+  def retrievalEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val qterms = irQueries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "term")
+    val allTerms = irQueries.flatMap(_._2).distinct
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast("double").as("dl"),
+        filter(col("ws"), t => t.isInCollection(allTerms)).as("qts"))
+    val tf = toks
+      .select(col("doc_id"), col("dl"), explode(col("qts")).as("term"))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .localCheckpoint(true)
+    val dft = tf.groupBy("term").agg(count(lit(1)).cast("double").as("dft"))
+    val stats = toks.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg("dl").as("avgdl"))
+    val scored = tf.join(broadcast(dft), "term")
+      .join(broadcast(qterms), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        log((col("n_docs") - col("dft") + lit(0.5)) /
+          (col("dft") + lit(0.5)) + lit(1.0)) * col("tf") * lit(2.2) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum("contrib"), 6).as("score"),
+        sum(when(col("tf") >= 2, 1L).otherwise(0L)).as("grade"))
+      .localCheckpoint(true) // ranking + ideal ranking share it
+    val gain = pow(lit(2.0), col("grade")) - lit(1.0)
+    val ranked = scored
+      .withColumn("rnk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("doc_id"))))
+      .where(col("rnk") <= 10)
+    val ideal = scored
+      .withColumn("irank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("grade").desc, col("doc_id"))))
+      .where(col("irank") <= 10)
+      .groupBy("query_id")
+      .agg(sum(gain / log2(col("irank") + 1)).as("idcg"))
+    ranked.groupBy("query_id")
+      .agg(sum(gain / log2(col("rnk") + 1)).as("dcg"),
+        sum(when(col("grade") >= 2, 1.0).otherwise(0.0)).as("n_rel"),
+        min(when(col("grade") >= 2, col("rnk"))).as("first_rel"))
+      .join(ideal, "query_id")
+      .select(col("query_id"),
+        round(col("dcg") / col("idcg"), 6).as("ndcg10"),
+        round(coalesce(lit(1.0) / col("first_rel"), lit(0.0)), 6)
+          .as("mrr10"),
+        round(col("n_rel") / 10.0, 6).as("p10"))
+      .orderBy("query_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_retrieval_eval" -> retrievalEval,
     "text_readability" -> readability,
     "text_segmentation" -> segmentation,
     "text_rake_topk" -> rakeTopK,
@@ -894,6 +974,64 @@ scored AS (
     ON d.w1 = s.w1 AND d.w2 = s.w2 AND d.w3 = s.w3
   GROUP BY d.doc_id
 )"""
+
+  /** DuckDB replay of [[retrievalEval]] — same query VALUES, same
+    * rounded-score-then-doc_id rank order, same gain/ideal-DCG
+    * arithmetic, so rank determinism is value-checked cross-engine.
+    */
+  private lazy val irOracleSql: String = {
+    val vals = irQueries
+      .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }
+      .mkString(", ")
+    val inList = irQueries.flatMap(_._2).distinct
+      .map(t => s"'$t'").mkString(",")
+    raw"""WITH toks AS (
+  SELECT doc_id, list_filter($tokSql, w -> w <> '') AS ws FROM documents
+), base AS (
+  SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl,
+    list_filter(ws, w -> w IN ($inList)) AS qts
+  FROM toks
+), tfa AS (
+  SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, dl, unnest(qts) AS term FROM base)
+  GROUP BY doc_id, dl, term
+), dft AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS dft FROM tfa GROUP BY term
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM base
+), qterms(query_id, term) AS (VALUES $vals),
+scored AS (
+  SELECT CAST(query_id AS BIGINT) AS query_id, tfa.doc_id,
+    round(sum(ln((n_docs - dft + 0.5) / (dft + 0.5) + 1.0) * tf * 2.2 /
+      (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS score,
+    CAST(sum(CASE WHEN tf >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS grade
+  FROM tfa, dft, stats, qterms
+  WHERE tfa.term = dft.term AND tfa.term = qterms.term
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT query_id, grade, row_number() OVER
+    (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+  FROM scored
+), ideal AS (
+  SELECT query_id,
+    sum((power(2, grade) - 1) / log2(irank + 1)) AS idcg
+  FROM (SELECT query_id, grade, row_number() OVER
+    (PARTITION BY query_id ORDER BY grade DESC, doc_id) AS irank
+    FROM scored)
+  WHERE irank <= 10 GROUP BY query_id
+), m AS (
+  SELECT query_id,
+    sum((power(2, grade) - 1) / log2(rnk + 1)) AS dcg,
+    sum(CASE WHEN grade >= 2 THEN 1.0 ELSE 0.0 END) AS n_rel,
+    min(CASE WHEN grade >= 2 THEN rnk END) AS first_rel
+  FROM ranked WHERE rnk <= 10 GROUP BY query_id
+)
+SELECT m.query_id AS query_id, round(dcg / idcg, 6) AS ndcg10,
+  round(coalesce(1.0 / first_rel, 0.0), 6) AS mrr10,
+  round(n_rel / 10.0, 6) AS p10
+FROM m JOIN ideal ON m.query_id = ideal.query_id
+ORDER BY m.query_id"""
+  }
 
   private val bm25OracleSql =
       raw"""WITH toks AS (
@@ -1087,6 +1225,7 @@ FROM tok GROUP BY doc_id, bucket ORDER BY doc_id, bucket""",
     "text_pmi_bigrams" -> pmiOracleSql,
     "text_bm25_topk" -> bm25OracleSql,
     "text_bm25_index_topk" -> bm25OracleSql,
+    "text_retrieval_eval" -> irOracleSql,
     "text_url_funcs" ->
       """SELECT doc_id,
   source || '.example.com' AS host,
