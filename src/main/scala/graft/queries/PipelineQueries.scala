@@ -113,6 +113,29 @@ object PipelineQueries {
         Map("src0" -> 2000L, "src1" -> 1000L), defaultBudget = 500L)
       .orderBy("doc_id")
 
+  /** Per-source data card — the one-pass reporting aggregate every
+    * corpus release ships (docs, language breadth, char/token volume,
+    * length profile, short-doc fraction). ONE scan, one hash agg keyed
+    * by source (the distinct-lang count expands the agg, still
+    * single-pass); token counts are row-local array sizes, so the
+    * exchange is #sources rows. Fully oracle-checked.
+    */
+  def sourceCard(spark: SparkSession, dir: String): DataFrame = {
+    val nt = size(graft.text.TextOps.tokens(col("text"))).cast("long")
+    Tables(spark, dir, "documents")
+      .select(col("source"), col("lang"), col("n_chars"), nt.as("nt"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("lang").as("n_langs"),
+        sum("n_chars").as("total_chars"),
+        sum("nt").as("total_tokens"),
+        round(avg("nt"), 4).as("avg_tokens"),
+        round(avg(when(col("nt") < 30, 1.0).otherwise(0.0)), 4)
+          .as("frac_short"),
+        max("nt").as("max_tokens"))
+      .orderBy("source")
+  }
+
   /** Deterministic content-hash train/val/test split: the first hex
     * nibble of md5(text) buckets docs 12/2/2 — reproducible across
     * engines, runs, and retries; content-keyed so exact dups always
@@ -242,6 +265,7 @@ object PipelineQueries {
     "pipeline_hash_split" -> hashSplit,
     "pipeline_stratified_split" -> stratifiedSplit,
     "pipeline_source_budget" -> sourceBudget,
+    "pipeline_source_card" -> sourceCard,
     "pipeline_mixture_sample" -> mixtureSample,
     "pipeline_mixture_temperature" -> mixtureTemperature,
     "pipeline_dsir_weights" -> dsirWeights,
@@ -251,6 +275,18 @@ object PipelineQueries {
     raw"""CAST(len(list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z ]', ' ', 'g')), '\s+'), w -> w <> '')) AS BIGINT)"""
 
   val oracle: Map[String, String] = Map(
+    "pipeline_source_card" ->
+      raw"""WITH d AS (
+  SELECT source, lang, n_chars, $tokSql AS nt FROM documents
+)
+SELECT source, count(*) AS n_docs,
+  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+  CAST(sum(nt) AS BIGINT) AS total_tokens,
+  round(avg(nt), 4) AS avg_tokens,
+  round(avg(CASE WHEN nt < 30 THEN 1.0 ELSE 0.0 END), 4) AS frac_short,
+  CAST(max(nt) AS BIGINT) AS max_tokens
+FROM d GROUP BY source ORDER BY source""",
     "pipeline_epoch_order" ->
       """SELECT doc_id, epoch,
   CAST(row_number() OVER (PARTITION BY epoch
