@@ -26,6 +26,14 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
+  /** Driver fast-path gate (the Dedup union-find pattern): an edge
+    * list under this bound runs the whole iteration in-memory — the
+    * per-round join+agg jobs are pure fixed cost when the graph is
+    * pair-table-sized (near-dup pair graphs are tiny relative to their
+    * corpus). The distributed loop below stays the big-graph path.
+    */
+  private val DriverMaxEdges = 4000000L
+
   /** Ranks after `iters` rounds; returns (doc_id, rank) un-rounded.
     * `pairs` must carry one undirected edge per row as (ida, idb).
     */
@@ -34,6 +42,16 @@ object PageRank {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val edges = pairs.select(col("ida").as("src"), col("idb").as("dst"))
       .unionAll(pairs.select(col("idb").as("src"), col("ida").as("dst")))
+    val nPairs = pairs.count()
+    if (2 * nPairs <= DriverMaxEdges)
+      ranksOnDriver(edges, iters, damping)
+    else
+      ranksDistributed(edges, iters, damping)
+  }
+
+  /** The distributed iteration (the over-gate path). */
+  private[graft] def ranksDistributed(edges: DataFrame, iters: Int,
+      damping: Double): DataFrame = {
     val deg = edges.groupBy("src")
       .agg(count(lit(1)).cast("double").as("deg"))
     // one layout decision for the whole loop: contribution edges live
@@ -56,5 +74,36 @@ object PageRank {
       .localCheckpoint(true)
     e.unpersist()
     out
+  }
+
+  /** The in-memory iteration over a collected edge list: identical
+    * arithmetic to the distributed rounds (per-edge rank/deg, per-dst
+    * sum, teleport + damping * s) — callers round the final rank, which
+    * absorbs the summation-order difference exactly as it does between
+    * Spark's own nondeterministic partial-merge orders (the oracle
+    * enforces this parity).
+    */
+  private[graft] def ranksOnDriver(edgesDf: DataFrame, iters: Int,
+      damping: Double): DataFrame = {
+    val spark = edgesDf.sparkSession
+    import spark.implicits._
+    val edges = edgesDf
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].collect()
+    val ids = edges.map(_._1).distinct.sorted
+    val idx = ids.zipWithIndex.toMap
+    val n = ids.length
+    val deg = new Array[Double](n)
+    edges.foreach { case (s, _) => deg(idx(s)) += 1.0 }
+    val teleport = (1 - damping) / n
+    var r = Array.fill(n)(1.0 / n)
+    for (_ <- 1 to iters) {
+      val s = new Array[Double](n)
+      edges.foreach { case (src, dst) =>
+        s(idx(dst)) += r(idx(src)) / deg(idx(src))
+      }
+      r = Array.tabulate(n)(i => teleport + damping * s(i))
+    }
+    ids.indices.map(i => (ids(i), r(i))).toDF("doc_id", "rank")
   }
 }

@@ -20,6 +20,23 @@ class PageRankSpec extends SparkSpec {
     assert(r.values.forall(v => math.abs(v - 0.25) < 1e-12), r.toString)
   }
 
+  test("driver and distributed paths agree to rounding") {
+    // an asymmetric graph (star + chain tail) so agreement is not a
+    // symmetry accident; 6 decimal places is the registered query's
+    // rounding contract
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 2L)).toDF("ida", "idb")
+    val edges = g.select(col("ida").as("src"), col("idb").as("dst"))
+      .unionAll(g.select(col("idb").as("src"), col("ida").as("dst")))
+    val a = PageRank.ranksOnDriver(edges, iters = 3, damping = 0.85)
+      .collect().map(r => r.getLong(0) -> math.rint(r.getDouble(1) * 1e6))
+      .toMap
+    val b = PageRank.ranksDistributed(edges, iters = 3, damping = 0.85)
+      .collect().map(r => r.getLong(0) -> math.rint(r.getDouble(1) * 1e6))
+      .toMap
+    assert(a == b)
+  }
+
   test("a hub out-ranks leaves on a star graph") {
     val star = Seq((10L, 1L), (10L, 2L), (10L, 3L), (10L, 4L), (10L, 5L))
       .toDF("ida", "idb")
