@@ -68,6 +68,34 @@ class WordPieceSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("property: segmentation is a partition of the word (200 random words)") {
+    // any successful match must concatenate (continuations stripped)
+    // back to the word, every piece must come from the vocab, and a
+    // word over the training alphabet always segments (char floor)
+    val docs = {
+      import spark.implicits._
+      Seq((1L, "abc bcd cab abca bcab")).toDF("doc_id", "text")
+    }
+    val (model, _) = WordPiece.train(docs, "text", 5)
+    val rnd = new scala.util.Random(7)
+    (1 to 200).foreach { _ =>
+      val w = (1 to (1 + rnd.nextInt(12)))
+        .map(_ => "abcd".charAt(rnd.nextInt(4))).mkString
+      WordPiece.matchWord(w, model.vocab) match {
+        case Some(ps) =>
+          assert(ps.nonEmpty && ps.forall(model.vocab.contains))
+          val rebuilt = ps.head + ps.tail.map(_.substring(2)).mkString
+          assert(rebuilt == w, s"$w segmented to $ps")
+          assert(ps.tail.forall(_.startsWith("##")))
+          assert(!ps.head.startsWith("##"))
+        case None =>
+          // only possible if w contains a char outside the vocab
+          assert(w.exists(c => !model.vocab.contains(c.toString)),
+            s"$w failed to segment despite full char coverage")
+      }
+    }
+  }
+
   test("encode profile counts OOV words and in-vocab fertility") {
     import spark.implicits._
     val docs = Seq((1L, "aa ab zz"), (2L, "aa aa")).toDF("doc_id", "text")
