@@ -210,20 +210,29 @@ object Multimodal {
     * still collide on their other, rarer bands). 0 = uncapped.
     */
   def dhashPairs(packed: DataFrame, maxHamming: Int = 3,
-      bucketCap: Int = 0): DataFrame = {
+      bucketCap: Int = 0): DataFrame =
+    hammingPairs(dhashes(packed).withColumnRenamed("dhash", "hash"),
+      maxHamming, bucketCap)
+
+  /** Banded-blocking Hamming pair join over any 64-bit fingerprint
+    * table `(id, hash)` — shared by the dHash and pHash pair queries
+    * (see [[dhashPairs]] for the band/radius/bucketCap contract).
+    */
+  private def hammingPairs(sig0: DataFrame, maxHamming: Int,
+      bucketCap: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 7,
       s"maxHamming must be in [0, 7] (got $maxHamming): banded blocking " +
         "guarantees recall only up to bands-1 differing bits")
     val bands = if (maxHamming <= 3) 4 else 8
     val width = 64 / bands
     val mask = (1L << width) - 1
-    val sig = dhashes(packed).repartition(col("id"))
+    val sig = sig0.repartition(col("id"))
     val allBandKeys = sig.select(
-      col("id"), col("dhash"),
+      col("id"), col("hash"),
       posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), " +
-          s"b -> shiftright(dhash, b * $width) & $mask)")))
-      .toDF("id", "dhash", "band", "bval")
+          s"b -> shiftright(hash, b * $width) & $mask)")))
+      .toDF("id", "hash", "band", "bval")
     val bandKeys =
       if (bucketCap <= 0) allBandKeys
       else {
@@ -238,8 +247,105 @@ object Multimodal {
           col("a.id") < col("b.id"))
       .select(
         col("a.id").as("ida"), col("b.id").as("idb"),
-        bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))).as("hamming"))
+        bit_count(col("a.hash").bitwiseXOR(col("b.hash"))).as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
   }
+
+  /** Perceptual DCT hash (pHash — public algorithm, e.g. the pHash.org
+    * / Zauner 2010 formulation): stub-downscale the payload to a 32x32
+    * grid of proportional-slice byte means (the same "decode" contract
+    * as [[dhash64]]), orthonormal 2D DCT-II (separable; only the 8x8
+    * low-frequency block is computed), then 64 bits = each coefficient
+    * compared against the MEDIAN of the 63 non-DC coefficients (the DC
+    * bit compares too and is ~always set — documented choice). dHash
+    * responds to local gradients; pHash to global spectral structure —
+    * the complementary pair real image-dedup stacks run together.
+    */
+  def phash64(payload: Array[Byte]): Long = {
+    val N = 32
+    val n = payload.length
+    if (n == 0) return 0L
+    val g = new Array[Double](N * N)
+    var cell = 0
+    while (cell < N * N) {
+      val from = (cell.toLong * n / (N * N)).toInt
+      val to = math.max(((cell + 1).toLong * n / (N * N)).toInt, from + 1)
+      var s = 0.0
+      var i = from
+      while (i < to && i < n) { s += (payload(i) & 0xFF); i += 1 }
+      g(cell) = s / math.max(to - from, 1)
+      cell += 1
+    }
+    val cosT = Array.tabulate(8, N)((k, i) =>
+      math.cos(math.Pi * (2 * i + 1) * k / (2.0 * N)))
+    val alpha = Array.tabulate(8)(k =>
+      if (k == 0) math.sqrt(1.0 / N) else math.sqrt(2.0 / N))
+    // rows: N x 8 low-frequency row transforms
+    val rowT = Array.ofDim[Double](N, 8)
+    var r = 0
+    while (r < N) {
+      var k = 0
+      while (k < 8) {
+        var s = 0.0
+        var i = 0
+        while (i < N) { s += g(r * N + i) * cosT(k)(i); i += 1 }
+        rowT(r)(k) = alpha(k) * s
+        k += 1
+      }
+      r += 1
+    }
+    // columns: the 8 x 8 block
+    val co = Array.ofDim[Double](8, 8)
+    var l = 0
+    while (l < 8) {
+      var k = 0
+      while (k < 8) {
+        var s = 0.0
+        var rr = 0
+        while (rr < N) { s += rowT(rr)(k) * cosT(l)(rr); rr += 1 }
+        co(l)(k) = alpha(l) * s
+        k += 1
+      }
+      l += 1
+    }
+    val vals = new Array[Double](63)
+    var idx = 0
+    var a = 0
+    while (a < 8) {
+      var b = 0
+      while (b < 8) {
+        if (a != 0 || b != 0) { vals(idx) = co(a)(b); idx += 1 }
+        b += 1
+      }
+      a += 1
+    }
+    java.util.Arrays.sort(vals)
+    val med = vals(31)
+    var h = 0L
+    a = 0
+    while (a < 8) {
+      var b = 0
+      while (b < 8) {
+        h = (h << 1) | (if (co(a)(b) > med) 1L else 0L)
+        b += 1
+      }
+      a += 1
+    }
+    h
+  }
+
+  private val phashUdf = udf((p: Array[Byte]) => phash64(p))
+
+  /** (id, phash) fingerprints for a packed multimodal table. */
+  def phashes(packed: DataFrame): DataFrame =
+    packed.select(col("id"), phashUdf(col("payload")).as("phash"))
+
+  /** Visual near-dup pairs by pHash — the [[dhashPairs]] machinery
+    * over the spectral fingerprint.
+    */
+  def phashPairs(packed: DataFrame, maxHamming: Int = 3,
+      bucketCap: Int = 0): DataFrame =
+    hammingPairs(phashes(packed).withColumnRenamed("phash", "hash"),
+      maxHamming, bucketCap)
 }

@@ -133,9 +133,33 @@ object MultimodalQueries {
       .orderBy("ida", "idb")
   }
 
+  /** Spectral near-dup pairs by payload pHash — the complementary
+    * perceptual fingerprint (dHash sees local gradients, pHash global
+    * DCT structure; real image-dedup stacks run both). Same planted
+    * corrupted twins; sparse bit-flips leave the low-frequency
+    * spectrum nearly unchanged, so pHash recovers them at a TIGHTER
+    * radius than dHash needs.
+    */
+  def phashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val packed = Multimodal.packDocuments(Tables(spark, dir, "documents"))
+      .select(col("id"), col("payload"))
+    val corrupt = udf { p: Array[Byte] =>
+      val b = p.clone()
+      var i = 7
+      while (i < b.length) { b(i) = (b(i) ^ 1).toByte; i += 97 }
+      b
+    }
+    val twins = packed.where(col("id") < 50)
+      .select((col("id") + 1000000L).as("id"),
+        corrupt(col("payload")).as("payload"))
+    Multimodal.phashPairs(packed.unionByName(twins), maxHamming = 3)
+      .orderBy("ida", "idb")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_batch_scores" -> batchScores,
     "multimodal_dhash_pairs" -> dhashPairs,
+    "multimodal_phash_pairs" -> phashPairs,
     "multimodal_meta" -> meta,
     "multimodal_features" -> features,
     "multimodal_frames" -> frames,

@@ -98,6 +98,59 @@ class MultimodalSpec extends SparkSpec {
     assert(bad.count() === 0)
   }
 
+  test("phash: low-frequency DCT block matches the direct definition") {
+    // separable fast path vs the O(N^2) per-coefficient direct sum
+    val payload = Array.tabulate(977)(i => ((i * 131 + 17) % 251).toByte)
+    val N = 32
+    val n = payload.length
+    val g = Array.tabulate(N * N) { cell =>
+      val from = (cell.toLong * n / (N * N)).toInt
+      val to = math.max(((cell + 1).toLong * n / (N * N)).toInt, from + 1)
+      val xs = (from until math.min(to, n)).map(i => (payload(i) & 0xFF).toDouble)
+      xs.sum / math.max(to - from, 1)
+    }
+    def alpha(k: Int) = if (k == 0) math.sqrt(1.0 / N) else math.sqrt(2.0 / N)
+    def direct(l: Int, k: Int): Double = {
+      var s = 0.0
+      for (r <- 0 until N; i <- 0 until N)
+        s += g(r * N + i) *
+          math.cos(math.Pi * (2 * i + 1) * k / (2.0 * N)) *
+          math.cos(math.Pi * (2 * r + 1) * l / (2.0 * N))
+      alpha(l) * alpha(k) * s
+    }
+    // rebuild the hash from direct coefficients and compare
+    val co = Array.tabulate(8, 8)((l, k) => direct(l, k))
+    val vals = (for (a <- 0 until 8; b <- 0 until 8 if a != 0 || b != 0)
+      yield co(a)(b)).toArray.sorted
+    val med = vals(31)
+    var want = 0L
+    for (a <- 0 until 8; b <- 0 until 8)
+      want = (want << 1) | (if (co(a)(b) > med) 1L else 0L)
+    assert(Multimodal.phash64(payload) == want)
+  }
+
+  test("phash: identical payloads collide; sparse bit flips stay close") {
+    val base = ("the quick brown fox jumps over the lazy dog " * 20).getBytes
+    val corrupted = {
+      val b = base.clone()
+      var i = 7
+      while (i < b.length) { b(i) = (b(i) ^ 1).toByte; i += 97 }
+      b
+    }
+    val different =
+      ("completely unrelated bytes 0123456789 " * 25).getBytes
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val h0 = Multimodal.phash64(base)
+    assert(Multimodal.phash64(base) == h0)
+    // the median split sets ~half the 64 bits for any non-degenerate input
+    assert(java.lang.Long.bitCount(h0) >= 28 &&
+      java.lang.Long.bitCount(h0) <= 36, s"popcount=${java.lang.Long.bitCount(h0)}")
+    assert(ham(h0, Multimodal.phash64(corrupted)) <= 3,
+      s"sparse flips drifted: ${ham(h0, Multimodal.phash64(corrupted))}")
+    assert(ham(h0, Multimodal.phash64(different)) > 3,
+      "unrelated payloads too close")
+  }
+
   test("dhash: identical payloads collide, near-identical stay close") {
     import spark.implicits._
     val base = ("the quick brown fox jumps over the lazy dog " * 20).getBytes
