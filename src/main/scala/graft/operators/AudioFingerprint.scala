@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Audio fingerprinting by spectral-peak constellation landmarks —
+  * the Shazam family (public algorithm: Wang 2003, "An Industrial-
+  * Strength Audio Search Algorithm"). Complements the image hashes
+  * (dHash/pHash): those are GLOBAL fingerprints; landmarks are LOCAL
+  * and anchored in time, which is what makes matching robust to
+  * TIME SHIFT and cropping — the property this operator exists for
+  * and the one the spec pins.
+  *
+  * Decode contract matches the other multimodal ops: the sandbox has
+  * no codecs, so payload bytes stand in for PCM samples
+  * deterministically ((b & 0xFF) - 128). The Spark-side shapes — the
+  * landmark schema, the hash equi-join, the offset-histogram vote —
+  * are the real thing and carry over unchanged when a real decoder
+  * replaces the stub.
+  *
+  * Pipeline per payload (all inside one UDF call per row, emitting the
+  * landmark list):
+  *  1. frame the samples (frameSize window, hop stride);
+  *  2. DFT magnitude per frame (naive O(frameSize * bins) — frames
+  *     are 64 samples, this is arithmetic, not a bottleneck);
+  *  3. top `peaksPerFrame` bins per frame (ties -> lower bin) = the
+  *     constellation;
+  *  4. each peak pairs with peaks up to `fanout` frames ahead ->
+  *     landmark hash (f1, f2, dt) packed in a long, anchored at t1.
+  *
+  * MATCHING is pure relational algebra and is where scale lives: an
+  * equi-join on the landmark hash (df-capped against degenerate hot
+  * hashes — the shingle dfCap bargain), then the Wang offset-
+  * histogram: votes grouped by (ida, idb, t2 - t1); a true match
+  * concentrates its votes at ONE offset (the relative shift), noise
+  * spreads uniformly. Everything after the UDF is joins + hash aggs.
+  */
+object AudioFingerprint {
+
+  /** Landmark list of one payload: (hash, t) pairs packed as longs
+    * (hash << 20 | t, t < 2^20 frames) to keep the UDF return type a
+    * primitive array.
+    */
+  private[graft] def landmarks(payload: Array[Byte], frameSize: Int,
+      hop: Int, peaksPerFrame: Int, fanout: Int): Array[Long] = {
+    val n = payload.length
+    if (n < frameSize) return Array.empty
+    val nFrames = (n - frameSize) / hop + 1
+    val bins = frameSize / 2
+    // constellation: top peaks per frame
+    val peaks = Array.ofDim[Int](nFrames, peaksPerFrame)
+    var t = 0
+    while (t < nFrames) {
+      val off = t * hop
+      val mag = new Array[Double](bins)
+      var k = 1 // skip DC
+      while (k < bins) {
+        var re = 0.0
+        var im = 0.0
+        var i = 0
+        while (i < frameSize) {
+          val s = (payload(off + i) & 0xFF) - 128.0
+          val ang = -2.0 * math.Pi * k * i / frameSize
+          re += s * math.cos(ang)
+          im += s * math.sin(ang)
+          i += 1
+        }
+        mag(k) = re * re + im * im
+        k += 1
+      }
+      // top-p bins, ties -> lower bin (selection by repeated argmax:
+      // p is 3, bins 32 — simplicity over asymptotics)
+      var p = 0
+      val taken = new Array[Boolean](bins)
+      while (p < peaksPerFrame) {
+        var best = -1
+        var bestM = -1.0
+        var b = 1
+        while (b < bins) {
+          if (!taken(b) && mag(b) > bestM) { bestM = mag(b); best = b }
+          b += 1
+        }
+        taken(best) = true
+        peaks(t)(p) = best
+        p += 1
+      }
+      t += 1
+    }
+    // landmarks: anchor peak -> peaks in the next 1..fanout frames
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    t = 0
+    while (t < nFrames) {
+      var p1 = 0
+      while (p1 < peaksPerFrame) {
+        val f1 = peaks(t)(p1)
+        var dt = 1
+        while (dt <= fanout && t + dt < nFrames) {
+          var p2 = 0
+          while (p2 < peaksPerFrame) {
+            val f2 = peaks(t + dt)(p2)
+            val hash = (f1.toLong << 16) | (f2.toLong << 8) | dt.toLong
+            out += (hash << 20) | t.toLong
+            p2 += 1
+          }
+          dt += 1
+        }
+        p1 += 1
+      }
+      t += 1
+    }
+    out.toArray
+  }
+
+  /** (id, hash, t) landmark table for a packed multimodal frame. */
+  def landmarkTable(packed: DataFrame, frameSize: Int = 64, hop: Int = 32,
+      peaksPerFrame: Int = 3, fanout: Int = 3): DataFrame = {
+    val lm = udf((p: Array[Byte]) =>
+      landmarks(p, frameSize, hop, peaksPerFrame, fanout))
+    packed.select(col("id"), explode(lm(col("payload"))).as("packed"))
+      .select(col("id"),
+        shiftright(col("packed"), 20).as("hash"),
+        (col("packed") % (1L << 20)).as("t"))
+  }
+
+  /** Offset-histogram match scores between all payload pairs sharing
+    * landmarks: for each (ida < idb), the best vote count over relative
+    * offsets plus that offset. `dfCap` drops degenerate hashes shared
+    * by more than that many payloads before the pair join (the shingle
+    * dfCap bargain — bounded candidate volume, near-identical audio
+    * still matches on its rarer landmarks); `minVotes` floors reported
+    * matches.
+    */
+  def matches(packed: DataFrame, minVotes: Long = 10, dfCap: Int = 50,
+      frameSize: Int = 64, hop: Int = 32, peaksPerFrame: Int = 3,
+      fanout: Int = 3): DataFrame = {
+    val lt = landmarkTable(packed, frameSize, hop, peaksPerFrame, fanout)
+    // barrier on the hash key: landmark extraction runs ONCE and both
+    // self-join sides read the reused co-partitioned exchange
+    val rare = lt.groupBy("hash")
+      .agg(countDistinct("id").as("df"))
+      .where(col("df") <= dfCap && col("df") >= 2)
+    val ltr = lt.join(broadcast(rare.select("hash")), "hash")
+      .repartition(col("hash"))
+    val votes = ltr.as("a").join(ltr.as("b"),
+        col("a.hash") === col("b.hash") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("ida"), col("b.id").as("idb"),
+        (col("b.t") - col("a.t")).as("offset"))
+      .agg(count(lit(1)).as("votes"))
+    // best offset per pair: max_by keeps one deterministic winner
+    // (votes desc, then smaller offset) without a per-pair sort
+    votes.groupBy("ida", "idb")
+      .agg(max(struct(col("votes").as("v"),
+        (-col("offset")).as("negoff"))).as("w"))
+      .select(col("ida"), col("idb"),
+        col("w.v").as("votes"), (-col("w.negoff")).as("offset"))
+      .where(col("votes") >= minVotes)
+  }
+}

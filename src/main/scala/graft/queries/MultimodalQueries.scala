@@ -156,10 +156,61 @@ object MultimodalQueries {
       .orderBy("ida", "idb")
   }
 
+  /** Audio-style landmark matching ([[graft.operators.AudioFingerprint]],
+    * the Wang 2003 constellation algorithm): plants TIME-SHIFTED
+    * copies of the first docs (a 256-byte / 2-hop alien prefix — the
+    * crop/shift case the global hashes cannot survive but landmarks
+    * exist for) and recovers each at its true relative offset via the
+    * offset-histogram vote. Measured at sf0.001: all 30 planted twins
+    * at >= 506 votes, worst spurious pair 100 — the 200-vote floor
+    * sits in the gap.
+    */
+  def audioMatch(spark: SparkSession, dir: String): DataFrame = {
+    // Deterministic per-doc PCM synthesis (the stub-decode contract:
+    // no codecs in the sandbox, so the "decoded waveform" is a
+    // blockwise chirp seeded by doc_id). Raw text bytes are the WRONG
+    // fixture for this modality — ASCII prose is spectrally
+    // near-identical across documents, which is precisely the
+    // degenerate case dfCap prunes; audio-statistics payloads make
+    // the landmark geometry real.
+    // 256-sample frames -> 128 bins: the constellation needs hash
+    // entropy comfortably above corpus size or df-capping prunes
+    // everything (measured: 64-sample frames' ~2.9k hash space
+    // degenerates at 500 docs)
+    val wave = udf { id: Long =>
+      var st = id * 6364136223846793005L + 1442695040888963407L
+      def next(): Int = {
+        st = st * 6364136223846793005L + 1442695040888963407L
+        (((st >>> 33) % 120) + 1).toInt
+      }
+      val freqs = Array.fill(13)(next())
+      Array.tabulate(3200) { i =>
+        (127 * math.cos(2 * math.Pi * freqs(i / 256) * (i % 256) / 256.0))
+          .toByte
+      }
+    }
+    val packed = Tables(spark, dir, "documents")
+      .select(col("doc_id").as("id"), wave(col("doc_id")).as("payload"))
+    // shifted twins: a 256-byte (2-hop) alien prefix — the crop/shift
+    // case constellation landmarks exist to survive
+    val shift = udf { p: Array[Byte] =>
+      Array.tabulate(256)(i =>
+        (127 * math.cos(2 * math.Pi * 7 * i / 256.0)).toByte) ++ p
+    }
+    val twins = packed.where(col("id") < 30)
+      .select((col("id") + 1000000L).as("id"),
+        shift(col("payload")).as("payload"))
+    graft.operators.AudioFingerprint.matches(
+        packed.unionByName(twins), minVotes = 200,
+        frameSize = 256, hop = 128)
+      .orderBy("ida", "idb")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_batch_scores" -> batchScores,
     "multimodal_dhash_pairs" -> dhashPairs,
     "multimodal_phash_pairs" -> phashPairs,
+    "multimodal_audio_match" -> audioMatch,
     "multimodal_meta" -> meta,
     "multimodal_features" -> features,
     "multimodal_frames" -> frames,

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.AudioFingerprint
+
+/** Pins the constellation-landmark contract (Wang 2003): determinism,
+  * the time-shift robustness that is the algorithm's reason to exist
+  * (global hashes cannot survive a prefix splice; landmarks match at
+  * a consistent relative offset), and vote concentration — a true
+  * match's votes pile at ONE offset while unrelated payloads never
+  * reach the floor.
+  */
+class AudioFingerprintSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Synthetic "audio" with time-VARYING spectral content (a blockwise
+    * chirp): constant-byte or periodic fillers give every frame the
+    * same spectrum, which degenerates the constellation — real audio
+    * does not look like that, and neither should the fixture.
+    */
+  private def bytes(seed: Int, n: Int): Array[Byte] = {
+    val rnd = new scala.util.Random(seed)
+    val freqs = Array.fill((n + 63) / 64)(1 + rnd.nextInt(20))
+    Array.tabulate(n) { i =>
+      val f = freqs(i / 64)
+      (127 * math.cos(2 * math.Pi * f * (i % 64) / 64.0)).toByte
+    }
+  }
+
+  test("landmarks are deterministic and well-formed") {
+    val p = bytes(1, 800)
+    val a = AudioFingerprint.landmarks(p, 64, 32, 3, 3)
+    val b = AudioFingerprint.landmarks(p, 64, 32, 3, 3)
+    assert(a.sameElements(b))
+    assert(a.nonEmpty)
+    a.foreach { packed =>
+      val hash = packed >> 20
+      val t = packed & ((1L << 20) - 1)
+      val dt = hash & 0xFF
+      assert(dt >= 1 && dt <= 3)
+      assert(t >= 0 && t < 800 / 32)
+    }
+    // payloads shorter than one frame produce nothing
+    assert(AudioFingerprint.landmarks(bytes(1, 63), 64, 32, 3, 3).isEmpty)
+  }
+
+  test("a time-shifted copy matches at its true offset; unrelated do not") {
+    val base = bytes(2, 1600)
+    val pad = 96 // exactly 3 hops, so frames realign
+    val shifted = bytes(9, pad) ++ base
+    val unrelated = bytes(5, 1600)
+    val df = Seq((1L, base), (2L, shifted), (3L, unrelated))
+      .toDF("id", "payload")
+    val m = AudioFingerprint.matches(df, minVotes = 100)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    assert(m.contains((1L, 2L)), s"shifted copy not recovered: $m")
+    val (votes, offset) = m((1L, 2L))
+    assert(offset == pad / 32, s"wrong offset: $offset")
+    assert(votes >= 100)
+    assert(!m.contains((1L, 3L)) && !m.contains((2L, 3L)),
+      s"unrelated payloads matched: $m")
+  }
+
+  test("votes concentrate at one offset for a true match") {
+    val base = bytes(3, 1600)
+    val shifted = bytes(4, 64) ++ base
+    val df = Seq((1L, base), (2L, shifted)).toDF("id", "payload")
+    val lt = AudioFingerprint.landmarkTable(df)
+    val votes = lt.as("a").join(lt.as("b"),
+        col("a.hash") === col("b.hash") && col("a.id") < col("b.id"))
+      .groupBy((col("b.t") - col("a.t")).as("offset"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val best = votes.maxBy(_._2)
+    assert(best._1 == 2L, s"peak offset ${best._1} != 2")
+    // the true offset holds a clear plurality
+    assert(best._2 * 2 > votes.values.sum,
+      s"votes not concentrated: $votes")
+  }
+}
