@@ -50,6 +50,35 @@ object DedupQueries {
       g.pairs.count())
   }
 
+  /** LSH quality audit: MinHash-LSH pairs vs the exact-blocking pair
+    * set at the SAME threshold — the recall readout a production dedup
+    * deployment monitors when it trades the exact inverted-index
+    * cascade for banded signatures (precision is 1.0 by construction:
+    * LSH candidates are exact-verified). One row: counts, misses,
+    * recall. Golden-pinned (the MinHash side has no SQL equivalent);
+    * the banding theory says recall at 0.5 with 16x4 bands is ~1 for
+    * strong pairs, and the miss count makes any silent recall
+    * regression a hash flip.
+    */
+  def lshQuality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text",
+        threshold = 0.5, dfCap = 50, minShared = 2)
+      .select("ida", "idb").localCheckpoint(true)
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        threshold = 0.5)
+      .select("ida", "idb").localCheckpoint(true)
+    val nExact = exact.count()
+    val nLsh = lsh.count()
+    val nCommon = exact.intersect(lsh).count()
+    import spark.implicits._
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((nExact, nLsh, nCommon, nExact - nCommon,
+        if (nExact == 0) 1.0 else r4(nCommon.toDouble / nExact)))
+      .toDF("n_exact", "n_lsh", "n_common", "n_missed", "recall")
+  }
+
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(Tables(spark, dir, "documents"),
         "doc_id", "text", threshold = 0.5)
@@ -311,6 +340,7 @@ object DedupQueries {
     "dedup_shingle_jaccard" -> shingleJaccard,
     "dedup_blocking_audit" -> blockingAudit,
     "dedup_minhash_lsh" -> minhashLsh,
+    "dedup_lsh_quality" -> lshQuality,
     "dedup_simhash" -> simhashPairs)
 
   private val tokSql =

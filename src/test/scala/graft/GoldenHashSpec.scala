@@ -26,6 +26,7 @@ class GoldenHashSpec extends SparkSpec {
     "text_wordpiece_encode" -> "f6bb3df64df1f420682d0c66b4340606",
     "text_wordpiece_vocab" -> "220d857d5c8a5ce9c098de19dcc65442",
     "dedup_minhash_lsh" -> "43b0854b6e50afe8ced0516d135f83e4",
+    "dedup_lsh_quality" -> "86cdef9e1488c5f49c73dc9d90b72328",
     "dedup_semantic" -> "a60e4c40f2dae28e673b857707dcbde1",
     "dedup_simhash" -> "0e382879f002a691192647cfae2e5bf2",
     "multimodal_dhash_pairs" -> "12875c26c84f1ca9b47670ea49d96fce",
