@@ -58,4 +58,41 @@ class FileSkipIndexSpec extends SparkSpec {
     assert(out.count() == 0)
     assert(out.schema.fieldNames.contains("l_quantity"))
   }
+
+  test("bloom index: equality probes open ~1 file, absent keys ~0, results exact") {
+    val dataDir = Files.createTempDirectory("bloom-data").toString
+    val idxDir = Files.createTempDirectory("bloom-idx").toString
+    // layout UNCORRELATED with the key: hash-repartitioned files, the
+    // case where min/max zone maps cannot prune an equality probe but
+    // a Bloom can
+    li.repartition(16, col("l_partkey"))
+      .write.mode("overwrite").parquet(dataDir)
+    FileSkipIndex.writeBloomIndex(spark, dataDir, "l_orderkey", idxDir,
+      expectedItemsPerFile = 10000L)
+
+    val present = li.select("l_orderkey").head().getLong(0)
+    val pruned = FileSkipIndex.bloomPrunedRead(spark, dataDir, idxDir,
+        "l_orderkey", present)
+      .orderBy("l_orderkey", "l_partkey", "l_extendedprice")
+      .collect().toSeq
+    val full = spark.read.parquet(dataDir)
+      .where(col("l_orderkey") === present)
+      .orderBy("l_orderkey", "l_partkey", "l_extendedprice")
+      .collect().toSeq
+    assert(pruned == full)
+    assert(full.nonEmpty)
+
+    // the key's rows live in few files; bloom opens those + ~fpp misses
+    val (touched, total) = FileSkipIndex.bloomPruneStats(spark, idxDir,
+      present)
+    assert(total == 16)
+    assert(touched <= 8, s"bloom should skip most files: $touched/$total")
+
+    // a key that cannot exist: definitely-absent everywhere
+    val (tAbsent, _) = FileSkipIndex.bloomPruneStats(spark, idxDir,
+      -987654321L)
+    assert(tAbsent <= 2, s"absent key should prune ~all files: $tAbsent")
+    assert(FileSkipIndex.bloomPrunedRead(spark, dataDir, idxDir,
+      "l_orderkey", -987654321L).count() == 0)
+  }
 }
