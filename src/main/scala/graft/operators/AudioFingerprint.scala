@@ -41,12 +41,32 @@ object AudioFingerprint {
     * (hash << 20 | t, t < 2^20 frames) to keep the UDF return type a
     * primitive array.
     */
+  /** Per-frameSize DFT twiddle tables, built once per JVM: every frame
+    * uses the same cos/sin lattice, and computing it per sample was
+    * measured as ~10x the whole query (780M transcendental calls at
+    * sf0.1). Values are math.cos/sin of the IDENTICAL angle expression
+    * the inline form used, so fingerprints are bit-identical.
+    */
+  private val trigCache = scala.collection.concurrent.TrieMap
+    .empty[Int, (Array[Array[Double]], Array[Array[Double]])]
+  private def trig(frameSize: Int)
+      : (Array[Array[Double]], Array[Array[Double]]) =
+    trigCache.getOrElseUpdate(frameSize, {
+      val bins = frameSize / 2
+      val c = Array.tabulate(bins, frameSize)((k, i) =>
+        math.cos(-2.0 * math.Pi * k * i / frameSize))
+      val s = Array.tabulate(bins, frameSize)((k, i) =>
+        math.sin(-2.0 * math.Pi * k * i / frameSize))
+      (c, s)
+    })
+
   private[graft] def landmarks(payload: Array[Byte], frameSize: Int,
       hop: Int, peaksPerFrame: Int, fanout: Int): Array[Long] = {
     val n = payload.length
     if (n < frameSize) return Array.empty
     val nFrames = (n - frameSize) / hop + 1
     val bins = frameSize / 2
+    val (cosT, sinT) = trig(frameSize)
     // constellation: top peaks per frame
     val peaks = Array.ofDim[Int](nFrames, peaksPerFrame)
     var t = 0
@@ -57,12 +77,13 @@ object AudioFingerprint {
       while (k < bins) {
         var re = 0.0
         var im = 0.0
+        val ck = cosT(k)
+        val sk = sinT(k)
         var i = 0
         while (i < frameSize) {
           val s = (payload(off + i) & 0xFF) - 128.0
-          val ang = -2.0 * math.Pi * k * i / frameSize
-          re += s * math.cos(ang)
-          im += s * math.sin(ang)
+          re += s * ck(i)
+          im += s * sk(i)
           i += 1
         }
         mag(k) = re * re + im * im
@@ -133,7 +154,14 @@ object AudioFingerprint {
   def matches(packed: DataFrame, minVotes: Long = 10, dfCap: Int = 50,
       frameSize: Int = 64, hop: Int = 32, peaksPerFrame: Int = 3,
       fanout: Int = 3): DataFrame = {
-    val lt = landmarkTable(packed, frameSize, hop, peaksPerFrame, fanout)
+    // repartition BEFORE the landmark UDF: a small packed table often
+    // arrives in one scan partition while the DFT fan-out behind it is
+    // the expensive part (the "small input, huge generator" shape AQE
+    // cannot see — the sim_knn_graph lesson); then checkpoint so the
+    // rare-hash aggregation and the join sides extract landmarks ONCE
+    val lt = landmarkTable(packed.repartition(col("id")),
+        frameSize, hop, peaksPerFrame, fanout)
+      .localCheckpoint(true)
     // barrier on the hash key: landmark extraction runs ONCE and both
     // self-join sides read the reused co-partitioned exchange
     val rare = lt.groupBy("hash")

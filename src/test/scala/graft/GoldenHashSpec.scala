@@ -31,7 +31,7 @@ class GoldenHashSpec extends SparkSpec {
     "dedup_simhash" -> "0e382879f002a691192647cfae2e5bf2",
     "multimodal_dhash_pairs" -> "12875c26c84f1ca9b47670ea49d96fce",
     "multimodal_phash_pairs" -> "cde470c1d1ec6643c68c15d38d2f05e3",
-    "multimodal_audio_match" -> "c885789530ec0134b612444118817d0a",
+    "multimodal_audio_match" -> "addc0b91abca17e9663ef80cc1552b7b",
     "multimodal_features" -> "969a4d8ace527df432eafb21453c706f",
     "pipeline_corpus_funnel" -> "aa40b96bb3b11e51d1ea5dd879264548",
     "pipeline_keywords_v2_topk" -> "6b921c7d188b6c6c51175481cf05257f",
