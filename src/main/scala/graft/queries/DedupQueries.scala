@@ -60,14 +60,24 @@ object DedupQueries {
     * strong pairs, and the miss count makes any silent recall
     * regression a hash flip.
     */
+  /** One MinHash-LSH pair table per (session, dir), shared by the
+    * standalone pair query and the quality audit (the NearDupGraph
+    * memo rationale — the banded cascade is the expensive artifact).
+    */
+  private val lshCache = scala.collection.concurrent.TrieMap
+    .empty[String, DataFrame]
+  private def sharedLshPairs(spark: SparkSession, dir: String): DataFrame =
+    lshCache.getOrElseUpdate(s"${System.identityHashCode(spark)}:$dir",
+      Dedup.minhashLshPairs(Tables(spark, dir, "documents"),
+          "doc_id", "text", threshold = 0.5)
+        .localCheckpoint(true))
+
   def lshQuality(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text",
         threshold = 0.5, dfCap = 50, minShared = 2)
       .select("ida", "idb").localCheckpoint(true)
-    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
-        threshold = 0.5)
-      .select("ida", "idb").localCheckpoint(true)
+    val lsh = sharedLshPairs(spark, dir).select("ida", "idb")
     val nExact = exact.count()
     val nLsh = lsh.count()
     val nCommon = exact.intersect(lsh).count()
@@ -80,9 +90,7 @@ object DedupQueries {
   }
 
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minhashLshPairs(Tables(spark, dir, "documents"),
-        "doc_id", "text", threshold = 0.5)
-      .orderBy("ida", "idb")
+    sharedLshPairs(spark, dir).orderBy("ida", "idb")
 
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables(spark, dir, "documents"),
