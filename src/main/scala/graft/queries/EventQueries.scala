@@ -190,6 +190,33 @@ object EventQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** Streaming-style anomaly detection, batch twin: events whose value
+    * deviates more than 3 trailing standard deviations from the user's
+    * own trailing-10-event baseline (current row excluded; windows
+    * with fewer than 5 prior events are warm-up and never flag) — the
+    * per-entity outlier monitor a metrics pipeline runs. One per-user
+    * window pass, no global ordering; the flag is a filter, so the
+    * output is alert-sized, not corpus-sized.
+    */
+  def anomalies(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(-10, -1)
+    Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("n", count("value").over(w))
+      .withColumn("mu", avg("value").over(w))
+      .withColumn("sd", stddev_samp("value").over(w))
+      .where(col("n") >= 5 && col("sd") > 0 &&
+        abs(col("value") - col("mu")) > lit(3.0) * col("sd"))
+      // output only engine-stable columns: `value` is the raw parquet
+      // double; the window mean/stddev are ulp-divergent across engines
+      // (summation order), so emitting them — rounded or raw — is the
+      // cross-engine boundary-flip hazard. WHICH rows alert is the
+      // substance the oracle checks.
+      .select(col("user_id"), col("event_id"), col("value"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Time-series gap filling: per-user daily event counts over a fixed
     * two-week window with missing days materialized as zero — the
     * dense-grid prep step for downstream models. The day spine is a
@@ -406,6 +433,7 @@ object EventQueries {
     "events_retention" -> retention,
     "events_gap_fill" -> gapFill,
     "events_rolling_avg" -> rollingAvg,
+    "events_anomaly" -> anomalies,
     "events_funnel_conversion" -> funnelConversion,
     "events_session_window" -> sessionWindowNative,
     "events_json_props" -> jsonProps,
@@ -603,6 +631,20 @@ SELECT u.user_id, days.d, coalesce(c.n, 0) AS n_events
 FROM users u CROSS JOIN days
 LEFT JOIN c ON c.user_id = u.user_id AND c.d = days.d
 ORDER BY u.user_id, days.d""",
+    "events_anomaly" ->
+      """WITH b AS (
+  SELECT user_id, event_id, value,
+    count(value) OVER w AS n,
+    avg(value) OVER w AS mu,
+    stddev_samp(value) OVER w AS sd
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, event_id, value
+FROM b
+WHERE n >= 5 AND sd > 0 AND abs(value - mu) > 3.0 * sd
+ORDER BY user_id, event_id""",
     "events_rolling_avg" ->
       """SELECT user_id, event_id,
 round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
