@@ -276,6 +276,62 @@ object EventStreams {
       }
   }
 
+  final case class AnomalyBuf(window: List[Double],
+      pending: List[(Long, Long, Double)])
+  final case class AnomalyAlert(user_id: Long, event_id: Long, value: Double)
+
+  /** Streaming twin of the batch `events_anomaly` query: per-user
+    * trailing-window z-score alerts as arbitrary state. Out-of-order
+    * events buffer in state until the watermark passes them, then feed
+    * the detector in (ts, event_id) order — the [[patternMatches]]
+    * buffering discipline — so the alert set equals the batch window
+    * query however the stream chops or reorders the data (spec-pinned).
+    * State per user: the trailing `windowSize` values plus the pending
+    * buffer (watermark-bounded) — constant-size, stream-lifetime safe.
+    * The current event never enters its own baseline (the batch frame
+    * is rowsBetween(-windowSize, -1)); sub-`minWindow` baselines are
+    * warm-up and never alert.
+    */
+  def anomalyAlerts(events: Dataset[EventRow], delay: String = "10 minutes",
+      windowSize: Int = 10, minWindow: Int = 5, nSd: Double = 3.0)
+      : Dataset[AnomalyAlert] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+          GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[EventRow],
+         state: GroupState[AnomalyBuf]) =>
+          val prev = state.getOption.getOrElse(AnomalyBuf(Nil, Nil))
+          val incoming = rows.map { r =>
+            val i = r.ts.toInstant
+            (i.getEpochSecond * 1000000L + i.getNano / 1000L,
+              r.event_id, r.value)
+          }.toList
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ready, pending) =
+            (prev.pending ++ incoming).partition(_._1 <= wmUs)
+          var win = prev.window
+          val alerts = List.newBuilder[AnomalyAlert]
+          ready.sortBy(e => (e._1, e._2)).foreach { case (_, eid, v) =>
+            val n = win.size
+            if (n >= minWindow) {
+              val mu = win.sum / n
+              val sd = math.sqrt(
+                win.map(x => (x - mu) * (x - mu)).sum / (n - 1))
+              if (sd > 0 && math.abs(v - mu) > nSd * sd)
+                alerts += AnomalyAlert(uid, eid, v)
+            }
+            win = (win :+ v).takeRight(windowSize)
+          }
+          state.update(AnomalyBuf(win, pending))
+          if (pending.nonEmpty)
+            state.setTimeoutTimestamp(pending.map(_._1).min / 1000L + 1L)
+          alerts.result().iterator
+      }
+  }
+
   /** Output-mode helper used by the spec: run a streaming DataFrame to
     * completion against a memory sink and return the result table.
     */
