@@ -73,9 +73,12 @@ object DedupQueries {
         .localCheckpoint(true))
 
   def lshQuality(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
-    val exact = Dedup.jaccardPairs(docs, "doc_id", "text",
-        threshold = 0.5, dfCap = 50, minShared = 2)
+    // exact pairs at 0.5 = the SHARED 0.2-threshold graph filtered on
+    // its verified jaccard column (same candidates, same dfCap/
+    // minShared, verify filters after the exact score) — the whole
+    // dedup family keeps materializing ONE blocking cascade
+    val exact = sharedPairs(spark, dir)
+      .where(col("jaccard") >= 0.5)
       .select("ida", "idb").localCheckpoint(true)
     val lsh = sharedLshPairs(spark, dir).select("ida", "idb")
     val nExact = exact.count()
