@@ -232,6 +232,27 @@ ORDER BY n.n_name"""
     * constant template, values bind server-side — the
     * injection-safe/plan-cacheable form a SQL front end should use.
     */
+  /** Spark 4 SQL pipe syntax (|> operators — the linear dataflow
+    * spelling of SELECT): scan -> filter -> join -> aggregate ->
+    * order, each stage textually in execution order. Catalyst plans it
+    * identically to the nested form, so the DuckDB oracle is the plain
+    * ANSI equivalent — pinning that the pipe FRONT END changes nothing
+    * semantically.
+    */
+  def pipeSyntax(spark: SparkSession, dir: String): DataFrame = {
+    view(spark, dir, "orders")
+    view(spark, dir, "customer")
+    spark.sql(
+      """FROM orders
+         |> WHERE o_orderstatus = 'F'
+         |> JOIN customer ON o_custkey = c_custkey
+         |> AGGREGATE count(*) AS n_orders,
+              round(sum(o_totalprice), 2) AS revenue
+            GROUP BY c_mktsegment
+         |> SELECT c_mktsegment AS segment, n_orders, revenue
+         |> ORDER BY segment""")
+  }
+
   def parameterized(spark: SparkSession, dir: String): DataFrame = {
     Tables(spark, dir, "orders").createOrReplaceTempView("orders_p")
     spark.sql(
@@ -302,6 +323,7 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
     "sql_unpivot" -> unpivotSql,
     "sql_execute_immediate" -> executeImmediate,
     "sql_parameterized" -> parameterized,
+    "sql_pipe_syntax" -> pipeSyntax,
     "sql_native_funcs" -> nativeFuncs,
     "sql_recursive_cte" -> recursiveCte,
     "sql_lateral_subquery" -> lateralSubquery,
@@ -335,6 +357,12 @@ ORDER BY o_orderstatus, metric""",
 round(max(o_totalprice), 2) AS max_price
 FROM orders WHERE o_totalprice > 400000
 GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "sql_pipe_syntax" ->
+      """SELECT c_mktsegment AS segment, count(*) AS n_orders,
+  round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderstatus = 'F'
+GROUP BY c_mktsegment ORDER BY segment""",
     "sql_parameterized" ->
       """SELECT o_orderstatus, count(*) AS n,
 round(sum(o_totalprice), 2) AS revenue
