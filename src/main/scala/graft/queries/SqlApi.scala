@@ -253,6 +253,22 @@ ORDER BY n.n_name"""
          |> ORDER BY segment""")
   }
 
+  /** IDENTIFIER clause (Spark 3.5+): table and column names bound from
+    * parameters as IDENTIFIERS, not strings — templated DDL/queries
+    * without injection (the safe spelling of dynamic SQL that
+    * EXECUTE IMMEDIATE string-splicing cannot give). The oracle is the
+    * statically-spelled equivalent: binding must be identity.
+    */
+  def identifierClause(spark: SparkSession, dir: String): DataFrame = {
+    view(spark, dir, "lineitem")
+    spark.sql(
+      """SELECT l_returnflag, count(*) AS n,
+           round(sum(IDENTIFIER(:measure)), 2) AS total
+         FROM IDENTIFIER(:tbl)
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+      Map("tbl" -> "lineitem", "measure" -> "l_extendedprice"))
+  }
+
   def parameterized(spark: SparkSession, dir: String): DataFrame = {
     Tables(spark, dir, "orders").createOrReplaceTempView("orders_p")
     spark.sql(
@@ -324,6 +340,7 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
     "sql_execute_immediate" -> executeImmediate,
     "sql_parameterized" -> parameterized,
     "sql_pipe_syntax" -> pipeSyntax,
+    "sql_identifier_clause" -> identifierClause,
     "sql_native_funcs" -> nativeFuncs,
     "sql_recursive_cte" -> recursiveCte,
     "sql_lateral_subquery" -> lateralSubquery,
@@ -357,6 +374,10 @@ ORDER BY o_orderstatus, metric""",
 round(max(o_totalprice), 2) AS max_price
 FROM orders WHERE o_totalprice > 400000
 GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "sql_identifier_clause" ->
+      """SELECT l_returnflag, count(*) AS n,
+  round(sum(l_extendedprice), 2) AS total
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "sql_pipe_syntax" ->
       """SELECT c_mktsegment AS segment, count(*) AS n_orders,
   round(sum(o_totalprice), 2) AS revenue
