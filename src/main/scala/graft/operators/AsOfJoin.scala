@@ -26,8 +26,8 @@ object AsOfJoin {
 
   def asOf(left: DataFrame, right: DataFrame,
       keyCol: String, tsCol: String): DataFrame = {
-    val lStruct = struct(left.columns.map(col): _*)
-    val rStruct = struct(right.columns.map(col): _*)
+    val lStruct = struct(left.columns.toIndexedSeq.map(col): _*)
+    val rStruct = struct(right.columns.toIndexedSeq.map(col): _*)
     val lType = left.select(lStruct.as("s")).schema("s").dataType
     val rType = right.select(rStruct.as("s")).schema("s").dataType
 
@@ -60,8 +60,8 @@ object AsOfJoin {
     */
   def asOfForward(left: DataFrame, right: DataFrame,
       keyCol: String, tsCol: String): DataFrame = {
-    val lStruct = struct(left.columns.map(col): _*)
-    val rStruct = struct(right.columns.map(col): _*)
+    val lStruct = struct(left.columns.toIndexedSeq.map(col): _*)
+    val rStruct = struct(right.columns.toIndexedSeq.map(col): _*)
     val lType = left.select(lStruct.as("s")).schema("s").dataType
     val rType = right.select(rStruct.as("s")).schema("s").dataType
 

@@ -38,7 +38,7 @@ object LloydKMeans {
           .as("d"),
         lit(j).as("i"))
     }
-    array_min(array(entries: _*))
+    array_min(array(entries.toIndexedSeq: _*))
   }
 
   /** Deterministic, content-addressed initial centroids. */

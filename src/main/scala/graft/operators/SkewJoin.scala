@@ -35,7 +35,7 @@ object SkewJoin {
       s"saltedJoin supports inner/left/left_semi/left_anti, got $joinType" +
         " (right/full would duplicate unmatched right rows per salt)")
     val saltedLeft = left.withColumn("_salt",
-      pmod(xxhash64(struct(left.columns.map(col): _*)), lit(salts)).cast("int"))
+      pmod(xxhash64(struct(left.columns.toIndexedSeq.map(col): _*)), lit(salts)).cast("int"))
     val saltedRight = right.withColumn("_salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedLeft
