@@ -111,6 +111,36 @@ object EventQueries {
       .orderBy("click_id")
   }
 
+  /** Nearest-direction as-of (pandas merge_asof direction='nearest'):
+    * each click takes whichever of its backward / forward purchase
+    * matches is closer in time, ties to backward — composed from the
+    * two directional as-ofs by a keyed full-outer pick, so the cost is
+    * the two single-shuffle as-ofs plus one click-keyed join. Clicks
+    * with no purchase on either side drop (inner overall).
+    */
+  def asofNearestClickPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val b = asofClickPurchase(spark, dir)
+      .select(col("click_id"), col("user_id").as("b_uid"),
+        col("purchase_id").as("b_pid"), col("purchase_value").as("b_val"),
+        col("gap_us").as("b_gap"))
+    val f = asofForwardClickPurchase(spark, dir)
+      .select(col("click_id"), col("user_id").as("f_uid"),
+        col("purchase_id").as("f_pid"), col("purchase_value").as("f_val"),
+        col("gap_us").as("f_gap"))
+    val takeB = col("f_gap").isNull ||
+      (col("b_gap").isNotNull && col("b_gap") <= col("f_gap"))
+    b.join(f, Seq("click_id"), "full")
+      .select(col("click_id"),
+        coalesce(col("b_uid"), col("f_uid")).as("user_id"),
+        when(takeB, col("b_pid")).otherwise(col("f_pid")).as("purchase_id"),
+        when(takeB, col("b_val")).otherwise(col("f_val"))
+          .as("purchase_value"),
+        when(takeB, col("b_gap")).otherwise(col("f_gap")).as("gap_us"),
+        when(takeB, lit("backward")).otherwise(lit("forward"))
+          .as("direction"))
+      .orderBy("click_id")
+  }
+
   /** Tolerance-bounded as-of (pandas merge_asof tolerance semantics):
     * nearest match first, then matches farther than 1 hour drop.
     */
@@ -441,6 +471,7 @@ object EventQueries {
     "events_sessionize" -> sessionize,
     "events_asof_join" -> asofClickPurchase,
     "events_asof_forward" -> asofForwardClickPurchase,
+    "events_asof_nearest" -> asofNearestClickPurchase,
     "events_asof_tolerance" -> asofToleranceClickPurchase,
     "events_pattern_funnel" -> patternFunnel,
     "events_pattern_greedy" -> patternGreedy,
@@ -716,6 +747,32 @@ SELECT user_id, session_id, count(*) AS n_events,
   round(sum(value), 2) AS sum_value
 FROM sess GROUP BY user_id, session_id
 ORDER BY user_id, session_id""",
+    "events_asof_nearest" ->
+      """WITH b AS (
+  SELECT c.event_id AS click_id, c.user_id, p.event_id AS pid,
+    round(p.value, 2) AS pval, epoch_us(c.ts) - epoch_us(p.ts) AS gap
+  FROM (SELECT * FROM events WHERE event_type = 'click') c
+  ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+    ON c.user_id = p.user_id AND c.ts >= p.ts
+), f AS (
+  SELECT c.event_id AS click_id, c.user_id, p.event_id AS pid,
+    round(p.value, 2) AS pval, epoch_us(p.ts) - epoch_us(c.ts) AS gap
+  FROM (SELECT * FROM events WHERE event_type = 'click') c
+  ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+    ON c.user_id = p.user_id AND c.ts <= p.ts
+)
+SELECT coalesce(b.click_id, f.click_id) AS click_id,
+  coalesce(b.user_id, f.user_id) AS user_id,
+  CASE WHEN f.gap IS NULL OR (b.gap IS NOT NULL AND b.gap <= f.gap)
+    THEN b.pid ELSE f.pid END AS purchase_id,
+  CASE WHEN f.gap IS NULL OR (b.gap IS NOT NULL AND b.gap <= f.gap)
+    THEN b.pval ELSE f.pval END AS purchase_value,
+  CASE WHEN f.gap IS NULL OR (b.gap IS NOT NULL AND b.gap <= f.gap)
+    THEN b.gap ELSE f.gap END AS gap_us,
+  CASE WHEN f.gap IS NULL OR (b.gap IS NOT NULL AND b.gap <= f.gap)
+    THEN 'backward' ELSE 'forward' END AS direction
+FROM b FULL JOIN f ON b.click_id = f.click_id
+ORDER BY click_id""",
     "events_asof_join" ->
       """SELECT c.event_id AS click_id, c.user_id,
 p.event_id AS purchase_id, round(p.value, 2) AS purchase_value,
