@@ -63,6 +63,18 @@ class AudioFingerprintSpec extends SparkSpec {
       s"unrelated payloads matched: $m")
   }
 
+  test("matches are partition-layout independent") {
+    import spark.implicits._
+    val df = Seq((1L, bytes(2, 1600)), (2L, bytes(9, 96) ++ bytes(2, 1600)),
+      (3L, bytes(5, 1600)), (4L, bytes(6, 1600)))
+      .toDF("id", "payload")
+    def res(parts: Int) = AudioFingerprint.matches(
+        df.repartition(parts), minVotes = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(res(1) == res(7))
+  }
+
   test("votes concentrate at one offset for a true match") {
     val base = bytes(3, 1600)
     val shifted = bytes(4, 64) ++ base
