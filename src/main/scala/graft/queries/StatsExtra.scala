@@ -95,6 +95,32 @@ object StatsExtra {
       .orderBy("is_outlier")
   }
 
+  /** Chi-square independence audit between two categorical corpus
+    * columns (lang x source) — the "is my language mix uniform across
+    * sources" data-quality check run before stratified sampling
+    * assumes it. One (lang, source) hash agg; marginals derive from
+    * the CELL table (bounded by the category product), broadcast back;
+    * the statistic is one sum over cells. All counts are exact longs;
+    * only the final chi2 is rounded.
+    */
+  def chisqIndependence(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables(spark, dir, "documents")
+      .groupBy("lang", "source").agg(count(lit(1)).as("o"))
+      .localCheckpoint(true) // marginals + statistic share it
+    val rowT = cells.groupBy("lang").agg(sum("o").as("rt"))
+    val colT = cells.groupBy("source").agg(sum("o").as("ct"))
+    val n = cells.agg(sum("o").as("n"))
+    val exp = col("rt").cast("double") * col("ct") / col("n")
+    cells.join(broadcast(rowT), "lang").join(broadcast(colT), "source")
+      .crossJoin(broadcast(n))
+      .select(((col("o") - exp) * (col("o") - exp) / exp).as("term"))
+      .agg(round(sum("term"), 4).as("chi2"))
+      .crossJoin(broadcast(
+        rowT.agg(count(lit(1)).as("_r"))
+          .crossJoin(colT.agg(count(lit(1)).as("_c")))
+          .select(((col("_r") - 1) * (col("_c") - 1)).as("dof"))))
+  }
+
   /** Fact⋈dim join with a Bloom prefilter on the fact side (see
     * BloomPrune). The dim (every 7th supplier) is deterministic so the
     * oracle is a plain join — bit-identical because Bloom filters
@@ -634,6 +660,7 @@ ORDER BY cnt DESC, token""")
     "text_approx_topk" -> approxTopKTokens,
     "stats_quantile_bins" -> quantileBins,
     "stats_outliers_mad" -> outliersMad,
+    "stats_chisq_independence" -> chisqIndependence,
     "agg_mode" -> aggMode,
     "join_bloom_prefilter" -> joinBloomPrefilter,
     "zorder_cluster" -> zorderCluster,
@@ -878,6 +905,23 @@ FROM orders GROUP BY 1 ORDER BY bucket""",
   quantile_disc(value, 0.5) AS med_disc,
   count(*) AS n
 FROM events GROUP BY event_type ORDER BY event_type""",
+    "stats_chisq_independence" ->
+      """WITH cells AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+  FROM documents GROUP BY lang, source
+), rt AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY lang),
+ct AS (SELECT source, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY source),
+n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+terms AS (
+  SELECT (o - CAST(rt AS DOUBLE) * ct / n) *
+         (o - CAST(rt AS DOUBLE) * ct / n) /
+         (CAST(rt AS DOUBLE) * ct / n) AS term
+  FROM cells JOIN rt USING (lang) JOIN ct USING (source), n
+)
+SELECT round(sum(term), 4) AS chi2,
+  (SELECT CAST((count(*) - 1) AS BIGINT) FROM rt) *
+  (SELECT CAST((count(*) - 1) AS BIGINT) FROM ct) AS dof
+FROM terms""",
     "stats_outliers_mad" ->
       """WITH m AS (
   SELECT quantile_cont(l_extendedprice, 0.5) AS med FROM lineitem
