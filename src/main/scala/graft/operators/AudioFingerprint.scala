@@ -62,6 +62,11 @@ object AudioFingerprint {
 
   private[graft] def landmarks(payload: Array[Byte], frameSize: Int,
       hop: Int, peaksPerFrame: Int, fanout: Int): Array[Long] = {
+    // only bins 1..frameSize/2-1 are eligible peaks (DC skipped), so
+    // more requested peaks than that would leave the argmax empty
+    require(peaksPerFrame < frameSize / 2,
+      s"peaksPerFrame ($peaksPerFrame) must be < frameSize/2 " +
+        s"(${frameSize / 2}): only frameSize/2 - 1 non-DC bins exist")
     val n = payload.length
     if (n < frameSize) return Array.empty
     val nFrames = (n - frameSize) / hop + 1
@@ -135,6 +140,11 @@ object AudioFingerprint {
   /** (id, hash, t) landmark table for a packed multimodal frame. */
   def landmarkTable(packed: DataFrame, frameSize: Int = 64, hop: Int = 32,
       peaksPerFrame: Int = 3, fanout: Int = 3): DataFrame = {
+    // fail fast on the driver (the same require guards the UDF body,
+    // but there it would only surface as an executor task failure)
+    require(peaksPerFrame < frameSize / 2,
+      s"peaksPerFrame ($peaksPerFrame) must be < frameSize/2 " +
+        s"(${frameSize / 2}): only frameSize/2 - 1 non-DC bins exist")
     val lm = udf((p: Array[Byte]) =>
       landmarks(p, frameSize, hop, peaksPerFrame, fanout))
     packed.select(col("id"), explode(lm(col("payload"))).as("packed"))

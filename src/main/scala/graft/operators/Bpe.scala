@@ -77,6 +77,16 @@ object Bpe {
     * requested count to the final table (same as train's contract).
     */
   def trainSnapshots(docs: DataFrame, textCol: String, snapAt: Seq[Int])
+      : (Seq[(String, String)], Map[Int, DataFrame]) =
+    trainSnapshotsGated(docs, textCol, snapAt, driverTrainMaxWords)
+
+  /** [[trainSnapshots]] with the driver fast-path gate exposed — the
+    * parity-test seam (`driverGate = 0` forces the distributed merge
+    * loop on a corpus of any size; the spec asserts both paths produce
+    * identical merges and vocabulary tables).
+    */
+  private[graft] def trainSnapshotsGated(docs: DataFrame, textCol: String,
+      snapAt: Seq[Int], driverGate: Long)
       : (Seq[(String, String)], Map[Int, DataFrame]) = {
     val nMerges = snapAt.max
     var words = wordCounts(docs, textCol)
@@ -94,7 +104,7 @@ object Bpe {
     // counts, (total desc, a, b) tie order, greedy non-overlap merge),
     // so goldens are bit-identical; beyond the gate the distributed
     // loop below remains the 100 TB path.
-    if (words.count() <= driverTrainMaxWords)
+    if (words.count() <= driverGate)
       return trainOnDriver(words, nMerges, snapAt)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val snaps = scala.collection.mutable.Map.empty[Int, DataFrame]
@@ -235,17 +245,27 @@ object Bpe {
     * the corpus is never re-folded through the merge stack.
     */
   def encodeProfile(docs: DataFrame, idCol: String, textCol: String,
-      nMerges: Int): DataFrame =
-    encodeProfileFrom(docs, idCol, textCol, train(docs, textCol, nMerges)._2)
+      nMerges: Int): DataFrame = {
+    val (merges, words) = train(docs, textCol, nMerges)
+    encodeProfileFrom(docs, idCol, textCol, words, merges)
+  }
 
   /** [[encodeProfile]] against an already-trained vocabulary table —
-    * the [[trainSnapshots]] consumer path. */
+    * the [[trainSnapshots]] consumer path. The word-events left-join
+    * the type table; word types NOT in the training corpus fall back
+    * to the pure-column [[encode]] under the same merge list
+    * (`coalesce` evaluates the fallback only for those rows), so
+    * encoding an out-of-corpus document counts every word instead of
+    * silently dropping unseen types from the profile.
+    */
   def encodeProfileFrom(docs: DataFrame, idCol: String, textCol: String,
-      words: DataFrame): DataFrame = {
+      words: DataFrame, merges: Seq[(String, String)]): DataFrame = {
     val lens = words.select(col("word"),
       size(col("syms")).cast("long").as("_ns"))
     docs.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("word"))
-      .join(lens, "word")
+      .join(lens, Seq("word"), "left")
+      .withColumn("_ns", coalesce(col("_ns"),
+        size(encode(merges)(col("word"))).cast("long")))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_words"),
         sum("_ns").as("n_subwords"),

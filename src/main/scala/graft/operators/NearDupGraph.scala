@@ -23,39 +23,37 @@ object NearDupGraph {
     * audit consumers don't re-count the corpus.
     */
   final case class PairGraph(nDocs: Long, candidates: DataFrame,
-      pairs: DataFrame)
+      pairs: DataFrame, shingles: DataFrame)
 
-  private val MaxEntries = 16
-  private val cache =
-    scala.collection.concurrent.TrieMap.empty[String, PairGraph]
+  /** Bounded, session-keyed memo ([[graft.SessionMemo]]): 16 entries —
+    * each holds id-pair tables, tiny next to their corpus — and a
+    * long-lived session cycling datasets evicts and unpersists the
+    * surplus (candidates + pairs + the shingle checkpoint) instead of
+    * pinning executor memory; entries can never leak across sessions.
+    */
+  private val cache = new graft.SessionMemo[PairGraph](16)({ g =>
+    graft.SessionMemo.free(g.candidates)
+    graft.SessionMemo.free(g.pairs)
+    graft.SessionMemo.free(g.shingles)
+  })
 
   /** Candidates + exact verified Jaccard pairs (see
-    * [[Dedup.jaccardPairs]]), computed once per (cacheKey, params) and
-    * persisted. The memo is BOUNDED (16 entries — each holds id-pair
-    * tables, tiny next to their corpus): a long-lived session cycling
-    * datasets evicts and unpersists the surplus instead of pinning
-    * executor memory.
+    * [[Dedup.jaccardPairs]]), computed once per (session, cacheKey,
+    * params) and persisted.
     */
   def graph(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, dfCap: Int = 50, minShared: Int = 1,
       cacheKey: String): PairGraph =
-    cache.getOrElseUpdate(
-      s"$cacheKey|$idCol|$textCol|$threshold|$dfCap|$minShared", {
-      if (cache.size >= MaxEntries) synchronized {
-        cache.keys.take(cache.size - MaxEntries + 1).foreach { k =>
-          cache.remove(k).foreach { g =>
-            g.candidates.unpersist(); g.pairs.unpersist()
-          }
-        }
-      }
+    cache.getOrElseUpdate(docs.sparkSession,
+      s"$cacheKey|$idCol|$textCol|$threshold|$dfCap|$minShared") {
       // materialize the shingle table once: the candidate chain and the
       // verify join both read it, and without the barrier each persisted
       // consumer re-tokenizes + re-shingles the corpus inside its own DAG
       val sh = Dedup.shingled(docs, idCol, textCol).localCheckpoint(true)
       val cand = Dedup.jaccardCandidates(sh, dfCap, minShared).persist()
       val pairs = Dedup.verifyJaccard(cand, sh, threshold).persist()
-      PairGraph(docs.count(), cand, pairs)
-    })
+      PairGraph(docs.count(), cand, pairs, sh)
+    }
 
   /** The verified pair graph alone (the common consumer). */
   def pairs(docs: DataFrame, idCol: String, textCol: String,

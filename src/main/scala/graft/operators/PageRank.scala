@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
 
 /** Fixed-iteration PageRank over an undirected pair list — the
   * centrality diagnostic on the near-dup pair graph (which documents
@@ -82,16 +83,25 @@ object PageRank {
     * absorbs the summation-order difference exactly as it does between
     * Spark's own nondeterministic partial-merge orders (the oracle
     * enforces this parity).
+    *
+    * Ids are handled as opaque values (no cast): the returned `doc_id`
+    * keeps the input column's exact type, so string/UUID graphs take
+    * this path identically to integral ones and the operator's schema
+    * contract does not narrow on small graphs.
     */
   private[graft] def ranksOnDriver(edgesDf: DataFrame, iters: Int,
       damping: Double): DataFrame = {
     val spark = edgesDf.sparkSession
-    import spark.implicits._
-    val edges = edgesDf
-      .select(col("src").cast("long"), col("dst").cast("long"))
-      .as[(Long, Long)].collect()
-    val ids = edges.map(_._1).distinct.sorted
-    val idx = ids.zipWithIndex.toMap
+    val idType = edgesDf.schema("src").dataType
+    val edges = edgesDf.select(col("src"), col("dst")).collect()
+      .map(row => (row.get(0), row.get(1)))
+    // deterministic node order (stable output + stable idx assignment)
+    // without assuming the id type is ordered: sort on string form,
+    // tie-broken by the value's own hash — arithmetic is per-node so
+    // the order only affects row order, never the sums
+    val ids: Array[Any] = edges.map(_._1).distinct
+      .sortBy(v => (String.valueOf(v), v.##))
+    val idx: Map[Any, Int] = ids.zipWithIndex.toMap
     val n = ids.length
     val deg = new Array[Double](n)
     edges.foreach { case (s, _) => deg(idx(s)) += 1.0 }
@@ -104,6 +114,11 @@ object PageRank {
       }
       r = Array.tabulate(n)(i => teleport + damping * s(i))
     }
-    ids.indices.map(i => (ids(i), r(i))).toDF("doc_id", "rank")
+    val out = ids.indices.map(i => Row(ids(i), r(i)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toSeq, 1),
+      StructType(Seq(
+        StructField("doc_id", idType, nullable = true),
+        StructField("rank", DoubleType, nullable = false))))
   }
 }

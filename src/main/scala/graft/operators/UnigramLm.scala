@@ -31,14 +31,33 @@ import org.apache.spark.sql.functions._
   */
 object UnigramLm {
 
+  /** UTF-16 offset of each CODEPOINT boundary in `w` (length = number
+    * of codepoints + 1). All piece enumeration and DP below walks these
+    * boundaries, so piece lengths count codepoints — matching Spark's
+    * `substring`/`length` semantics used by the distributed seeding
+    * pass. Words with supplementary characters (emoji, rare CJK)
+    * therefore segment identically on the driver and distributed paths.
+    */
+  private[graft] def cpOffsets(w: String): Array[Int] = {
+    val buf = scala.collection.mutable.ArrayBuffer(0)
+    var i = 0
+    while (i < w.length) {
+      i += Character.charCount(w.codePointAt(i))
+      buf += i
+    }
+    buf.toArray
+  }
+
   /** Viterbi max-likelihood segmentation of one word under piece
     * log-probs. Words containing a character absent from the vocab
-    * fall back to per-char pieces (coverage guarantee at apply time;
-    * cannot happen for training words, whose chars are all seeded).
+    * fall back to per-codepoint pieces (coverage guarantee at apply
+    * time; cannot happen for training words, whose chars are all
+    * seeded).
     */
   private[graft] def viterbi(word: String, lp: Map[String, Double],
       maxPieceLen: Int): Seq[String] = {
-    val n = word.length
+    val offs = cpOffsets(word)
+    val n = offs.length - 1
     val best = Array.fill(n + 1)(Double.NegativeInfinity)
     val back = Array.fill(n + 1)(-1)
     best(0) = 0.0
@@ -46,7 +65,8 @@ object UnigramLm {
     while (i <= n) {
       var j = math.max(0, i - maxPieceLen)
       while (j < i) {
-        val p = lp.getOrElse(word.substring(j, i), Double.NegativeInfinity)
+        val p = lp.getOrElse(word.substring(offs(j), offs(i)),
+          Double.NegativeInfinity)
         if (p != Double.NegativeInfinity && best(j) + p > best(i)) {
           best(i) = best(j) + p
           back(i) = j
@@ -55,11 +75,15 @@ object UnigramLm {
       }
       i += 1
     }
-    if (best(n) == Double.NegativeInfinity) word.map(_.toString)
+    if (best(n) == Double.NegativeInfinity)
+      (0 until n).map(k => word.substring(offs(k), offs(k + 1)))
     else {
       val out = scala.collection.mutable.ListBuffer.empty[String]
       var k = n
-      while (k > 0) { out.prepend(word.substring(back(k), k)); k = back(k) }
+      while (k > 0) {
+        out.prepend(word.substring(offs(back(k)), offs(k)))
+        k = back(k)
+      }
       out.toSeq
     }
   }
@@ -71,7 +95,19 @@ object UnigramLm {
     */
   def train(docs: DataFrame, textCol: String, targetVocab: Int,
       maxPieceLen: Int = 6, emIters: Int = 3,
-      maxCandidates: Int = 4096): (Seq[(String, Long, Double)], DataFrame) = {
+      maxCandidates: Int = 4096): (Seq[(String, Long, Double)], DataFrame) =
+    trainGated(docs, textCol, targetVocab, maxPieceLen, emIters,
+      maxCandidates, Bpe.driverTrainMaxWords)
+
+  /** [[train]] with the driver fast-path gate exposed — the parity-test
+    * seam (`driverGate = 0` forces the distributed EM loop on a corpus
+    * of any size; the spec asserts both paths produce identical
+    * vocabularies).
+    */
+  private[graft] def trainGated(docs: DataFrame, textCol: String,
+      targetVocab: Int, maxPieceLen: Int, emIters: Int,
+      maxCandidates: Int, driverGate: Long)
+      : (Seq[(String, Long, Double)], DataFrame) = {
     val spark = docs.sparkSession
     val words = Bpe.wordCounts(docs, textCol).localCheckpoint(true)
     // Driver fast path, same gate + rationale as [[Bpe.trainOnDriver]]:
@@ -83,32 +119,37 @@ object UnigramLm {
     // results are identical, not approximately equal. Past the gate the
     // distributed passes below remain the 100 TB path.
     val wordArr: Array[(String, Long)] =
-      if (words.count() <= Bpe.driverTrainMaxWords) {
+      if (words.count() <= driverGate) {
         import spark.implicits._
         words.select(col("word"), col("cnt")).as[(String, Long)].collect()
       } else null
 
     // candidate seeding: corpus-frequency top-K substrings + ALL single
     // chars (coverage floor). Substring explode is bounded per word
-    // type; the top-K is one TakeOrdered.
+    // type; the top-K is one TakeOrdered. The driver loop walks
+    // CODEPOINT boundaries ([[cpOffsets]]) so its substrings and piece
+    // lengths match the distributed branch's Spark substring/length
+    // (codepoint) semantics exactly.
     val seeded: Array[(String, Long)] =
       if (wordArr != null) {
         val totals = scala.collection.mutable.HashMap.empty[String, Long]
         wordArr.foreach { case (w, cnt) =>
+          val offs = cpOffsets(w)
+          val n = offs.length - 1
           var i = 0
-          while (i < w.length) {
+          while (i < n) {
             var l = 1
-            val maxL = math.min(maxPieceLen, w.length - i)
+            val maxL = math.min(maxPieceLen, n - i)
             while (l <= maxL) {
-              val p = w.substring(i, i + l)
+              val p = w.substring(offs(i), offs(i + l))
               totals(p) = totals.getOrElse(p, 0L) + cnt
               l += 1
             }
             i += 1
           }
         }
-        val chars = totals.iterator.filter(_._1.length == 1).toArray
-        val top = totals.iterator.filter(_._1.length > 1).toArray
+        val chars = totals.iterator.filter(t => cpLen(t._1) == 1).toArray
+        val top = totals.iterator.filter(t => cpLen(t._1) > 1).toArray
           .sortBy { case (p, n) => (-n, p) }.take(maxCandidates)
         chars ++ top
       } else {
@@ -152,9 +193,9 @@ object UnigramLm {
 
     // prune to target: single chars always survive; multi-char pieces
     // by (uses desc, piece). Final counts under the pruned model.
-    val charPieces = vocabLp.keySet.filter(_.length == 1)
+    val charPieces = vocabLp.keySet.filter(cpLen(_) == 1)
     val kept = charPieces ++
-      counts.filter { case (p, _) => p.length > 1 && vocabLp.contains(p) }
+      counts.filter { case (p, _) => cpLen(p) > 1 && vocabLp.contains(p) }
         .toSeq.sortBy { case (p, n) => (-n, p) }
         .take(math.max(0, targetVocab - charPieces.size)).map(_._1)
     vocabLp = normalize(withCharFloor(
@@ -179,10 +220,16 @@ object UnigramLm {
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
   }
 
+  /** Piece length in CODEPOINTS — the unit every single-char filter
+    * uses, so a supplementary character (one codepoint, two UTF-16
+    * units) is a "char" on both the driver and distributed paths.
+    */
+  private def cpLen(p: String): Int = p.codePointCount(0, p.length)
+
   private def withCharFloor(counts: Map[String, Long],
       prev: Map[String, Double]): Map[String, Long] =
     counts ++ prev.keysIterator
-      .filter(p => p.length == 1 && !counts.contains(p))
+      .filter(p => cpLen(p) == 1 && !counts.contains(p))
       .map(_ -> 1L)
 
   private def normalize(counts: Map[String, Long]): Map[String, Double] = {

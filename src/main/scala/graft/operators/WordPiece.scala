@@ -273,8 +273,13 @@ object WordPiece {
 
   /** Per-document encoding profile under a trained model: word count,
     * subword count, OOV word count, fertility over in-vocab words.
-    * Word EVENTS join the segmented TYPE table ([[train]]'s second
-    * return) — one tokenize pass, one vocabulary-sized join.
+    * Word EVENTS left-join the segmented TYPE table ([[train]]'s second
+    * return) — one tokenize pass, one vocabulary-sized join. Word types
+    * NOT in the training corpus (null from the left join) are segmented
+    * on the fly by the same greedy matcher (`coalesce` evaluates the
+    * UDF only for those rows), so encoding an out-of-corpus document
+    * counts every word: in-vocab unseen words get real fertility and
+    * only truly unsegmentable words count as OOV.
     */
   def encodeProfile(docs: DataFrame, idCol: String, textCol: String,
       model: Model, types: DataFrame): DataFrame = {
@@ -285,7 +290,8 @@ object WordPiece {
     val lens = types.select(col("word"), segLen(col("word")).as("_ns"))
     docs.select(col(idCol),
         explode(graft.text.TextOps.tokens(col(textCol))).as("word"))
-      .join(lens, "word")
+      .join(lens, Seq("word"), "left")
+      .withColumn("_ns", coalesce(col("_ns"), segLen(col("word"))))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_words"),
         sum(when(col("_ns") === -1L, 1L).otherwise(0L)).as("n_oov"),

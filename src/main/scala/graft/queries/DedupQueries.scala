@@ -64,13 +64,14 @@ object DedupQueries {
     * standalone pair query and the quality audit (the NearDupGraph
     * memo rationale — the banded cascade is the expensive artifact).
     */
-  private val lshCache = scala.collection.concurrent.TrieMap
-    .empty[String, DataFrame]
+  private val lshCache =
+    new graft.SessionMemo[DataFrame](8)(graft.SessionMemo.free)
   private def sharedLshPairs(spark: SparkSession, dir: String): DataFrame =
-    lshCache.getOrElseUpdate(s"${System.identityHashCode(spark)}:$dir",
+    lshCache.getOrElseUpdate(spark, dir) {
       Dedup.minhashLshPairs(Tables(spark, dir, "documents"),
           "doc_id", "text", threshold = 0.5)
-        .localCheckpoint(true))
+        .localCheckpoint(true)
+    }
 
   def lshQuality(spark: SparkSession, dir: String): DataFrame = {
     // exact pairs at 0.5 = the SHARED 0.2-threshold graph filtered on

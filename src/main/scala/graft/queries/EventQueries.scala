@@ -540,10 +540,13 @@ object EventQueries {
 
   /** The same pattern under strict MATCH_RECOGNIZE "skip past last
     * row" semantics: non-overlapping greedy matches via
-    * [[graft.operators.SeqMatch.greedyMatches]]. Rows-only in the
-    * driver (sequential consumption is not SQL-expressible);
-    * GoldenHashSpec pins the exact output, SeqMatchSpec pins the
-    * semantics and the funnel-cascade agreement.
+    * [[graft.operators.SeqMatch.greedyMatches]]. Oracle-checked: the
+    * sequential consumption IS SQL-expressible as a DuckDB recursive
+    * CTE that advances one complete match per recursion round (three
+    * LATERAL earliest-next lookups past the previous match's last
+    * consumed event) — see the `events_pattern_greedy` entry in
+    * [[oracle]]; SeqMatchSpec additionally pins the semantics and the
+    * funnel-cascade agreement.
     */
   def patternGreedy(spark: SparkSession, dir: String): DataFrame =
     graft.operators.SeqMatch.greedyMatches(
@@ -799,6 +802,42 @@ ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
   ON c.user_id = p.user_id AND c.ts <= p.ts
 WHERE epoch_us(p.ts) - epoch_us(v.ts) <= 172800000000
 ORDER BY view_id""",
+    // AFTER MATCH SKIP PAST LAST ROW as a recursive CTE: one recursion
+    // round per MATCH (not per event) — each round extends every
+    // user's automaton by one complete view->click->purchase match via
+    // three LATERAL earliest-next lookups past the previous match's
+    // last consumed position (ties broken by event_id, mirroring the
+    // Spark per-key (ts, id) scan order)
+    "events_pattern_greedy" ->
+      """WITH RECURSIVE ord AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS pos
+  FROM events
+),
+m AS (
+  SELECT user_id, CAST(0 AS BIGINT) AS match_no,
+         CAST(0 AS BIGINT) AS boundary,
+         CAST(NULL AS BIGINT) AS view_id, CAST(NULL AS BIGINT) AS click_id,
+         CAST(NULL AS BIGINT) AS purchase_id, CAST(NULL AS BIGINT) AS span_us
+  FROM (SELECT DISTINCT user_id FROM ord)
+  UNION ALL
+  SELECT m.user_id, m.match_no + 1, p.pos,
+         v.event_id, c.event_id, p.event_id, p.ts_us - v.ts_us
+  FROM m,
+  LATERAL (SELECT pos, event_id, ts_us FROM ord o
+           WHERE o.user_id = m.user_id AND o.pos > m.boundary
+             AND o.event_type = 'view' ORDER BY pos LIMIT 1) v,
+  LATERAL (SELECT pos, event_id FROM ord o
+           WHERE o.user_id = m.user_id AND o.pos > v.pos
+             AND o.event_type = 'click' ORDER BY pos LIMIT 1) c,
+  LATERAL (SELECT pos, event_id, ts_us FROM ord o
+           WHERE o.user_id = m.user_id AND o.pos > c.pos
+             AND o.event_type = 'purchase' ORDER BY pos LIMIT 1) p
+)
+SELECT user_id, match_no, view_id, click_id, purchase_id, span_us
+FROM m WHERE match_no >= 1
+ORDER BY user_id, match_no""",
     "events_asof_forward" ->
       """SELECT c.event_id AS click_id, c.user_id,
 p.event_id AS purchase_id, round(p.value, 2) AS purchase_value,

@@ -178,18 +178,17 @@ object TextQueries {
     * (exactNtile reads its input in three subtrees).
     */
   private val trigramCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new graft.SessionMemo[DataFrame](8)(graft.SessionMemo.free)
   private def trigramScored(spark: SparkSession, dir: String): DataFrame =
-    trigramCache.computeIfAbsent(
-      s"${System.identityHashCode(spark)}:$dir", _ => {
-        import graft.operators.NgramLm
-        val toks = Tables(spark, dir, "documents")
-          .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
-          .localCheckpoint(true) // train + score share the tokenize pass
-        val lm = NgramLm.train(toks.where(pmod(col("doc_id"), lit(2)) === 0))
-        NgramLm.score(toks.where(pmod(col("doc_id"), lit(2)) === 1), lm)
-          .localCheckpoint(true)
-      })
+    trigramCache.getOrElseUpdate(spark, dir) {
+      import graft.operators.NgramLm
+      val toks = Tables(spark, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+        .localCheckpoint(true) // train + score share the tokenize pass
+      val lm = NgramLm.train(toks.where(pmod(col("doc_id"), lit(2)) === 0))
+      NgramLm.score(toks.where(pmod(col("doc_id"), lit(2)) === 1), lm)
+        .localCheckpoint(true)
+    }
 
   /** The shared line table for the [[graft.operators.LineDedup]]
     * queries. The synthetic corpus has no newlines, so "lines" are
@@ -604,17 +603,18 @@ object TextQueries {
     * [[graft.operators.UnigramLm.train]] is partition-layout
     * independent, so the memo changes cost, never content.
     */
-  private val ulmCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (Seq[(String, Long, Double)], DataFrame)]()
+  private val ulmCache =
+    new graft.SessionMemo[(Seq[(String, Long, Double)], DataFrame)](8)(
+      v => graft.SessionMemo.free(v._2))
   private def ulmVocabFor(spark: SparkSession, dir: String)
       : (Seq[(String, Long, Double)], DataFrame) =
     // keyed per (session, dir): the cached word-type DataFrame is
     // session-bound (localCheckpoint blocks die with their session)
-    ulmCache.computeIfAbsent(
-      s"${System.identityHashCode(spark)}:$dir", _ =>
+    ulmCache.getOrElseUpdate(spark, dir) {
       graft.operators.UnigramLm.train(Tables(spark, dir, "documents"),
         "text", targetVocab = 512, maxPieceLen = 5, emIters = 2,
-        maxCandidates = 2048))
+        maxCandidates = 2048)
+    }
 
   /** Unigram-LM (SentencePiece-family) trained vocabulary: top pieces
     * by corpus-weighted Viterbi use count. Rows-only for the driver

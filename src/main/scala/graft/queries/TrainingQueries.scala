@@ -17,18 +17,21 @@ object TrainingQueries {
     * [[Bpe.trainSnapshots]]) — the vocab and encoder profiles were
     * measured re-running the whole per-round job ladder each.
     */
-  private val bpeCache = scala.collection.concurrent.TrieMap
-    .empty[String, Map[Int, DataFrame]]
-  private def bpeWords(spark: SparkSession, dir: String): Map[Int, DataFrame] =
-    bpeCache.getOrElseUpdate(dir,
+  private val bpeCache =
+    new graft.SessionMemo[(Seq[(String, String)], Map[Int, DataFrame])](8)(
+      v => v._2.valuesIterator.foreach(graft.SessionMemo.free))
+  private def bpeTrained(spark: SparkSession, dir: String)
+      : (Seq[(String, String)], Map[Int, DataFrame]) =
+    bpeCache.getOrElseUpdate(spark, dir) {
       Bpe.trainSnapshots(Tables(spark, dir, "documents"), "text",
-        Seq(20, 30))._2)
+        Seq(20, 30))
+    }
 
   /** BPE subword vocabulary after 30 merges over the documents corpus:
     * corpus-weighted token occurrences for the top 40 subwords.
     */
   def bpeVocab(spark: SparkSession, dir: String): DataFrame =
-    Bpe.vocabProfileFrom(bpeWords(spark, dir)(30), topK = 40)
+    Bpe.vocabProfileFrom(bpeTrained(spark, dir)._2(30), topK = 40)
 
   /** Distributed Lloyd k-means over the embeddings table: per-cluster
     * sizes and SSE after 4 full-corpus rounds (k=8).
@@ -69,13 +72,14 @@ object TrainingQueries {
     * expensive artifact; both consumers read the same deterministic
     * weights, so the memo changes cost, never content).
     */
-  private val logregCache = scala.collection.concurrent.TrieMap
-    .empty[String, graft.operators.LogReg.Model]
+  private val logregCache =
+    new graft.SessionMemo[graft.operators.LogReg.Model](8)(_ => ())
   private def logregModel(spark: SparkSession, dir: String)
       : graft.operators.LogReg.Model =
-    logregCache.getOrElseUpdate(s"${System.identityHashCode(spark)}:$dir",
+    logregCache.getOrElseUpdate(spark, dir) {
       graft.operators.LogReg.fit(Tables(spark, dir, "embeddings"),
-        teacherLabel, iters = 30, lr = 10.0))
+        teacherLabel, iters = 30, lr = 10.0)
+    }
 
   def logregEval(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -136,20 +140,26 @@ object TrainingQueries {
     * sequence-length profile that sizes packing and context windows
     * once a real tokenizer replaces whitespace counting.
     */
-  def bpeEncode(spark: SparkSession, dir: String): DataFrame =
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    // prefix determinism: the first 20 merges of the 30-merge run ARE
+    // the 20-merge model, so the unseen-word fallback uses take(20)
+    val (merges, snaps) = bpeTrained(spark, dir)
     Bpe.encodeProfileFrom(Tables(spark, dir, "documents"), "doc_id", "text",
-      bpeWords(spark, dir)(20))
+      snaps(20), merges.take(20))
+  }
 
   /** One WordPiece model per (session, dir), shared by the vocab and
     * encoder profiles — same memo rationale as [[bpeWords]].
     */
-  private val wpCache = scala.collection.concurrent.TrieMap
-    .empty[String, (WordPiece.Model, DataFrame)]
+  private val wpCache =
+    new graft.SessionMemo[(WordPiece.Model, DataFrame)](8)(
+      v => graft.SessionMemo.free(v._2))
   private def wpModel(spark: SparkSession, dir: String)
       : (WordPiece.Model, DataFrame) =
-    wpCache.getOrElseUpdate(s"${System.identityHashCode(spark)}:$dir",
+    wpCache.getOrElseUpdate(spark, dir) {
       WordPiece.train(Tables(spark, dir, "documents"), "text",
-        nMerges = 30))
+        nMerges = 30)
+    }
 
   /** WordPiece subword vocabulary after 30 likelihood-ratio merges:
     * corpus-weighted occurrence totals for the top 40 pieces

@@ -82,7 +82,12 @@ object PubMedHttp {
     Seq("API rate limit exceeded", "<ERROR>", "\"error\":")
 
   private lazy val client: HttpClient = HttpClient.newBuilder()
-    .connectTimeout(Duration.ofSeconds(10)).build()
+    .connectTimeout(Duration.ofSeconds(10))
+    // the reference's client (requests.post) follows redirects by
+    // default, and E-utilities 301s http->https; NORMAL follows all
+    // redirects except https->http downgrades
+    .followRedirects(HttpClient.Redirect.NORMAL)
+    .build()
 
   /** One raw GET, no retry: (status, body). */
   private def get(url: String, timeoutMs: Long): (Int, String) = {

@@ -50,7 +50,37 @@ object Lemmatizer {
     "alumni" -> "alumnus", "radii" -> "radius", "cacti" -> "cactus",
     "vertebrae" -> "vertebra", "formulae" -> "formula",
     "apices" -> "apex", "vertices" -> "vertex", "vortices" -> "vortex",
-    "codices" -> "codex")
+    "codices" -> "codex",
+    // round-6 growth (all from the public WordNet noun.exc list):
+    // -a/-ae Latin feminines
+    "alumnae" -> "alumna", "antennae" -> "antenna", "nebulae" -> "nebula",
+    "pupae" -> "pupa", "algae" -> "alga", "scapulae" -> "scapula",
+    "fistulae" -> "fistula", "maxillae" -> "maxilla",
+    "sequelae" -> "sequela", "fasciae" -> "fascia",
+    "conjunctivae" -> "conjunctiva", "placentae" -> "placenta",
+    // -um/-a and -on/-a neuters (anatomy-heavy)
+    "addenda" -> "addendum", "errata" -> "erratum", "atria" -> "atrium",
+    "septa" -> "septum", "cilia" -> "cilium", "flagella" -> "flagellum",
+    "epithelia" -> "epithelium", "endothelia" -> "endothelium",
+    "cerebella" -> "cerebellum", "labia" -> "labium",
+    // -us/-i masculines
+    "octopi" -> "octopus", "syllabi" -> "syllabus",
+    "termini" -> "terminus", "emboli" -> "embolus",
+    "thrombi" -> "thrombus", "bronchi" -> "bronchus",
+    "glomeruli" -> "glomerulus", "bacilli" -> "bacillus",
+    "villi" -> "villus",
+    // -osis/-oses (the "ses"->drop-2 rule yields "-os", not "-osis")
+    "stenoses" -> "stenosis", "thromboses" -> "thrombosis",
+    "fibroses" -> "fibrosis", "necroses" -> "necrosis",
+    "mitoses" -> "mitosis", "meioses" -> "meiosis",
+    "scleroses" -> "sclerosis", "cirrhoses" -> "cirrhosis",
+    "symbioses" -> "symbiosis", "homeostases" -> "homeostasis",
+    "apoptoses" -> "apoptosis", "prostheses" -> "prosthesis",
+    "anastomoses" -> "anastomosis", "emphases" -> "emphasis",
+    // -ix/-ex -> -ices, -is/-es stragglers, misc irregulars
+    "helices" -> "helix", "cervices" -> "cervix", "varices" -> "varix",
+    "cortices" -> "cortex", "thoraces" -> "thorax", "testes" -> "testis",
+    "brethren" -> "brother", "femora" -> "femur")
 
   private val verbExceptions = Map(
     "is" -> "be", "are" -> "be", "was" -> "be", "were" -> "be",
@@ -89,6 +119,37 @@ object Lemmatizer {
     "became" -> "become", "begat" -> "beget", "bound" -> "bind",
     "bred" -> "breed", "fed" -> "feed", "bled" -> "bleed",
     "arose" -> "arise", "arisen" -> "arise",
+    // round-6 growth (all from the public WordNet verb.exc list);
+    // forms that are ALSO dictionary lemmas of another verb (lay,
+    // wound, saw...) are deliberately absent — NLTK would return them
+    // unchanged, and so do our rules
+    "bore" -> "bear", "borne" -> "bear", "born" -> "bear",
+    "bit" -> "bite", "bitten" -> "bite",
+    "blew" -> "blow", "blown" -> "blow",
+    "clung" -> "cling", "crept" -> "creep", "dealt" -> "deal",
+    "dug" -> "dig", "drank" -> "drink", "drunk" -> "drink",
+    "drove" -> "drive", "driven" -> "drive",
+    "forbade" -> "forbid", "forbidden" -> "forbid",
+    "forgot" -> "forget", "forgotten" -> "forget",
+    "froze" -> "freeze", "frozen" -> "freeze",
+    "hung" -> "hang", "knelt" -> "kneel", "laid" -> "lay",
+    "lain" -> "lie", "lent" -> "lend", "lit" -> "light",
+    "rang" -> "ring", "rung" -> "ring",
+    "rode" -> "ride", "ridden" -> "ride",
+    "sank" -> "sink", "sunk" -> "sink",
+    "shook" -> "shake", "shaken" -> "shake", "shone" -> "shine",
+    "shot" -> "shoot", "shrank" -> "shrink", "shrunk" -> "shrink",
+    "slid" -> "slide", "spun" -> "spin",
+    "sprang" -> "spring", "sprung" -> "spring",
+    "stole" -> "steal", "stolen" -> "steal",
+    "stuck" -> "stick", "stung" -> "sting", "struck" -> "strike",
+    "strove" -> "strive", "striven" -> "strive",
+    "swore" -> "swear", "sworn" -> "swear", "swept" -> "sweep",
+    "swung" -> "swing", "tore" -> "tear", "torn" -> "tear",
+    "woke" -> "wake", "woken" -> "wake", "wept" -> "weep",
+    "withdrew" -> "withdraw", "withdrawn" -> "withdraw",
+    "underwent" -> "undergo", "undergone" -> "undergo",
+    "overcame" -> "overcome", "upheld" -> "uphold",
     // vowel+at e-droppers: same surface shape as treat/treated, which
     // keeps its bare stem — only a dictionary separates them
     "created" -> "create", "creates" -> "create", "creating" -> "create")
@@ -100,7 +161,13 @@ object Lemmatizer {
     // -le adjectives whose stem loses the e ambiguously
     "simpler" -> "simple", "simplest" -> "simple",
     "abler" -> "able", "ablest" -> "able",
-    "gentler" -> "gentle", "gentlest" -> "gentle")
+    "gentler" -> "gentle", "gentlest" -> "gentle",
+    // round-6 growth (WordNet adj.exc)
+    "elder" -> "old", "eldest" -> "old",
+    "subtler" -> "subtle", "subtlest" -> "subtle",
+    "nobler" -> "noble", "noblest" -> "noble",
+    "idler" -> "idle", "idlest" -> "idle",
+    "feebler" -> "feeble", "feeblest" -> "feeble")
 
   private val vowels = "aeiou".toSet
 

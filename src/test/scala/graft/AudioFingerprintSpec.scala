@@ -75,6 +75,24 @@ class AudioFingerprintSpec extends SparkSpec {
     assert(res(1) == res(7))
   }
 
+  test("peaksPerFrame beyond the non-DC bin count is rejected up front") {
+    import spark.implicits._
+    val df = Seq((1L, bytes(2, 64))).toDF("id", "payload")
+    // frameSize=6 -> bins=3, eligible non-DC bins = 2: asking for 3
+    // peaks used to AIOOBE deep in the selection loop; now a driver-
+    // side require rejects it before any job runs
+    val e = intercept[IllegalArgumentException] {
+      AudioFingerprint.landmarkTable(df, frameSize = 6, hop = 3,
+        peaksPerFrame = 3)
+    }
+    assert(e.getMessage.contains("peaksPerFrame"))
+    intercept[IllegalArgumentException] {
+      AudioFingerprint.landmarks(bytes(2, 64), 6, 3, 3, 3)
+    }
+    // the boundary case (peaksPerFrame == bins - 1) stays legal
+    assert(AudioFingerprint.landmarks(bytes(2, 64), 6, 3, 2, 3) != null)
+  }
+
   test("votes concentrate at one offset for a true match") {
     val base = bytes(3, 1600)
     val shifted = bytes(4, 64) ++ base

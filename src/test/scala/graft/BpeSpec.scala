@@ -48,6 +48,39 @@ class BpeSpec extends SparkSpec {
     assert(out === Seq((0L, 2L, 2L, 1.0), (1L, 1L, 2L, 2.0)))
   }
 
+  test("driver and distributed merge loops agree exactly") {
+    // driverGate = 0 forces the distributed per-round pair-count jobs
+    // that the 2M-word gate otherwise hides from tests; merge order,
+    // tie-breaks and final symbol tables must be identical
+    val (mA, sA) = Bpe.trainSnapshotsGated(toy, "text", Seq(3, 6),
+      driverGate = Long.MaxValue)
+    val (mB, sB) = Bpe.trainSnapshotsGated(toy, "text", Seq(3, 6),
+      driverGate = 0L)
+    assert(mA == mB, s"driver=$mA distributed=$mB")
+    for (k <- Seq(3, 6)) {
+      val a = sA(k).select("word", "cnt", "syms")
+        .as[(String, Long, Seq[String])].collect().toSet
+      val b = sB(k).select("word", "cnt", "syms")
+        .as[(String, Long, Seq[String])].collect().toSet
+      assert(a == b, s"snapshot $k diverged")
+    }
+  }
+
+  test("encodeProfileFrom counts words outside the training corpus") {
+    // train on ab-heavy docs, then encode a DIFFERENT document whose
+    // word "ababab" never appeared: the left join misses the type
+    // table and the column-encode fallback segments it under the same
+    // merges (ab+ab+ab after (a,b),(ab,ab) -> [abab, ab] = 2 subwords)
+    val train = Seq((0L, "abab abab"), (1L, "cd")).toDF("doc_id", "text")
+    val (merges, words) = Bpe.train(train, "text", nMerges = 5)
+    val unseen = Seq((9L, "ababab abab")).toDF("doc_id", "text")
+    val out = Bpe.encodeProfileFrom(unseen, "doc_id", "text", words, merges)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // 2 words (both counted — nothing dropped); abab=1 subword,
+    // ababab=[abab,ab]=2 subwords
+    assert(out === Seq((9L, 2L, 3L, 1.5)))
+  }
+
   test("training conserves corpus mass and stops when exhausted") {
     val (merges, words) = Bpe.train(toy, "text", nMerges = 1000)
     // every merge must still cover the full corpus token mass

@@ -16,7 +16,6 @@ class GoldenHashSpec extends SparkSpec {
     "emb_logreg_eval" -> "6853b1063ee39df1dfabf3ab6608ff0a",
     "emb_logreg_calibration" -> "483fc8d0e382858efe258d3c071751ab",
     "emb_mahalanobis_outliers" -> "e389c05f1add6ed0e7c9ddec3faf1749",
-    "events_pattern_greedy" -> "a1e399738aa6d63a2dd7bd239831ae45",
     "emb_kmeans_stats" -> "e8fb344a308aa32b1ee268f822d6cd38",
     "emb_pca_variance" -> "5a1f4bca8fef27d7defe34f71cf38095",
     "text_bpe_encode" -> "a6309a3d305f9717ebdd7563711d4a1f",

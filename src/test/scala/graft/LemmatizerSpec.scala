@@ -75,6 +75,60 @@ class LemmatizerSpec extends AnyFunSuite {
       "understood" -> "understand")(Lemmatizer.verb)
   }
 
+  test("round-6 noun exception growth (WordNet noun.exc)") {
+    all("alumnae" -> "alumna", "antennae" -> "antenna",
+      "nebulae" -> "nebula", "algae" -> "alga",
+      "scapulae" -> "scapula", "sequelae" -> "sequela",
+      "placentae" -> "placenta", "addenda" -> "addendum",
+      "errata" -> "erratum", "atria" -> "atrium", "septa" -> "septum",
+      "cilia" -> "cilium", "flagella" -> "flagellum",
+      "epithelia" -> "epithelium", "cerebella" -> "cerebellum",
+      "syllabi" -> "syllabus", "termini" -> "terminus",
+      "emboli" -> "embolus", "thrombi" -> "thrombus",
+      "bronchi" -> "bronchus", "glomeruli" -> "glomerulus",
+      "bacilli" -> "bacillus", "villi" -> "villus",
+      "stenoses" -> "stenosis", "thromboses" -> "thrombosis",
+      "fibroses" -> "fibrosis", "necroses" -> "necrosis",
+      "mitoses" -> "mitosis", "meioses" -> "meiosis",
+      "scleroses" -> "sclerosis", "apoptoses" -> "apoptosis",
+      "prostheses" -> "prosthesis", "anastomoses" -> "anastomosis",
+      "emphases" -> "emphasis", "homeostases" -> "homeostasis",
+      "helices" -> "helix", "cervices" -> "cervix",
+      "cortices" -> "cortex", "thoraces" -> "thorax",
+      "testes" -> "testis", "brethren" -> "brother",
+      "femora" -> "femur")(Lemmatizer.noun)
+  }
+
+  test("round-6 verb exception growth (WordNet verb.exc)") {
+    all("bore" -> "bear", "borne" -> "bear", "born" -> "bear",
+      "bitten" -> "bite", "blew" -> "blow", "blown" -> "blow",
+      "clung" -> "cling", "crept" -> "creep", "dealt" -> "deal",
+      "dug" -> "dig", "drank" -> "drink", "driven" -> "drive",
+      "forbidden" -> "forbid", "forgotten" -> "forget",
+      "froze" -> "freeze", "frozen" -> "freeze", "hung" -> "hang",
+      "laid" -> "lay", "lain" -> "lie", "lit" -> "light",
+      "rang" -> "ring", "ridden" -> "ride", "sank" -> "sink",
+      "shaken" -> "shake", "shone" -> "shine", "shot" -> "shoot",
+      "shrunk" -> "shrink", "slid" -> "slide", "spun" -> "spin",
+      "sprung" -> "spring", "stolen" -> "steal", "stuck" -> "stick",
+      "struck" -> "strike", "striven" -> "strive", "sworn" -> "swear",
+      "swept" -> "sweep", "swung" -> "swing", "torn" -> "tear",
+      "woken" -> "wake", "wept" -> "weep",
+      "withdrawn" -> "withdraw", "undergone" -> "undergo",
+      "overcame" -> "overcome", "upheld" -> "uphold")(Lemmatizer.verb)
+    // forms that are also lemmas of other verbs stay untouched (NLTK
+    // dictionary-validation parity): lay/saw/wound/found are handled
+    // by their own entries or pass through
+    assert(Lemmatizer.verb("wound") == "wound")
+  }
+
+  test("round-6 adjective exception growth (WordNet adj.exc)") {
+    all("elder" -> "old", "eldest" -> "old",
+      "subtler" -> "subtle", "subtlest" -> "subtle",
+      "nobler" -> "noble", "noblest" -> "noble",
+      "idler" -> "idle", "feebler" -> "feeble")(Lemmatizer.adjective)
+  }
+
   test("adjective comparison") {
     all("better" -> "good", "best" -> "good", "worse" -> "bad",
       "worst" -> "bad", "further" -> "far", "farther" -> "far",

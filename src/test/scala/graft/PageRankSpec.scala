@@ -37,6 +37,26 @@ class PageRankSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("string ids survive the driver path with their type intact") {
+    // the driver fast path must not narrow the public doc_id contract:
+    // a UUID/string graph (well under the 4M-edge gate) keeps string
+    // ids and matches the distributed path's values
+    val g = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("d", "e"),
+      ("e", "f"), ("f", "b")).toDF("ida", "idb")
+    val out = PageRank.ranks(g, iters = 3)
+    assert(out.schema("doc_id").dataType ==
+      org.apache.spark.sql.types.StringType)
+    val a = out.collect()
+      .map(r => r.getString(0) -> math.rint(r.getDouble(1) * 1e6)).toMap
+    assert(a.keySet == Set("a", "b", "c", "d", "e", "f"))
+    val edges = g.select(col("ida").as("src"), col("idb").as("dst"))
+      .unionAll(g.select(col("idb").as("src"), col("ida").as("dst")))
+    val b = PageRank.ranksDistributed(edges, iters = 3, damping = 0.85)
+      .collect()
+      .map(r => r.getString(0) -> math.rint(r.getDouble(1) * 1e6)).toMap
+    assert(a == b)
+  }
+
   test("a hub out-ranks leaves on a star graph") {
     val star = Seq((10L, 1L), (10L, 2L), (10L, 3L), (10L, 4L), (10L, 5L))
       .toDF("ida", "idb")

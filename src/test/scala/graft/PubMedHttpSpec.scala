@@ -28,6 +28,9 @@ class PubMedHttpSpec extends SparkSpec {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/", (ex: HttpExchange) =>
       try handler(ex.getRequestURI.getPath, ex) finally ex.close())
+    // a pool, not the default single dispatcher thread: the slow-header
+    // tests stall one exchange while the client's retry must be served
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
     server.start()
     try body(s"http://127.0.0.1:${server.getAddress.getPort}")
     finally server.stop(0)
@@ -83,6 +86,78 @@ class PubMedHttpSpec extends SparkSpec {
         PubMedHttp.fetchPage(s"$base/p", sleep = _ => ())
       }
       assert(hits.get == 1, "a missing page must not burn retry budget")
+    }
+  }
+
+  test("301/302 redirects are followed (reference requests.* default)") {
+    val hits = new AtomicInteger
+    withServer({ (path, ex) =>
+      path match {
+        case "/old" =>
+          hits.incrementAndGet()
+          ex.getResponseHeaders.add("Location", "/hop")
+          respond(ex, 301, "")
+        case "/hop" =>
+          hits.incrementAndGet()
+          ex.getResponseHeaders.add("Location", "/final")
+          respond(ex, 302, "")
+        case "/final" =>
+          hits.incrementAndGet()
+          respond(ex, 200, "moved-page")
+        case _ => respond(ex, 404, "")
+      }
+    }) { base =>
+      val out = PubMedHttp.fetchPage(s"$base/old", sleep = _ => ())
+      assert(out == "moved-page")
+      assert(hits.get == 3, "301 then 302 then 200, one request each")
+    }
+  }
+
+  test("connection reset mid-body is transient: retried, then succeeds") {
+    val hits = new AtomicInteger
+    withServer((_, ex) =>
+      if (hits.incrementAndGet() == 1) {
+        // advertise more bytes than we send, then slam the socket:
+        // the client sees an IOException mid-body, not a status code
+        ex.sendResponseHeaders(200, 1000L)
+        ex.getResponseBody.write("partial".getBytes("UTF-8"))
+        ex.getResponseBody.flush()
+        ex.close()
+      } else respond(ex, 200, "whole-page")) { base =>
+      val sleeps = collection.mutable.ArrayBuffer.empty[Long]
+      val out = PubMedHttp.fetchPage(s"$base/p", initialDelayMs = 50,
+        sleep = sleeps += _)
+      assert(out == "whole-page")
+      assert(hits.get == 2)
+      assert(sleeps.toSeq == Seq(50L), "exactly one backoff sleep")
+    }
+  }
+
+  test("slow-header hang hits the request timeout and is retried") {
+    val hits = new AtomicInteger
+    withServer((_, ex) =>
+      if (hits.incrementAndGet() == 1) {
+        Thread.sleep(2000) // stall past the 300ms request timeout
+        respond(ex, 200, "too-late")
+      } else respond(ex, 200, "fast-page")) { base =>
+      val out = PubMedHttp.fetchPage(s"$base/p", timeoutMs = 300,
+        initialDelayMs = 10, sleep = _ => ())
+      assert(out == "fast-page")
+      assert(hits.get >= 2, "the stalled attempt must be retried")
+    }
+  }
+
+  test("a stalled server with no retry budget left is typed exhaustion") {
+    withServer((_, ex) => {
+      Thread.sleep(1500)
+      respond(ex, 200, "too-late")
+    }) { base =>
+      val e = intercept[PubMedHttp.FetchExhausted] {
+        PubMedHttp.fetchPage(s"$base/p", maxAttempts = 2, timeoutMs = 200,
+          initialDelayMs = 10, sleep = _ => ())
+      }
+      assert(e.attempts == 2)
+      assert(e.getCause.isInstanceOf[java.io.IOException])
     }
   }
 

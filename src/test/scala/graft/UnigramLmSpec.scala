@@ -51,6 +51,40 @@ class UnigramLmSpec extends SparkSpec {
       assert(UnigramLm.viterbi(w, lp, 5).mkString == w)
   }
 
+  test("driver and distributed trainers produce identical vocabularies") {
+    // driverGate = 0 forces every word table over the gate, exercising
+    // the distributed seeding + EM passes that the 2M-word gate
+    // otherwise hides from tests; both paths share viterbi and integer
+    // count arithmetic, so equality is exact (incl. the log-probs)
+    val docs = Seq.tabulate(30)(i =>
+      (i.toLong, "lower newest lowest newer low new wider widest"))
+      .toDF("doc_id", "text")
+    val (a, _) = UnigramLm.trainGated(docs, "text", targetVocab = 48,
+      maxPieceLen = 5, emIters = 2, maxCandidates = 128,
+      driverGate = Long.MaxValue)
+    val (b, _) = UnigramLm.trainGated(docs, "text", targetVocab = 48,
+      maxPieceLen = 5, emIters = 2, maxCandidates = 128, driverGate = 0L)
+    assert(a == b, s"driver=${a.take(8)} distributed=${b.take(8)}")
+  }
+
+  test("viterbi walks codepoint boundaries (supplementary chars)") {
+    // emoji are one codepoint / two UTF-16 units. The corpus tokenizer
+    // (TextOps.clean) strips non-ASCII, so training words are BMP-only
+    // — but segment()/viterbi accept arbitrary words at APPLY time,
+    // and their piece lengths must count codepoints like Spark's
+    // substring/length (the unit the distributed seeding uses).
+    // maxPieceLen=1 in UTF-16 units could never hold an emoji; in
+    // codepoints it must.
+    val lp = Map("😀" -> math.log(0.5), "z" -> math.log(0.5))
+    assert(UnigramLm.viterbi("z😀z", lp, 1) == Seq("z", "😀", "z"))
+    // per-codepoint fallback never splits a surrogate pair
+    val segs = UnigramLm.viterbi("a🚀b", Map("q" -> 0.0), 4)
+    assert(segs == Seq("a", "🚀", "b"), segs.toString)
+    assert(segs.mkString == "a🚀b")
+    // cpOffsets: boundaries land on codepoint starts only
+    assert(UnigramLm.cpOffsets("a😀b").toSeq == Seq(0, 1, 3, 4))
+  }
+
   test("encode profile: fertility bounded below by 1, counts consistent") {
     val prof = graft.queries.TextQueries.ulmEncode(spark, sfDir)
     val bad = prof.where(col("n_subwords") < col("n_words")).count()

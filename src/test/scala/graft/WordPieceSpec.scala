@@ -96,6 +96,20 @@ class WordPieceSpec extends SparkSpec {
     }
   }
 
+  test("encode profile counts out-of-corpus words instead of dropping them") {
+    import spark.implicits._
+    val train = Seq((1L, "aa ab aa ab"), (2L, "ba ba")).toDF("doc_id", "text")
+    val (model, types) = WordPiece.train(train, "text", 2)
+    // "aaba" never occurred as a word type but is segmentable from the
+    // learned pieces; "zz" has chars outside the alphabet -> true OOV
+    val unseen = Seq((9L, "aaba aa zz")).toDF("doc_id", "text")
+    val out = WordPiece.encodeProfile(unseen, "doc_id", "text", model, types)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val d = out.find(_._1 == 9L).get
+    assert(d._2 == 3L, s"all three words must be counted, got ${d._2}")
+    assert(d._3 == 1L, s"only zz is OOV, got ${d._3}")
+  }
+
   test("encode profile counts OOV words and in-vocab fertility") {
     import spark.implicits._
     val docs = Seq((1L, "aa ab zz"), (2L, "aa aa")).toDF("doc_id", "text")
