@@ -47,14 +47,16 @@ object GoldenHash {
     (SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet).toSeq.sorted
 }
 
-/** Re-pin tool: `sbt 'Test/runMain graft.GoldenHashGen'` prints the
-  * expected-hash map literal for GoldenHashSpec. Re-pin ONLY after
-  * explaining why an output legitimately changed.
+/** Re-pin tool: `sbt 'Test/runMain graft.GoldenHashGen [sfDir]'`
+  * prints the expected-hash map literal for GoldenHashSpec at the
+  * given scale factor (default sf0.001; pass /root/testdata/sf0.01
+  * for the second pin table). Re-pin ONLY after explaining why an
+  * output legitimately changed.
   */
 object GoldenHashGen {
   def main(args: Array[String]): Unit = {
     val spark = SparkSpec.session
-    val sfDir = "/root/testdata/sf0.001"
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     GoldenHash.noOracleQueries.foreach { n =>
       println(s"""    "$n" -> "${GoldenHash.of(spark, n, sfDir)}",""")
     }
