@@ -695,9 +695,15 @@ object TextQueries {
     * phrase score joins word stats back on the word key with no
     * broadcast hint. Top-30 executes as TakeOrdered.
     */
-  def rakeTopK(spark: SparkSession, dir: String): DataFrame = {
+  def rakeTopK(spark: SparkSession, dir: String): DataFrame =
+    rakeTopKFrom(Tables(spark, dir, "documents"))
+
+  /** [[rakeTopK]] over an explicit documents frame — the scale-
+    * rehearsal seam (ScaleRehearsalSpec runs it on a 10x corpus).
+    */
+  private[graft] def rakeTopKFrom(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = Tables(spark, dir, "documents")
+    val toks = docs
       .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))))
       .toDF("doc_id", "pos", "w")
     val grouped = toks

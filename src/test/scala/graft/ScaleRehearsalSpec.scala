@@ -107,6 +107,91 @@ class ScaleRehearsalSpec extends SparkSpec {
       s"only $sameBase/$n queries kept a replica neighbor — recall collapsed?")
   }
 
+  test("blockingAudit at 10x: three bounded counts off one cascade") {
+    // the audit must stay readout-arithmetic over the SHARED cascade:
+    // 10x docs, one graph build, three counts — never a recompute
+    val (g, tGraph) = timed {
+      graft.operators.NearDupGraph.graph(docs10, "doc_id", "text",
+        threshold = 0.2, dfCap = 50, minShared = 2,
+        cacheKey = "rehearsal-10x")
+    }
+    val (row, tAudit) = timed {
+      graft.operators.Dedup.blockingReadout(spark, g.nDocs,
+        g.candidates.count(), g.pairs.count()).collect()(0)
+    }
+    info(f"10x blocking audit: graph $tGraph%.1fs + readout $tAudit%.1fs")
+    assert(row.getLong(0) == 5000L, s"n_docs ${row.getLong(0)}")
+    assert(tGraph < 180.0 && tAudit < 60.0,
+      f"unbounded: graph $tGraph%.1fs audit $tAudit%.1fs")
+    // reduction ratio must stay extreme: candidates a small fraction
+    // of the 12.5M all-pairs space. This fixture is deliberately
+    // near-dup-DENSE (every doc has 9 true replicas), so ~1% is the
+    // legitimate floor — 3% would mean blocking degenerated beyond
+    // the planted structure (measured: 0.0104 at 10x)
+    val nCand = g.candidates.count().toDouble
+    val allPairs = 5000.0 * 4999 / 2
+    assert(nCand / allPairs < 0.03,
+      f"blocking stopped blocking: ${nCand / allPairs}%.4f of all-pairs")
+  }
+
+  test("audio match at 10x docs with audio-like hash entropy") {
+    // The REGISTERED query pins a 500-doc slice because its chirp
+    // fixture's hash space is frameSize-bounded (documented on
+    // MultimodalQueries.audioMatch); real audio's constellation
+    // entropy grows with frame resolution, not corpus size. This
+    // rehearsal scales BOTH: 5 000 docs against frameSize=512
+    // (~131k (f1,f2,dt) combos) — landmark density per doc stays
+    // constant, the df-cap keeps candidate volume linear, and the
+    // planted shifted twins must still surface via the offset vote.
+    import org.apache.spark.sql.functions.{col, udf}
+    val wave = udf { id: Long =>
+      var st = id * 6364136223846793005L + 1442695040888963407L
+      def next(): Int = {
+        st = st * 6364136223846793005L + 1442695040888963407L
+        (((st >>> 33) % 250) + 1).toInt
+      }
+      val freqs = Array.fill(13)(next())
+      Array.tabulate(6656) { i =>
+        (127 * math.cos(2 * math.Pi * freqs(i / 512) * (i % 512) / 512.0))
+          .toByte
+      }
+    }
+    val packed = spark.range(5000)
+      .select(col("id"), wave(col("id")).as("payload"))
+    val shift = udf { p: Array[Byte] =>
+      Array.tabulate(512)(i =>
+        (127 * math.cos(2 * math.Pi * 9 * i / 512.0)).toByte) ++ p
+    }
+    val twins = packed.where(col("id") < 50)
+      .select((col("id") + 1000000L).as("id"),
+        shift(col("payload")).as("payload"))
+    val (rows, t) = timed {
+      graft.operators.AudioFingerprint.matches(
+          packed.unionByName(twins), minVotes = 60,
+          frameSize = 512, hop = 256, peaksPerFrame = 2, fanout = 2)
+        .collect()
+    }
+    val twinHits = rows.count(r =>
+      r.getLong(1) == r.getLong(0) + 1000000L)
+    info(f"10x audio: ${rows.length} matches in $t%.1fs, " +
+      s"$twinHits/50 planted twins recovered")
+    assert(t < 180.0, f"audio match took $t%.1fs — scale cliff is back?")
+    assert(twinHits >= 40,
+      s"only $twinHits/50 twins survived df-capping — recall collapsed")
+  }
+
+  test("RAKE at 10x: per-doc windows only, bounded") {
+    val (top, t) = timed {
+      graft.queries.TextQueries.rakeTopKFrom(docs10).collect()
+    }
+    info(f"10x RAKE: top ${top.length} phrases in $t%.1fs")
+    assert(top.length == 30)
+    assert(t < 180.0, f"RAKE took $t%.1fs — the window went global?")
+    // the replica suffix rides every doc, so phrase stats must reflect
+    // the 10x structure: every top phrase occurs at least once
+    assert(top.forall(_.getLong(1) >= 1))
+  }
+
   test("dedupAgainstIndex at 10x: batch probe is batch-sized work") {
     val idx = java.nio.file.Files
       .createTempDirectory("graft-rehearsal-lsh").toString
