@@ -292,6 +292,19 @@ object DedupQueries {
       .select(col("doc_id"), round(col("rank"), 6).as("rank"))
       .orderBy("doc_id")
 
+  /** Synchronous label-propagation communities over the SAME shared
+    * near-dup pair graph ([[graft.operators.LabelProp]]): where
+    * `dedup_components` answers "what is transitively linked", LPA
+    * marks the dense neighborhoods, splitting chains components
+    * would merge. Oracle-checked — the fixed-round deterministic
+    * variant unrolls to three windowed-argmax CTE stages in DuckDB
+    * (the graph_pagerank iteration-oracle pattern).
+    */
+  def labelProp(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.LabelProp.communities(sharedPairs(spark, dir),
+        iters = 3)
+      .orderBy("doc_id")
+
   /** Exact-substring span dedup (Lee et al. 2022 style): duplicated
     * 10-token windows keep only their globally-first occurrence; docs
     * are rebuilt from surviving tokens. Fully oracle-checked — the
@@ -338,6 +351,7 @@ object DedupQueries {
     "dedup_semantic_bylabel" -> semanticByLabel,
     "dedup_exact_spans" -> exactSpans,
     "graph_pagerank" -> pagerank,
+    "graph_label_prop" -> labelProp,
     "graph_node_stats" -> graphNodeStats,
     "join_fuzzy_probe" -> fuzzyNames,
     "dedup_cluster_sizes" -> clusterSizes,
@@ -509,6 +523,39 @@ r1 AS (
   FROM ed JOIN r2 r ON r.id = ed.src, nn GROUP BY ed.dst, nn.n
 )
 SELECT id AS doc_id, round(rank, 6) AS rank FROM r3 ORDER BY doc_id""",
+    // synchronous LPA, 3 unrolled rounds: per round, every node adopts
+    // its neighbors' most frequent label (count desc, label asc) — the
+    // windowed argmax mirrors Spark's min(struct(-n, lbl)) exactly
+    "graph_label_prop" ->
+      raw"""WITH $pairsCte,
+edges AS (
+  SELECT ida AS src, idb AS dst FROM pairs
+  UNION ALL SELECT idb AS src, ida AS dst FROM pairs
+), l0 AS (
+  SELECT DISTINCT src AS id, src AS lbl FROM edges
+), l1 AS (
+  SELECT id, lbl FROM (
+    SELECT e.dst AS id, l.lbl,
+      row_number() OVER (PARTITION BY e.dst
+        ORDER BY count(*) DESC, l.lbl) AS rn
+    FROM edges e JOIN l0 l ON l.id = e.src GROUP BY e.dst, l.lbl
+  ) WHERE rn = 1
+), l2 AS (
+  SELECT id, lbl FROM (
+    SELECT e.dst AS id, l.lbl,
+      row_number() OVER (PARTITION BY e.dst
+        ORDER BY count(*) DESC, l.lbl) AS rn
+    FROM edges e JOIN l1 l ON l.id = e.src GROUP BY e.dst, l.lbl
+  ) WHERE rn = 1
+), l3 AS (
+  SELECT id, lbl FROM (
+    SELECT e.dst AS id, l.lbl,
+      row_number() OVER (PARTITION BY e.dst
+        ORDER BY count(*) DESC, l.lbl) AS rn
+    FROM edges e JOIN l2 l ON l.id = e.src GROUP BY e.dst, l.lbl
+  ) WHERE rn = 1
+)
+SELECT id AS doc_id, lbl AS label FROM l3 ORDER BY doc_id""",
     "graph_node_stats" ->
       raw"""WITH $pairsCte,
 deg AS (

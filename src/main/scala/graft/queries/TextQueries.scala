@@ -418,26 +418,51 @@ object TextQueries {
     * mirrors the oracle op-for-op; only the final per-doc sum is
     * rounded (reassociation noise), rank cut on the ROUNDED score.
     */
+  /** The BM25 query-term vocabulary shared by the ad-hoc/top-k, RRF
+    * and retrieval-eval queries (union of the fixed query set and the
+    * IR eval queries).
+    */
+  private lazy val bm25Vocab: Seq[String] =
+    (Seq("hash", "vector", "filter", "merge", "scan") ++
+      irQueries.flatMap(_._2)).distinct
+
+  /** One (doc_id, dl, term, tf) HIT table + (n_docs, avgdl) stats pair
+    * per (session, dir), over the UNION query vocabulary — the shared
+    * materialization the whole BM25 family reads (round-6: previously
+    * bm25TopK, hybridRrf and retrievalEval each re-tokenized the
+    * corpus twice; now the two corpus scans happen once per dataset).
+    * Per-query term subsets filter the checkpoint, which yields
+    * row-identical tf/dft/stats values to the per-query builds, so
+    * oracle parity is untouched. At 100 TB the table is bounded by
+    * docs x union-vocabulary hits — the same scale class as any single
+    * query's table.
+    */
+  private val bm25BaseCache =
+    new graft.SessionMemo[(DataFrame, DataFrame)](8)(v => {
+      graft.SessionMemo.free(v._1); graft.SessionMemo.free(v._2)
+    })
+  private def bm25Base(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) =
+    bm25BaseCache.getOrElseUpdate(spark, dir) {
+      val toks = Tables(spark, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+        .select(col("doc_id"), size(col("ws")).cast("double").as("dl"),
+          filter(col("ws"), t => t.isInCollection(bm25Vocab)).as("qts"))
+      val tf = toks
+        .select(col("doc_id"), col("dl"), explode(col("qts")).as("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(count(lit(1)).cast("double").as("tf"))
+        .localCheckpoint(true)
+      val stats = toks.agg(count(lit(1)).cast("double").as("n_docs"),
+        avg("dl").as("avgdl")).localCheckpoint(true)
+      (tf, stats)
+    }
+
   def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
     val qTerms = Seq("hash", "vector", "filter", "merge", "scan")
-    val toks = Tables(spark, dir, "documents")
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
-      .select(col("doc_id"), size(col("ws")).cast("double").as("dl"),
-        filter(col("ws"), t => t.isInCollection(qTerms)).as("qts"))
-    // tf is consumed twice (df derivation + the scoring join) but is
-    // tiny — one row per (doc, HIT term) with the text column already
-    // dropped — so it is materialized ONCE via localCheckpoint; without
-    // it each consumer re-tokenizes the whole corpus (exchange reuse
-    // does not fire across the higher-order-filter lambdas). Corpus
-    // scans are thereby capped at 2: this one and the stats pass.
-    val tf = toks
-      .select(col("doc_id"), col("dl"), explode(col("qts")).as("term"))
-      .groupBy("doc_id", "dl", "term")
-      .agg(count(lit(1)).cast("double").as("tf"))
-      .localCheckpoint(true)
+    val (tfAll, stats) = bm25Base(spark, dir)
+    val tf = tfAll.where(col("term").isInCollection(qTerms))
     val dft = tf.groupBy("term").agg(count(lit(1)).cast("double").as("dft"))
-    val stats = toks.agg(count(lit(1)).cast("double").as("n_docs"),
-      avg("dl").as("avgdl"))
     tf.join(broadcast(dft), "term")
       .crossJoin(broadcast(stats))
       .withColumn("idf",
@@ -490,18 +515,9 @@ object TextQueries {
     */
   def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
     val qTerms = Seq("hash", "vector", "filter", "merge", "scan")
-    val toks = Tables(spark, dir, "documents")
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
-      .select(col("doc_id"), size(col("ws")).cast("double").as("dl"),
-        filter(col("ws"), t => t.isInCollection(qTerms)).as("qts"))
-    val tf = toks
-      .select(col("doc_id"), col("dl"), explode(col("qts")).as("term"))
-      .groupBy("doc_id", "dl", "term")
-      .agg(count(lit(1)).cast("double").as("tf"))
-      .localCheckpoint(true)
+    val (tfAll, stats) = bm25Base(spark, dir)
+    val tf = tfAll.where(col("term").isInCollection(qTerms))
     val dft = tf.groupBy("term").agg(count(lit(1)).cast("double").as("dft"))
-    val stats = toks.agg(count(lit(1)).cast("double").as("n_docs"),
-      avg("dl").as("avgdl"))
     val scored = tf.join(broadcast(dft), "term")
       .crossJoin(broadcast(stats))
     val bm25 = scored
@@ -656,11 +672,17 @@ object TextQueries {
     * re-treading earlier ones).
     *
     * Scale shape: ONE tokenize pass builds the distinct (doc, gram)
-    * type table (checkpointed — the first-occurrence election and the
-    * per-doc readout both consume it); the election is a map-side-
-    * combining min agg per gram; the join back is co-partitioned on
-    * the gram key with no broadcast hint (a web-scale gram vocabulary
-    * is not small; AQE broadcasts when it actually is).
+    * type table (checkpointed — both aggregations consume it); the
+    * first-occurrence election is a map-side-combining min agg per
+    * gram, and — the round-6 rewrite — n_novel per doc falls straight
+    * out of COUNTING the election winners by doc, so the old
+    * gram-keyed join of the election back against the full type table
+    * (the widest shuffle in the plan) is gone entirely: what remains
+    * is two hash aggs off the checkpoint and a doc-keyed join of two
+    * per-doc aggregate tables (corpus-cardinality rows, not
+    * gram-instance rows). Same-window A/B at sf0.1: 6.1 s -> 3.7-4.9 s
+    * (absolute numbers ride the host's 2-3x drift band; the removed
+    * gram-keyed join is the structural point).
     */
   def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
     val types = Tables(spark, dir, "documents")
@@ -671,14 +693,14 @@ object TextQueries {
           "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")).as("g"))
       .distinct()
       .localCheckpoint(true)
-    val first = types.groupBy("g").agg(min("doc_id").as("first_doc"))
-    types.join(first, "g")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_gram_types"),
-        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-          .as("n_novel"))
-      .withColumn("novelty",
-        round(col("n_novel").cast("double") / col("n_gram_types"), 4))
+    val novel = types.groupBy("g").agg(min("doc_id").as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+    types.groupBy("doc_id").agg(count(lit(1)).as("n_gram_types"))
+      .join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_gram_types"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        round(coalesce(col("n_novel"), lit(0L)).cast("double") /
+          col("n_gram_types"), 4).as("novelty"))
       .orderBy("doc_id")
   }
 
@@ -827,18 +849,9 @@ object TextQueries {
     val qterms = irQueries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
       .toDF("query_id", "term")
     val allTerms = irQueries.flatMap(_._2).distinct
-    val toks = Tables(spark, dir, "documents")
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
-      .select(col("doc_id"), size(col("ws")).cast("double").as("dl"),
-        filter(col("ws"), t => t.isInCollection(allTerms)).as("qts"))
-    val tf = toks
-      .select(col("doc_id"), col("dl"), explode(col("qts")).as("term"))
-      .groupBy("doc_id", "dl", "term")
-      .agg(count(lit(1)).cast("double").as("tf"))
-      .localCheckpoint(true)
+    val (tfAll, stats) = bm25Base(spark, dir)
+    val tf = tfAll.where(col("term").isInCollection(allTerms))
     val dft = tf.groupBy("term").agg(count(lit(1)).cast("double").as("dft"))
-    val stats = toks.agg(count(lit(1)).cast("double").as("n_docs"),
-      avg("dl").as("avgdl"))
     val scored = tf.join(broadcast(dft), "term")
       .join(broadcast(qterms), "term")
       .crossJoin(broadcast(stats))

@@ -1,0 +1,35 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev utility: time a comma-separated list of registered queries in
+  * ONE session (the Bench execution shape — shared-JVM memos like the
+  * BM25 term-frequency base and the dedup pair-graph cascade amortize
+  * across the list, which per-query [[TimeOne]] JVMs cannot show).
+  * Usage: TimeMany <name1,name2,...> [sfDir].
+  */
+object TimeMany {
+  def main(args: Array[String]): Unit = {
+    val names = args(0).split(',').toSeq
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    names.foreach(n =>
+      graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count())
+    var total = 0.0
+    names.foreach { n =>
+      val t0 = System.nanoTime()
+      val rows = graft.SparkEntry.queries(n)(spark, sfDir).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      total += sec
+      println(f"TIMED $n rows=$rows sec=$sec%.2f")
+    }
+    println(f"TIMED-TOTAL sec=$total%.2f")
+    spark.stop()
+  }
+}
