@@ -305,6 +305,42 @@ object DedupQueries {
         iters = 3)
       .orderBy("doc_id")
 
+  /** Newman modularity of the LPA communities, decomposed PER
+    * community: contribution_c = intra_c/m - (degsum_c/(2m))^2.
+    * Deliberately NOT summed to one Q: every row derives from
+    * integers (edge/degree counts) so it is bit-exact cross-engine,
+    * while a global float sum over communities would be partial-agg-
+    * order dependent. The per-community rows are also the actionable
+    * readout (which neighborhoods are denser than chance). Scale
+    * shape: two label joins on the pair table + hash aggs — no
+    * windows, no iteration beyond the shared LPA labels.
+    */
+  def modularity(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = sharedPairs(spark, dir).select("ida", "idb")
+    val labels = graft.operators.LabelProp.communities(pairs, iters = 3)
+    val m = pairs.count().toDouble
+    val la = labels.select(col("doc_id").as("ida"), col("label").as("la"))
+    val lb = labels.select(col("doc_id").as("idb"), col("label").as("lb"))
+    val intra = pairs.join(la, "ida").join(lb, "idb")
+      .where(col("la") === col("lb"))
+      .groupBy(col("la").as("label"))
+      .agg(count(lit(1)).as("intra_edges"))
+    val deg = pairs.select(col("ida").as("doc_id"))
+      .unionAll(pairs.select(col("idb").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("deg"))
+    val dHalf = col("degree_sum").cast("double") / lit(2 * m)
+    labels.join(deg, "doc_id")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_nodes"), sum("deg").as("degree_sum"))
+      .join(intra, Seq("label"), "left")
+      .select(col("label"), col("n_nodes"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        col("degree_sum"),
+        round(coalesce(col("intra_edges"), lit(0L)).cast("double") /
+          lit(m) - dHalf * dHalf, 6).as("contribution"))
+      .orderBy("label")
+  }
+
   /** Exact-substring span dedup (Lee et al. 2022 style): duplicated
     * 10-token windows keep only their globally-first occurrence; docs
     * are rebuilt from surviving tokens. Fully oracle-checked — the
@@ -352,6 +388,7 @@ object DedupQueries {
     "dedup_exact_spans" -> exactSpans,
     "graph_pagerank" -> pagerank,
     "graph_label_prop" -> labelProp,
+    "graph_modularity" -> modularity,
     "graph_node_stats" -> graphNodeStats,
     "join_fuzzy_probe" -> fuzzyNames,
     "dedup_cluster_sizes" -> clusterSizes,
@@ -397,6 +434,38 @@ cand AS (
         - CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE)), 6) AS jaccard
   FROM cand JOIN sh x ON x.doc_id = ida JOIN sh y ON y.doc_id = idb
 ), pairs AS (SELECT ida, idb FROM verified WHERE jaccard >= 0.2)"""
+
+  /** Three unrolled synchronous-LPA rounds over `pairs` (shared by the
+    * graph_label_prop and graph_modularity oracles): l3 = (id, lbl).
+    */
+  private val lpaCte =
+    raw"""edges AS (
+  SELECT ida AS src, idb AS dst FROM pairs
+  UNION ALL SELECT idb AS src, ida AS dst FROM pairs
+), l0 AS (
+  SELECT DISTINCT src AS id, src AS lbl FROM edges
+), l1 AS (
+  SELECT id, lbl FROM (
+    SELECT e.dst AS id, l.lbl,
+      row_number() OVER (PARTITION BY e.dst
+        ORDER BY count(*) DESC, l.lbl) AS rn
+    FROM edges e JOIN l0 l ON l.id = e.src GROUP BY e.dst, l.lbl
+  ) WHERE rn = 1
+), l2 AS (
+  SELECT id, lbl FROM (
+    SELECT e.dst AS id, l.lbl,
+      row_number() OVER (PARTITION BY e.dst
+        ORDER BY count(*) DESC, l.lbl) AS rn
+    FROM edges e JOIN l1 l ON l.id = e.src GROUP BY e.dst, l.lbl
+  ) WHERE rn = 1
+), l3 AS (
+  SELECT id, lbl FROM (
+    SELECT e.dst AS id, l.lbl,
+      row_number() OVER (PARTITION BY e.dst
+        ORDER BY count(*) DESC, l.lbl) AS rn
+    FROM edges e JOIN l2 l ON l.id = e.src GROUP BY e.dst, l.lbl
+  ) WHERE rn = 1
+)"""
 
   /** Min-label connected components as a recursive transitive closure
     * (tiny in DuckDB at sf0.01; the Spark side is the scalable
@@ -528,34 +597,40 @@ SELECT id AS doc_id, round(rank, 6) AS rank FROM r3 ORDER BY doc_id""",
     // windowed argmax mirrors Spark's min(struct(-n, lbl)) exactly
     "graph_label_prop" ->
       raw"""WITH $pairsCte,
-edges AS (
-  SELECT ida AS src, idb AS dst FROM pairs
-  UNION ALL SELECT idb AS src, ida AS dst FROM pairs
-), l0 AS (
-  SELECT DISTINCT src AS id, src AS lbl FROM edges
-), l1 AS (
-  SELECT id, lbl FROM (
-    SELECT e.dst AS id, l.lbl,
-      row_number() OVER (PARTITION BY e.dst
-        ORDER BY count(*) DESC, l.lbl) AS rn
-    FROM edges e JOIN l0 l ON l.id = e.src GROUP BY e.dst, l.lbl
-  ) WHERE rn = 1
-), l2 AS (
-  SELECT id, lbl FROM (
-    SELECT e.dst AS id, l.lbl,
-      row_number() OVER (PARTITION BY e.dst
-        ORDER BY count(*) DESC, l.lbl) AS rn
-    FROM edges e JOIN l1 l ON l.id = e.src GROUP BY e.dst, l.lbl
-  ) WHERE rn = 1
-), l3 AS (
-  SELECT id, lbl FROM (
-    SELECT e.dst AS id, l.lbl,
-      row_number() OVER (PARTITION BY e.dst
-        ORDER BY count(*) DESC, l.lbl) AS rn
-    FROM edges e JOIN l2 l ON l.id = e.src GROUP BY e.dst, l.lbl
-  ) WHERE rn = 1
-)
+$lpaCte
 SELECT id AS doc_id, lbl AS label FROM l3 ORDER BY doc_id""",
+    // Newman modularity decomposed PER COMMUNITY over the LPA labels:
+    // contribution_c = intra_c/m - (degsum_c/(2m))^2 — every term
+    // derives from integers, so each row is bit-exact cross-engine
+    // with no global float sum (the square is spelled x*x, not
+    // pow(x, 2), to keep the op sequence identical in both engines)
+    "graph_modularity" ->
+      raw"""WITH $pairsCte,
+$lpaCte,
+m AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM pairs),
+labA AS (
+  SELECT p.ida, p.idb, la.lbl AS la, lb.lbl AS lb
+  FROM pairs p JOIN l3 la ON la.id = p.ida JOIN l3 lb ON lb.id = p.idb
+), intra AS (
+  SELECT la AS label, CAST(count(*) AS BIGINT) AS intra_edges
+  FROM labA WHERE la = lb GROUP BY la
+), deg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT ida AS doc_id FROM pairs UNION ALL SELECT idb FROM pairs
+  ) GROUP BY doc_id
+), byc AS (
+  SELECT l3.lbl AS label, CAST(count(*) AS BIGINT) AS n_nodes,
+    CAST(sum(d.deg) AS BIGINT) AS degree_sum
+  FROM l3 JOIN deg d ON d.doc_id = l3.id GROUP BY l3.lbl
+)
+SELECT byc.label, byc.n_nodes,
+  CAST(coalesce(i.intra_edges, 0) AS BIGINT) AS intra_edges,
+  byc.degree_sum,
+  round(CAST(coalesce(i.intra_edges, 0) AS DOUBLE) / m.m -
+    (CAST(byc.degree_sum AS DOUBLE) / (2 * m.m)) *
+    (CAST(byc.degree_sum AS DOUBLE) / (2 * m.m)), 6) AS contribution
+FROM byc LEFT JOIN intra i USING (label), m
+ORDER BY byc.label""",
     "graph_node_stats" ->
       raw"""WITH $pairsCte,
 deg AS (

@@ -28,6 +28,35 @@ object SimilarityQueries {
     graft.operators.IvfAnn.ivfTopK(
       Tables(spark, dir, "embeddings"), queriesSubset(spark, dir), k = 5)
 
+  /** Matryoshka truncation ablation (Kusupati et al. 2022, MRL): the
+    * recall@5 cost of searching on PREFIX dimensions (8/16/32 of 64)
+    * against the full-dimension exact top-5 — the readout that sizes
+    * the coarse stage of an MRL funnel retrieval stack. Fully
+    * oracle-checked: prefix slicing + the same parity-safe dot fold in
+    * both engines; recall is one integer ratio per dim (no float-sum
+    * hazard). Per-dim search is a bounded-query-side broadcast scan —
+    * the cosineTopK scale shape, three times.
+    */
+  def matryoshkaRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
+    val q = queriesSubset(spark, dir).select("vec_id", "embedding")
+    val full = Similarity.cosineTopK(emb, q, k = 5)
+      .select(col("qid"), col("vec_id")).localCheckpoint(true)
+    val nQ = q.count()
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq(8, 16, 32).map { d =>
+      def cut(df: DataFrame) = df.select(col("vec_id"),
+        slice(col("embedding"), 1, d).as("embedding"))
+      val approx = Similarity.cosineTopK(cut(emb), cut(q), k = 5)
+        .select(col("qid"), col("vec_id"))
+      val hits = full.join(approx, Seq("qid", "vec_id")).count()
+      (d.toLong, nQ, hits, r4(hits.toDouble / (5.0 * nQ)))
+    }.toDF("dim", "n_queries", "n_hits", "recall_at_5")
+      .orderBy("dim")
+  }
+
   /** Full kNN graph over the embedding table via the shuffle-
     * partitioned ANN join ([[graft.operators.IvfAnn.knnJoin]] — no
     * broadcast of either side, map-side-combining top-k). Probing all
@@ -175,6 +204,7 @@ object SimilarityQueries {
     "sim_ann_ivf_topk" -> annIvfTopK,
     "sim_ann_pq_topk" -> annPqTopK,
     "sim_ann_sq_topk" -> annSqTopK,
+    "sim_matryoshka_recall" -> matryoshkaRecall,
     "sim_cosine_dup_pairs" -> cosineDupPairs)
 
   private val dotSql = (a: String, b: String) =>
@@ -306,5 +336,34 @@ ORDER BY qid, rank""") ++ Map(
   FROM pairs
 )
 SELECT qid, vec_id, sim, rank FROM ranked WHERE rank <= 5
-ORDER BY qid, rank""")
+ORDER BY qid, rank""") ++ {
+    // matryoshka: prefix-sliced dot folds, same rank-determinism
+    // contract (round 6dp, tie on vec_id) per truncation dim
+    def top5(sfx: String): String =
+      s"""SELECT qid, vec_id FROM (
+    SELECT qid, e.vec_id,
+      row_number() OVER (PARTITION BY qid ORDER BY
+        round(${dotSql("qemb" + sfx, "e.embedding" + sfx)} /
+          (sqrt(${dotSql("qemb" + sfx, "qemb" + sfx)}) *
+           sqrt(${dotSql("e.embedding" + sfx, "e.embedding" + sfx)})), 6)
+          DESC, e.vec_id) AS rank
+    FROM q, embeddings e WHERE e.vec_id <> qid) WHERE rank <= 5"""
+    def band(d: Int): String =
+      s"""SELECT CAST($d AS BIGINT) AS dim, nq.n AS n_queries,
+  (SELECT CAST(count(*) AS BIGINT) FROM f JOIN t$d USING (qid, vec_id))
+    AS n_hits,
+  round((SELECT count(*) FROM f JOIN t$d USING (qid, vec_id)) /
+    (5.0 * nq.n), 4) AS recall_at_5
+FROM nq"""
+    Map("sim_matryoshka_recall" ->
+      s"""WITH q AS (
+  SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 10
+), f AS (${top5("")}),
+t8 AS (${top5("[1:8]")}),
+t16 AS (${top5("[1:16]")}),
+t32 AS (${top5("[1:32]")}),
+nq AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q)
+${band(8)} UNION ALL ${band(16)} UNION ALL ${band(32)}
+ORDER BY dim""")
+  }
 }

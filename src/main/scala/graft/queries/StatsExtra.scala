@@ -648,7 +648,37 @@ ORDER BY cnt DESC, token""")
       .limit(40)
       .orderBy("doc_id")
 
+  /** k-anonymity risk profile over the corpus' quasi-identifiers
+    * (lang, source): equivalence-class sizes banded into the standard
+    * re-identification-risk buckets — the privacy readout a data
+    * release runs BEFORE publishing (a "1 (unique)" row is a direct
+    * re-identification; small bands drive generalization/suppression
+    * decisions). All counts are integers; the only float is one
+    * rounded ratio per band, so oracle parity is exact. Scale shape:
+    * one hash agg to class sizes (quasi-identifier-cardinality rows),
+    * one tiny banded agg.
+    */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val total = docs.count().toDouble
+    val classes = docs.groupBy("lang", "source")
+      .agg(count(lit(1)).as("k"))
+    classes
+      .select(
+        when(col("k") === 1, "1 (unique)")
+          .when(col("k") <= 4, "2-4")
+          .when(col("k") <= 9, "5-9")
+          .when(col("k") <= 49, "10-49")
+          .otherwise("50+").as("k_band"),
+        col("k"))
+      .groupBy("k_band")
+      .agg(count(lit(1)).as("n_classes"), sum("k").as("n_docs"))
+      .withColumn("doc_frac", round(col("n_docs") / lit(total), 4))
+      .orderBy("k_band")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_k_anonymity" -> kAnonymity,
     "sample_uniform_k" -> sampleUniformK,
     "join_interval_overlap" -> intervalOverlap,
     "sample_per_group" -> samplePerGroup,
@@ -733,6 +763,21 @@ FROM g"""
   }
 
   val oracle: Map[String, String] = Map(
+    "stats_k_anonymity" ->
+      """WITH g AS (
+  SELECT lang, source, count(*) AS k FROM documents GROUP BY 1, 2
+), b AS (
+  SELECT CASE WHEN k = 1 THEN '1 (unique)'
+              WHEN k <= 4 THEN '2-4'
+              WHEN k <= 9 THEN '5-9'
+              WHEN k <= 49 THEN '10-49'
+              ELSE '50+' END AS k_band, k
+  FROM g
+), t AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM documents)
+SELECT k_band, CAST(count(*) AS BIGINT) AS n_classes,
+  CAST(sum(k) AS BIGINT) AS n_docs,
+  round(CAST(sum(k) AS DOUBLE) / t.total, 4) AS doc_frac
+FROM b, t GROUP BY k_band, t.total ORDER BY k_band""",
     "stats_bootstrap_ci" -> bootstrapCiSql,
     "stats_psi_drift" ->
       s"""WITH ql AS (
