@@ -77,6 +77,54 @@ object PageRank {
     out
   }
 
+  /** Personalized PageRank: teleport mass restarts at the SEED set
+    * instead of uniformly — the "relevance to these documents" ranking
+    * (seed = a curated slice; output = what the near-dup graph pulls
+    * toward it). r_{t+1}(v) = (1-damping)·seed(v) + damping·Σ_{u→v}
+    * r_t(u)/deg(u), seed(v) = 1/|S| on seeds, 0 elsewhere; r_0 = seed
+    * vector. The rank table stays SPARSE — only reached nodes carry
+    * rows, so at 100 TB the per-round state is neighborhood-sized, not
+    * graph-sized (the whole point of PPR vs global PageRank).
+    *
+    * Scale shape mirrors [[ranks]]: degree-folded edges repartitioned
+    * on src once and persisted; each round is one join + one hash agg,
+    * then a two-term union-sum with the seed vector (≤2 addends per
+    * node — IEEE-commutative, so no reassociation hazard there; the
+    * per-dst contribution sum carries the same rounding contract as
+    * global PageRank). `seeds` = one `doc_id` column.
+    */
+  def personalized(pairs: DataFrame, seeds: DataFrame, iters: Int = 3,
+      damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val edges = pairs.select(col("ida").as("src"), col("idb").as("dst"))
+      .unionAll(pairs.select(col("idb").as("src"), col("ida").as("dst")))
+    val deg = edges.groupBy("src")
+      .agg(count(lit(1)).cast("double").as("deg"))
+    val e = edges.join(deg, "src").repartition(col("src")).persist()
+    // seeds restricted to graph nodes (a seed outside the graph would
+    // inject mass nowhere and distort 1/|S|)
+    val seedIds = e.select(col("src").as("id")).distinct()
+      .join(seeds.select(col("doc_id").as("id")), Seq("id"), "left_semi")
+      .persist()
+    val nS = seedIds.count().toDouble
+    require(nS > 0, "no seed intersects the graph")
+    val teleport = (1 - damping) / nS
+    val seedRows = seedIds.withColumn("rank", lit(teleport))
+    var r = seedIds.withColumn("rank", lit(1.0 / nS))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(r, col("src") === col("id"))
+        .groupBy(col("dst"))
+        .agg((lit(damping) * sum(col("rank") / col("deg"))).as("rank"))
+        .select(col("dst").as("id"), col("rank"))
+      r = contrib.unionAll(seedRows).groupBy("id")
+        .agg(sum("rank").as("rank"))
+    }
+    val out = r.select(col("id").as("doc_id"), col("rank"))
+      .localCheckpoint(true)
+    e.unpersist(); seedIds.unpersist()
+    out
+  }
+
   /** The in-memory iteration over a collected edge list: identical
     * arithmetic to the distributed rounds (per-edge rank/deg, per-dst
     * sum, teleport + damping * s) — callers round the final rank, which

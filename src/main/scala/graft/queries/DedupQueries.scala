@@ -33,6 +33,33 @@ object DedupQueries {
       "doc_id", "text", threshold = 0.2, dfCap = 50, minShared = 2,
       cacheKey = dir)
 
+  /** Asymmetric CONTAINMENT dedup (Broder's containment coefficient):
+    * |A∩B| / min(|A|, |B|) over shingle sets — the detector for
+    * quote/subset inclusion that symmetric Jaccard structurally
+    * under-scores (a 50-shingle doc fully contained in a 500-shingle
+    * doc has Jaccard 0.1 but containment 1.0). Reads the SAME shared
+    * blocking cascade as the Jaccard family (candidates + the shingle
+    * checkpoint — nothing recomputed); verification is a codegen
+    * array_intersect over the bounded candidate pairs. Oracle-checked
+    * (integer intersection counts, one rounded division).
+    */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
+    val g = graft.operators.NearDupGraph.graph(
+      Tables(spark, dir, "documents"), "doc_id", "text",
+      threshold = 0.2, dfCap = 50, minShared = 2, cacheKey = dir)
+    val sh = g.shingles
+    g.candidates
+      .join(broadcast(sh.select(col("doc_id").as("ida"),
+        col("shs").as("sha"))), "ida")
+      .join(broadcast(sh.select(col("doc_id").as("idb"),
+        col("shs").as("shb"))), "idb")
+      .select(col("ida"), col("idb"),
+        round(size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          least(size(col("sha")), size(col("shb"))), 6).as("containment"))
+      .where(col("containment") >= 0.7)
+      .orderBy("ida", "idb")
+  }
+
   def shingleJaccard(spark: SparkSession, dir: String): DataFrame =
     sharedPairs(spark, dir).orderBy("ida", "idb")
 
@@ -305,6 +332,24 @@ object DedupQueries {
         iters = 3)
       .orderBy("doc_id")
 
+  /** Personalized PageRank from the doc_id % 7 == 0 seed slice of the
+    * near-dup graph ([[graft.operators.PageRank.personalized]]):
+    * relevance-to-the-seeds instead of global centrality. Oracle =
+    * three unrolled rounds replicating the union-sum shape exactly
+    * (teleport spelled (1 - 0.85)/|S| in both engines — the IEEE
+    * literal discipline the global pagerank oracle established).
+    */
+  def pprSeeded(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = sharedPairs(spark, dir)
+    val seeds = pairs.select(col("ida").as("doc_id"))
+      .unionAll(pairs.select(col("idb").as("doc_id")))
+      .distinct()
+      .where(pmod(col("doc_id"), lit(7)) === 0)
+    graft.operators.PageRank.personalized(pairs, seeds, iters = 3)
+      .select(col("doc_id"), round(col("rank"), 6).as("rank"))
+      .orderBy("doc_id")
+  }
+
   /** Newman modularity of the LPA communities, decomposed PER
     * community: contribution_c = intra_c/m - (degsum_c/(2m))^2.
     * Deliberately NOT summed to one Q: every row derives from
@@ -389,6 +434,7 @@ object DedupQueries {
     "graph_pagerank" -> pagerank,
     "graph_label_prop" -> labelProp,
     "graph_modularity" -> modularity,
+    "graph_ppr_seeded" -> pprSeeded,
     "graph_node_stats" -> graphNodeStats,
     "join_fuzzy_probe" -> fuzzyNames,
     "dedup_cluster_sizes" -> clusterSizes,
@@ -401,6 +447,7 @@ object DedupQueries {
     "dedup_survivors_quality" -> survivorsQuality,
     "dedup_exact_md5" -> exactMd5,
     "dedup_shingle_jaccard" -> shingleJaccard,
+    "dedup_containment" -> containmentPairs,
     "dedup_blocking_audit" -> blockingAudit,
     "dedup_minhash_lsh" -> minhashLsh,
     "dedup_lsh_quality" -> lshQuality,
@@ -631,6 +678,45 @@ SELECT byc.label, byc.n_nodes,
     (CAST(byc.degree_sum AS DOUBLE) / (2 * m.m)), 6) AS contribution
 FROM byc LEFT JOIN intra i USING (label), m
 ORDER BY byc.label""",
+    // PPR, 3 unrolled rounds: contribution agg then a two-addend
+    // union-sum with the seed teleport — the Spark shape replicated
+    // exactly (<= 2 addends per node per round, IEEE-commutative)
+    "graph_ppr_seeded" ->
+      raw"""WITH $pairsCte,
+edges AS (
+  SELECT ida AS src, idb AS dst FROM pairs
+  UNION ALL SELECT idb AS src, ida AS dst FROM pairs
+), dg AS (
+  SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM edges GROUP BY src
+), ed AS (
+  SELECT e.src, e.dst, d.deg FROM edges e JOIN dg d USING (src)
+), seeds AS (
+  SELECT DISTINCT src AS id FROM edges WHERE src % 7 = 0
+), ns AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM seeds),
+r0 AS (SELECT id, 1.0 / ns.n AS rank FROM seeds, ns),
+r1 AS (
+  SELECT id, sum(rank) AS rank FROM (
+    SELECT ed.dst AS id, 0.85 * sum(r.rank / ed.deg) AS rank
+    FROM ed JOIN r0 r ON r.id = ed.src GROUP BY ed.dst
+    UNION ALL
+    SELECT id, (1 - 0.85) / ns.n AS rank FROM seeds, ns
+  ) GROUP BY id
+), r2 AS (
+  SELECT id, sum(rank) AS rank FROM (
+    SELECT ed.dst AS id, 0.85 * sum(r.rank / ed.deg) AS rank
+    FROM ed JOIN r1 r ON r.id = ed.src GROUP BY ed.dst
+    UNION ALL
+    SELECT id, (1 - 0.85) / ns.n AS rank FROM seeds, ns
+  ) GROUP BY id
+), r3 AS (
+  SELECT id, sum(rank) AS rank FROM (
+    SELECT ed.dst AS id, 0.85 * sum(r.rank / ed.deg) AS rank
+    FROM ed JOIN r2 r ON r.id = ed.src GROUP BY ed.dst
+    UNION ALL
+    SELECT id, (1 - 0.85) / ns.n AS rank FROM seeds, ns
+  ) GROUP BY id
+)
+SELECT id AS doc_id, round(rank, 6) AS rank FROM r3 ORDER BY doc_id""",
     "graph_node_stats" ->
       raw"""WITH $pairsCte,
 deg AS (
@@ -762,6 +848,19 @@ FROM documents GROUP BY md5(text) ORDER BY digest""",
     "dedup_shingle_jaccard" ->
       raw"""WITH $pairsCte
 SELECT ida, idb, jaccard FROM verified WHERE jaccard >= 0.2
+ORDER BY ida, idb""",
+    // containment = |A∩B| / min(|A|,|B|) over the SAME candidates and
+    // shingle sets as the Jaccard verify — integer counts, one rounded
+    // division, so the row set is bit-exact cross-engine
+    "dedup_containment" ->
+      raw"""WITH $pairsCte,
+cont AS (
+  SELECT ida, idb,
+    round(CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE) /
+      least(len(x.shs), len(y.shs)), 6) AS containment
+  FROM cand JOIN sh x ON x.doc_id = ida JOIN sh y ON y.doc_id = idb
+)
+SELECT ida, idb, containment FROM cont WHERE containment >= 0.7
 ORDER BY ida, idb""",
     "dedup_blocking_audit" ->
       raw"""WITH $pairsCte
