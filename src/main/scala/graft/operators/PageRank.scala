@@ -96,6 +96,15 @@ object PageRank {
   def personalized(pairs: DataFrame, seeds: DataFrame, iters: Int = 3,
       damping: Double = 0.85): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    val nPairs = pairs.count()
+    if (2 * nPairs <= DriverMaxEdges)
+      return personalizedOnDriver(pairs, seeds, iters, damping)
+    personalizedDistributed(pairs, seeds, iters, damping)
+  }
+
+  /** The distributed PPR loop (the over-gate path). */
+  private[graft] def personalizedDistributed(pairs: DataFrame,
+      seeds: DataFrame, iters: Int, damping: Double): DataFrame = {
     val edges = pairs.select(col("ida").as("src"), col("idb").as("dst"))
       .unionAll(pairs.select(col("idb").as("src"), col("ida").as("dst")))
     val deg = edges.groupBy("src")
@@ -123,6 +132,51 @@ object PageRank {
       .localCheckpoint(true)
     e.unpersist(); seedIds.unpersist()
     out
+  }
+
+  /** In-memory PPR rounds over a collected edge list (the under-gate
+    * path, [[ranksOnDriver]] template): ids handled generically (no
+    * cast — the returned doc_id keeps the input column's type), same
+    * arithmetic (damping·Σ rank/deg per dst, + teleport on seeds),
+    * sparse rank map. Callers round at 6dp, which absorbs the per-dst
+    * summation-order difference exactly as it does for [[ranks]].
+    */
+  private[graft] def personalizedOnDriver(pairs: DataFrame,
+      seeds: DataFrame, iters: Int, damping: Double): DataFrame = {
+    val spark = pairs.sparkSession
+    val idType = pairs.schema("ida").dataType
+    val edges = pairs.select(col("ida"), col("idb")).collect()
+      .flatMap(r => Seq((r.get(0), r.get(1)), (r.get(1), r.get(0))))
+    val nodes: Set[Any] = edges.iterator.map(_._1).toSet
+    val seedSet: Set[Any] = seeds.select(seeds.columns.head).collect()
+      .map(_.get(0)).toSet.intersect(nodes)
+    require(seedSet.nonEmpty, "no seed intersects the graph")
+    val deg = scala.collection.mutable.HashMap.empty[Any, Double]
+    edges.foreach { case (s, _) => deg(s) = deg.getOrElse(s, 0.0) + 1.0 }
+    val teleport = (1 - damping) / seedSet.size
+    var r: Map[Any, Double] =
+      seedSet.iterator.map(s => s -> 1.0 / seedSet.size).toMap
+    for (_ <- 1 to iters) {
+      val next = scala.collection.mutable.HashMap.empty[Any, Double]
+      edges.foreach { case (src, dst) =>
+        r.get(src).foreach { m =>
+          next(dst) = next.getOrElse(dst, 0.0) + m / deg(src)
+        }
+      }
+      val damped = next.iterator
+        .map { case (id, s) => id -> damping * s }.toMap
+      r = seedSet.iterator.map(s =>
+        s -> (damped.getOrElse(s, 0.0) + teleport)).toMap ++
+        damped.filterNot { case (id, _) => seedSet(id) }
+    }
+    val rows = r.toSeq
+      .sortBy { case (id, _) => (String.valueOf(id), id.##) }
+      .map { case (id, v) => Row(id, v) }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("doc_id", idType, nullable = true),
+        StructField("rank", DoubleType, nullable = false))))
   }
 
   /** The in-memory iteration over a collected edge list: identical

@@ -80,6 +80,14 @@ class PageRankSpec extends SparkSpec {
         Seq(Tuple1(10L)).toDF("doc_id"), iters = 4)
       .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
     assert((1L to 4L).forall(l => rs(10L) > rs(l)), rs.toString)
+    // driver and distributed paths agree to the 6dp rounding contract
+    val a = graft.operators.PageRank.personalizedOnDriver(chain, seeds,
+        iters = 3, damping = 0.85).collect()
+      .map(x => x.getLong(0) -> math.rint(x.getDouble(1) * 1e6)).toMap
+    val b = graft.operators.PageRank.personalizedDistributed(chain, seeds,
+        iters = 3, damping = 0.85).collect()
+      .map(x => x.getLong(0) -> math.rint(x.getDouble(1) * 1e6)).toMap
+    assert(a == b, s"driver=$a distributed=$b")
     // a seed outside the graph must be rejected, not silently ignored
     intercept[IllegalArgumentException] {
       graft.operators.PageRank.personalized(chain,

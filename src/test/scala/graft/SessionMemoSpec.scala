@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.LogicalRDD
 
@@ -59,6 +61,31 @@ class SessionMemoSpec extends SparkSpec {
     (1 to 4).foreach(i => get(s"e$i"))
     Seq("d1", "d2").foreach(_ => ())
     assert(memo.size == 4, "bound holds after churn")
+  }
+
+  test("racing consumers compute the shared artifact exactly once") {
+    // the memo intentionally serializes first materialization: two
+    // queries racing for the same expensive cascade must not both
+    // pay the build
+    val memo = new SessionMemo[String](4)(_ => ())
+    val builds = new java.util.concurrent.atomic.AtomicInteger
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = (1 to 8).map { i =>
+      new Thread(() => {
+        latch.await()
+        results.add(memo.getOrElseUpdate(spark, "same-key") {
+          builds.incrementAndGet()
+          Thread.sleep(50)
+          "artifact"
+        })
+      })
+    }
+    threads.foreach(_.start())
+    latch.countDown()
+    threads.foreach(_.join(10000))
+    assert(builds.get == 1, s"computed ${builds.get} times under race")
+    assert(results.size == 8 && results.asScala.forall(_ == "artifact"))
   }
 
   test("a different session never sees another session's entry") {
