@@ -474,6 +474,7 @@ object EventQueries {
     "events_asof_nearest" -> asofNearestClickPurchase,
     "events_asof_tolerance" -> asofToleranceClickPurchase,
     "events_pattern_funnel" -> patternFunnel,
+    "events_funnel_latency" -> funnelLatency,
     "events_pattern_greedy" -> patternGreedy,
     "events_decayed_value" -> decayedValue,
     "events_interval_join" -> intervalJoin)
@@ -509,6 +510,28 @@ object EventQueries {
     */
   def patternFunnel(spark: SparkSession, dir: String): DataFrame =
     patternCascade(spark, dir, boundUs = 48L * 3600L * 1000000L)
+
+  /** Time-to-convert distribution over the funnel matches: exact
+    * p50/p90/p99 of view->purchase spans — the conversion-latency
+    * readout a funnel dashboard leads with. Reuses the as-of cascade;
+    * the global percentiles run over the MATCH table (funnel-count
+    * rows, not event rows), so the unpartitioned percentile sort is
+    * bounded by match cardinality at any scale. percentile_cont /
+    * quantile_cont parity established by agg_percentiles.
+    */
+  def funnelLatency(spark: SparkSession, dir: String): DataFrame =
+    patternCascade(spark, dir, boundUs = 48L * 3600L * 1000000L)
+      .agg(
+        count(lit(1)).as("n_funnels"),
+        round(expr(
+          "percentile_cont(0.5) WITHIN GROUP (ORDER BY span_us)"), 4)
+          .as("p50_us"),
+        round(expr(
+          "percentile_cont(0.9) WITHIN GROUP (ORDER BY span_us)"), 4)
+          .as("p90_us"),
+        round(expr(
+          "percentile_cont(0.99) WITHIN GROUP (ORDER BY span_us)"), 4)
+          .as("p99_us"))
 
   private[graft] def patternCascade(spark: SparkSession, dir: String,
       boundUs: Long): DataFrame = {
@@ -802,6 +825,21 @@ ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
   ON c.user_id = p.user_id AND c.ts <= p.ts
 WHERE epoch_us(p.ts) - epoch_us(v.ts) <= 172800000000
 ORDER BY view_id""",
+    "events_funnel_latency" ->
+      """WITH f AS (
+  SELECT epoch_us(p.ts) - epoch_us(v.ts) AS span_us
+  FROM (SELECT * FROM events WHERE event_type = 'view') v
+  ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ON v.user_id = c.user_id AND v.ts <= c.ts
+  ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+    ON c.user_id = p.user_id AND c.ts <= p.ts
+  WHERE epoch_us(p.ts) - epoch_us(v.ts) <= 172800000000
+)
+SELECT CAST(count(*) AS BIGINT) AS n_funnels,
+  round(quantile_cont(span_us, 0.5), 4) AS p50_us,
+  round(quantile_cont(span_us, 0.9), 4) AS p90_us,
+  round(quantile_cont(span_us, 0.99), 4) AS p99_us
+FROM f""",
     // AFTER MATCH SKIP PAST LAST ROW as a recursive CTE: one recursion
     // round per MATCH (not per event) — each round extends every
     // user's automaton by one complete view->click->purchase match via
