@@ -60,6 +60,32 @@ object DedupQueries {
       .orderBy("ida", "idb")
   }
 
+  /** Jaro-Winkler fuzzy matching — the record-linkage scalar for short
+    * strings (names/titles/identifiers), char-order-aware where the
+    * shingle family is set-based: top-3 most similar OTHER part names
+    * per probe part, scored by the native codegen
+    * [[org.apache.spark.sql.graftx.JaroWinkler]] expression (DuckDB
+    * `jaro_winkler_similarity` semantics, bit-exact — the oracle).
+    * Scale shape: bounded probe side broadcast, corpus scanned once,
+    * per-probe top-3 through the native bounded-heap rewrite.
+    */
+  def jaroNames(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val part = Tables(spark, dir, "part").select("p_partkey", "p_name")
+    val probe = part.where(col("p_partkey") < 30)
+      .select(col("p_partkey").as("qk"), col("p_name").as("qn"))
+    val sims = part.join(broadcast(probe), col("p_partkey") =!= col("qk"))
+      .select(col("qk"), col("p_partkey").as("pk"),
+        round(org.apache.spark.sql.graftx.JaroWinkler.column(
+          col("qn"), col("p_name")), 6).as("sim"))
+    val w = Window.partitionBy("qk").orderBy(col("sim").desc, col("pk"))
+    sims
+      .select(col("qk"), col("pk"), col("sim"),
+        row_number().over(w).cast("long").as("rank"))
+      .where(col("rank") <= 3)
+      .orderBy("qk", "rank")
+  }
+
   def shingleJaccard(spark: SparkSession, dir: String): DataFrame =
     sharedPairs(spark, dir).orderBy("ida", "idb")
 
@@ -437,6 +463,7 @@ object DedupQueries {
     "graph_ppr_seeded" -> pprSeeded,
     "graph_node_stats" -> graphNodeStats,
     "join_fuzzy_probe" -> fuzzyNames,
+    "join_jaro_names" -> jaroNames,
     "dedup_cluster_sizes" -> clusterSizes,
     "dedup_incremental_batch" -> incrementalBatch,
     "dedup_chunk_level" -> chunkLevel,
@@ -740,6 +767,19 @@ SELECT deg.doc_id, deg.degree,
   CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles
 FROM deg LEFT JOIN tcount t USING (doc_id)
 ORDER BY deg.doc_id""",
+    "join_jaro_names" ->
+      """WITH probe AS (
+  SELECT p_partkey AS qk, p_name AS qn FROM part WHERE p_partkey < 30
+), pairs AS (
+  SELECT qk, p.p_partkey AS pk,
+    round(jaro_winkler_similarity(qn, p.p_name), 6) AS sim
+  FROM probe, part p WHERE p.p_partkey <> qk
+), ranked AS (
+  SELECT qk, pk, sim,
+    row_number() OVER (PARTITION BY qk ORDER BY sim DESC, pk) AS rank
+  FROM pairs
+)
+SELECT qk, pk, sim, rank FROM ranked WHERE rank <= 3 ORDER BY qk, rank""",
     "join_fuzzy_probe" ->
       raw"""WITH lt AS (
   SELECT doc_id AS lid, $tokSql AS ws FROM documents

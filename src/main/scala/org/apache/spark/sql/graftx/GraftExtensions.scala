@@ -156,7 +156,11 @@ object GraftFunctions {
       (args: Seq[Expression]) => TextSimHash(args(0))),
     (FunctionIdentifier("interleave_bits"),
       info("interleave_bits", "interleave_bits(x, y) - Morton z-value"),
-      (args: Seq[Expression]) => InterleaveBits(args(0), args(1))))
+      (args: Seq[Expression]) => InterleaveBits(args(0), args(1))),
+    (FunctionIdentifier("jaro_winkler"),
+      info("jaro_winkler",
+        "jaro_winkler(a, b) - Jaro-Winkler similarity (DuckDB semantics)"),
+      (args: Seq[Expression]) => JaroWinkler(args(0), args(1))))
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     all.foreach { case (id, inf, builder) =>
