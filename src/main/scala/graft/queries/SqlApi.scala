@@ -220,7 +220,9 @@ ORDER BY n.n_name"""
       SELECT a.doc_id AS ida, b.doc_id AS idb,
         round(dot_product(ea.embedding, eb.embedding), 6) AS dot,
         round(jaccard_sorted(text_shingles(a.text),
-          text_shingles(b.text)), 6) AS jac
+          text_shingles(b.text)), 6) AS jac,
+        round(jaro_winkler(substring(a.text, 1, 40),
+          substring(b.text, 1, 40)), 6) AS jw
       FROM docs_nf a JOIN docs_nf b ON b.doc_id = a.doc_id + 1
       JOIN emb_nf ea ON ea.vec_id = a.doc_id
       JOIN emb_nf eb ON eb.vec_id = b.doc_id
@@ -407,7 +409,9 @@ SELECT a.doc_id AS ida, b.doc_id AS idb,
     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6) AS dot,
   round(CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE) /
     (CAST(len(x.shs) AS DOUBLE) + CAST(len(y.shs) AS DOUBLE)
-      - CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE)), 6) AS jac
+      - CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE)), 6) AS jac,
+  round(jaro_winkler_similarity(substring(a.text, 1, 40),
+    substring(b.text, 1, 40)), 6) AS jw
 FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
 JOIN embeddings ea ON ea.vec_id = a.doc_id
 JOIN embeddings eb ON eb.vec_id = b.doc_id
