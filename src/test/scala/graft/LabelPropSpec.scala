@@ -50,6 +50,45 @@ class LabelPropSpec extends SparkSpec {
     assert(out.values.toSet == Set(1L), out.toString)
   }
 
+  test("LPA communities refine connected components on the real corpus") {
+    // labels only flow along edges and start as own ids, so any label
+    // a node holds originated inside its component: same LPA label =>
+    // same CC component, always (the refinement invariant)
+    val lpa = graft.queries.DedupQueries.labelProp(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cc = graft.queries.DedupQueries.components(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lpa.keySet == cc.keySet, "same node universe")
+    val byLabel = lpa.groupBy(_._2).view.mapValues(_.keys.toSet)
+    byLabel.foreach { case (lbl, members) =>
+      val comps = members.map(cc)
+      assert(comps.size == 1,
+        s"LPA label $lbl spans components $comps (members $members)")
+    }
+    // and LPA is at least as fine: community count >= component count
+    assert(lpa.values.toSet.size >= cc.values.toSet.size)
+  }
+
+  test("containment dominates jaccard on every candidate pair") {
+    // |A∩B|/min(|A|,|B|) >= |A∩B|/|A∪B| for all sets — verified over
+    // the real corpus' shared candidate table (catches any drift
+    // between the two verify formulas reading the same cascade)
+    val cont = graft.queries.DedupQueries
+      .containmentPairs(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val jac = graft.queries.DedupQueries.shingleJaccard(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(cont.nonEmpty && jac.nonEmpty)
+    val both = jac.keySet.intersect(cont.keySet)
+    assert(both.nonEmpty, "thresholded outputs must overlap on strong pairs")
+    both.foreach { k =>
+      assert(cont(k) >= jac(k) - 1e-9,
+        s"pair $k: containment ${cont(k)} < jaccard ${jac(k)}")
+    }
+  }
+
   test("string ids take the distributed path and keep their type") {
     val g = Seq(("a", "b"), ("a", "c"), ("b", "c")).toDF("ida", "idb")
     val out = LabelProp.communities(g, iters = 3)
