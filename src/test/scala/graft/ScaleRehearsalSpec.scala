@@ -192,6 +192,46 @@ class ScaleRehearsalSpec extends SparkSpec {
     assert(top.forall(_.getLong(1) >= 1))
   }
 
+  test("distributed LPA and PPR at 10x: bounded, agree with driver paths") {
+    // the round-6 graph operators' DISTRIBUTED loops, which the 4M-edge
+    // gate hides from the registered queries, exercised on the 10x
+    // pair graph: bounded wall-clock and exact agreement with the
+    // driver fast paths (LPA integer-exact; PPR to the 6dp contract)
+    import graft.operators.{LabelProp, PageRank}
+    val pairs = graft.operators.NearDupGraph.graph(docs10, "doc_id",
+        "text", threshold = 0.2, dfCap = 50, minShared = 2,
+        cacheKey = "rehearsal-10x")
+      .pairs.select("ida", "idb").localCheckpoint(true)
+    val edges = pairs.select(col("ida").as("src"), col("idb").as("dst"))
+      .unionAll(pairs.select(col("idb").as("src"), col("ida").as("dst")))
+    val (lpaD, tLpa) = timed {
+      LabelProp.communitiesDistributed(edges, iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val lpaDr = LabelProp.communitiesOnDriver(edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lpaD == lpaDr, "distributed LPA must equal the driver loop")
+    val seeds = pairs.select(col("ida").as("doc_id"))
+      .unionAll(pairs.select(col("idb").as("doc_id")))
+      .distinct().where(pmod(col("doc_id"), lit(7)) === 0)
+      .localCheckpoint(true)
+    val (pprD, tPpr) = timed {
+      PageRank.personalizedDistributed(pairs, seeds, iters = 3,
+          damping = 0.85)
+        .collect()
+        .map(r => r.getLong(0) -> math.rint(r.getDouble(1) * 1e6)).toMap
+    }
+    val pprDr = PageRank.personalizedOnDriver(pairs, seeds, iters = 3,
+        damping = 0.85)
+      .collect()
+      .map(r => r.getLong(0) -> math.rint(r.getDouble(1) * 1e6)).toMap
+    assert(pprD == pprDr, "distributed PPR must equal the driver loop")
+    info(f"10x graph: LPA $tLpa%.1fs (${lpaD.values.toSet.size} " +
+      f"communities), PPR $tPpr%.1fs (${pprD.size} reached nodes)")
+    assert(tLpa < 120.0 && tPpr < 120.0,
+      f"unbounded: lpa $tLpa%.1fs ppr $tPpr%.1fs")
+  }
+
   test("dedupAgainstIndex at 10x: batch probe is batch-sized work") {
     val idx = java.nio.file.Files
       .createTempDirectory("graft-rehearsal-lsh").toString
