@@ -45,7 +45,10 @@ object Bench {
       "events_sessionize", "events_asof_join", "pipeline_corpus_funnel",
       "pipeline_token_budget", "pipeline_pack_sequences",
       "multimodal_dhash_pairs", "zorder_cluster", "window_topk_rewrite",
-      "sql_recursive_cte")
+      "sql_recursive_cte",
+      // round-6 additions (one per new family)
+      "graph_label_prop", "dedup_containment", "sim_matryoshka_recall",
+      "join_jaro_names")
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.US, v)
     val qs = results.filter(r => headline(r._1))
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
