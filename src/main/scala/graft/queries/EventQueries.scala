@@ -475,6 +475,7 @@ object EventQueries {
     "events_asof_tolerance" -> asofToleranceClickPurchase,
     "events_pattern_funnel" -> patternFunnel,
     "events_funnel_latency" -> funnelLatency,
+    "events_markov_transitions" -> markovTransitions,
     "events_pattern_greedy" -> patternGreedy,
     "events_decayed_value" -> decayedValue,
     "events_interval_join" -> intervalJoin)
@@ -519,6 +520,31 @@ object EventQueries {
     * bounded by match cardinality at any scale. percentile_cont /
     * quantile_cont parity established by agg_percentiles.
     */
+  /** First-order Markov transition matrix over per-user event-type
+    * sequences: counts and row-normalized probabilities of each
+    * (from_type -> to_type) step — the behavioral-model readout
+    * (what usually follows a view? how absorbing is an error?).
+    * Scale shape: consecutive steps via a PER-USER lead window (one
+    * user-keyed exchange), then a hash agg to the type-pair matrix
+    * (|types|^2 rows); the row normalization windows over THAT tiny
+    * matrix, never the event stream.
+    */
+  def markovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val steps = Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("to_type", lead("event_type", 1).over(w))
+      .where(col("to_type").isNotNull)
+    val g = steps.groupBy(col("event_type").as("from_type"),
+        col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    g.withColumn("p", round(col("n").cast("double") /
+        sum("n").over(Window.partitionBy("from_type")).cast("double"), 6))
+      .orderBy("from_type", "to_type")
+  }
+
   def funnelLatency(spark: SparkSession, dir: String): DataFrame =
     patternCascade(spark, dir, boundUs = 48L * 3600L * 1000000L)
       .agg(
@@ -825,6 +851,20 @@ ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
   ON c.user_id = p.user_id AND c.ts <= p.ts
 WHERE epoch_us(p.ts) - epoch_us(v.ts) <= 172800000000
 ORDER BY view_id""",
+    "events_markov_transitions" ->
+      """WITH s AS (
+  SELECT event_type AS from_type,
+    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS to_type
+  FROM events
+), g AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM s WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+  round(CAST(n AS DOUBLE) /
+    CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+FROM g ORDER BY from_type, to_type""",
     "events_funnel_latency" ->
       """WITH f AS (
   SELECT epoch_us(p.ts) - epoch_us(v.ts) AS span_us

@@ -704,6 +704,40 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Zipf's-law fit over the corpus word-frequency distribution: OLS
+    * slope/intercept of ln(cnt) on ln(rank) for the top-200 word
+    * types — the corpus-health readout (natural text slopes ~-1;
+    * template/boilerplate-heavy corpora flatten, spam steepens).
+    * Scale shape: one hash agg to the Zipf-bounded (word, cnt) table,
+    * a 200-row TakeOrdered, and driver arithmetic over those 200
+    * scalars in EXPLICIT rank order — the oracle replays the identical
+    * sequential sums (DuckDB `list_sum(list(... ORDER BY rank))`), so
+    * the fit is bit-deterministic, not approximately equal.
+    */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ranked = Tables(spark, dir, "documents")
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w"))
+      .limit(200)
+      .collect() // TakeOrdered: rows arrive in rank order
+    val n = ranked.length.toDouble
+    val xs = ranked.indices.map(i => math.log((i + 1).toDouble))
+    val ys = ranked.map(r => math.log(r.getLong(1).toDouble))
+    // sequential left folds in rank order — the oracle's list_sum order
+    val sx = xs.foldLeft(0.0)(_ + _)
+    val sy = ys.foldLeft(0.0)(_ + _)
+    val sxy = xs.zip(ys).foldLeft(0.0) { case (a, (x, y)) => a + x * y }
+    val sxx = xs.foldLeft(0.0)((a, x) => a + x * x)
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val intercept = (sy - slope * sx) / n
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((ranked.length.toLong, r6(slope), r6(intercept)))
+      .toDF("n_words", "slope", "intercept")
+  }
+
   /** RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
     * are maximal stopword-free token runs; each word scores
     * degree/freq over phrase instances (degree = summed length of the
@@ -894,6 +928,7 @@ object TextQueries {
     "text_segmentation" -> segmentation,
     "text_rake_topk" -> rakeTopK,
     "text_ngram_novelty" -> ngramNovelty,
+    "text_zipf_fit" -> zipfFit,
     "text_ulm_vocab" -> ulmVocab,
     "text_ulm_encode" -> ulmEncode,
     "text_hashed_features" -> hashedFeatures,
@@ -1148,6 +1183,31 @@ WHERE c_ab >= 5
 ORDER BY pmi DESC, w1, w2 LIMIT 20"""
 
   val oracle: Map[String, String] = Map(
+    // sequential list_sum folds in rank order replicate the Spark
+    // driver's foldLeft op order exactly — bit-deterministic OLS
+    "text_zipf_fit" ->
+      raw"""WITH tok AS (
+  SELECT unnest(list_filter($tokSql, w -> w <> '')) AS w FROM documents
+), wc AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY w
+), r AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rank FROM wc
+), top AS (SELECT cnt, rank FROM r WHERE rank <= 200),
+l AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+    list_sum(list(ln(CAST(rank AS DOUBLE)) ORDER BY rank)) AS sx,
+    list_sum(list(ln(CAST(cnt AS DOUBLE)) ORDER BY rank)) AS sy,
+    list_sum(list(ln(CAST(rank AS DOUBLE)) * ln(CAST(cnt AS DOUBLE))
+      ORDER BY rank)) AS sxy,
+    list_sum(list(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE))
+      ORDER BY rank)) AS sxx
+  FROM top
+)
+SELECT CAST(n AS BIGINT) AS n_words,
+  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+    AS intercept
+FROM l""",
     "text_readability" ->
       raw"""WITH tok AS (
   SELECT doc_id, list_filter($tokSql, w -> w <> '') AS ws FROM documents
