@@ -45,6 +45,24 @@ class SessionMemoSpec extends SparkSpec {
     SessionMemo.free(b)
   }
 
+  test("eviction also frees a plain persist()ed frame (cache manager)") {
+    // the NearDupGraph entries hold persist()ed (not checkpointed)
+    // frames: free() must clear their SQL-cache entry on eviction
+    val memo = new SessionMemo[DataFrame](1)(SessionMemo.free)
+    val a = memo.getOrElseUpdate(spark, "pA") {
+      val df = Seq(1, 2, 3).toDF("x").persist()
+      df.count()
+      df
+    }
+    assert(a.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "persisted frame must be cached while memoized")
+    memo.getOrElseUpdate(spark, "pB") {
+      Seq(4).toDF("x").localCheckpoint(true)
+    }
+    assert(a.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "evicted persist()ed frame must leave the cache manager")
+  }
+
   test("hits do not recompute; distinct keys do") {
     var builds = 0
     val memo = new SessionMemo[DataFrame](4)(SessionMemo.free)
