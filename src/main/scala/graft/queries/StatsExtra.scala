@@ -677,8 +677,39 @@ ORDER BY cnt DESC, token""")
       .orderBy("k_band")
   }
 
+  /** Lorenz curve of corpus concentration across (lang, source)
+    * slices: classes ranked ascending by size, cumulative doc share
+    * per rank — the diversity readout behind "is this corpus a few
+    * giant sources in a trench coat" (Gini reads straight off the
+    * curve). All columns derive from integer counts + one division
+    * per row, so parity is exact; the rank window runs over the
+    * class table (quasi-identifier cardinality), never the corpus.
+    */
+  def lorenzSources(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents")
+    val total = docs.count().toDouble
+    // class-cardinality rows collect to the driver (the hybridRrf /
+    // blockingAudit bounded-readout recipe) — a GLOBAL rank window
+    // here would trip the registry-wide partition-less-window guard
+    // for a table of a few dozen rows
+    val classes = docs.groupBy("lang", "source")
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy { case (l, s, n) => (n, l, s) }
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var cum = 0L
+    classes.zipWithIndex.map { case ((l, s, n), i) =>
+      cum += n
+      ((i + 1).toLong, l, s, n, cum, r6(cum.toDouble / total))
+    }.toSeq
+      .toDF("rank", "lang", "source", "n_docs", "cum_docs", "cum_share")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_k_anonymity" -> kAnonymity,
+    "stats_lorenz_sources" -> lorenzSources,
     "sample_uniform_k" -> sampleUniformK,
     "join_interval_overlap" -> intervalOverlap,
     "sample_per_group" -> samplePerGroup,
@@ -763,6 +794,23 @@ FROM g"""
   }
 
   val oracle: Map[String, String] = Map(
+    "stats_lorenz_sources" ->
+      """WITH g AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1, 2
+), t AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM documents),
+r AS (
+  SELECT lang, source, n_docs,
+    CAST(row_number() OVER (ORDER BY n_docs, lang, source) AS BIGINT)
+      AS rank,
+    CAST(sum(n_docs) OVER (ORDER BY n_docs, lang, source
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS cum_docs
+  FROM g
+)
+SELECT rank, lang, source, n_docs, cum_docs,
+  round(CAST(cum_docs AS DOUBLE) / t.total, 6) AS cum_share
+FROM r, t ORDER BY rank""",
     "stats_k_anonymity" ->
       """WITH g AS (
   SELECT lang, source, count(*) AS k FROM documents GROUP BY 1, 2
