@@ -69,30 +69,64 @@ object Dedup {
   private def jaccardCol(a: Column, b: Column): Column =
     org.apache.spark.sql.graftx.JaccardSorted.column(a, b)
 
-  /** Exact-verify candidate (ida, idb) pairs against the shingle sets,
-    * keeping pairs with Jaccard >= threshold.
+  /** Broadcast budget (bytes) for the shingle-fetch verify joins —
+    * `spark.graft.dedup.broadcastBudget`, default 256 MB: comfortably
+    * inside a production executor heap, far below any 100 TB corpus.
+    */
+  def broadcastBudget(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("spark.graft.dedup.broadcastBudget")
+      .map(_.toLong).getOrElse(256L << 20)
+
+  /** The broadcast auto-gate: hint the shingle-table broadcast ONLY
+    * when the optimizer's size estimate says it fits [[broadcastBudget]].
+    * The estimate is the catalyst `sizeInBytes` (file-size-derived for
+    * parquet corpora, carried through localCheckpoint), so the gate is
+    * free — no job runs — and monotone in corpus size: a 100 TB
+    * deployment can never be forced into a corpus-sized broadcast by a
+    * default that was only ever measured at benchmark scale. Missing
+    * stats surface as Long.MaxValue estimates => gate says no (the
+    * scale-safe direction).
+    */
+  def shingleBroadcastFits(sh: DataFrame): Boolean =
+    sh.queryExecution.optimizedPlan.stats.sizeInBytes <=
+      BigInt(broadcastBudget(sh.sparkSession))
+
+  /** Fetch both sides' shingle sets for candidate (ida, idb) pairs:
+    * returns (ida, idb, sha, shb). The shared join shape behind every
+    * exact verification (Jaccard, containment).
     *
-    * `hintBroadcast` controls the shingle-fetch join strategy. True
-    * (default): broadcast the doc->shingles table — right whenever it
+    * `hintBroadcast` controls the shingle-fetch join strategy.
+    * Some(true): broadcast the doc->shingles table — right whenever it
     * fits executor memory, and much faster here because the shingle
     * arrays have no stats (without the hint Spark sort-merge-joins and
     * shuffles pairs x ~500B arrays — measured 41s vs 4s at sf0.1).
     * An explicit hint is NEVER undone by AQE, so at corpus sizes where
-    * the shingle table exceeds broadcast memory the caller must pass
-    * false: the join becomes a shuffled equi-join on the 8-byte id —
-    * two shuffles of the (small) pair table plus one of the shingle
-    * table, bounded at any scale.
+    * the shingle table exceeds broadcast memory Some(false) makes the
+    * join a shuffled equi-join on the 8-byte id — two shuffles of the
+    * (small) pair table plus one of the shingle table, bounded at any
+    * scale. None (the default) resolves via [[shingleBroadcastFits]]:
+    * hint iff the size estimate fits the budget, so the plan that runs
+    * is the plan the deployment's scale calls for.
     */
-  def verifyJaccard(pairs: DataFrame, sh: DataFrame, threshold: Double,
-      hintBroadcast: Boolean = true): DataFrame = {
-    def side(d: DataFrame) = if (hintBroadcast) broadcast(d) else d
+  def fetchShingles(pairs: DataFrame, sh: DataFrame,
+      hintBroadcast: Option[Boolean] = None): DataFrame = {
+    val hint = hintBroadcast.getOrElse(shingleBroadcastFits(sh))
+    def side(d: DataFrame) = if (hint) broadcast(d) else d
     pairs
       .join(side(sh.select(col("doc_id").as("ida"), col("shs").as("sha"))), "ida")
       .join(side(sh.select(col("doc_id").as("idb"), col("shs").as("shb"))), "idb")
+  }
+
+  /** Exact-verify candidate (ida, idb) pairs against the shingle sets,
+    * keeping pairs with Jaccard >= threshold. Shingle-fetch strategy:
+    * see [[fetchShingles]] (None auto-gates on the size estimate).
+    */
+  def verifyJaccard(pairs: DataFrame, sh: DataFrame, threshold: Double,
+      hintBroadcast: Option[Boolean] = None): DataFrame =
+    fetchShingles(pairs, sh, hintBroadcast)
       .select(col("ida"), col("idb"),
         round(jaccardCol(col("sha"), col("shb")), 6).as("jaccard"))
       .where(col("jaccard") >= threshold)
-  }
 
   /** Near-dup pairs via inverted-index blocking + exact Jaccard.
     * `dfCap` drops shingles appearing in more than dfCap docs from the
@@ -106,10 +140,13 @@ object Dedup {
     * VERY short documents (a 2-shingle doc can clear the Jaccard
     * threshold on one shared shingle). Default 1 = full blocking
     * recall; opt into 2+ when the corpus has no tiny documents.
+    *
+    * `verifyBroadcast = None` (default) auto-gates the shingle-fetch
+    * broadcast on the corpus size estimate ([[shingleBroadcastFits]]).
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, dfCap: Int = 50, minShared: Int = 1,
-      verifyBroadcast: Boolean = true): DataFrame = {
+      verifyBroadcast: Option[Boolean] = None): DataFrame = {
     val sh = shingled(docs, idCol, textCol)
     verifyJaccard(jaccardCandidates(sh, dfCap, minShared), sh, threshold,
       verifyBroadcast)
@@ -193,7 +230,7 @@ object Dedup {
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, bands: Int = 16, rowsPerBand: Int = 4,
-      verifyBroadcast: Boolean = true): DataFrame = {
+      verifyBroadcast: Option[Boolean] = None): DataFrame = {
     val sh = shingled(docs, idCol, textCol)
     // barrier on the band key: signatures are minhashed ONCE (reused
     // exchange feeds both self-join sides, already co-partitioned)

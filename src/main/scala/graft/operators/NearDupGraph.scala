@@ -20,16 +20,34 @@ object NearDupGraph {
 
   /** The shared artifacts: blocking candidates (id pairs) and the
     * exact-verified pair graph, both persisted. `nDocs` rides along so
-    * audit consumers don't re-count the corpus.
+    * audit consumers don't re-count the corpus. `broadcastFit` is the
+    * [[Dedup.shingleBroadcastFits]] decision taken ONCE on the
+    * pre-checkpoint plan (parquet-derived size estimate) — consumers
+    * that verify against `shingles` pass it through so the whole
+    * family plans one strategy, decided by corpus size, never by a
+    * hardcoded hint.
     */
   final case class PairGraph(nDocs: Long, candidates: DataFrame,
-      pairs: DataFrame, shingles: DataFrame)
+      pairs: DataFrame, shingles: DataFrame, broadcastFit: Boolean)
 
   /** Bounded, session-keyed memo ([[graft.SessionMemo]]): 16 entries —
     * each holds id-pair tables, tiny next to their corpus — and a
     * long-lived session cycling datasets evicts and unpersists the
     * surplus (candidates + pairs + the shingle checkpoint) instead of
     * pinning executor memory; entries can never leak across sessions.
+    *
+    * LIVENESS CONTRACT: eviction frees the shingle checkpoint's RDD
+    * blocks, whose lineage is truncated — a caller that captured a
+    * [[PairGraph]] and keeps using it after 16+ NEWER dataset
+    * registrations in the same session will hit missing-block
+    * failures, not a silent recompute. Consume a graph within the
+    * query that fetched it (every caller in this repo re-fetches via
+    * [[graph]]/[[pairs]], which is a map hit while the entry is live
+    * and a rebuild after eviction); never stash a PairGraph across
+    * unrelated dataset registrations. Deferred frees (weak-reference
+    * drain) were considered and rejected: they would let evicted
+    * corpus-sized checkpoints linger unreclaimed for a GC cycle —
+    * the exact storage leak the bound exists to prevent.
     */
   private val cache = new graft.SessionMemo[PairGraph](16)({ g =>
     graft.SessionMemo.free(g.candidates)
@@ -49,10 +67,14 @@ object NearDupGraph {
       // materialize the shingle table once: the candidate chain and the
       // verify join both read it, and without the barrier each persisted
       // consumer re-tokenizes + re-shingles the corpus inside its own DAG
-      val sh = Dedup.shingled(docs, idCol, textCol).localCheckpoint(true)
+      val shPlan = Dedup.shingled(docs, idCol, textCol)
+      // gate the verify-broadcast BEFORE the checkpoint: the
+      // pre-checkpoint plan carries the parquet-derived size estimate
+      val fit = Dedup.shingleBroadcastFits(shPlan)
+      val sh = shPlan.localCheckpoint(true)
       val cand = Dedup.jaccardCandidates(sh, dfCap, minShared).persist()
-      val pairs = Dedup.verifyJaccard(cand, sh, threshold).persist()
-      PairGraph(docs.count(), cand, pairs, sh)
+      val pairs = Dedup.verifyJaccard(cand, sh, threshold, Some(fit)).persist()
+      PairGraph(docs.count(), cand, pairs, sh, fit)
     }
 
   /** The verified pair graph alone (the common consumer). */

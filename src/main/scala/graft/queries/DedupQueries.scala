@@ -41,24 +41,30 @@ object DedupQueries {
     * blocking cascade as the Jaccard family (candidates + the shingle
     * checkpoint — nothing recomputed); verification is a codegen
     * array_intersect over the bounded candidate pairs. Oracle-checked
-    * (integer intersection counts, one rounded division).
+    * (integer intersection counts, one rounded division). The
+    * shingle-fetch strategy is the graph's size-gated decision
+    * ([[graft.operators.Dedup.shingleBroadcastFits]]) — never a forced
+    * corpus-side broadcast.
     */
   def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
     val g = graft.operators.NearDupGraph.graph(
       Tables(spark, dir, "documents"), "doc_id", "text",
       threshold = 0.2, dfCap = 50, minShared = 2, cacheKey = dir)
-    val sh = g.shingles
-    g.candidates
-      .join(broadcast(sh.select(col("doc_id").as("ida"),
-        col("shs").as("sha"))), "ida")
-      .join(broadcast(sh.select(col("doc_id").as("idb"),
-        col("shs").as("shb"))), "idb")
+    containmentFrom(g.candidates, g.shingles, Some(g.broadcastFit))
+  }
+
+  /** The containment verify over any (candidates, shingles) pair —
+    * shared by the registered query and the broadcast-off scale
+    * rehearsal (which proves the hint is a pure strategy choice).
+    */
+  private[graft] def containmentFrom(cand: DataFrame, sh: DataFrame,
+      hint: Option[Boolean]): DataFrame =
+    Dedup.fetchShingles(cand, sh, hint)
       .select(col("ida"), col("idb"),
         round(size(array_intersect(col("sha"), col("shb"))).cast("double") /
           least(size(col("sha")), size(col("shb"))), 6).as("containment"))
       .where(col("containment") >= 0.7)
       .orderBy("ida", "idb")
-  }
 
   /** Jaro-Winkler fuzzy matching — the record-linkage scalar for short
     * strings (names/titles/identifiers), char-order-aware where the

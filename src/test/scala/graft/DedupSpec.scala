@@ -24,12 +24,25 @@ class DedupSpec extends SparkSpec {
   }
 
   test("shuffled verify join (no broadcast hint) is result-identical") {
-    val hinted = Dedup.jaccardPairs(docs, "doc_id", "text", 0.2)
+    val hinted = Dedup.jaccardPairs(docs, "doc_id", "text", 0.2,
+        verifyBroadcast = Some(true))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val shuffled = Dedup.jaccardPairs(docs, "doc_id", "text", 0.2,
-        verifyBroadcast = false)
+        verifyBroadcast = Some(false))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    assert(hinted.nonEmpty && hinted === shuffled)
+    val auto = Dedup.jaccardPairs(docs, "doc_id", "text", 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(hinted.nonEmpty && hinted === shuffled && hinted === auto)
+  }
+
+  test("verify-broadcast auto-gate follows the size budget") {
+    val sh = Dedup.shingled(docs, "doc_id", "text")
+    assert(Dedup.shingleBroadcastFits(sh),
+      "a test-corpus shingle table must fit the default 256 MB budget")
+    spark.conf.set("spark.graft.dedup.broadcastBudget", "1")
+    try assert(!Dedup.shingleBroadcastFits(sh),
+      "a 1-byte budget must refuse the broadcast (the 100 TB posture)")
+    finally spark.conf.unset("spark.graft.dedup.broadcastBudget")
   }
 
   test("minhash-lsh reported jaccard values are exact (match blocking verify)") {

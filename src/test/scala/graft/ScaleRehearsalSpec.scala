@@ -44,12 +44,12 @@ class ScaleRehearsalSpec extends SparkSpec {
   test("jaccardPairs without the verify broadcast: same pairs, bounded") {
     val (hinted, tHint) = timed {
       Dedup.jaccardPairs(docs10, "doc_id", "text", threshold = 0.2,
-          dfCap = 50, minShared = 2, verifyBroadcast = true)
+          dfCap = 50, minShared = 2, verifyBroadcast = Some(true))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     }
     val (shuffled, tShuf) = timed {
       Dedup.jaccardPairs(docs10, "doc_id", "text", threshold = 0.2,
-          dfCap = 50, minShared = 2, verifyBroadcast = false)
+          dfCap = 50, minShared = 2, verifyBroadcast = Some(false))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     }
     info(f"10x corpus: hinted $tHint%.1fs, shuffled $tShuf%.1fs, " +
@@ -58,6 +58,26 @@ class ScaleRehearsalSpec extends SparkSpec {
       "the hint must be a pure strategy choice, never a result change")
     assert(shuffled.nonEmpty, "cross-replica near-dups must be found")
     assert(tShuf < 180.0, f"shuffled verify took $tShuf%.1fs — unbounded?")
+  }
+
+  test("containment verify without the broadcast: same pairs, bounded") {
+    // the round-6 `weak`: containmentPairs forced broadcast(sh) on the
+    // corpus-sized shingle table. Now it rides the size-gated
+    // fetchShingles — prove the hint is a pure strategy choice on the
+    // 10x graph, both directions
+    val g = graft.operators.NearDupGraph.graph(docs10, "doc_id", "text",
+      threshold = 0.2, dfCap = 50, minShared = 2, cacheKey = "rehearsal-10x")
+    def pairsOf(hint: Option[Boolean]) =
+      graft.queries.DedupQueries.containmentFrom(g.candidates, g.shingles, hint)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val (hinted, tHint) = timed(pairsOf(Some(true)))
+    val (shuffled, tShuf) = timed(pairsOf(Some(false)))
+    info(f"10x containment: hinted $tHint%.1fs, shuffled $tShuf%.1fs, " +
+      s"${shuffled.size} pairs")
+    assert(shuffled == hinted,
+      "containment hint must be a pure strategy choice, never a result change")
+    assert(shuffled.nonEmpty, "cross-replica containment pairs must be found")
+    assert(tShuf < 180.0, f"shuffled containment took $tShuf%.1fs — unbounded?")
   }
 
   test("fuzzyJoin at 10x: probe-side-only broadcast stays bounded") {
