@@ -24,51 +24,93 @@ import org.apache.spark.sql.execution.LogicalRDD
   *    `release` callback (unpersist / checkpoint-block free), so
   *    storage tracks the working set, not the history.
   *
-  * Compute runs under the memo lock — the artifacts memoized here are
-  * multi-second Spark jobs shared by a handful of registered queries,
-  * so serializing their first materialization is the point (two
-  * concurrent consumers must not both pay the build).
+  * Concurrency: compute runs under a PER-KEY latch, not the memo-wide
+  * lock — two concurrent consumers of the SAME (session, dataset)
+  * entry share one build (the second blocks on the first's latch and
+  * reads its result), while consumers of unrelated entries never
+  * serialize behind a multi-second materialization, and a compute that
+  * calls into another memo cannot deadlock across memo locks (the map
+  * lock is held only for get/put/evict bookkeeping, never during
+  * compute).
   */
 final class SessionMemo[V](maxEntries: Int)(release: V => Unit) {
   require(maxEntries >= 1, s"maxEntries must be >= 1, got $maxEntries")
 
   import SessionMemo.K
 
-  // insertion-ordered so eviction drops the oldest artifact
-  private val map = new java.util.LinkedHashMap[K, V]()
+  // insertion-ordered so eviction drops the oldest artifact; values are
+  // per-key latches so the build runs outside the map lock
+  private val map = new java.util.LinkedHashMap[K, SessionMemo.Cell[V]]()
 
-  def getOrElseUpdate(spark: SparkSession, key: String)(compute: => V): V =
-    synchronized {
+  def getOrElseUpdate(spark: SparkSession, key: String)(compute: => V): V = {
+    val k = new K(spark, key)
+    var mine: SessionMemo.Cell[V] = null
+    val cell = synchronized {
       // purge dead-session entries first: their checkpoint blocks are
       // already gone with the session, and serving one would hand the
-      // caller a plan bound to a stopped context
+      // caller a plan bound to a stopped context. Only COMPLETED cells
+      // are released here — an in-flight build's blocks are freed by
+      // its own completion path below.
       val it = map.entrySet().iterator()
       while (it.hasNext) {
         val e = it.next()
         if (e.getKey.session.sparkContext.isStopped) {
-          release(e.getValue)
+          e.getValue.ifDone(release)
           it.remove()
         }
       }
-      val k = new K(spark, key)
       val hit = map.get(k)
       if (hit != null) hit
       else {
-        val v = compute
-        map.put(k, v)
+        mine = new SessionMemo.Cell[V]
+        map.put(k, mine)
         while (map.size > maxEntries) {
           val eldest = map.entrySet().iterator().next()
-          release(eldest.getValue)
+          eldest.getValue.ifDone(release)
           map.remove(eldest.getKey)
         }
-        v
+        mine
       }
     }
+    if (cell ne mine) cell.await()
+    else {
+      // this caller owns the build; run it with no lock held
+      try cell.complete(compute)
+      catch {
+        case t: Throwable =>
+          synchronized { if (map.get(k) eq cell) map.remove(k) }
+          cell.fail(t)
+          throw t
+      }
+    }
+  }
 
   private[graft] def size: Int = synchronized(map.size)
 }
 
 object SessionMemo {
+
+  /** One memo entry: a latch the owning caller completes and every
+    * other caller of the same key awaits. `ifDone` exposes the value
+    * to eviction ONLY once complete — evicting an in-flight build must
+    * not release blocks the builder is still creating.
+    */
+  private final class Cell[V] {
+    private val latch = new java.util.concurrent.CountDownLatch(1)
+    @volatile private var value: Option[V] = None
+    @volatile private var error: Throwable = null
+
+    def complete(v: V): V = { value = Some(v); latch.countDown(); v }
+    def fail(t: Throwable): Unit = { error = t; latch.countDown() }
+    def await(): V = {
+      latch.await()
+      if (error != null)
+        throw new IllegalStateException(
+          "memoized build failed in the owning caller", error)
+      value.get
+    }
+    def ifDone(f: V => Unit): Unit = value.foreach(f)
+  }
 
   /** Reference-identity session key: two sessions are the same entry
     * owner iff they are the same object, never merely equal hashes.

@@ -121,9 +121,9 @@ object Lemmatizer {
     "arose" -> "arise", "arisen" -> "arise",
     // round-6 growth (all from the public WordNet verb.exc list);
     // forms that are ALSO dictionary lemmas of another verb (lay,
-    // wound, saw...) are deliberately absent — NLTK would return them
-    // unchanged, and so do our rules
-    "bore" -> "bear", "borne" -> "bear", "born" -> "bear",
+    // wound, saw, bore...) are deliberately absent — NLTK would return
+    // them unchanged, and so do our rules
+    "borne" -> "bear", "born" -> "bear",
     "bit" -> "bite", "bitten" -> "bite",
     "blew" -> "blow", "blown" -> "blow",
     "clung" -> "cling", "crept" -> "creep", "dealt" -> "deal",

@@ -19,8 +19,17 @@ object TimeMany {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    names.foreach(n =>
-      graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count())
+    // warm-up (JIT + codegen caches) runs on sf0.001 — but NEVER on the
+    // dir being timed: the session memos (pair graph, term-frequency
+    // base) are keyed by dir, so warming the same dir would turn the
+    // timed loop into a pure cache-hit measurement (r6 advisor finding)
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(sfDir).getCanonicalPath ==
+        new java.io.File(warmDir).getCanonicalPath)
+      println(s"TIMED-WARN sfDir == $warmDir: skipping warm-up so the " +
+        "timed loop pays the memo builds it is supposed to measure")
+    else
+      names.foreach(n => graft.SparkEntry.queries(n)(spark, warmDir).count())
     var total = 0.0
     names.foreach { n =>
       val t0 = System.nanoTime()

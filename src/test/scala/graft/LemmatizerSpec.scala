@@ -100,7 +100,9 @@ class LemmatizerSpec extends AnyFunSuite {
   }
 
   test("round-6 verb exception growth (WordNet verb.exc)") {
-    all("bore" -> "bear", "borne" -> "bear", "born" -> "bear",
+    // "bore" is deliberately NOT mapped: 'to bore' (drill/tire) is
+    // itself a dictionary lemma, the lay/wound/saw exclusion rule
+    all("bore" -> "bore", "borne" -> "bear", "born" -> "bear",
       "bitten" -> "bite", "blew" -> "blow", "blown" -> "blow",
       "clung" -> "cling", "crept" -> "creep", "dealt" -> "deal",
       "dug" -> "dig", "drank" -> "drink", "driven" -> "drive",

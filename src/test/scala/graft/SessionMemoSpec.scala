@@ -106,6 +106,61 @@ class SessionMemoSpec extends SparkSpec {
     assert(results.size == 8 && results.asScala.forall(_ == "artifact"))
   }
 
+  test("unrelated keys never wait behind another key's slow build") {
+    // the r6 advisor finding: compute used to run under the memo-wide
+    // lock, serializing every (session, dataset) entry behind any
+    // multi-second build. Now only same-key callers share the latch.
+    val memo = new SessionMemo[String](4)(_ => ())
+    val slowStarted = new java.util.concurrent.CountDownLatch(1)
+    val releaseSlow = new java.util.concurrent.CountDownLatch(1)
+    val slow = new Thread(() => {
+      memo.getOrElseUpdate(spark, "slow") {
+        slowStarted.countDown(); releaseSlow.await(); "slow"
+      }
+      ()
+    })
+    slow.start()
+    slowStarted.await()
+    // while the slow build is in flight, a DIFFERENT key must complete
+    val fastDone = new java.util.concurrent.CountDownLatch(1)
+    @volatile var fast: String = null
+    val fastT = new Thread(() => {
+      fast = memo.getOrElseUpdate(spark, "fast")("fast")
+      fastDone.countDown()
+    })
+    fastT.start()
+    assert(fastDone.await(5, java.util.concurrent.TimeUnit.SECONDS),
+      "an unrelated key blocked behind another key's in-flight build")
+    assert(fast == "fast")
+    releaseSlow.countDown()
+    slow.join(10000)
+  }
+
+  test("a compute that calls into another memo cannot deadlock") {
+    val outer = new SessionMemo[String](4)(_ => ())
+    val inner = new SessionMemo[String](4)(_ => ())
+    val done = new java.util.concurrent.CountDownLatch(1)
+    @volatile var v: String = null
+    val t = new Thread(() => {
+      v = outer.getOrElseUpdate(spark, "o") {
+        inner.getOrElseUpdate(spark, "i")("inner-val") + "+outer"
+      }
+      done.countDown()
+    })
+    t.start()
+    assert(done.await(5, java.util.concurrent.TimeUnit.SECONDS),
+      "cross-memo compute deadlocked")
+    assert(v == "inner-val+outer")
+  }
+
+  test("a failed build is retried by the next caller, not cached") {
+    val memo = new SessionMemo[String](4)(_ => ())
+    intercept[RuntimeException] {
+      memo.getOrElseUpdate(spark, "flaky")(throw new RuntimeException("boom"))
+    }
+    assert(memo.getOrElseUpdate(spark, "flaky")("recovered") == "recovered")
+  }
+
   test("a different session never sees another session's entry") {
     val memo = new SessionMemo[String](4)(_ => ())
     val v1 = memo.getOrElseUpdate(spark, "dir")("from-session-1")
