@@ -271,18 +271,55 @@ object Similarity {
     topK(sims, k)
   }
 
+  /** Rank-correlation LSH index pairs (WTA-hash family, Yagnik et al.
+    * 2011 "The Power of Comparative Reasoning"): bit b of table t is
+    * the COMPARISON embedding[i] > embedding[j] for a seed-derived
+    * (i, j) coordinate pair. Comparisons involve no arithmetic, so the
+    * bucketing is bit-exactly reproducible by any engine reading the
+    * same floats — which is what makes [[cosineDupPairs]] fully
+    * oracle-checkable (random-hyperplane dot products would hinge on
+    * float-sum sign parity at the margin). Deterministic in the seed.
+    */
+  private[graft] def cmpPlanes(tables: Int, bitsPerTable: Int, dim: Int,
+      seed: Long = 7L): Array[Array[(Int, Int)]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(tables, bitsPerTable) {
+      val i = rnd.nextInt(dim)
+      var j = rnd.nextInt(dim)
+      while (j == i) j = rnd.nextInt(dim)
+      (i, j)
+    }
+  }
+
+  /** (id, tbl, bucket) rows from the comparison planes — pure codegen
+    * column arithmetic (no UDF): bucket = Σ_b (e[i_b] > e[j_b]) << b.
+    */
+  private def cmpBucketed(df: DataFrame, idAs: String,
+      pl: Array[Array[(Int, Int)]]): DataFrame = {
+    val buckets = pl.map { bits =>
+      bits.zipWithIndex.map { case ((i, j), b) =>
+        when(col("embedding")(i) > col("embedding")(j), lit(1 << b))
+          .otherwise(lit(0))
+      }.reduce(_ + _)
+    }
+    df.select(col("vec_id").as(idAs),
+        posexplode(array(buckets.map(_.cast("int")): _*)))
+      .toDF(idAs, "tbl", "bucket")
+  }
+
   /** Embedding-cosine near-dup pairs (the embedding flavor of dedup):
-    * LSH-bucket candidates (ids only), fetch vectors after dedup, keep
-    * pairs with cosine >= threshold.
+    * LSH-bucket candidates (ids only) via the comparison family
+    * ([[cmpPlanes]] — engine-portable, hence DuckDB-oracle-checked end
+    * to end), fetch vectors after dedup, keep pairs with cosine >=
+    * threshold.
     */
   def cosineDupPairs(corpus0: DataFrame, threshold: Double,
       tables: Int = 16, bitsPerTable: Int = 6, dim: Int = 64): DataFrame = {
     val corpus = VectorOps.requireVectors(corpus0, "corpus")
-    val pl = planes(tables, bitsPerTable, dim)
-    // barrier on the join key: hyperplane bucketing (tables x bits x dim
-    // multiplies per vector) computes ONCE; both self-join sides read
-    // the reused, already co-partitioned exchange
-    val b = bucketed(corpus, "vec_id", pl)
+    val pl = cmpPlanes(tables, bitsPerTable, dim)
+    // barrier on the join key: bucketing computes ONCE; both self-join
+    // sides read the reused, already co-partitioned exchange
+    val b = cmpBucketed(corpus, "vec_id", pl)
       .repartition(col("tbl"), col("bucket"))
     val cand = b.as("a").join(b.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&

@@ -18,11 +18,17 @@ import org.apache.spark.sql.functions._
 object WeightedSample {
 
   /** Uniform(0,1) from a hash: strictly inside (0,1) so log/pow are
-    * finite.
+    * finite. The hash is 13 hex digits of md5("w<seed>" || id) — 52
+    * bits, so the integer→double conversion is EXACT and any engine
+    * with md5 replays the identical uniform (the sample_uniform_k
+    * md5-key recipe; DuckDB: ('0x' || substr(md5(...), 1, 13))::UBIGINT).
+    * xxhash64 was the round-4 source; engine-specific, it kept this
+    * operator rows-only at the driver.
     */
   private def uniform(id: Column, seed: Int): Column =
-    (abs(xxhash64(id, lit(seed))).cast("double") + lit(1.0)) /
-      lit(Long.MaxValue.toDouble + 2.0)
+    (conv(substring(md5(concat(lit(s"w$seed"), id.cast("string"))), 1, 13),
+      16, 10).cast("double") + lit(1.0)) /
+      lit((1L << 52).toDouble + 2.0)
 
   /** Priority column: u^(1/w). Zero/negative weights sink to priority
     * 0 (never sampled ahead of any positive weight).

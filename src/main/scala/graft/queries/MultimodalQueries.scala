@@ -9,8 +9,11 @@ import graft.text.{Fingerprint, LangId}
 
 /** Multimodal-column plumbing and the remaining text-analysis operators
   * (language-ID, winnowing fingerprints) registered for the driver.
-  * `multimodal_meta` is oracle-checked; decode/langid/fingerprint use
-  * engine-side compiled code with no SQL equivalent (rows-only + specs).
+  * `multimodal_meta`, `multimodal_features`, `multimodal_batch_scores`
+  * and the resize/frames plumbing are oracle-checked (the stub decoders
+  * are integer arithmetic DuckDB replays exactly); langid/fingerprint
+  * use engine-side compiled code with no SQL equivalent (rows-only +
+  * specs + dual-SF golden pins).
   */
 object MultimodalQueries {
 
@@ -27,6 +30,8 @@ object MultimodalQueries {
     * The 8-dim feature vector is flattened to scalar columns f0..f7 for
     * the dump: the driver's compare sorts rows by every column, which an
     * array-typed column breaks (and scalars diff better anyway).
+    * Oracle-checked end to end — FNV-1a checksum and float32 histogram
+    * both re-derive in DuckDB (see the oracle entry).
     */
   def features(spark: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(
@@ -229,6 +234,36 @@ object MultimodalQueries {
     "text_fingerprint_pairs" -> fingerprintPairs)
 
   val oracle: Map[String, String] = Map(
+    // the stub decoder is pure integer arithmetic over the payload
+    // bytes (ASCII text in this harness), so DuckDB re-derives it
+    // exactly: FNV-1a via HUGEINT modular list_reduce, the 8-bin byte
+    // histogram as float32 divisions (IEEE single division is
+    // deterministic, so the f columns match bit-for-bit). Round-7:
+    // converted from rows-only.
+    "multimodal_features" -> {
+      val fCols = (0 until 8).map(k =>
+        s"  CAST(len(list_filter(b, x -> x // 32 = $k)) AS FLOAT) /\n" +
+          s"    CAST(greatest(len(b), 1) AS FLOAT) AS f$k").mkString(",\n")
+      s"""WITH bs AS (
+  SELECT doc_id AS id,
+    list_transform(range(1, length(text) + 1),
+      i -> ascii(substr(text, CAST(i AS INT), 1))) AS b
+  FROM documents
+), h AS (
+  SELECT id, b,
+    list_reduce(list_prepend(14695981039346656037::HUGEINT,
+      list_transform(b, x -> x::HUGEINT)),
+      (acc, x) -> (xor(acc, x) * 1099511628211::HUGEINT)
+        % 18446744073709551616::HUGEINT) AS hu
+  FROM bs
+)
+SELECT id, 'text' AS kind, CAST(len(b) AS INT) AS n_bytes,
+  CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+    THEN hu - 18446744073709551616::HUGEINT ELSE hu END AS BIGINT)
+    AS checksum,
+$fCols
+FROM h ORDER BY id"""
+    },
     "multimodal_batch_scores" ->
       """SELECT doc_id AS id,
 CAST((CAST(list_sum(list_transform(range(1, len(text) + 1),

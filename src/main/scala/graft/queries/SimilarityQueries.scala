@@ -43,18 +43,24 @@ object SimilarityQueries {
     val q = queriesSubset(spark, dir).select("vec_id", "embedding")
     val full = Similarity.cosineTopK(emb, q, k = 5)
       .select(col("qid"), col("vec_id")).localCheckpoint(true)
-    val nQ = q.count()
-    def r4(x: Double) =
-      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-    Seq(8, 16, 32).map { d =>
-      def cut(df: DataFrame) = df.select(col("vec_id"),
-        slice(col("embedding"), 1, d).as("embedding"))
-      val approx = Similarity.cosineTopK(cut(emb), cut(q), k = 5)
-        .select(col("qid"), col("vec_id"))
-      val hits = full.join(approx, Seq("qid", "vec_id")).count()
-      (d.toLong, nQ, hits, r4(hits.toDouble / (5.0 * nQ)))
-    }.toDF("dim", "n_queries", "n_hits", "recall_at_5")
-      .orderBy("dim")
+    try {
+      val nQ = q.count()
+      def r4(x: Double) =
+        BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      Seq(8, 16, 32).map { d =>
+        def cut(df: DataFrame) = df.select(col("vec_id"),
+          slice(col("embedding"), 1, d).as("embedding"))
+        val approx = Similarity.cosineTopK(cut(emb), cut(q), k = 5)
+          .select(col("qid"), col("vec_id"))
+        val hits = full.join(approx, Seq("qid", "vec_id")).count()
+        (d.toLong, nQ, hits, r4(hits.toDouble / (5.0 * nQ)))
+      }.toDF("dim", "n_queries", "n_hits", "recall_at_5")
+        .orderBy("dim")
+    } finally
+      // all three recall joins have been COUNTED above — the returned
+      // frame is a local Seq, so the checkpoint blocks can be freed
+      // here instead of leaking per invocation in a long-lived session
+      graft.SessionMemo.free(full)
   }
 
   /** Full kNN graph over the embedding table via the shuffle-
@@ -107,8 +113,10 @@ object SimilarityQueries {
       Tables(spark, dir, "embeddings"), queriesSubset(spark, dir), k = 5)
 
   /** Threshold/LSH shape tuned to the corpus: pairwise cosine tops out
-    * near 0.5-0.6, so 0.4 marks the "suspiciously similar" tail; 16
-    * tables x 6 bits gives ~0.65 recall at that threshold.
+    * near 0.5-0.6, so 0.4 marks the "suspiciously similar" tail. The
+    * bucketing is the comparison (WTA) family — arithmetic-free bits,
+    * so the ENTIRE query (candidates included) oracle-checks in DuckDB
+    * from the same seeded coordinate pairs.
     */
   def cosineDupPairs(spark: SparkSession, dir: String): DataFrame =
     Similarity.cosineDupPairs(
@@ -365,5 +373,38 @@ t32 AS (${top5("[1:32]")}),
 nq AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q)
 ${band(8)} UNION ALL ${band(16)} UNION ALL ${band(32)}
 ORDER BY dim""")
+  } ++ {
+    // comparison-LSH (WTA) buckets regenerate from the SAME seeded
+    // coordinate pairs the Spark expression bakes into its plan —
+    // comparisons are arithmetic-free, so the candidate set matches
+    // bit-exactly and the whole query oracle-checks (round-6 task 3:
+    // converted from rows-only)
+    val buckets = Similarity.cmpPlanes(16, 6, 64).zipWithIndex
+      .map { case (bits, t) =>
+        val sum = bits.zipWithIndex.map { case ((i, j), b) =>
+          s"(CASE WHEN embedding[${i + 1}] > embedding[${j + 1}]" +
+            s" THEN ${1 << b} ELSE 0 END)"
+        }.mkString(" + ")
+        s"SELECT vec_id, $t AS tbl, $sum AS bucket FROM embeddings"
+      }.mkString("\n  UNION ALL ")
+    Map("sim_cosine_dup_pairs" ->
+      s"""WITH b AS (
+  $buckets
+), cand AS (
+  SELECT DISTINCT a.vec_id AS ida, c.vec_id AS idb
+  FROM b a JOIN b c
+    ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.vec_id < c.vec_id
+), e AS (
+  SELECT vec_id, embedding,
+    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+  FROM embeddings
+)
+SELECT ida, idb, cosine FROM (
+  SELECT ida, idb,
+    round(${dotSql("ea.embedding", "eb.embedding")} /
+      (ea.nrm * eb.nrm), 6) AS cosine
+  FROM cand JOIN e ea ON cand.ida = ea.vec_id
+    JOIN e eb ON cand.idb = eb.vec_id
+) WHERE cosine >= 0.4 ORDER BY ida, idb""")
   }
 }

@@ -527,9 +527,10 @@ ORDER BY cnt DESC, token""")
 
   /** Deterministic weighted sample (A-Res, WeightedSample scaladoc):
     * documents weighted by length — the high-value-doc oversampling a
-    * corpus mixer runs. xxhash64 priorities are engine-specific, so
-    * rows-only + SamplingSpec (determinism, weight bias, zero-weight
-    * exclusion).
+    * corpus mixer runs. Priorities replay from md5 keys (52-bit exact
+    * uniforms), so the oracle re-derives the identical sample in
+    * DuckDB (round-7: converted from rows-only); SamplingSpec keeps
+    * the determinism / weight-bias / zero-weight-exclusion contracts.
     */
   def sampleWeighted(spark: SparkSession, dir: String): DataFrame =
     graft.operators.WeightedSample.sample(
@@ -972,6 +973,18 @@ GROUP BY p_partkey ORDER BY p_partkey""",
 )
 SELECT source, doc_id, rn FROM r WHERE rn <= 3
 ORDER BY source, rn""",
+    // A-Res priorities replayed exactly: 13 hex digits of md5 = the
+    // same 52-bit integer the Spark side conv()s, so u — and pow(u,
+    // 1/w) on identical doubles — reproduces the identical top-50
+    "sample_weighted" ->
+      """SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars,
+    CASE WHEN n_chars > 0 THEN pow(
+      (('0x' || substr(md5('w42' || CAST(doc_id AS VARCHAR)), 1, 13))::UBIGINT
+        + 1) / 4503599627370498.0,
+      1.0 / n_chars) ELSE 0.0 END AS pri
+  FROM documents ORDER BY pri DESC, doc_id LIMIT 50)
+ORDER BY doc_id""",
     "stats_profile" ->
       """SELECT count(*) AS n_rows,
   count(DISTINCT l_orderkey) AS d_orderkey,

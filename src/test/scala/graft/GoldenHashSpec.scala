@@ -36,17 +36,14 @@ class GoldenHashSpec extends SparkSpec {
     "multimodal_dhash_pairs" -> "12875c26c84f1ca9b47670ea49d96fce",
     "multimodal_phash_pairs" -> "cde470c1d1ec6643c68c15d38d2f05e3",
     "multimodal_audio_match" -> "addc0b91abca17e9663ef80cc1552b7b",
-    "multimodal_features" -> "969a4d8ace527df432eafb21453c706f",
     "pipeline_corpus_funnel" -> "aa40b96bb3b11e51d1ea5dd879264548",
     "pipeline_keywords_v2_topk" -> "6b921c7d188b6c6c51175481cf05257f",
     "pipeline_pubmed_golden_v1" -> "04fb954481c2e40e6c7956d429608712",
-    "sample_weighted" -> "9e7a9649cf54bb730cf5b20d136166b1",
     "sim_ann_recall" -> "5058dcccb093298c56b67839be9e00d3",
     "sim_ann_ivf_topk" -> "02e54421e21c2b3b5b88a2bd4836c225",
     "sim_ann_lsh_topk" -> "619f08f55d6d3d8122e642f1b23a9e63",
     "sim_ann_pq_topk" -> "bda96752fe46b512b19f0d86e8064f3e",
     "sim_ann_sq_topk" -> "2c1f8c65a58d594d46e81abca1fe0a2c",
-    "sim_cosine_dup_pairs" -> "80e4f96d247041563d0f7a26bfeb07ae",
     "sim_mmr_topk" -> "9fd9c278ac7896919f4198731cf9a88d",
     "text_fingerprint_pairs" -> "c8c3294a5c21e4ce69cdce38e84aee10",
     "text_langid" -> "7f2e326d1bed50856ab3969e1f4bb37e")
@@ -66,18 +63,15 @@ class GoldenHashSpec extends SparkSpec {
     "emb_pca_variance" -> "3c275814983e05599ccbe3ba6f5eb5b5",
     "multimodal_audio_match" -> "addc0b91abca17e9663ef80cc1552b7b",
     "multimodal_dhash_pairs" -> "353daba6aaa3a6f2ddf5986e49b11828",
-    "multimodal_features" -> "33f536204c3f3a23b6febeefa08cb220",
     "multimodal_phash_pairs" -> "f8dcd5a671e8dcc705beb8a8eb803cf7",
     "pipeline_corpus_funnel" -> "6ba6aee5d499df32d2df29e7f13bf3da",
     "pipeline_keywords_v2_topk" -> "7a95aecfd5d71feeca425fc77445f22e",
     "pipeline_pubmed_golden_v1" -> "04fb954481c2e40e6c7956d429608712",
-    "sample_weighted" -> "e452d7bf247faed84a2a41dd96b37cc4",
     "sim_ann_ivf_topk" -> "043d46c4c92225d4b2b35e8dbecd5208",
     "sim_ann_lsh_topk" -> "e8a5005cd7ab61e68c0c18bca4b5c8f7",
     "sim_ann_pq_topk" -> "08d15d21fcc1314460d62ecef08b8036",
     "sim_ann_recall" -> "67c1272f1b58b8ccc700a2152ffe7982",
     "sim_ann_sq_topk" -> "84b4402c27c4d0cda88dccf067489f25",
-    "sim_cosine_dup_pairs" -> "a17629829131966b56eb9a8ebffeed0e",
     "sim_mmr_topk" -> "b2eb0e1cea449afe93ed7979c22e33eb",
     "text_bpe_encode" -> "30d9dca49a6baad0df1a81ca8b81acc2",
     "text_bpe_vocab" -> "4fd808e15824952d95e64ef9455de2d9",
