@@ -155,6 +155,67 @@ class PubMedSourceSpec extends SparkSpec {
     assert(byYear == wantByYear, s"$byYear vs $wantByYear")
   }
 
+  test("reported statistics: listing-exact rows/bytes, narrowed by pushdown") {
+    import graft.sources.PubMedScanBuilder
+    val pageBytes =
+      new java.io.File(s"$fixtureDir/1999_1_num_0").length()
+    // full schema, no pushdown: 12 planned months, 1 listed page blob
+    val full = new PubMedScanBuilder(fixtureDir, 1999, 2000)
+    val fs = full.build()
+      .asInstanceOf[PubMedScanBuilder].estimateStatistics()
+    assert(fs.numRows().getAsLong == 1L)
+    // 16 fixed bytes (year+month ints, retstart long) + the blob
+    assert(fs.sizeInBytes().getAsLong == 16L + pageBytes,
+      s"got ${fs.sizeInBytes()}")
+    // column pruning drops `content`: the blob bytes leave the estimate
+    val pruned = new PubMedScanBuilder(fixtureDir, 1999, 2000)
+    pruned.pruneColumns(org.apache.spark.sql.types.StructType(
+      graft.sources.PubMedSource.schema.fields.filter(_.name != "content")))
+    assert(pruned.estimateStatistics().sizeInBytes().getAsLong == 16L)
+    // a pushed month filter that excludes the one blob zeroes the rows
+    val out = new PubMedScanBuilder(fixtureDir, 1999, 2000)
+    out.pushFilters(Array(org.apache.spark.sql.sources.EqualTo("month", 2)))
+    assert(out.estimateStatistics().numRows().getAsLong == 0L)
+  }
+
+  test("reported statistics let the planner broadcast a pruned scan") {
+    // pre-stats, a DSv2 scan with no SupportsReportStatistics reports
+    // spark.sql.defaultSizeInBytes (Long.MaxValue): joined against a
+    // big fact frame it could NEVER be the static broadcast side. With
+    // listing-derived stats the one-page scan is a few hundred bytes
+    // and the planner broadcasts it up front — no exchange of the big
+    // side, no waiting for AQE to discover the size at runtime.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    // make the other side comfortably above autoBroadcastJoinThreshold
+    // estimates so the pubmed side is the only broadcastable one
+    val fact = spark.range(4000000).select(
+      (col("id") % 2 + 1999).cast("int").as("year"),
+      col("id").as("payload"))
+    val joined = readSource.select("year", "month", "retstart")
+      .join(fact, Seq("year"))
+    def flat(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => flat(a.executedPlan)
+      case q: QueryStageExec => flat(q.plan)
+      case other => other +: other.children.flatMap(flat)
+    }
+    val nodes = flat(joined.queryExecution.executedPlan)
+    val bhj = nodes.collectFirst { case b: BroadcastHashJoinExec => b }
+    assert(bhj.nonEmpty,
+      s"expected a broadcast-hash join of the stats-reported scan; plan:\n" +
+        joined.queryExecution.executedPlan.toString.take(2000))
+    val buildChild = bhj.get.buildSide match {
+      case org.apache.spark.sql.catalyst.optimizer.BuildLeft =>
+        bhj.get.left
+      case org.apache.spark.sql.catalyst.optimizer.BuildRight =>
+        bhj.get.right
+    }
+    assert(flat(buildChild).exists(_.isInstanceOf[BatchScanExec]),
+      "the pubmed scan must be the BUILD side of the broadcast join")
+  }
+
   test("runtime filtering: a dim join prunes fetch partitions at execution") {
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
