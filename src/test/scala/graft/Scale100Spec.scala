@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** 100x (sf1-equivalent) rehearsal for the two heaviest operator
+  * families — shingle dedup cascade and audio fingerprint match (r6
+  * verdict task 5: 10x was the ceiling, and the r5 audio cliff only
+  * appeared AT 10x, so the next decade matters).
+  *
+  * Corpus: [[graft.tools.Time100.docs100]] — 10 disjoint token-renamed
+  * SHARDS of the 10x docs10 fixture (50 000 docs). Near-dup density
+  * stays constant (10-replica groups); a naive 100x replication would
+  * instead grow every near-dup group to 100 members and the pair graph
+  * quadratically — a fixture artifact, not an operator property. The
+  * shard construction also gives an exact cross-scale invariant: token
+  * renaming is a shingle-hash bijection per shard, so the 100x pair
+  * COUNT must be exactly 10x the docs10 pair count.
+  *
+  * Measured (Time100, local[32], 2026-08-14): graph build 9.0 s,
+  * shuffled verify 0.2 s, containment 1.7 s, audio 50k 65 s with 50/50
+  * planted twins. Bounds below are ~3x those numbers to absorb host
+  * drift (TIMEONE.md documents 2-3x between windows).
+  */
+class Scale100Spec extends SparkSpec {
+
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  test("shingle cascade at 100x: linear pairs, broadcast-off, bounded") {
+    val d100 = graft.tools.Time100.docs100(spark, "/root/testdata/sf0.01")
+    assert(d100.count() == 50000L)
+    // the scale plan end to end: blocking + minShared cut + SHUFFLED
+    // verify (Some(false) — at a real sf1 the size gate would refuse
+    // the broadcast, so that is the plan this decade must bound)
+    val (nPairs, t) = timed {
+      graft.operators.Dedup.jaccardPairs(d100, "doc_id", "text",
+        threshold = 0.2, dfCap = 50, minShared = 2,
+        verifyBroadcast = Some(false)).count()
+    }
+    info(f"100x cascade: $nPairs pairs in $t%.1fs (shuffled verify)")
+    assert(t < 120.0, f"100x cascade took $t%.1fs — superlinear blowup?")
+    // exact cross-scale invariant: 10 token-renamed shards == 10x the
+    // docs10 pair count; anything else means blocking recall drifted
+    // with corpus size
+    val docs10Pairs = graft.operators.Dedup.jaccardPairs(
+      graft.tools.Time100.docs10(spark, "/root/testdata/sf0.01"),
+      "doc_id", "text", threshold = 0.2, dfCap = 50, minShared = 2,
+      verifyBroadcast = Some(false)).count()
+    assert(nPairs == docs10Pairs * 10,
+      s"100x pairs $nPairs != 10 * docs10 pairs $docs10Pairs")
+  }
+
+  test("audio fingerprint match at 100x (50k waves): bounded, full recall") {
+    import org.apache.spark.sql.functions.udf
+    val wave = udf { id: Long =>
+      var st = id * 6364136223846793005L + 1442695040888963407L
+      def next(): Int = {
+        st = st * 6364136223846793005L + 1442695040888963407L
+        (((st >>> 33) % 250) + 1).toInt
+      }
+      val freqs = Array.fill(13)(next())
+      Array.tabulate(6656) { i =>
+        (127 * math.cos(2 * math.Pi * freqs(i / 512) * (i % 512) / 512.0))
+          .toByte
+      }
+    }
+    val packed = spark.range(50000)
+      .select(col("id"), wave(col("id")).as("payload"))
+      .localCheckpoint(true)
+    val shift = udf { p: Array[Byte] =>
+      Array.tabulate(512)(i =>
+        (127 * math.cos(2 * math.Pi * 9 * i / 512.0)).toByte) ++ p
+    }
+    val twins = packed.where(col("id") < 50)
+      .select((col("id") + 10000000L).as("id"),
+        shift(col("payload")).as("payload"))
+    val (rows, t) = timed {
+      graft.operators.AudioFingerprint.matches(
+          packed.unionByName(twins), minVotes = 60,
+          frameSize = 512, hop = 256, peaksPerFrame = 2, fanout = 2)
+        .collect()
+    }
+    val twinHits = rows.count(r => r.getLong(1) == r.getLong(0) + 10000000L)
+    info(f"100x audio: ${rows.length} matches in $t%.1fs, " +
+      s"$twinHits/50 twins recovered")
+    // measured 65 s in an idle window and 232 s in a loaded one (the
+    // TIMEONE.md host-drift band): the bound is a cliff detector, not
+    // a latency SLO — the r5 cliff was a >10x blowup
+    assert(t < 600.0, f"100x audio took $t%.1fs — the cliff is back?")
+    assert(twinHits >= 40,
+      s"only $twinHits/50 twins at 100x — df-capping ate the recall")
+  }
+}
