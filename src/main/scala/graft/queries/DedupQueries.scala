@@ -572,6 +572,12 @@ edges AS (
     s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
 
   val oracle: Map[String, String] = Map(
+    // round-7 conversions: the full MinHash/SimHash signature pipeline
+    // replayed in HUGEINT — see MinHashOracle for the machinery
+    "dedup_minhash_lsh" -> MinHashOracle.minhashLsh,
+    "dedup_lsh_quality" -> MinHashOracle.lshQuality,
+    "dedup_incremental_batch" -> MinHashOracle.incrementalBatch,
+    "dedup_simhash" -> MinHashOracle.simhash,
     "dedup_semantic_bylabel" ->
       raw"""WITH RECURSIVE p AS (
   SELECT a.vec_id AS ida, b.vec_id AS idb

@@ -234,6 +234,287 @@ object MultimodalQueries {
     "text_fingerprint_pairs" -> fingerprintPairs)
 
   val oracle: Map[String, String] = Map(
+    // trigram-cosine language ID replays exactly: the seed profiles
+    // are baked in as integer (lang, gram, cnt) rows, and every score
+    // is dot/(n*pn) where dot and the squared norms are integer sums
+    // (exact in doubles regardless of order) — sqrt and divide on
+    // identical doubles are bit-deterministic, so the per-doc argmax
+    // (tie: lang ascending, the detect() sort order) matches.
+    // Round-7: converted from rows-only.
+    "text_langid" -> {
+      val prof = graft.text.LangId.profileRows
+        .map { case (l, g, v) => s"('$l','$g',$v)" }.mkString(", ")
+      s"""WITH prof(plang, gram, cnt) AS (VALUES $prof),
+cl AS (
+  SELECT doc_id, lang,
+    regexp_replace(regexp_replace(lower(text), '[^a-z ]', ' ', 'g'),
+      ' +', ' ', 'g') AS c
+  FROM documents
+),
+tg AS (
+  SELECT doc_id, substr(c, CAST(i AS INT), 3) AS gram,
+    CAST(count(*) AS BIGINT) AS v
+  FROM (SELECT doc_id, c, unnest(range(1, length(c) - 1)) AS i
+        FROM cl WHERE length(c) >= 3)
+  GROUP BY doc_id, gram
+),
+nn AS (
+  SELECT doc_id, sqrt(CAST(sum(v * v) AS DOUBLE)) AS n
+  FROM tg GROUP BY doc_id
+),
+pnorm AS (
+  SELECT plang, sqrt(CAST(sum(cnt * cnt) AS DOUBLE)) AS pn
+  FROM prof GROUP BY plang
+),
+dots AS (
+  SELECT tg.doc_id, p.plang, CAST(sum(tg.v * p.cnt) AS DOUBLE) AS dotp
+  FROM tg JOIN prof p ON tg.gram = p.gram
+  GROUP BY tg.doc_id, p.plang
+),
+scored AS (
+  SELECT nn.doc_id, pnorm.plang,
+    coalesce(dots.dotp, 0.0) / (nn.n * pnorm.pn) AS score
+  FROM nn CROSS JOIN pnorm
+  LEFT JOIN dots ON dots.doc_id = nn.doc_id AND dots.plang = pnorm.plang
+),
+pred AS (
+  SELECT doc_id, plang AS predicted
+  FROM (SELECT doc_id, plang,
+          row_number() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, plang) AS rnk
+        FROM scored)
+  WHERE rnk = 1
+)
+SELECT cl.lang, coalesce(pred.predicted, 'und') AS predicted,
+  count(*) AS n_docs
+FROM cl LEFT JOIN pred ON cl.doc_id = pred.doc_id
+GROUP BY cl.lang, predicted ORDER BY cl.lang, predicted"""
+    },
+    // dHash visual near-dup pairs replay exactly: grid cells are
+    // integer byte sums over proportional slices divided as doubles
+    // (exact ints -> deterministic division), bits are plain double
+    // comparisons, the 64-bit hash assembles from a HUGEINT power
+    // table, and banded Hamming blocking is integer shifts + xor +
+    // bit_count — DuckDB reproduces the planted-corrupted-twin query
+    // end to end. Round-7: converted from rows-only.
+    "multimodal_dhash_pairs" -> {
+      val pw = (0 until 64)
+        .map(k => s"($k, ${java.lang.Long.toUnsignedString(1L << (63 - k))}::HUGEINT)")
+        .mkString(", ")
+      val bp = (0 until 8)
+        .map(b => s"($b, ${1L << (8 * b)}::HUGEINT)").mkString(", ")
+      s"""WITH pw(k, w) AS (VALUES $pw),
+bp(band, bw) AS (VALUES $bp),
+base AS (
+  SELECT doc_id AS id,
+    list_transform(range(1, length(text) + 1),
+      i -> ord(substr(text, CAST(i AS INT), 1))) AS b
+  FROM documents
+),
+tw AS (
+  SELECT id + 1000000 AS id,
+    list_transform(range(1, len(b) + 1),
+      i -> CASE WHEN (i - 1) >= 7 AND (i - 1 - 7) % 97 = 0
+        THEN xor(b[CAST(i AS INT)]::BIGINT, 1)::INT
+        ELSE b[CAST(i AS INT)] END) AS b
+  FROM base WHERE id < 50
+),
+packed AS (SELECT id, b FROM base UNION ALL SELECT id, b FROM tw),
+cells AS (
+  SELECT id, CAST(cell AS INT) AS cell,
+    CAST(list_sum(b[CAST((cell * len(b)) // 72 + 1 AS INT) :
+                    CAST(greatest(((cell + 1) * len(b)) // 72,
+                                  (cell * len(b)) // 72 + 1) AS INT)])
+         AS DOUBLE)
+      / (greatest(((cell + 1) * len(b)) // 72,
+                  (cell * len(b)) // 72 + 1) - (cell * len(b)) // 72) AS g
+  FROM (SELECT id, b, unnest(range(0, 72)) AS cell FROM packed
+        WHERE len(b) > 0)
+),
+hs AS (
+  SELECT a.id,
+    sum(CASE WHEN a.g < c2.g THEN p.w ELSE 0::HUGEINT END) AS hu
+  FROM cells a
+  JOIN cells c2 ON c2.id = a.id AND c2.cell = a.cell + 1
+  JOIN pw p ON p.k = (a.cell // 9) * 8 + (a.cell % 9)
+  WHERE a.cell % 9 < 8
+  GROUP BY a.id
+),
+sig AS (
+  SELECT id,
+    CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+      THEN hu - 18446744073709551616::HUGEINT ELSE hu END AS BIGINT) AS h,
+    hu
+  FROM hs
+),
+bands AS (
+  SELECT s.id, s.h, bp.band, (s.hu // bp.bw) % 256 AS bval
+  FROM sig s CROSS JOIN bp
+),
+cand AS (
+  SELECT DISTINCT a.id AS ida, b2.id AS idb,
+    bit_count(xor(a.h, b2.h)) AS hamming
+  FROM bands a JOIN bands b2
+    ON a.band = b2.band AND a.bval = b2.bval AND a.id < b2.id
+)
+SELECT ida, idb, CAST(hamming AS INT) AS hamming FROM cand
+WHERE hamming <= 6 ORDER BY ida, idb"""
+    },
+    // pHash replays exactly too — the subtle part is float parity of
+    // the DCT: the cosine/alpha constants are generated HERE by the
+    // SAME JVM math.cos the expression uses (Double.toString
+    // round-trips bit-exactly through DuckDB's parser), grid means are
+    // exact-int divisions, and both engines run the IDENTICAL ordered
+    // fold (Scala's ascending-i loop == list_reduce over an ascending
+    // list_transform), so every coefficient — and the median compare —
+    // is bit-deterministic. Round-7: converted from rows-only.
+    "multimodal_phash_pairs" -> {
+      val n = 32
+      val ctl = "[" + (0 until 8).map { k =>
+        "[" + (0 until n).map(i =>
+          math.cos(math.Pi * (2 * i + 1) * k / (2.0 * n)).toString)
+          .mkString(",") + "]"
+      }.mkString(",") + "]"
+      val al = "[" + (0 until 8).map(k =>
+        (if (k == 0) math.sqrt(1.0 / n) else math.sqrt(2.0 / n)).toString)
+        .mkString(",") + "]"
+      val pw = (0 until 64)
+        .map(k => s"($k, ${java.lang.Long.toUnsignedString(1L << (63 - k))}::HUGEINT)")
+        .mkString(", ")
+      val bp = (0 until 4)
+        .map(b => s"($b, ${1L << (16 * b)}::HUGEINT)").mkString(", ")
+      s"""WITH pw(k, w) AS (VALUES $pw),
+bp(band, bw) AS (VALUES $bp),
+base AS (
+  SELECT doc_id AS id,
+    list_transform(range(1, length(text) + 1),
+      i -> ord(substr(text, CAST(i AS INT), 1))) AS b
+  FROM documents
+),
+tw AS (
+  SELECT id + 1000000 AS id,
+    list_transform(range(1, len(b) + 1),
+      i -> CASE WHEN (i - 1) >= 7 AND (i - 1 - 7) % 97 = 0
+        THEN xor(b[CAST(i AS INT)]::BIGINT, 1)::INT
+        ELSE b[CAST(i AS INT)] END) AS b
+  FROM base WHERE id < 50
+),
+packed AS (SELECT id, b FROM base UNION ALL SELECT id, b FROM tw),
+cells AS (
+  SELECT id, CAST(cell AS INT) AS cell,
+    CAST(list_sum(b[CAST((cell * len(b)) // 1024 + 1 AS INT) :
+                    CAST(greatest(((cell + 1) * len(b)) // 1024,
+                                  (cell * len(b)) // 1024 + 1) AS INT)])
+         AS DOUBLE)
+      / (greatest(((cell + 1) * len(b)) // 1024,
+                  (cell * len(b)) // 1024 + 1) - (cell * len(b)) // 1024) AS g
+  FROM (SELECT id, b, unnest(range(0, 1024)) AS cell FROM packed
+        WHERE len(b) > 0)
+),
+gl AS (SELECT id, list(g ORDER BY cell) AS gl FROM cells GROUP BY id),
+dct AS (
+  SELECT id,
+    list_transform(range(0, 32), r ->
+      list_transform(range(0, 8), k ->
+        $al[CAST(k + 1 AS INT)] *
+        list_reduce(list_prepend(0.0, list_transform(range(0, 32),
+          i -> gl[CAST(r * 32 + i + 1 AS INT)] *
+               $ctl[CAST(k + 1 AS INT)][CAST(i + 1 AS INT)])),
+          (a, x) -> a + x))) AS rowt
+  FROM gl
+),
+co AS (
+  SELECT id,
+    list_transform(range(0, 8), l ->
+      list_transform(range(0, 8), k ->
+        $al[CAST(l + 1 AS INT)] *
+        list_reduce(list_prepend(0.0, list_transform(range(0, 32),
+          rr -> rowt[CAST(rr + 1 AS INT)][CAST(k + 1 AS INT)] *
+                $ctl[CAST(l + 1 AS INT)][CAST(rr + 1 AS INT)])),
+          (a, x) -> a + x))) AS co
+  FROM dct
+),
+med AS (
+  SELECT id, co, list_sort(flatten(co)[2:64])[32] AS med
+  FROM co
+),
+hs AS (
+  SELECT m.id,
+    sum(CASE WHEN flatten(m.co)[CAST(p.k + 1 AS INT)] > m.med
+        THEN p.w ELSE 0::HUGEINT END) AS hu
+  FROM med m CROSS JOIN pw p
+  GROUP BY m.id
+),
+sig AS (
+  SELECT id,
+    CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+      THEN hu - 18446744073709551616::HUGEINT ELSE hu END AS BIGINT) AS h,
+    hu
+  FROM hs
+),
+bands AS (
+  SELECT s.id, s.h, bp.band, (s.hu // bp.bw) % 65536 AS bval
+  FROM sig s CROSS JOIN bp
+),
+cand AS (
+  SELECT DISTINCT a.id AS ida, b2.id AS idb,
+    bit_count(xor(a.h, b2.h)) AS hamming
+  FROM bands a JOIN bands b2
+    ON a.band = b2.band AND a.bval = b2.bval AND a.id < b2.id
+)
+SELECT ida, idb, CAST(hamming AS INT) AS hamming FROM cand
+WHERE hamming <= 3 ORDER BY ida, idb"""
+    },
+    // winnowing fingerprints replay exactly: the rolling 7-gram hash
+    // is by construction the polynomial sum c_0*257^6 + .. + c_6 mod
+    // 2^61-1 (every term < 3.6e16 so plain BIGINT arithmetic is
+    // exact), and the winnow pick — rightmost minimum per 4-window,
+    // then DISTINCT — is a window-rank over (hash asc, pos desc).
+    // The consecutive-duplicate suppression in the Scala reference is
+    // invisible to the DISTINCT set, so the SETS match even though the
+    // pick sequences differ. Round-7: converted from rows-only.
+    "text_fingerprint_pairs" ->
+      """WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+  FROM documents
+),
+kh AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+    (ord(substr(s, CAST(i + 1 AS INT), 1)) * 288136807515649 +
+     ord(substr(s, CAST(i + 2 AS INT), 1)) * 1121154893057 +
+     ord(substr(s, CAST(i + 3 AS INT), 1)) * 4362470401 +
+     ord(substr(s, CAST(i + 4 AS INT), 1)) * 16974593 +
+     ord(substr(s, CAST(i + 5 AS INT), 1)) * 66049 +
+     ord(substr(s, CAST(i + 6 AS INT), 1)) * 257 +
+     ord(substr(s, CAST(i + 7 AS INT), 1))) % 2305843009213693951 AS h
+  FROM (SELECT doc_id, s, unnest(range(0, length(s) - 6)) AS i
+        FROM norm WHERE length(s) >= 7)
+),
+nh AS (SELECT doc_id, count(*) AS n FROM kh GROUP BY doc_id),
+winnowed AS (
+  SELECT DISTINCT doc_id, h FROM (
+    SELECT k.doc_id, k.h,
+      row_number() OVER (PARTITION BY k.doc_id, w.st
+        ORDER BY k.h ASC, k.pos DESC) AS rk
+    FROM (SELECT doc_id, unnest(range(0, n - 3)) AS st
+          FROM nh WHERE n >= 4) w
+    JOIN kh k ON k.doc_id = w.doc_id
+      AND k.pos BETWEEN w.st AND w.st + 3
+  ) WHERE rk = 1
+  UNION
+  SELECT kh.doc_id, min(kh.h) AS h
+  FROM kh JOIN nh ON kh.doc_id = nh.doc_id
+  WHERE nh.n BETWEEN 1 AND 3 GROUP BY kh.doc_id
+),
+rare AS (
+  SELECT h FROM winnowed GROUP BY h HAVING count(*) BETWEEN 2 AND 20
+),
+fpr AS (SELECT doc_id, h FROM winnowed JOIN rare USING (h))
+SELECT a.doc_id AS ida, b.doc_id AS idb,
+  CAST(count(*) AS BIGINT) AS shared_fp
+FROM fpr a JOIN fpr b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY ida, idb HAVING count(*) >= 15
+ORDER BY ida, idb""",
     // the stub decoder is pure integer arithmetic over the payload
     // bytes (ASCII text in this harness), so DuckDB re-derives it
     // exactly: FNV-1a via HUGEINT modular list_reduce, the 8-bin byte

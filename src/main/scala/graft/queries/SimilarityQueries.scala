@@ -162,8 +162,8 @@ object SimilarityQueries {
       Tables(spark, dir, "embeddings"), queriesSubset(spark, dir), k = 5)
 
   /** Diversified retrieval: MMR re-rank of the top-20 pool down to 5
-    * picks per query. Rows-only in the driver (greedy selection is not
-    * SQL-expressible); GoldenHashSpec pins the exact output.
+    * picks per query. Oracle-checked since round 7: k=5 bounds the
+    * greedy loop, so [[mmrOracleSql]] unrolls it to five SQL stages.
     */
   def mmrTopK(spark: SparkSession, dir: String): DataFrame =
     Similarity.mmrTopK(
@@ -218,7 +218,80 @@ object SimilarityQueries {
   private val dotSql = (a: String, b: String) =>
     s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
 
+  /** JVM `math.rint(c * 1e6) / 1e6` as portable SQL: scale, round
+    * half-to-even ON THE DOUBLE (DuckDB's `round_even` rounds the
+    * printed decimal instead — 0.7*0.371485 scales to 260039.4999…97
+    * which rint floors but round_even bumps), unscale. `c` must be a
+    * plain column reference — it is repeated, which is only correct
+    * (and cheap) for a deterministic column.
+    */
+  private def rint6(c: String): String = {
+    val y = s"(($c) * 1e6)"
+    val f = s"floor($y)"
+    s"(($f + CASE WHEN $y - $f > 0.5 THEN 1 WHEN $y - $f < 0.5 THEN 0 " +
+      s"WHEN CAST($f AS BIGINT) % 2 = 0 THEN 0 ELSE 1 END) / 1e6)"
+  }
+
+  /** The greedy MMR selection unrolled to k=5 SQL stages: stage i
+    * scores every unpicked candidate against sel_{i-1} (div = max
+    * pairwise r6-cosine to any pick), takes the row_number()=1 argmax
+    * with the Scala scan-order tie-break (mmr DESC, pool position ASC
+    * where position = rel DESC, vec_id ASC). Bounded unroll beats a
+    * recursive CTE here: k is a compile-time constant of the query.
+    */
+  private def mmrOracleSql: String = {
+    val lam = "0.7"
+    val invLam = (1 - 0.7).toString // 0.30000000000000004, Scala's (1 - lambda)
+    val head = s"""q AS (
+  SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 10
+), rel AS (
+  SELECT qid, e.vec_id,
+    round(${dotSql("qemb", "e.embedding")} /
+      (sqrt(${dotSql("qemb", "qemb")}) * sqrt(${dotSql("e.embedding", "e.embedding")})), 6) AS sim
+  FROM q, embeddings e WHERE e.vec_id <> qid
+), cand AS (
+  SELECT r.qid, r.vec_id, r.sim, r.pos, e.embedding AS emb FROM (
+    SELECT qid, vec_id, sim,
+      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS pos
+    FROM rel) r JOIN embeddings e ON e.vec_id = r.vec_id
+  WHERE r.pos <= 20
+), ps AS (
+  SELECT qid, va, vb, ${rint6("s0")} AS s FROM (
+    SELECT a.qid, a.vec_id AS va, b.vec_id AS vb,
+      ${dotSql("a.emb", "b.emb")} /
+        (sqrt(${dotSql("a.emb", "a.emb")}) * sqrt(${dotSql("b.emb", "b.emb")})) AS s0
+    FROM cand a JOIN cand b ON a.qid = b.qid AND a.vec_id <> b.vec_id)
+), sc1 AS (
+  SELECT qid, vec_id, sim, pos, ${rint6("m0")} AS mmr FROM (
+    SELECT qid, vec_id, sim, pos, $lam * sim AS m0 FROM cand)
+), pick1 AS (
+  SELECT qid, vec_id, sim, pos, mmr, CAST(1 AS BIGINT) AS pick FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY mmr DESC, pos) AS rn
+    FROM sc1) WHERE rn = 1
+), sel1 AS (SELECT * FROM pick1)"""
+    val stages = (2 to 5).map { i =>
+      s"""sc$i AS (
+  SELECT qid, vec_id, sim, pos, ${rint6("m0")} AS mmr FROM (
+    SELECT c.qid, c.vec_id, c.sim, c.pos,
+      $lam * c.sim - $invLam * max(p.s) AS m0
+    FROM cand c
+    JOIN ps p ON p.qid = c.qid AND p.va = c.vec_id
+    JOIN sel${i - 1} s ON s.qid = p.qid AND s.vec_id = p.vb
+    WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} x
+                      WHERE x.qid = c.qid AND x.vec_id = c.vec_id)
+    GROUP BY c.qid, c.vec_id, c.sim, c.pos)
+), pick$i AS (
+  SELECT qid, vec_id, sim, pos, mmr, CAST($i AS BIGINT) AS pick FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY mmr DESC, pos) AS rn
+    FROM sc$i) WHERE rn = 1
+), sel$i AS (SELECT * FROM sel${i - 1} UNION ALL SELECT * FROM pick$i)"""
+    }
+    (head +: stages).mkString("WITH ", ",\n", "\n") +
+      "SELECT qid, vec_id, sim, mmr, pick FROM sel5 ORDER BY qid, pick"
+  }
+
   val oracle: Map[String, String] = Map(
+    "sim_mmr_topk" -> mmrOracleSql,
     "emb_centroid" ->
       """WITH ex AS (
   SELECT label, embedding, unnest(range(1, len(embedding) + 1)) AS i

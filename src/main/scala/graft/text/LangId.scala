@@ -76,4 +76,15 @@ object LangId {
   private val detectUdf = udf((s: String) => detect(s))
 
   def langOf(text: Column): Column = detectUdf(text)
+
+  /** (lang, trigram, count) profile rows — the oracle-generation seam:
+    * every quantity in [[detect]] is derived from integer trigram
+    * counts (dot products and squared norms are exact in doubles, so
+    * sqrt/divide are bit-deterministic across engines), which lets the
+    * DuckDB oracle rebuild the identical scores from these rows.
+    */
+  private[graft] def profileRows: Seq[(String, String, Int)] =
+    profiles.toSeq.sortBy(_._1).flatMap { case (l, (c, _)) =>
+      c.toSeq.sortBy(_._1).map { case (g, v) => (l, g, v) }
+    }
 }

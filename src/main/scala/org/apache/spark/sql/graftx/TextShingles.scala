@@ -106,6 +106,15 @@ object MinHashBands {
     (as, bs)
   }
 
+  /** (p, a_p, b_p) permutation rows — the oracle-generation seam: the
+    * seeded params are deterministic, so baking them into the DuckDB
+    * oracle as a VALUES table lets it rebuild identical signatures.
+    */
+  def permRows(k: Int): Seq[(Int, Long, Long)] = {
+    val (as, bs) = perms(k)
+    (0 until k).map(i => (i, as(i), bs(i)))
+  }
+
   def compute(shingles: ArrayData, as: Array[Long], bs: Array[Long],
       bands: Int, rowsPerBand: Int): ArrayData = {
     val n = shingles.numElements()

@@ -17,7 +17,6 @@ class GoldenHashSpec extends SparkSpec {
   private val expectedSf001 = Map(
     "agg_approx_distinct" -> "cbfd2bc22b0b1dff7524b80bb5580be3",
     "agg_hll_sketch" -> "525397935456c52f1c46a90eb6ea9d33",
-    "dedup_incremental_batch" -> "d77b2c27c5d75e90ecc667645889569c",
     "emb_logreg_eval" -> "6853b1063ee39df1dfabf3ab6608ff0a",
     "emb_logreg_calibration" -> "483fc8d0e382858efe258d3c071751ab",
     "emb_mahalanobis_outliers" -> "e389c05f1add6ed0e7c9ddec3faf1749",
@@ -29,12 +28,7 @@ class GoldenHashSpec extends SparkSpec {
     "text_ulm_vocab" -> "f51349e0a16d43db2d4d313d8ee3675a",
     "text_wordpiece_encode" -> "f6bb3df64df1f420682d0c66b4340606",
     "text_wordpiece_vocab" -> "220d857d5c8a5ce9c098de19dcc65442",
-    "dedup_minhash_lsh" -> "43b0854b6e50afe8ced0516d135f83e4",
-    "dedup_lsh_quality" -> "86cdef9e1488c5f49c73dc9d90b72328",
     "dedup_semantic" -> "a60e4c40f2dae28e673b857707dcbde1",
-    "dedup_simhash" -> "0e382879f002a691192647cfae2e5bf2",
-    "multimodal_dhash_pairs" -> "12875c26c84f1ca9b47670ea49d96fce",
-    "multimodal_phash_pairs" -> "cde470c1d1ec6643c68c15d38d2f05e3",
     "multimodal_audio_match" -> "addc0b91abca17e9663ef80cc1552b7b",
     "pipeline_corpus_funnel" -> "aa40b96bb3b11e51d1ea5dd879264548",
     "pipeline_keywords_v2_topk" -> "6b921c7d188b6c6c51175481cf05257f",
@@ -43,27 +37,18 @@ class GoldenHashSpec extends SparkSpec {
     "sim_ann_ivf_topk" -> "02e54421e21c2b3b5b88a2bd4836c225",
     "sim_ann_lsh_topk" -> "619f08f55d6d3d8122e642f1b23a9e63",
     "sim_ann_pq_topk" -> "bda96752fe46b512b19f0d86e8064f3e",
-    "sim_ann_sq_topk" -> "2c1f8c65a58d594d46e81abca1fe0a2c",
-    "sim_mmr_topk" -> "9fd9c278ac7896919f4198731cf9a88d",
-    "text_fingerprint_pairs" -> "c8c3294a5c21e4ce69cdce38e84aee10",
-    "text_langid" -> "7f2e326d1bed50856ab3969e1f4bb37e")
+    "sim_ann_sq_topk" -> "2c1f8c65a58d594d46e81abca1fe0a2c")
 
   private val expectedSf01 = Map(
     "agg_approx_distinct" -> "794784eaf442314bdbcdfee0a849c8b0",
     "agg_hll_sketch" -> "dd7caa867662e60117b56de06dd434e9",
-    "dedup_incremental_batch" -> "3bf0a99fabdf71cd6f6d27a39ccf729b",
-    "dedup_lsh_quality" -> "c666eb62c157f74154496cbb6cb05f5b",
-    "dedup_minhash_lsh" -> "17045370244eefceca0cc11cf0985683",
     "dedup_semantic" -> "3f2d4cc1b9601e556bb346a233e8287f",
-    "dedup_simhash" -> "11a9aa7a993f57e8060dc2484dd4f326",
     "emb_kmeans_stats" -> "be76816abedaf206f989991036eac59f",
     "emb_logreg_calibration" -> "7f8c3b4d1deb0ecdb95c109fa4cd3ce0",
     "emb_logreg_eval" -> "79e5d66af869d63f41cbaf221e848349",
     "emb_mahalanobis_outliers" -> "f4525dc6873729dc96f90155a159ebcd",
     "emb_pca_variance" -> "3c275814983e05599ccbe3ba6f5eb5b5",
     "multimodal_audio_match" -> "addc0b91abca17e9663ef80cc1552b7b",
-    "multimodal_dhash_pairs" -> "353daba6aaa3a6f2ddf5986e49b11828",
-    "multimodal_phash_pairs" -> "f8dcd5a671e8dcc705beb8a8eb803cf7",
     "pipeline_corpus_funnel" -> "6ba6aee5d499df32d2df29e7f13bf3da",
     "pipeline_keywords_v2_topk" -> "7a95aecfd5d71feeca425fc77445f22e",
     "pipeline_pubmed_golden_v1" -> "04fb954481c2e40e6c7956d429608712",
@@ -72,11 +57,8 @@ class GoldenHashSpec extends SparkSpec {
     "sim_ann_pq_topk" -> "08d15d21fcc1314460d62ecef08b8036",
     "sim_ann_recall" -> "67c1272f1b58b8ccc700a2152ffe7982",
     "sim_ann_sq_topk" -> "84b4402c27c4d0cda88dccf067489f25",
-    "sim_mmr_topk" -> "b2eb0e1cea449afe93ed7979c22e33eb",
     "text_bpe_encode" -> "30d9dca49a6baad0df1a81ca8b81acc2",
     "text_bpe_vocab" -> "4fd808e15824952d95e64ef9455de2d9",
-    "text_fingerprint_pairs" -> "2b8822072ee1f74d5badf57aa7fbd9c9",
-    "text_langid" -> "d4fe0de5bc0283f34fb29e579377e805",
     "text_ulm_encode" -> "7f86e5816f761128ac6ceacf6a87e748",
     "text_ulm_vocab" -> "48188b7b9184067b5ed55d0eaeb5e961",
     "text_wordpiece_encode" -> "985321dee3764197e2fe9cf8985d6e99",
