@@ -219,6 +219,24 @@ object Similarity {
     Array.fill(tables, bitsPerTable, dim)((rnd.nextDouble() * 2 - 1).toFloat)
   }
 
+  /** (t, b, i, w) hyperplane component rows — the oracle-generation
+    * seam (the permRows/profileRows pattern): the planes are seeded,
+    * so the DuckDB oracle bakes them as a VALUES table and re-derives
+    * the sign-bit buckets with the identical ascending-index fold.
+    * Components are emitted as the DOUBLE the bucketing actually
+    * multiplies ([[bucketsUdf]] widens the stored float), printed via
+    * Double.toString which round-trips bit-exactly.
+    */
+  private[graft] def lshPlaneRows(tables: Int, bitsPerTable: Int,
+      dim: Int): Seq[(Int, Int, Int, Double)] = {
+    val pl = planes(tables, bitsPerTable, dim)
+    for {
+      t <- 0 until tables
+      b <- 0 until bitsPerTable
+      i <- 0 until dim
+    } yield (t, b, i, pl(t)(b)(i).toDouble)
+  }
+
   /** All sign-bit bucket ids in one compiled pass (one UDF call per row,
     * not one per plane).
     */

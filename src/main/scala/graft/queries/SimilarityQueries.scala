@@ -290,8 +290,115 @@ object SimilarityQueries {
       "SELECT qid, vec_id, sim, mmr, pick FROM sel5 ORDER BY qid, pick"
   }
 
+  /** Random-hyperplane LSH replayed from the baked plane rows: the
+    * sign-bit buckets come out bit-identical because both engines run
+    * the same ascending-dimension double fold (`list(... ORDER BY i)`
+    * + list_sum == the UDF's ascending while-loop), so the candidate
+    * sets — and the exact re-rank — match. Round-7 conversion.
+    */
+  private def lshTopKOracleSql: String = {
+    val plVals = graft.operators.Similarity.lshPlaneRows(16, 6, 64)
+      .map { case (t, b, i, w) => s"($t,$b,${i + 1},$w)" }.mkString(",")
+    s"""WITH pl(t, b, i, w) AS (VALUES $plVals),
+ev AS (
+  SELECT vec_id, CAST(i AS INT) AS i,
+    CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+  FROM embeddings, unnest(range(1, 65)) AS ii(i)
+),
+dotb AS (
+  SELECT ev.vec_id, pl.t, pl.b,
+    list_sum(list(pl.w * ev.v ORDER BY ev.i)) AS acc
+  FROM ev JOIN pl ON pl.i = ev.i
+  GROUP BY ev.vec_id, pl.t, pl.b
+),
+bk AS (
+  SELECT vec_id, t,
+    CAST(sum(CASE WHEN acc > 0 THEN 1 << CAST(b AS INT) ELSE 0 END) AS BIGINT) AS bucket
+  FROM dotb GROUP BY vec_id, t
+),
+qb AS (
+  SELECT vec_id AS qid, t, bucket FROM bk WHERE vec_id < 10
+), cand AS (
+  SELECT DISTINCT qb.qid, bk.vec_id
+  FROM bk JOIN qb ON bk.t = qb.t AND bk.bucket = qb.bucket
+  WHERE bk.vec_id <> qb.qid
+), q AS (
+  SELECT vec_id AS qid, embedding AS qemb,
+    sqrt(${dotSql("embedding", "embedding")}) AS qnrm
+  FROM embeddings WHERE vec_id < 10
+), exact AS (
+  SELECT c.qid, c.vec_id,
+    round(${dotSql("q.qemb", "e.embedding")} /
+      (q.qnrm * sqrt(${dotSql("e.embedding", "e.embedding")})), 6) AS sim
+  FROM cand c JOIN q ON q.qid = c.qid
+  JOIN embeddings e ON e.vec_id = c.vec_id
+)
+SELECT qid, vec_id, sim, rank FROM (
+  SELECT qid, vec_id, sim,
+    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+  FROM exact)
+WHERE rank <= 5 ORDER BY qid, rank"""
+  }
+
+  /** Int8 scalar quantization replayed exactly: per-vector min/max are
+    * order-independent, `math.round` is `floor(x + 0.5)`, and the
+    * quantized-dot / reconstruction-norm folds are ascending — so the
+    * top-10 shortlist and the exact re-rank both match. Round-7
+    * conversion.
+    */
+  private def sqTopKOracleSql: String =
+    s"""WITH enc0 AS (
+  SELECT vec_id, embedding,
+    list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS vmin,
+    list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS vmax
+  FROM embeddings
+), enc1 AS (
+  SELECT vec_id, embedding, vmin,
+    CASE WHEN vmax > vmin THEN (vmax - vmin) / 255.0 ELSE 1.0 END AS vscale
+  FROM enc0
+), enc AS (
+  SELECT vec_id, vmin, vscale,
+    list_transform(embedding,
+      x -> CAST(floor((CAST(x AS DOUBLE) - vmin) / vscale + 0.5) AS BIGINT)) AS q,
+    sqrt(list_sum(list_transform(embedding,
+      x -> (vmin + vscale * floor((CAST(x AS DOUBLE) - vmin) / vscale + 0.5)) *
+           (vmin + vscale * floor((CAST(x AS DOUBLE) - vmin) / vscale + 0.5))))) AS anrm
+  FROM enc1
+), qv AS (
+  SELECT vec_id AS qid,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qd,
+    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS qsum,
+    sqrt(${dotSql("embedding", "embedding")}) AS qnrm,
+    embedding AS qemb
+  FROM embeddings WHERE vec_id < 10
+), scored AS (
+  SELECT q.qid, e.vec_id,
+    (e.vmin * q.qsum + e.vscale *
+      list_sum(list_transform(list_zip(q.qd, e.q), x -> x[1] * x[2])))
+      / (q.qnrm * greatest(e.anrm, 1e-12)) AS sim_sq
+  FROM qv q, enc e WHERE e.vec_id <> q.qid
+), cand AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+      row_number() OVER (PARTITION BY qid ORDER BY sim_sq DESC, vec_id) AS r
+    FROM scored) WHERE r <= 10
+), exact AS (
+  SELECT c.qid, c.vec_id,
+    round(${dotSql("q.qemb", "e.embedding")} /
+      (q.qnrm * sqrt(${dotSql("e.embedding", "e.embedding")})), 6) AS sim
+  FROM cand c JOIN qv q ON q.qid = c.qid
+  JOIN embeddings e ON e.vec_id = c.vec_id
+)
+SELECT qid, vec_id, sim, rank FROM (
+  SELECT qid, vec_id, sim,
+    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+  FROM exact)
+WHERE rank <= 5 ORDER BY qid, rank"""
+
   val oracle: Map[String, String] = Map(
     "sim_mmr_topk" -> mmrOracleSql,
+    "sim_ann_lsh_topk" -> lshTopKOracleSql,
+    "sim_ann_sq_topk" -> sqTopKOracleSql,
     "emb_centroid" ->
       """WITH ex AS (
   SELECT label, embedding, unnest(range(1, len(embedding) + 1)) AS i

@@ -35,9 +35,7 @@ class GoldenHashSpec extends SparkSpec {
     "pipeline_pubmed_golden_v1" -> "04fb954481c2e40e6c7956d429608712",
     "sim_ann_recall" -> "5058dcccb093298c56b67839be9e00d3",
     "sim_ann_ivf_topk" -> "02e54421e21c2b3b5b88a2bd4836c225",
-    "sim_ann_lsh_topk" -> "619f08f55d6d3d8122e642f1b23a9e63",
-    "sim_ann_pq_topk" -> "bda96752fe46b512b19f0d86e8064f3e",
-    "sim_ann_sq_topk" -> "2c1f8c65a58d594d46e81abca1fe0a2c")
+    "sim_ann_pq_topk" -> "bda96752fe46b512b19f0d86e8064f3e")
 
   private val expectedSf01 = Map(
     "agg_approx_distinct" -> "794784eaf442314bdbcdfee0a849c8b0",
@@ -53,10 +51,8 @@ class GoldenHashSpec extends SparkSpec {
     "pipeline_keywords_v2_topk" -> "7a95aecfd5d71feeca425fc77445f22e",
     "pipeline_pubmed_golden_v1" -> "04fb954481c2e40e6c7956d429608712",
     "sim_ann_ivf_topk" -> "043d46c4c92225d4b2b35e8dbecd5208",
-    "sim_ann_lsh_topk" -> "e8a5005cd7ab61e68c0c18bca4b5c8f7",
     "sim_ann_pq_topk" -> "08d15d21fcc1314460d62ecef08b8036",
     "sim_ann_recall" -> "67c1272f1b58b8ccc700a2152ffe7982",
-    "sim_ann_sq_topk" -> "84b4402c27c4d0cda88dccf067489f25",
     "text_bpe_encode" -> "30d9dca49a6baad0df1a81ca8b81acc2",
     "text_bpe_vocab" -> "4fd808e15824952d95e64ef9455de2d9",
     "text_ulm_encode" -> "7f86e5816f761128ac6ceacf6a87e748",
