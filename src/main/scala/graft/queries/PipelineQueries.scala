@@ -275,6 +275,10 @@ object PipelineQueries {
     raw"""CAST(len(list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z ]', ' ', 'g')), '\s+'), w -> w <> '')) AS BIGINT)"""
 
   val oracle: Map[String, String] = Map(
+    // round-7 conversions: POS-tag + lemmatize replayed rule-for-rule
+    // in SQL — see LemmaOracle for the machinery
+    "pipeline_keywords_v2_topk" -> LemmaOracle.keywordsV2TopK,
+    "pipeline_pubmed_golden_v1" -> LemmaOracle.pubmedGoldenV1,
     "pipeline_source_card" ->
       raw"""WITH d AS (
   SELECT source, lang, n_chars, $tokSql AS nt FROM documents

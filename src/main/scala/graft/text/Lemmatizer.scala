@@ -171,6 +171,18 @@ object Lemmatizer {
 
   private val vowels = "aeiou".toSet
 
+  /** Exception-table rows — the oracle-generation seam: the irregular
+    * maps bake into the DuckDB oracle as VALUES tables; the suffix
+    * rules ([[noun]]/[[verb]]/[[adjective]]/fixStem) are plain CASE
+    * logic there.
+    */
+  private[graft] def nounExceptionRows: Seq[(String, String)] =
+    nounExceptions.toSeq.sorted
+  private[graft] def verbExceptionRows: Seq[(String, String)] =
+    verbExceptions.toSeq.sorted
+  private[graft] def adjExceptionRows: Seq[(String, String)] =
+    adjExceptions.toSeq.sorted
+
   /** Morphy-style noun detachment, longest suffix first. Words shorter
     * than 4 chars pass through (no dictionary to validate against, and
     * short function words like "is"/"gas" would be mangled).

@@ -31,6 +31,13 @@ object PosTagger {
       m("EX", "there")).toMap
   }
 
+  /** (word, tag) lexicon rows — the oracle-generation seam (the
+    * LangId.profileRows pattern): the closed-class lexicon bakes into
+    * the DuckDB oracle as a VALUES table; the suffix heuristics are
+    * plain CASE logic there.
+    */
+  private[graft] def lexiconRows: Seq[(String, String)] = lexicon.toSeq.sorted
+
   /** Tag one token (context-free rules). */
   def tagWord(w: String): String = {
     val lw = w.toLowerCase

@@ -31,8 +31,6 @@ class GoldenHashSpec extends SparkSpec {
     "dedup_semantic" -> "a60e4c40f2dae28e673b857707dcbde1",
     "multimodal_audio_match" -> "addc0b91abca17e9663ef80cc1552b7b",
     "pipeline_corpus_funnel" -> "aa40b96bb3b11e51d1ea5dd879264548",
-    "pipeline_keywords_v2_topk" -> "6b921c7d188b6c6c51175481cf05257f",
-    "pipeline_pubmed_golden_v1" -> "04fb954481c2e40e6c7956d429608712",
     "sim_ann_recall" -> "5058dcccb093298c56b67839be9e00d3",
     "sim_ann_ivf_topk" -> "02e54421e21c2b3b5b88a2bd4836c225",
     "sim_ann_pq_topk" -> "bda96752fe46b512b19f0d86e8064f3e")
@@ -48,8 +46,6 @@ class GoldenHashSpec extends SparkSpec {
     "emb_pca_variance" -> "3c275814983e05599ccbe3ba6f5eb5b5",
     "multimodal_audio_match" -> "addc0b91abca17e9663ef80cc1552b7b",
     "pipeline_corpus_funnel" -> "6ba6aee5d499df32d2df29e7f13bf3da",
-    "pipeline_keywords_v2_topk" -> "7a95aecfd5d71feeca425fc77445f22e",
-    "pipeline_pubmed_golden_v1" -> "04fb954481c2e40e6c7956d429608712",
     "sim_ann_ivf_topk" -> "043d46c4c92225d4b2b35e8dbecd5208",
     "sim_ann_pq_topk" -> "08d15d21fcc1314460d62ecef08b8036",
     "sim_ann_recall" -> "67c1272f1b58b8ccc700a2152ffe7982",
