@@ -58,13 +58,17 @@ ${prefix}e AS (SELECT *, ${shr33(s"${prefix}4")} AS ${prefix}_out FROM ${prefix}
 
   /** Tokens + per-token FNV-1a hashes (same `[^a-zA-Z ]`->space
     * tokenizer as the string-shingle oracle; ASCII-letter tokens so
-    * `ord` == byte).
+    * `ord` == byte). `src` is the (doc_id, text) relation to shingle —
+    * "documents" for the standalone dedup queries, a filtered CTE for
+    * the corpus-funnel composition.
     */
-  private val tokPrefix =
+  private def tokPrefixFrom(src: String): String =
     raw"""toks AS (
   SELECT doc_id, list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z ]', ' ', 'g')), '\s+'), w -> w <> '') AS ws
-  FROM documents
-),
+  FROM $src
+),"""
+
+  private val tokHashCtes = s"""
 tok AS (
   SELECT doc_id, CAST(i AS INT) AS tpos, ws[CAST(i AS INT)] AS w
   FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM toks)
@@ -78,6 +82,8 @@ th AS (
       (h, c) -> ${mul64("xor(h, c)", FnvPrime)}) AS th
   FROM tok
 )"""
+
+  private val tokPrefix = tokPrefixFrom("documents") + tokHashCtes
 
   /** Shingle-hash sets, permutation mins, banded keys (`kb`), and the
     * per-doc hash-set table (`ss`) for exact verification.
@@ -202,6 +208,82 @@ ver AS (
 SELECT batch_id, CAST(count(*) AS BIGINT) AS n_matches, max(jaccard) AS max_jaccard
 FROM ver WHERE jaccard >= 0.5
 GROUP BY batch_id ORDER BY batch_id"""
+
+  /** The whole training-corpus preparation funnel
+    * (`CorpusPipeline.funnelObserved`, default Config) — round-7
+    * conversion: every stage was already individually replayable, so
+    * the funnel oracle is their composition. Stages: lang IN ('en'),
+    * quality (>= 10 letter-run tokens, stopword ratio <= 0.6), exact
+    * dedup (min doc_id per md5), MinHash-LSH survivors at 0.5 (the
+    * shared signature chain over the exact-deduped subset + a
+    * recursive-CTE min-id component closure), token accounting.
+    */
+  def corpusFunnel: String = {
+    val english = graft.text.Stopwords.english
+      .map(w => s"'${w.replace("'", "''")}'").mkString(", ")
+    s"""WITH RECURSIVE perms(p, pa, pb) AS (VALUES $permVals),
+lang AS (SELECT doc_id, text FROM documents WHERE lang IN ('en')),
+${tokPrefixFrom("lang").replace("toks AS", "ltoks AS").stripSuffix(",")},
+lw AS (SELECT doc_id, unnest(ws) AS w FROM ltoks),
+qstat AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN w IN ($english) THEN 1 ELSE 0 END) AS BIGINT) AS nstop
+  FROM lw GROUP BY doc_id
+),
+lq AS (
+  SELECT l.doc_id, l.text, coalesce(q.n, 0) AS n_tokens,
+    CAST(coalesce(q.nstop, 0) AS DOUBLE) / greatest(coalesce(q.n, 0), 1) AS stop_ratio
+  FROM lang l LEFT JOIN qstat q USING (doc_id)
+),
+qual AS (
+  SELECT doc_id, text, n_tokens FROM lq
+  WHERE n_tokens >= 10 AND stop_ratio <= 0.6
+),
+exact AS (
+  SELECT doc_id, text, n_tokens FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM qual) WHERE rn = 1
+),
+cdocs AS (SELECT doc_id, text FROM exact),
+${tokPrefixFrom("cdocs")}$tokHashCtes,
+$shingleCtes,
+$lshPairs,
+pairs05 AS (SELECT ida, idb FROM lshp WHERE jaccard >= 0.5),
+edges AS (
+  SELECT ida AS src, idb AS dst FROM pairs05
+  UNION SELECT idb, ida FROM pairs05
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS component
+  FROM reach GROUP BY src
+),
+losers AS (SELECT doc_id FROM comp WHERE doc_id <> component),
+surv AS (
+  SELECT e.doc_id, e.n_tokens FROM exact e
+  WHERE e.doc_id NOT IN (SELECT doc_id FROM losers)
+),
+m AS (
+  SELECT
+    (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_input,
+    (SELECT CAST(count(*) AS BIGINT) FROM lang) AS n_lang,
+    (SELECT CAST(count(*) AS BIGINT) FROM qual) AS n_quality,
+    (SELECT CAST(count(DISTINCT md5(text)) AS BIGINT) FROM qual) AS n_exact,
+    (SELECT CAST(count(*) AS BIGINT) FROM surv) AS n_near,
+    (SELECT CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM surv) AS total_tokens
+)
+SELECT stage, n_docs, total_tokens FROM (
+  SELECT '1_input' AS stage, n_input AS n_docs, CAST(0 AS BIGINT) AS total_tokens FROM m
+  UNION ALL SELECT '2_language', n_lang, CAST(0 AS BIGINT) FROM m
+  UNION ALL SELECT '3_quality', n_quality, CAST(0 AS BIGINT) FROM m
+  UNION ALL SELECT '4_exact_dedup', n_exact, CAST(0 AS BIGINT) FROM m
+  UNION ALL SELECT '5_near_dedup', n_near, total_tokens FROM m
+) ORDER BY stage"""
+  }
 
   /** 64-bit SimHash votes over distinct fmix64'd token hashes, 4x16-bit
     * banded blocking, Hamming <= 3.

@@ -279,6 +279,7 @@ object PipelineQueries {
     // in SQL — see LemmaOracle for the machinery
     "pipeline_keywords_v2_topk" -> LemmaOracle.keywordsV2TopK,
     "pipeline_pubmed_golden_v1" -> LemmaOracle.pubmedGoldenV1,
+    "pipeline_corpus_funnel" -> MinHashOracle.corpusFunnel,
     "pipeline_source_card" ->
       raw"""WITH d AS (
   SELECT source, lang, n_chars, $tokSql AS nt FROM documents
