@@ -60,8 +60,16 @@ object AudioFingerprint {
       (c, s)
     })
 
-  private[graft] def landmarks(payload: Array[Byte], frameSize: Int,
-      hop: Int, peaksPerFrame: Int, fanout: Int): Array[Long] = {
+  /** The constellation alone: top `peaksPerFrame` DFT-magnitude bins
+    * per frame. Factored out of [[landmarks]] unchanged — it is also
+    * the oracle-generation seam: the DFT is the one floating-point
+    * stage of the audio pipeline, so the oracle bakes THESE integer
+    * peak bins as a VALUES table (a pure function of the payload) and
+    * replays everything after them — landmark pairing, df-cap, offset
+    * votes — relationally.
+    */
+  private[graft] def framePeaks(payload: Array[Byte], frameSize: Int,
+      hop: Int, peaksPerFrame: Int): Array[Array[Int]] = {
     // only bins 1..frameSize/2-1 are eligible peaks (DC skipped), so
     // more requested peaks than that would leave the argmax empty
     require(peaksPerFrame < frameSize / 2,
@@ -112,9 +120,16 @@ object AudioFingerprint {
       }
       t += 1
     }
+    peaks
+  }
+
+  private[graft] def landmarks(payload: Array[Byte], frameSize: Int,
+      hop: Int, peaksPerFrame: Int, fanout: Int): Array[Long] = {
+    val peaks = framePeaks(payload, frameSize, hop, peaksPerFrame)
+    val nFrames = peaks.length
     // landmarks: anchor peak -> peaks in the next 1..fanout frames
     val out = scala.collection.mutable.ArrayBuffer.empty[Long]
-    t = 0
+    var t = 0
     while (t < nFrames) {
       var p1 = 0
       while (p1 < peaksPerFrame) {

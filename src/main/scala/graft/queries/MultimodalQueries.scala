@@ -171,6 +171,26 @@ object MultimodalQueries {
     * sf0.001 and sf0.01 — the 60-vote floor sits far under the
     * planted band.
     */
+  /** Deterministic per-doc PCM synthesis, shared by the query UDF and
+    * the oracle-generation bake ([[audioMatchOracleSql]]).
+    */
+  private def waveBytes(id: Long): Array[Byte] = {
+    var st = id * 6364136223846793005L + 1442695040888963407L
+    def next(): Int = {
+      st = st * 6364136223846793005L + 1442695040888963407L
+      (((st >>> 33) % 120) + 1).toInt
+    }
+    val freqs = Array.fill(13)(next())
+    Array.tabulate(3200) { i =>
+      (127 * math.cos(2 * math.Pi * freqs(i / 256) * (i % 256) / 256.0))
+        .toByte
+    }
+  }
+
+  private def shiftBytes(p: Array[Byte]): Array[Byte] =
+    Array.tabulate(256)(i =>
+      (127 * math.cos(2 * math.Pi * 7 * i / 256.0)).toByte) ++ p
+
   def audioMatch(spark: SparkSession, dir: String): DataFrame = {
     // Deterministic per-doc PCM synthesis (the stub-decode contract:
     // no codecs in the sandbox, so the "decoded waveform" is a
@@ -183,18 +203,7 @@ object MultimodalQueries {
     // entropy comfortably above corpus size or df-capping prunes
     // everything (measured: 64-sample frames' ~2.9k hash space
     // degenerates at 500 docs)
-    val wave = udf { id: Long =>
-      var st = id * 6364136223846793005L + 1442695040888963407L
-      def next(): Int = {
-        st = st * 6364136223846793005L + 1442695040888963407L
-        (((st >>> 33) % 120) + 1).toInt
-      }
-      val freqs = Array.fill(13)(next())
-      Array.tabulate(3200) { i =>
-        (127 * math.cos(2 * math.Pi * freqs(i / 256) * (i % 256) / 256.0))
-          .toByte
-      }
-    }
+    val wave = udf(waveBytes _)
     // Constant 500-doc slice at every SF: the synthetic chirp's hash
     // entropy is frameSize-bounded (~48k (f1,f2,dt) combos — real
     // audio has 2^30+), so landmark density must stay constant or the
@@ -208,10 +217,7 @@ object MultimodalQueries {
       .select(col("doc_id").as("id"), wave(col("doc_id")).as("payload"))
     // shifted twins: a 256-byte (2-hop) alien prefix — the crop/shift
     // case constellation landmarks exist to survive
-    val shift = udf { p: Array[Byte] =>
-      Array.tabulate(256)(i =>
-        (127 * math.cos(2 * math.Pi * 7 * i / 256.0)).toByte) ++ p
-    }
+    val shift = udf(shiftBytes _)
     val twins = packed.where(col("id") < 30)
       .select((col("id") + 1000000L).as("id"),
         shift(col("payload")).as("payload"))
@@ -233,7 +239,62 @@ object MultimodalQueries {
     "text_langid" -> langId,
     "text_fingerprint_pairs" -> fingerprintPairs)
 
+  /** The audio-match oracle: the DFT is the only floating-point stage,
+    * and the constellation is a pure function of doc_id (the synthetic
+    * wave ignores the text), so the integer peak bins for EVERY
+    * possible id (0..499 base, +1000000 twins) bake in as a VALUES
+    * table at oracle-generation time; the SQL filters them by the
+    * documents actually present at the running SF and replays the
+    * landmark pairing, df-cap, offset-histogram vote, and best-offset
+    * pick relationally. Round-7: converted from rows-only.
+    */
+  private def audioMatchOracleSql: String = {
+    def peaksOf(id: Long, payload: Array[Byte]): Seq[String] = {
+      val pk = graft.operators.AudioFingerprint.framePeaks(
+        payload, frameSize = 256, hop = 128, peaksPerFrame = 2)
+      for {
+        t <- pk.indices
+        p <- pk(t).indices
+      } yield s"($id,$t,${pk(t)(p)})"
+    }
+    val base = (0L until 500L).flatMap(id => peaksOf(id, waveBytes(id)))
+    val twins = (0L until 30L).flatMap(id =>
+      peaksOf(id + 1000000L, shiftBytes(waveBytes(id))))
+    s"""WITH pk0(id, t, f) AS (VALUES ${(base ++ twins).mkString(",")}),
+ids AS (
+  SELECT doc_id AS id FROM documents WHERE doc_id < 500
+  UNION ALL
+  SELECT doc_id + 1000000 FROM documents WHERE doc_id < 30
+),
+pk AS (SELECT pk0.* FROM pk0 JOIN ids USING (id)),
+lm AS (
+  SELECT a.id, a.f * 65536 + b.f * 256 + (b.t - a.t) AS hash, a.t
+  FROM pk a JOIN pk b ON b.id = a.id AND b.t - a.t IN (1, 2)
+),
+rare AS (
+  SELECT hash FROM lm GROUP BY hash
+  HAVING count(DISTINCT id) BETWEEN 2 AND 50
+),
+lr AS (SELECT lm.* FROM lm JOIN rare USING (hash)),
+votes AS (
+  SELECT a.id AS ida, b.id AS idb, b.t - a.t AS off,
+    CAST(count(*) AS BIGINT) AS votes
+  FROM lr a JOIN lr b ON a.hash = b.hash AND a.id < b.id
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT ida, idb, votes, off FROM (
+    SELECT *, row_number() OVER (PARTITION BY ida, idb
+      ORDER BY votes DESC, off) AS rn FROM votes) WHERE rn = 1
+)
+SELECT CAST(ida AS BIGINT) AS ida, CAST(idb AS BIGINT) AS idb,
+  votes, CAST(off AS BIGINT) AS "offset"
+FROM best WHERE votes >= 60
+ORDER BY ida, idb"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "multimodal_audio_match" -> audioMatchOracleSql,
     // trigram-cosine language ID replays exactly: the seed profiles
     // are baked in as integer (lang, gram, cnt) rows, and every score
     // is dot/(n*pn) where dot and the squared norms are integer sums

@@ -29,7 +29,6 @@ class GoldenHashSpec extends SparkSpec {
     "text_wordpiece_encode" -> "f6bb3df64df1f420682d0c66b4340606",
     "text_wordpiece_vocab" -> "220d857d5c8a5ce9c098de19dcc65442",
     "dedup_semantic" -> "a60e4c40f2dae28e673b857707dcbde1",
-    "multimodal_audio_match" -> "addc0b91abca17e9663ef80cc1552b7b",
     "sim_ann_recall" -> "5058dcccb093298c56b67839be9e00d3",
     "sim_ann_ivf_topk" -> "02e54421e21c2b3b5b88a2bd4836c225",
     "sim_ann_pq_topk" -> "bda96752fe46b512b19f0d86e8064f3e")
@@ -43,7 +42,6 @@ class GoldenHashSpec extends SparkSpec {
     "emb_logreg_eval" -> "79e5d66af869d63f41cbaf221e848349",
     "emb_mahalanobis_outliers" -> "f4525dc6873729dc96f90155a159ebcd",
     "emb_pca_variance" -> "3c275814983e05599ccbe3ba6f5eb5b5",
-    "multimodal_audio_match" -> "addc0b91abca17e9663ef80cc1552b7b",
     "sim_ann_ivf_topk" -> "043d46c4c92225d4b2b35e8dbecd5208",
     "sim_ann_pq_topk" -> "08d15d21fcc1314460d62ecef08b8036",
     "sim_ann_recall" -> "67c1272f1b58b8ccc700a2152ffe7982",
