@@ -189,5 +189,12 @@ object TrainingQueries {
     "emb_logreg_calibration" -> logregCalibration,
     "emb_mahalanobis_outliers" -> mahalanobisOutliers)
 
-  val oracle: Map[String, String] = Map.empty
+  // round-7 conversions: the BPE and WordPiece trainers are integer
+  // algorithms, so their merge loops replay as unrolled SQL rounds —
+  // see TrainerOracle for the machinery
+  val oracle: Map[String, String] = Map(
+    "text_bpe_vocab" -> TrainerOracle.bpeVocab,
+    "text_bpe_encode" -> TrainerOracle.bpeEncode,
+    "text_wordpiece_vocab" -> TrainerOracle.wordpieceVocab,
+    "text_wordpiece_encode" -> TrainerOracle.wordpieceEncode)
 }

@@ -22,12 +22,8 @@ class GoldenHashSpec extends SparkSpec {
     "emb_mahalanobis_outliers" -> "e389c05f1add6ed0e7c9ddec3faf1749",
     "emb_kmeans_stats" -> "e8fb344a308aa32b1ee268f822d6cd38",
     "emb_pca_variance" -> "5a1f4bca8fef27d7defe34f71cf38095",
-    "text_bpe_encode" -> "a6309a3d305f9717ebdd7563711d4a1f",
-    "text_bpe_vocab" -> "bd4a2a3bcf8fcbb396d1e010b95afd05",
     "text_ulm_encode" -> "afa98d2bdb4d88ddc90758543230202f",
     "text_ulm_vocab" -> "f51349e0a16d43db2d4d313d8ee3675a",
-    "text_wordpiece_encode" -> "f6bb3df64df1f420682d0c66b4340606",
-    "text_wordpiece_vocab" -> "220d857d5c8a5ce9c098de19dcc65442",
     "dedup_semantic" -> "a60e4c40f2dae28e673b857707dcbde1",
     "sim_ann_recall" -> "5058dcccb093298c56b67839be9e00d3",
     "sim_ann_ivf_topk" -> "02e54421e21c2b3b5b88a2bd4836c225",
@@ -45,12 +41,8 @@ class GoldenHashSpec extends SparkSpec {
     "sim_ann_ivf_topk" -> "043d46c4c92225d4b2b35e8dbecd5208",
     "sim_ann_pq_topk" -> "08d15d21fcc1314460d62ecef08b8036",
     "sim_ann_recall" -> "67c1272f1b58b8ccc700a2152ffe7982",
-    "text_bpe_encode" -> "30d9dca49a6baad0df1a81ca8b81acc2",
-    "text_bpe_vocab" -> "4fd808e15824952d95e64ef9455de2d9",
     "text_ulm_encode" -> "7f86e5816f761128ac6ceacf6a87e748",
-    "text_ulm_vocab" -> "48188b7b9184067b5ed55d0eaeb5e961",
-    "text_wordpiece_encode" -> "985321dee3764197e2fe9cf8985d6e99",
-    "text_wordpiece_vocab" -> "2481620f4c1054291fd0537f0be00988")
+    "text_ulm_vocab" -> "48188b7b9184067b5ed55d0eaeb5e961")
 
   private val tables = Seq(
     "/root/testdata/sf0.001" -> expectedSf001,
