@@ -53,6 +53,39 @@ class Scale100Spec extends SparkSpec {
       s"100x pairs $nPairs != 10 * docs10 pairs $docs10Pairs")
   }
 
+  test("minhash-LSH banded blocking at 100x: bounded, recall vs exact holds") {
+    // the OTHER dedup scale path: the cascade test above rehearses the
+    // inverted-index blocking; this one rehearses the banded-signature
+    // path that survivors/pipeline_corpus_funnel actually run. The
+    // 10x-shard pair-count invariant does NOT transfer here — token
+    // renaming is a shingle-hash bijection, and LSH candidates depend
+    // on the hash VALUES through the permutation mins — so the
+    // invariant is the one the operator owns: recall against the exact
+    // >= 0.5 pair graph, plus bounded wall-clock on the shuffled-verify
+    // plan.
+    val d100 = graft.tools.Time100.docs100(spark, "/root/testdata/sf0.01")
+    val (lsh, t) = timed {
+      graft.operators.Dedup.minhashLshPairs(d100, "doc_id", "text",
+          threshold = 0.5, verifyBroadcast = Some(false))
+        .select("ida", "idb").localCheckpoint(true)
+    }
+    val nLsh = lsh.count()
+    info(f"100x minhash-LSH: $nLsh pairs in $t%.1fs (shuffled verify)")
+    assert(t < 180.0, f"100x LSH took $t%.1fs — superlinear blowup?")
+    val exact = graft.operators.Dedup.jaccardPairs(d100, "doc_id", "text",
+        threshold = 0.5, dfCap = 50, minShared = 2,
+        verifyBroadcast = Some(false))
+      .select("ida", "idb").localCheckpoint(true)
+    val nExact = exact.count()
+    val nCommon = exact.intersect(lsh).count()
+    info(s"100x LSH recall: $nCommon/$nExact exact pairs recovered")
+    // 16 bands x 4 rows: per-pair candidate probability is ~0.65 AT
+    // j=0.5 and >0.99 by j=0.8; the planted near-dup groups sit high,
+    // so corpus recall stays near 1 — 0.9 is the drift alarm
+    assert(nExact > 0 && nCommon.toDouble / nExact >= 0.9,
+      s"LSH recall ${nCommon.toDouble / nExact} < 0.9 at 100x")
+  }
+
   test("audio fingerprint match at 100x (50k waves): bounded, full recall") {
     import org.apache.spark.sql.functions.udf
     val wave = udf { id: Long =>
