@@ -86,6 +86,35 @@ class Scale100Spec extends SparkSpec {
       s"LSH recall ${nCommon.toDouble / nExact} < 0.9 at 100x")
   }
 
+  test("incremental index probe at 100x: batch probe stays batch-sized") {
+    // the 100 TB ingest lifecycle one decade up from the 10x rehearsal:
+    // index the 50k corpus ONCE, then probe a 1k batch of planted
+    // near-dups. The assertion is the lifecycle's whole point — probe
+    // cost tracks the BATCH, not the corpus (bounded by the one-time
+    // build), and every planted probe finds its source doc.
+    val d100 = graft.tools.Time100.docs100(spark, "/root/testdata/sf0.01")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-100x-lsh").toString
+    val (_, tBuild) = timed {
+      graft.operators.Dedup.writeLshIndex(d100, "doc_id", "text", idx)
+    }
+    val batch = d100.where(pmod(col("doc_id"), lit(50)) === 0)
+      .select((col("doc_id") + lit(900000000L)).as("doc_id"),
+        concat(col("text"), lit(" probe")).as("text"))
+      .localCheckpoint(true)
+    val nBatch = batch.count()
+    val (matches, tProbe) = timed {
+      graft.operators.Dedup.dedupAgainstIndex(batch, "doc_id", "text", idx,
+        threshold = 0.5).count()
+    }
+    info(f"100x index build $tBuild%.1fs; $nBatch-doc probe $tProbe%.1fs, " +
+      s"$matches matches")
+    assert(matches >= nBatch,
+      s"planted probes must match their source docs ($matches < $nBatch)")
+    assert(tProbe < tBuild * 2 + 60.0,
+      "probing must not degenerate into corpus-sized work")
+  }
+
   test("audio fingerprint match at 100x (50k waves): bounded, full recall") {
     import org.apache.spark.sql.functions.udf
     val wave = udf { id: Long =>
