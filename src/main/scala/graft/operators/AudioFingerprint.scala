@@ -21,8 +21,8 @@ import org.apache.spark.sql.functions._
   * Pipeline per payload (all inside one UDF call per row, emitting the
   * landmark list):
   *  1. frame the samples (frameSize window, hop stride);
-  *  2. DFT magnitude per frame (naive O(frameSize * bins) — frames
-  *     are 64 samples, this is arithmetic, not a bottleneck);
+  *  2. spectrum magnitude per frame (radix-2 FFT for power-of-two
+  *     frames — every registered size; naive DFT fallback otherwise);
   *  3. top `peaksPerFrame` bins per frame (ties -> lower bin) = the
   *     constellation;
   *  4. each peak pairs with peaks up to `fanout` frames ahead ->
@@ -60,6 +60,68 @@ object AudioFingerprint {
       (c, s)
     })
 
+  /** Twiddle factors e^{-2 pi i k / n}, k < n/2, cached per FFT size. */
+  private val fftTwiddleCache = scala.collection.concurrent.TrieMap
+    .empty[Int, (Array[Double], Array[Double])]
+  private def fftTwiddle(n: Int): (Array[Double], Array[Double]) =
+    fftTwiddleCache.getOrElseUpdate(n, {
+      val c = new Array[Double](n / 2)
+      val s = new Array[Double](n / 2)
+      var k = 0
+      while (k < n / 2) {
+        val a = -2.0 * math.Pi * k / n
+        c(k) = math.cos(a); s(k) = math.sin(a)
+        k += 1
+      }
+      (c, s)
+    })
+
+  /** In-place iterative radix-2 FFT (n a power of two). Replaces the
+    * naive O(n^2) per-frame DFT with O(n log n): at the registered
+    * 256-sample frames that is ~20x fewer flops, and the DFT was the
+    * whole cost of landmark extraction (round-7 A/B in TIMEONE.md).
+    * Magnitudes may differ from the naive loop by float rounding —
+    * allowed: the audio oracle bakes peaks from THIS code, and the
+    * rehearsal assertions (twin recovery, bounded time) are robust to
+    * ulp-level spectral wiggle.
+    */
+  private[graft] def fftInPlace(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    var j = 0
+    var i = 1
+    while (i < n) { // bit-reversal permutation
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      i += 1
+    }
+    val (cs, sn) = fftTwiddle(n)
+    var len = 2
+    while (len <= n) {
+      val half = len >> 1
+      val step = n / len
+      var base = 0
+      while (base < n) {
+        var k = 0
+        while (k < half) {
+          val wr = cs(k * step); val wi = sn(k * step)
+          val a = base + k; val b = a + half
+          val xr = re(b) * wr - im(b) * wi
+          val xi = re(b) * wi + im(b) * wr
+          re(b) = re(a) - xr; im(b) = im(a) - xi
+          re(a) += xr; im(a) += xi
+          k += 1
+        }
+        base += len
+      }
+      len <<= 1
+    }
+  }
+
   /** The constellation alone: top `peaksPerFrame` DFT-magnitude bins
     * per frame. Factored out of [[landmarks]] unchanged — it is also
     * the oracle-generation seam: the DFT is the one floating-point
@@ -79,28 +141,46 @@ object AudioFingerprint {
     if (n < frameSize) return Array.empty
     val nFrames = (n - frameSize) / hop + 1
     val bins = frameSize / 2
-    val (cosT, sinT) = trig(frameSize)
+    val pow2 = (frameSize & (frameSize - 1)) == 0
+    val fr = if (pow2) new Array[Double](frameSize) else null
+    val fi = if (pow2) new Array[Double](frameSize) else null
     // constellation: top peaks per frame
     val peaks = Array.ofDim[Int](nFrames, peaksPerFrame)
     var t = 0
     while (t < nFrames) {
       val off = t * hop
       val mag = new Array[Double](bins)
-      var k = 1 // skip DC
-      while (k < bins) {
-        var re = 0.0
-        var im = 0.0
-        val ck = cosT(k)
-        val sk = sinT(k)
+      if (pow2) { // FFT path (every registered frameSize)
         var i = 0
         while (i < frameSize) {
-          val s = (payload(off + i) & 0xFF) - 128.0
-          re += s * ck(i)
-          im += s * sk(i)
+          fr(i) = (payload(off + i) & 0xFF) - 128.0
+          fi(i) = 0.0
           i += 1
         }
-        mag(k) = re * re + im * im
-        k += 1
+        fftInPlace(fr, fi)
+        var k = 1 // skip DC
+        while (k < bins) {
+          mag(k) = fr(k) * fr(k) + fi(k) * fi(k)
+          k += 1
+        }
+      } else { // naive fallback for exotic frame sizes
+        val (cosT, sinT) = trig(frameSize)
+        var k = 1 // skip DC
+        while (k < bins) {
+          var re = 0.0
+          var im = 0.0
+          val ck = cosT(k)
+          val sk = sinT(k)
+          var i = 0
+          while (i < frameSize) {
+            val s = (payload(off + i) & 0xFF) - 128.0
+            re += s * ck(i)
+            im += s * sk(i)
+            i += 1
+          }
+          mag(k) = re * re + im * im
+          k += 1
+        }
       }
       // top-p bins, ties -> lower bin (selection by repeated argmax:
       // p is 3, bins 32 — simplicity over asymptotics)
