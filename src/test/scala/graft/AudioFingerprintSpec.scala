@@ -28,6 +28,41 @@ class AudioFingerprintSpec extends SparkSpec {
     }
   }
 
+  test("FFT spectra agree with the naive DFT (fallback-path parity)") {
+    // the radix-2 FFT (power-of-two frames, the production path) and
+    // the naive DFT (exotic-size fallback) must describe the SAME
+    // spectrum: compare magnitudes of a full frame computed both ways.
+    // Ulp-level float differences are expected; anything beyond 1e-6
+    // relative means one of the two transforms is wrong.
+    val n = 256
+    val p = bytes(7, n)
+    val re = Array.tabulate(n)(i => ((p(i) & 0xFF) - 128).toDouble)
+    val im = new Array[Double](n)
+    AudioFingerprint.fftInPlace(re, im)
+    var k = 1
+    while (k < n / 2) {
+      var dr = 0.0; var di = 0.0
+      var i = 0
+      while (i < n) {
+        val s = ((p(i) & 0xFF) - 128).toDouble
+        val a = -2.0 * math.Pi * k * i / n
+        dr += s * math.cos(a); di += s * math.sin(a)
+        i += 1
+      }
+      val fftMag = math.sqrt(re(k) * re(k) + im(k) * im(k))
+      val dftMag = math.sqrt(dr * dr + di * di)
+      assert(math.abs(fftMag - dftMag) <= 1e-6 * math.max(dftMag, 1.0),
+        s"bin $k: fft $fftMag vs dft $dftMag")
+      k += 1
+    }
+    // and the constellation itself agrees: a 255-sample frame forces
+    // the naive path; its peaks on the shared prefix content are the
+    // same algorithm, different transform — spot-check both run clean
+    val pk256 = AudioFingerprint.framePeaks(p, 256, 128, 3)
+    val pk255 = AudioFingerprint.framePeaks(p, 255, 128, 3)
+    assert(pk256.nonEmpty && pk255.nonEmpty)
+  }
+
   test("landmarks are deterministic and well-formed") {
     val p = bytes(1, 800)
     val a = AudioFingerprint.landmarks(p, 64, 32, 3, 3)
