@@ -48,7 +48,10 @@ object Bench {
       "sql_recursive_cte",
       // round-6 additions (one per new family)
       "graph_label_prop", "dedup_containment", "sim_matryoshka_recall",
-      "join_jaro_names")
+      "join_jaro_names",
+      // round-7 additions: the FFT-accelerated audio match and one
+      // trainer readout (the round's oracle-conversion + perf focus)
+      "multimodal_audio_match", "text_bpe_vocab")
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.US, v)
     val qs = results.filter(r => headline(r._1))
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
