@@ -1,11 +1,15 @@
 package graft
 
 /** Golden-hash regression pins for every registered query the driver
-  * can only rows-check (no DuckDB oracle). All are deterministic by
-  * construction — seeded LSH planes, fixed IVF/PQ sampling, FNV stub
-  * decoders, content-hash sampling — so their exact output is pinned
-  * at TWO scale factors: sf0.001 (fast iteration) and sf0.01 (the
-  * driver's correctness SF). The second table exists because a
+  * can only rows-check (no DuckDB oracle). After the round-7
+  * conversion wave this is 13 queries, each with a documented replay
+  * blocker (docs/ORACLES.md "The 13 that stay pinned"): HLL sketch
+  * internals, float partials merged in partition order (k-means / GD /
+  * co-moment families), and UnigramLm's log()-parity-dependent
+  * Viterbi. All are deterministic by construction — seeded sampling,
+  * fixed iteration counts — so their exact output is pinned at TWO
+  * scale factors: sf0.001 (fast iteration) and sf0.01 (the driver's
+  * correctness SF). The second table exists because a
   * SCALE-DEPENDENT behavior change — a threshold that bites only past
   * 500 docs, a sampling gate that flips — would pass an sf0.001-only
   * pin AND the driver's rows-only check (round-5 judge's top ask).
