@@ -86,6 +86,36 @@ class Scale100Spec extends SparkSpec {
       s"LSH recall ${nCommon.toDouble / nExact} < 0.9 at 100x")
   }
 
+  test("knnJoin at 100x vectors: IVF pruning scales with nlist") {
+    import graft.operators.IvfAnn
+    import org.apache.spark.sql.functions.expr
+    // 60 000 vectors: 100 perturbed-replica ranges of the sf0.01
+    // embedding table (the emb10 construction, one decade up). The
+    // scale knob the operator owns is nlist: growing it with the
+    // corpus keeps per-query candidates ~n/(nlist/nprobe) bounded —
+    // here 256/8 => ~1/32 of brute force, where the 10x rehearsal ran
+    // 64/8 => ~1/8. sampleMod=100 keeps the driver-side k-means
+    // training sample at ~600 vectors, corpus-size-independent.
+    val base = graft.Tables(spark, "/root/testdata/sf0.01", "embeddings")
+      .select("vec_id", "embedding")
+    val emb100 = (0 until 100).map { r =>
+      base.select(
+        (col("vec_id") + lit(r * 10000000L)).as("vec_id"),
+        expr(s"transform(embedding, (x, i) -> " +
+          s"x + float(0.001) * float($r % 10) * float(if(i % 2 = 0, 1, -1)))")
+          .cast("array<float>").as("embedding"))
+    }.reduce(_ unionByName _).localCheckpoint(true)
+    val n = emb100.count()
+    val (rows, t) = timed {
+      IvfAnn.knnJoin(emb100, emb100, k = 5, nlist = 256, nprobe = 8,
+        sampleMod = 100).count()
+    }
+    info(f"100x knn graph: $n vectors, $rows edges in $t%.1fs " +
+      "(nprobe/nlist = 8/256 — candidates ~1/32 of brute force)")
+    assert(rows == n * 5, "every vector must get k neighbors")
+    assert(t < 600.0, f"pruned knn graph took $t%.1fs — unbounded?")
+  }
+
   test("incremental index probe at 100x: batch probe stays batch-sized") {
     // the 100 TB ingest lifecycle one decade up from the 10x rehearsal:
     // index the 50k corpus ONCE, then probe a 1k batch of planted
