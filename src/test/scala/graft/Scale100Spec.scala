@@ -106,14 +106,28 @@ class Scale100Spec extends SparkSpec {
           .cast("array<float>").as("embedding"))
     }.reduce(_ unionByName _).localCheckpoint(true)
     val n = emb100.count()
-    val (rows, t) = timed {
+    // ONE materialization serves both assertions (a second knnJoin run
+    // would double the decade's dominant cost for no extra signal)
+    val (graph, t) = timed {
       IvfAnn.knnJoin(emb100, emb100, k = 5, nlist = 256, nprobe = 8,
-        sampleMod = 100).count()
+        sampleMod = 100).localCheckpoint(true)
     }
+    val rows = graph.count()
     info(f"100x knn graph: $n vectors, $rows edges in $t%.1fs " +
       "(nprobe/nlist = 8/256 — candidates ~1/32 of brute force)")
     assert(rows == n * 5, "every vector must get k neighbors")
     assert(t < 600.0, f"pruned knn graph took $t%.1fs — unbounded?")
+    // replicas of the same base vector are near-identical: even at
+    // 1/32 pruning the graph must surface replica neighbors for most
+    // queries (the 10x rehearsal's recall bar, held one decade up)
+    val sameBase = graph
+      .where(pmod(col("qid"), lit(10000000L)) ===
+        pmod(col("vec_id"), lit(10000000L)))
+      .select("qid").distinct().count()
+    info(s"100x knn recall: $sameBase/$n queries kept a replica neighbor")
+    assert(sameBase > n / 2,
+      s"only $sameBase/$n queries kept a replica neighbor — recall collapsed?")
+    graft.SessionMemo.free(graph)
   }
 
   test("incremental index probe at 100x: batch probe stays batch-sized") {
