@@ -20,9 +20,15 @@ import org.apache.spark.sql.execution.LogicalRDD
   *  - '''unbounded growth''': entries were never evicted, so cached
   *    `localCheckpoint` blocks accumulated disk for the session's
   *    lifetime as a session cycled datasets. Here the map is bounded:
-  *    past `maxEntries`, the oldest entry is evicted through the
-  *    `release` callback (unpersist / checkpoint-block free), so
-  *    storage tracks the working set, not the history.
+  *    past `maxEntries`, the oldest COMPLETED entry is evicted through
+  *    the `release` callback (unpersist / checkpoint-block free), so
+  *    storage tracks the working set, not the history. In-flight
+  *    builds are never evicted — removing one would strand the blocks
+  *    its builder is still creating (nobody would ever release them)
+  *    and let a re-request start a duplicate concurrent build — so the
+  *    bound may be exceeded transiently while more than `maxEntries`
+  *    builds are simultaneously in flight; each owner re-enforces the
+  *    bound as its build completes, restoring it at steady state.
   *
   * Concurrency: compute runs under a PER-KEY latch, not the memo-wide
   * lock — two concurrent consumers of the SAME (session, dataset)
@@ -49,12 +55,14 @@ final class SessionMemo[V](maxEntries: Int)(release: V => Unit) {
       // purge dead-session entries first: their checkpoint blocks are
       // already gone with the session, and serving one would hand the
       // caller a plan bound to a stopped context. Only COMPLETED cells
-      // are released here — an in-flight build's blocks are freed by
-      // its own completion path below.
+      // are removed and released here — a dead session's IN-FLIGHT
+      // cell stays mapped so its owner's post-complete re-check
+      // (below) is the one that frees the freshly built value; pulling
+      // it out here would leave nobody holding a releasable reference.
       val it = map.entrySet().iterator()
       while (it.hasNext) {
         val e = it.next()
-        if (e.getKey.session.sparkContext.isStopped) {
+        if (e.getKey.session.sparkContext.isStopped && e.getValue.isDone) {
           e.getValue.ifDone(release)
           it.remove()
         }
@@ -64,23 +72,53 @@ final class SessionMemo[V](maxEntries: Int)(release: V => Unit) {
       else {
         mine = new SessionMemo.Cell[V]
         map.put(k, mine)
-        while (map.size > maxEntries) {
-          val eldest = map.entrySet().iterator().next()
-          eldest.getValue.ifDone(release)
-          map.remove(eldest.getKey)
-        }
+        evictOverflow(keep = mine)
         mine
       }
     }
     if (cell ne mine) cell.await()
     else {
       // this caller owns the build; run it with no lock held
-      try cell.complete(compute)
-      catch {
-        case t: Throwable =>
-          synchronized { if (map.get(k) eq cell) map.remove(k) }
-          cell.fail(t)
-          throw t
+      val v =
+        try cell.complete(compute)
+        catch {
+          case t: Throwable =>
+            synchronized { if (map.get(k) eq cell) map.remove(k) }
+            cell.fail(t)
+            throw t
+        }
+      // post-complete re-check under lock: if our session died while
+      // the build ran, free the value we just created (the purge above
+      // intentionally skipped this in-flight cell); otherwise restore
+      // the size bound now that this cell has become evictable — but
+      // never by evicting the value we are about to hand the caller.
+      synchronized {
+        if (spark.sparkContext.isStopped) {
+          if (map.get(k) eq cell) map.remove(k)
+          release(v)
+        } else evictOverflow(keep = cell)
+      }
+      v
+    }
+  }
+
+  /** Drop + release oldest COMPLETED entries until the bound holds,
+    * skipping in-flight builds and the caller's own cell. Must be
+    * called with the memo lock held. May leave `map.size > maxEntries`
+    * when the excess is entirely in-flight/own cells — the transient
+    * overflow documented in the class comment.
+    */
+  private def evictOverflow(keep: SessionMemo.Cell[V]): Unit = {
+    var overflow = map.size - maxEntries
+    if (overflow > 0) {
+      val it = map.entrySet().iterator()
+      while (overflow > 0 && it.hasNext) {
+        val e = it.next()
+        if ((e.getValue ne keep) && e.getValue.isDone) {
+          e.getValue.ifDone(release)
+          it.remove()
+          overflow -= 1
+        }
       }
     }
   }
@@ -110,6 +148,7 @@ object SessionMemo {
       value.get
     }
     def ifDone(f: V => Unit): Unit = value.foreach(f)
+    def isDone: Boolean = value.isDefined
   }
 
   /** Reference-identity session key: two sessions are the same entry

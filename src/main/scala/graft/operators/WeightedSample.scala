@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 
 /** Deterministic weighted sampling without replacement (Efraimidis &
   * Spirakis A-Res): each row gets priority u^(1/w) with u a uniform
-  * derived from xxhash64(id, seed) — the n largest priorities ARE a
-  * weighted sample.
+  * derived from the 52-bit md5("w<seed>" || id) recipe below — the n
+  * largest priorities ARE a weighted sample.
   *
   * Scale shape: one narrow projection + a bounded top-n
   * (TakeOrderedAndProject — per-partition heaps of n, no global sort,

@@ -290,17 +290,26 @@ class PubMedScanBuilder(path: String, beginYear: Int, endYear: Int,
       case _ => 0L
     }).sum
     val (rows, bytes) = aggGroupCols match {
-      case Some(_) =>
-        // one emitted row per planned partition (the listing answers
-        // the count — no page rows ever materialize)
-        val n = keys.size.toLong
+      case Some(cols) =>
+        // one emitted row per DISTINCT value of the pushed group
+        // columns among the planned (year, month) keys — a year-only
+        // grouping emits one row per year, not one per month
+        // partition, and a global COUNT(*) emits exactly one
+        val g = cols.map(_.toLowerCase).toSet
+        val n =
+          if (g.isEmpty) 1L
+          else keys.map(k =>
+            (if (g("year")) k._1 else 0, if (g("month")) k._2 else 0))
+            .size.toLong
         (n, n * fixedWidth)
       case None =>
         val perPartCap = limitPushed.map(_.toLong)
         val n = perPartCap match {
           case Some(l) =>
-            // partial limit: each partition stops after l pages
-            math.min(pageLens.length.toLong, l * keys.size)
+            // pushLimit's contract is the GLOBAL limit: each partition
+            // stops after l pages but the operator above keeps only l
+            // total, so that is the bound rows flowing downstream
+            math.min(pageLens.length.toLong, l)
           case None => pageLens.length.toLong
         }
         val content =

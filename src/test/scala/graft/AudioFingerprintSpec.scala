@@ -63,6 +63,40 @@ class AudioFingerprintSpec extends SparkSpec {
     assert(pk256.nonEmpty && pk255.nonEmpty)
   }
 
+  test("known sinusoids peak at their analytic bins (independent spectral fixture)") {
+    // the r7 advisor note: the audio ORACLE bakes peak bins produced
+    // by framePeaks itself, so the DFT/peak stage is self-referential
+    // there. This fixture is the independent anchor: a byte payload
+    // sampling A1*cos(2*pi*k1*i/N) + A2*cos(2*pi*k2*i/N) has an
+    // ANALYTIC spectrum — all energy at bins k1 and k2, ordered by
+    // amplitude — so the expected peaks come from Fourier theory, not
+    // from the code under test.
+    val frame = 64
+    val (k1, a1) = (7, 80.0)  // dominant tone
+    val (k2, a2) = (19, 40.0) // secondary tone
+    val payload = Array.tabulate(frame * 4) { i =>
+      val s = a1 * math.cos(2 * math.Pi * k1 * i / frame) +
+        a2 * math.cos(2 * math.Pi * k2 * i / frame)
+      (128 + math.round(s)).toByte // stub decode inverts this exactly
+    }
+    // hop == frame: every frame sees an integer number of periods of
+    // both tones, so leakage is only the byte-rounding noise floor
+    val peaks = AudioFingerprint.framePeaks(payload, frame, frame, 3)
+    assert(peaks.length == 4)
+    peaks.zipWithIndex.foreach { case (ps, t) =>
+      assert(ps(0) == k1, s"frame $t: dominant peak ${ps(0)}, expected bin $k1")
+      assert(ps(1) == k2, s"frame $t: second peak ${ps(1)}, expected bin $k2")
+    }
+    // single pure tone: exactly one spectral line
+    val pure = Array.tabulate(frame * 2) { i =>
+      (128 + math.round(100.0 * math.cos(2 * math.Pi * 11 * i / frame))).toByte
+    }
+    AudioFingerprint.framePeaks(pure, frame, frame, 1)
+      .zipWithIndex.foreach { case (ps, t) =>
+        assert(ps(0) == 11, s"frame $t: pure tone peaked at ${ps(0)}, expected 11")
+      }
+  }
+
   test("landmarks are deterministic and well-formed") {
     val p = bytes(1, 800)
     val a = AudioFingerprint.landmarks(p, 64, 32, 3, 3)

@@ -89,7 +89,7 @@ class Scale100Spec extends SparkSpec {
   test("knnJoin at 100x vectors: IVF pruning scales with nlist") {
     import graft.operators.IvfAnn
     import org.apache.spark.sql.functions.expr
-    // 60 000 vectors: 100 perturbed-replica ranges of the sf0.01
+    // 50 000 vectors: 100 perturbed-replica ranges of the sf0.01
     // embedding table (the emb10 construction, one decade up). The
     // scale knob the operator owns is nlist: growing it with the
     // corpus keeps per-query candidates ~n/(nlist/nprobe) bounded —
@@ -125,7 +125,10 @@ class Scale100Spec extends SparkSpec {
         pmod(col("vec_id"), lit(10000000L)))
       .select("qid").distinct().count()
     info(s"100x knn recall: $sameBase/$n queries kept a replica neighbor")
-    assert(sameBase > n / 2,
+    // the 10x rehearsal pinned >= 0.9 and the measured 100x value is
+    // 50000/50000 = 1.0 (docs/SCALING.md) — hold the same bar here; a
+    // > n/2 gate would have passed a collapse to 0.51
+    assert(sameBase >= math.ceil(0.9 * n).toLong,
       s"only $sameBase/$n queries kept a replica neighbor — recall collapsed?")
     graft.SessionMemo.free(graph)
   }

@@ -161,6 +161,95 @@ class SessionMemoSpec extends SparkSpec {
     assert(memo.getOrElseUpdate(spark, "flaky")("recovered") == "recovered")
   }
 
+  test("eviction never strands an in-flight build") {
+    // the r7 advisor finding: an entry evicted WHILE its multi-second
+    // build ran leaked its blocks forever (ifDone was a no-op and the
+    // owner never released) and a re-request started a duplicate
+    // build. Now in-flight cells are skipped by eviction — the bound
+    // overflows transiently — and the owner re-enforces it on
+    // completion, so the fresh value survives, churned completed
+    // entries are the ones released, and a mid-build consumer still
+    // joins the one build.
+    val released = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val memo = new SessionMemo[String](1)(v => released.add(v))
+    val slowBuilds = new java.util.concurrent.atomic.AtomicInteger
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val unblock = new java.util.concurrent.CountDownLatch(1)
+    @volatile var ownerV: String = null
+    val owner = new Thread(() => {
+      ownerV = memo.getOrElseUpdate(spark, "slow") {
+        slowBuilds.incrementAndGet(); started.countDown(); unblock.await()
+        "slow-v1"
+      }
+    })
+    owner.start()
+    started.await()
+    // churn 3 other keys past the size-1 bound while slow is in flight
+    (1 to 3).foreach(i => memo.getOrElseUpdate(spark, s"churn$i")(s"v$i"))
+    assert(memo.size == 2, "in-flight cell must survive the churn (bound overflows transiently)")
+    assert(released.asScala == Set("v1", "v2"),
+      "only completed churn entries are evicted while the build runs")
+    // a consumer arriving mid-build must join the one build, not start another
+    @volatile var joinerV: String = null
+    val joiner = new Thread(() => {
+      joinerV = memo.getOrElseUpdate(spark, "slow") {
+        slowBuilds.incrementAndGet(); "slow-duplicate"
+      }
+    })
+    joiner.start()
+    Thread.sleep(100)
+    unblock.countDown()
+    owner.join(10000); joiner.join(10000)
+    assert(slowBuilds.get == 1, s"duplicate build: ${slowBuilds.get}")
+    assert(ownerV == "slow-v1" && joinerV == "slow-v1")
+    // owner's post-complete pass restores the bound by evicting the
+    // remaining churn entry, never the value it just handed out
+    assert(memo.size == 1)
+    assert(released.asScala == Set("v1", "v2", "v3"))
+    assert(!released.contains("slow-v1"), "the fresh build's value leaked into release")
+  }
+
+  test("concurrent get/build/evict storm: no deadlock, no leak, no double-release") {
+    // every value ever built must end the storm either still mapped or
+    // released EXACTLY once — the bounded-storage contract under
+    // maximal churn (12 threads × 200 ops × 8 keys on a size-3 memo,
+    // with occasional slow builds forcing eviction-during-build).
+    val releases = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val built = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val memo = new SessionMemo[String](3)(v => releases.add(v))
+    val ctr = new java.util.concurrent.atomic.AtomicInteger
+    val go = new java.util.concurrent.CountDownLatch(1)
+    val threads = (1 to 12).map { t =>
+      new Thread(() => {
+        val rnd = new scala.util.Random(t)
+        go.await()
+        (1 to 200).foreach { _ =>
+          val key = s"k${rnd.nextInt(8)}"
+          memo.getOrElseUpdate(spark, key) {
+            if (rnd.nextInt(10) == 0) Thread.sleep(2)
+            val v = s"$key#${ctr.incrementAndGet()}"
+            built.add(v)
+            v
+          }
+          ()
+        }
+      })
+    }
+    threads.foreach(_.start())
+    go.countDown()
+    threads.foreach(_.join(60000))
+    assert(threads.forall(!_.isAlive), "storm deadlocked")
+    val releasedList = releases.asScala.toList
+    val releasedSet = releasedList.toSet
+    assert(releasedList.size == releasedSet.size,
+      s"double-released: ${releasedList.groupBy(identity).collect { case (v, l) if l.size > 1 => v }}")
+    assert(releasedSet.subsetOf(built.asScala),
+      "released a value that was never built")
+    assert(built.size - releasedSet.size == memo.size,
+      s"leak: built ${built.size}, released ${releasedSet.size}, mapped ${memo.size}")
+    assert(memo.size <= 3, "bound must hold once all builds completed")
+  }
+
   test("a different session never sees another session's entry") {
     val memo = new SessionMemo[String](4)(_ => ())
     val v1 = memo.getOrElseUpdate(spark, "dir")("from-session-1")
