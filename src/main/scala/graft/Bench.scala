@@ -9,11 +9,22 @@ import org.apache.spark.sql.SparkSession
   * whole-stage-codegen compilation and parquet footer caching so the
   * first timed query measures the query, not cold-start (measured ~6s
   * of warmup otherwise attributed to whichever query ran first).
+  *
+  * Each query is then timed over THREE round-robin passes and reported
+  * at the per-query MEDIAN (round-8 change): single-shot totals rode a
+  * ±30% host-variance band (TIMEONE.md) that made cross-round BENCH
+  * deltas unreadable without hand-run comparators. Round-robin (pass
+  * over all queries, repeat) rather than back-to-back 3x decorrelates
+  * a transient host stall from any single query's three samples; the
+  * median then drops one bad sample per query entirely. `value` is the
+  * sum of medians, `value_min` the sum of per-query minima (the
+  * low-noise floor), `passes` says how many rounds contributed.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -22,15 +33,23 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val warmupDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    named.foreach { case (_, fn) =>
       try fn(spark, warmupDir).count()
       catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+    (1 to passes).foreach { _ =>
+      named.foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        val dt = (System.nanoTime() - t0) / 1e9
+        samples(name) = samples.getOrElse(name, Vector.empty) :+ dt
+      }
     }
+    def median(v: Vector[Double]): Double = v.sorted.apply(v.size / 2)
+    val results = named.map { case (name, _) => name -> median(samples(name)) }
+    val mins = named.map { case (name, _) => name -> samples(name).min }.toMap
     // The driver keeps only the LAST 2000 chars of output, so the JSON
     // line must stay well under that to parse: per-query detail is
     // limited to a fixed headline subset (one per major category,
@@ -57,16 +76,18 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val totalMin = if (results.nonEmpty) results.map(r => mins(r._1)).sum else 0.0
     // local iteration aid: full per-query dump to a file, never stdout
     // (the driver-facing JSON line must stay the LAST thing printed)
     sys.env.get("SPARK_GRAFT_BENCH_FULL").foreach { path =>
       val full = results.sortBy(-_._2)
-        .map { case (k, v) => "\"" + k + "\":" + r3(v) }
+        .map { case (k, v) =>
+          "\"" + k + "\":{\"med\":" + r3(v) + ",\"min\":" + r3(mins(k)) + "}" }
         .mkString("{", ",", "}")
       java.nio.file.Files.write(java.nio.file.Paths.get(path),
         full.getBytes("UTF-8"))
     }
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","stat":"median","passes":$passes,"value_min":${r3(totalMin)},"n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
