@@ -1,0 +1,54 @@
+package graft
+
+import graft.tools.PlanShape
+import graft.tools.PlanShape.Shape
+
+/** Executed-plan-shape pins for the five most expensive registered
+  * queries (bench_full_r7 top-5). The registry-wide guards
+  * (QuerySmokeSpec) ban cartesians and partition-less windows, but a
+  * subtler strategy regression — a re-introduced corpus-side
+  * broadcast in the dedup verify, a join that degrades to an extra
+  * exchange, a lost exchange reuse — would surface only as bench
+  * noise inside the ±30% host band. These pins fail the build on any
+  * such drift: the expected shapes are the plans audited scale-safe
+  * in VERDICT r7 / docs/SCALING.md.
+  *
+  * The pins are SF-specific (AQE picks strategies from runtime sizes,
+  * so the committed sf0.001 inputs make them deterministic); a pin
+  * failure after an intentional strategy change is expected — re-read
+  * the new plan, confirm it is still the plan you'd want at 100 TB,
+  * and re-pin with `runMain graft.tools.PlanShape <names> <sfDir>`.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  // expected shapes at sf0.001 (see scaladoc for the re-pin protocol)
+  private val pins = Map(
+    // reads the ONE shared checkpointed cascade: every exchange of the
+    // shingle/verify pipeline is paid inside the memo build, so the
+    // audit itself must stay exchange-free — a shuffle appearing here
+    // means the cascade stopped being shared/checkpointed
+    "dedup_blocking_audit" -> Shape(0, 0, 0, 0, 0, 0, 0),
+    // shuffle-partitioned IVF join: assignment + candidate join +
+    // top-k shuffles, ONE broadcast (the k-means centroid table —
+    // k-sized, never a corpus side)
+    "sim_knn_graph" -> Shape(4, 1, 0, 0, 1, 0, 0),
+    // landmark equi-join + offset-histogram vote; the broadcasts are
+    // the df-cap hot-hash filter and the vote floor (both bounded
+    // aggregates), one exchange reused across the self-join sides
+    "multimodal_audio_match" -> Shape(6, 2, 1, 0, 2, 0, 0),
+    // shared trigram base + hash aggs; the bnlj is the 1-row corpus
+    // normalizer joined to every bucket (bounded broadcast, by design)
+    "text_perplexity_buckets" -> Shape(4, 2, 0, 0, 1, 0, 1),
+    // per-document windows + TakeOrdered; broadcasts are the bounded
+    // stopword/degree side tables
+    "text_rake_topk" -> Shape(4, 3, 0, 0, 3, 0, 0))
+
+  pins.foreach { case (name, expected) =>
+    test(s"$name keeps its audited executed-plan shape") {
+      val actual = PlanShape.of(SparkEntry.queries(name)(spark, sfDir))
+      assert(actual == expected,
+        s"$name strategy drift: executed $actual, pinned $expected — " +
+          "if intentional, re-audit for 100 TB safety and re-pin")
+    }
+  }
+}
