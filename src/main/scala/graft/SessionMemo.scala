@@ -39,7 +39,7 @@ import org.apache.spark.sql.execution.LogicalRDD
   * lock is held only for get/put/evict bookkeeping, never during
   * compute).
   */
-final class SessionMemo[V](maxEntries: Int)(release: V => Unit) {
+class SessionMemo[V](maxEntries: Int)(release: V => Unit) {
   require(maxEntries >= 1, s"maxEntries must be >= 1, got $maxEntries")
 
   import SessionMemo.K
@@ -48,25 +48,38 @@ final class SessionMemo[V](maxEntries: Int)(release: V => Unit) {
   // per-key latches so the build runs outside the map lock
   private val map = new java.util.LinkedHashMap[K, SessionMemo.Cell[V]]()
 
+  /** Session-liveness predicate, overridable by concurrency tests that
+    * need to flip "stopped" deterministically without tearing down the
+    * one shared SparkContext a test JVM gets.
+    */
+  protected def sessionStopped(s: SparkSession): Boolean =
+    s.sparkContext.isStopped
+
+  /** Purge dead-session entries: their checkpoint blocks are already
+    * gone with the session, and serving one would hand the caller a
+    * plan bound to a stopped context. Only COMPLETED cells are removed
+    * and released here — a dead session's IN-FLIGHT cell stays mapped
+    * so its owner's post-complete re-check is the one that frees the
+    * freshly built value; pulling it out here would leave nobody
+    * holding a releasable reference. Reentrant-safe under the memo
+    * lock (exposed to tests to drive exact interleavings).
+    */
+  private[graft] def purgeDead(): Unit = synchronized {
+    val it = map.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (sessionStopped(e.getKey.session) && e.getValue.isDone) {
+        e.getValue.ifDone(release)
+        it.remove()
+      }
+    }
+  }
+
   def getOrElseUpdate(spark: SparkSession, key: String)(compute: => V): V = {
     val k = new K(spark, key)
     var mine: SessionMemo.Cell[V] = null
     val cell = synchronized {
-      // purge dead-session entries first: their checkpoint blocks are
-      // already gone with the session, and serving one would hand the
-      // caller a plan bound to a stopped context. Only COMPLETED cells
-      // are removed and released here — a dead session's IN-FLIGHT
-      // cell stays mapped so its owner's post-complete re-check
-      // (below) is the one that frees the freshly built value; pulling
-      // it out here would leave nobody holding a releasable reference.
-      val it = map.entrySet().iterator()
-      while (it.hasNext) {
-        val e = it.next()
-        if (e.getKey.session.sparkContext.isStopped && e.getValue.isDone) {
-          e.getValue.ifDone(release)
-          it.remove()
-        }
-      }
+      purgeDead()
       val hit = map.get(k)
       if (hit != null) hit
       else {
@@ -92,10 +105,13 @@ final class SessionMemo[V](maxEntries: Int)(release: V => Unit) {
       // intentionally skipped this in-flight cell); otherwise restore
       // the size bound now that this cell has become evictable — but
       // never by evicting the value we are about to hand the caller.
+      // Release ONLY while the cell is still mapped: once `complete`
+      // made it isDone, a concurrent purge or eviction may already
+      // have removed-and-released it, and releasing again here would
+      // double-free (the released-exactly-once contract).
       synchronized {
-        if (spark.sparkContext.isStopped) {
-          if (map.get(k) eq cell) map.remove(k)
-          release(v)
+        if (sessionStopped(spark)) {
+          if (map.get(k) eq cell) { map.remove(k); release(v) }
         } else evictOverflow(keep = cell)
       }
       v

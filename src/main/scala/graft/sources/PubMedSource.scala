@@ -290,26 +290,24 @@ class PubMedScanBuilder(path: String, beginYear: Int, endYear: Int,
       case _ => 0L
     }).sum
     val (rows, bytes) = aggGroupCols match {
-      case Some(cols) =>
-        // one emitted row per DISTINCT value of the pushed group
-        // columns among the planned (year, month) keys — a year-only
-        // grouping emits one row per year, not one per month
-        // partition, and a global COUNT(*) emits exactly one
-        val g = cols.map(_.toLowerCase).toSet
-        val n =
-          if (g.isEmpty) 1L
-          else keys.map(k =>
-            (if (g("year")) k._1 else 0, if (g("month")) k._2 else 0))
-            .size.toLong
+      case Some(_) =>
+        // DSv2 Statistics describe the SCAN's output. Only the exact
+        // (year, month) grouping is a complete pushdown; every other
+        // accepted grouping (year-only, month-only, global COUNT(*))
+        // is partial, where each planned partition emits one partial
+        // count row that Spark's agg above merges — so the scan
+        // outputs keys.size rows in all cases (for the complete
+        // grouping, distinct groups and planned partitions coincide).
+        val n = keys.size.toLong
         (n, n * fixedWidth)
       case None =>
-        val perPartCap = limitPushed.map(_.toLong)
-        val n = perPartCap match {
+        val n = limitPushed match {
           case Some(l) =>
-            // pushLimit's contract is the GLOBAL limit: each partition
-            // stops after l pages but the operator above keeps only l
-            // total, so that is the bound rows flowing downstream
-            math.min(pageLens.length.toLong, l)
+            // pushLimit is declared PARTIAL (isPartiallyPushed): each
+            // partition emits up to l rows and the GlobalLimit node
+            // above does the final cap, so the scan's own output
+            // bound is l per planned partition
+            math.min(pageLens.length.toLong, l.toLong * keys.size)
           case None => pageLens.length.toLong
         }
         val content =

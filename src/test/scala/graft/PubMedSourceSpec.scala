@@ -178,6 +178,54 @@ class PubMedSourceSpec extends SparkSpec {
     assert(out.estimateStatistics().numRows().getAsLong == 0L)
   }
 
+  test("reported statistics describe the SCAN's output under partial pushdown") {
+    // the r8 advisor findings: DSv2 Statistics must bound what the
+    // scan EMITS, not what the operator above keeps. pushLimit is
+    // partial (each partition emits up to l rows; GlobalLimit caps
+    // above), and every grouping except exactly (year, month) is a
+    // partial aggregation (one partial-count row per planned
+    // partition). Five pages across two months, 12 planned months.
+    import graft.sources.PubMedScanBuilder
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+    val dir = java.nio.file.Files.createTempDirectory("pubmed-stats").toFile
+    try {
+      val pages = Seq("1999_1_num_0", "1999_1_num_1", "1999_1_num_2",
+        "1999_2_num_0", "1999_2_num_1")
+      pages.foreach { n =>
+        java.nio.file.Files.write(new java.io.File(dir, n).toPath,
+          "Pubmed-entry ::= {}".getBytes)
+      }
+      // partial limit: 5 listed pages, limit 1 over 12 partitions —
+      // the scan can emit up to min(5, 1*12) = 5 rows (the old
+      // min(pages, l) = 1 under-estimated by the partition count)
+      val lim = new PubMedScanBuilder(dir.getPath, 1999, 2000)
+      assert(lim.pushLimit(1))
+      assert(lim.estimateStatistics().numRows().getAsLong == 5L)
+      // partial aggregation (year-only grouping): each of the 12
+      // planned partitions emits one partial-count row, so the scan
+      // outputs 12 rows — not the 1 distinct year
+      def agg(groups: String*) = new Aggregation(
+        Array(new CountStar),
+        groups.toArray.map(g =>
+          Expressions.column(g)
+            : org.apache.spark.sql.connector.expressions.Expression))
+      val byYear = new PubMedScanBuilder(dir.getPath, 1999, 2000)
+      assert(byYear.pushAggregation(agg("year")))
+      assert(byYear.estimateStatistics().numRows().getAsLong == 12L)
+      val global = new PubMedScanBuilder(dir.getPath, 1999, 2000)
+      assert(global.pushAggregation(agg()))
+      assert(global.estimateStatistics().numRows().getAsLong == 12L)
+      // complete pushdown (year, month): distinct groups == planned
+      // partitions, so the two readings coincide at 12
+      val complete = new PubMedScanBuilder(dir.getPath, 1999, 2000)
+      assert(complete.pushAggregation(agg("year", "month")))
+      assert(complete.estimateStatistics().numRows().getAsLong == 12L)
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
   test("reported statistics let the planner broadcast a pruned scan") {
     // pre-stats, a DSv2 scan with no SupportsReportStatistics reports
     // spark.sql.defaultSizeInBytes (Long.MaxValue): joined against a

@@ -2,7 +2,7 @@ package graft
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.LogicalRDD
 
 /** Pins the memo-hardening contract (round-5 judge ask): the shared
@@ -248,6 +248,50 @@ class SessionMemoSpec extends SparkSpec {
     assert(built.size - releasedSet.size == memo.size,
       s"leak: built ${built.size}, released ${releasedSet.size}, mapped ${memo.size}")
     assert(memo.size <= 3, "bound must hold once all builds completed")
+  }
+
+  test("stopped-session owner never double-releases after a concurrent purge") {
+    // the r8 advisor finding: once cell.complete(v) makes the cell
+    // isDone, a concurrent dead-session purge can release-and-remove
+    // it BEFORE the owner takes the memo lock; the owner's
+    // stopped-session branch then used to call release(v)
+    // unconditionally — a double free. Forced interleaving: the test
+    // holds the memo's monitor while the owner completes (so the owner
+    // blocks entering its post-complete critical section), flips the
+    // session to "stopped", runs the purge reentrantly (release #1),
+    // then lets the owner in — which must now see the cell unmapped
+    // and NOT release again.
+    val releases = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    @volatile var stoppedFlag = false
+    val memo = new SessionMemo[String](4)(v => releases.add(v)) {
+      override protected def sessionStopped(s: SparkSession): Boolean =
+        stoppedFlag
+    }
+    val inBuild = new java.util.concurrent.CountDownLatch(1)
+    val finishBuild = new java.util.concurrent.CountDownLatch(1)
+    @volatile var ownerV: String = null
+    val owner = new Thread(() => {
+      ownerV = memo.getOrElseUpdate(spark, "k") {
+        inBuild.countDown(); finishBuild.await(); "v"
+      }
+    })
+    owner.start()
+    inBuild.await()
+    memo.synchronized {
+      finishBuild.countDown()
+      // complete() runs before the owner's synchronized block in its
+      // program order, so once the owner is BLOCKED on the monitor we
+      // hold, the cell is already isDone — the exact race window.
+      while (owner.getState != Thread.State.BLOCKED) Thread.sleep(1)
+      stoppedFlag = true
+      memo.purgeDead() // reentrant; removes + releases the done cell
+    }
+    owner.join(10000)
+    assert(!owner.isAlive)
+    assert(ownerV == "v", "the owner still hands its caller the value")
+    assert(releases.asScala.toList == List("v"),
+      s"released ${releases.asScala.toList} — must be exactly once")
+    assert(memo.size == 0)
   }
 
   test("a different session never sees another session's entry") {
