@@ -24,6 +24,21 @@ object IvfAnn {
     * the driver-side sample stays ~k*100 rows no matter the corpus size
     * (collecting the full embedding column would OOM the driver long
     * before 100 TB).
+    *
+    * Sample selection HASHES the id before the modulus: `vec_id % mod`
+    * confounds the sample with however ids were assigned — on the
+    * 100x rehearsal corpus (ids = base + range*1e7) it selected the
+    * SAME 5 base vectors from every range, so 256 centroids trained on
+    * 5 effective points, lists skewed ~4x fat, and the kNN join paid
+    * 320M candidate pairs where balanced lists cost ~80M (TimeKnn).
+    * `hash(vec_id) % mod` is id-structure-independent and equally
+    * deterministic. Seeding is farthest-point (deterministic k-means++
+    * flavor: ties to the lowest sample index) rather than "first k
+    * collected" — first-k inherits whatever locality the sample order
+    * had, farthest-point spreads seeds across the actual clusters, and
+    * its O(k*sample*dim) driver cost is noise next to one Lloyd pass.
+    * The sample is collected ordered by vec_id so training is
+    * layout-independent, not partition-order-dependent.
     */
   def trainCentroids(corpus: DataFrame, k: Int, sampleMod: Int = 0,
       iters: Int = 5): Array[Array[Double]] = {
@@ -34,12 +49,13 @@ object IvfAnn {
         math.min(Int.MaxValue.toLong, math.max(1L, n / (k * 100L))).toInt
       }
     val sample = corpus
-      .where(pmod(col("vec_id"), lit(mod)) === 0)
-      .select("embedding")
+      .where(pmod(hash(col("vec_id")), lit(mod)) === 0)
+      .select("vec_id", "embedding")
+      .orderBy("vec_id")
       .collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
     require(sample.length >= k, s"sample ${sample.length} < k=$k")
-    var centroids = sample.take(k).map(_.clone())
+    var centroids = farthestPointSeeds(sample, k)
     (0 until iters).foreach { _ =>
       val sums = Array.fill(k)(new Array[Double](centroids(0).length))
       val counts = new Array[Int](k)
@@ -55,6 +71,36 @@ object IvfAnn {
       }
     }
     centroids
+  }
+
+  /** Deterministic farthest-point seeding: seed 0 is the first sample
+    * (lowest vec_id), each next seed the sample farthest from its
+    * nearest already-chosen seed, ties to the lowest index.
+    */
+  private def farthestPointSeeds(sample: Array[Array[Double]],
+      k: Int): Array[Array[Double]] = {
+    val seeds = new Array[Array[Double]](k)
+    seeds(0) = sample(0).clone()
+    val minD = Array.fill(sample.length)(Double.MaxValue)
+    var c = 1
+    while (c < k) {
+      val prev = seeds(c - 1)
+      var best = 0
+      var bestD = -1.0
+      var i = 0
+      while (i < sample.length) {
+        val v = sample(i)
+        var d = 0.0
+        var j = 0
+        while (j < v.length) { val x = v(j) - prev(j); d += x * x; j += 1 }
+        if (d < minD(i)) minD(i) = d
+        if (minD(i) > bestD) { bestD = minD(i); best = i }
+        i += 1
+      }
+      seeds(c) = sample(best).clone()
+      c += 1
+    }
+    seeds
   }
 
   private def nearest(v: Array[Double], cs: Array[Array[Double]]): Int = {
@@ -161,8 +207,8 @@ object IvfAnn {
     val sims = assigned.join(probed,
         Seq("list_id")).where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        round(VectorOps.dot(col("qemb"), col("embedding")) /
-          (col("qnrm") * col("nrm")), 6).as("sim"))
+        VectorOps.simRound6(VectorOps.dot(col("qemb"), col("embedding")) /
+          (col("qnrm") * col("nrm"))).as("sim"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
     sims
       .select(col("qid"), col("vec_id"), col("sim"),
@@ -215,8 +261,8 @@ object IvfAnn {
     val sims = assigned.repartition(col("list_id")).join(probes, Seq("list_id"))
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        round(VectorOps.dot(col("qemb"), col("embedding")) /
-          (col("qnrm") * col("nrm")), 6).as("sim"))
+        VectorOps.simRound6(VectorOps.dot(col("qemb"), col("embedding")) /
+          (col("qnrm") * col("nrm"))).as("sim"))
     // per-query top-k through the native bounded-heap operator: partial
     // heaps run BELOW the exchange on InternalRows (no encoder serde —
     // measured 3.5x over the typed-aggregator formulation on the 4M-pair
@@ -246,8 +292,8 @@ object IvfAnn {
     val sims = assigned.join(probed,
         Seq("list_id")).where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        round(VectorOps.dot(col("qemb"), col("embedding")) /
-          (col("qnrm") * col("nrm")), 6).as("sim"))
+        VectorOps.simRound6(VectorOps.dot(col("qemb"), col("embedding")) /
+          (col("qnrm") * col("nrm"))).as("sim"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
     sims
       .select(col("qid"), col("vec_id"), col("sim"),

@@ -34,11 +34,15 @@ object PqAnn {
         val n = corpus.count()
         math.min(Int.MaxValue.toLong, math.max(1L, n / (ksub * 100L))).toInt
       }
+    // hash the id before the modulus (same fix as IvfAnn.trainCentroids):
+    // `vec_id % mod` confounds the sample with id-assignment structure;
+    // ordered collect keeps training layout-independent
     val sample = corpus
-      .where(pmod(col("vec_id"), lit(mod)) === 0)
-      .select("embedding")
+      .where(pmod(hash(col("vec_id")), lit(mod)) === 0)
+      .select("vec_id", "embedding")
+      .orderBy("vec_id")
       .collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
     require(sample.nonEmpty, "empty training sample")
     val dim = sample(0).length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
@@ -192,8 +196,8 @@ object PqAnn {
     val exact = corpus.join(broadcast(cand), Seq("vec_id"))
       .join(q, Seq("qid"))
       .select(col("qid"), col("vec_id"),
-        round(VectorOps.dot(col("qemb"), col("embedding")) /
-          (col("qnrm") * VectorOps.norm(col("embedding"))), 6).as("sim"))
+        VectorOps.simRound6(VectorOps.dot(col("qemb"), col("embedding")) /
+          (col("qnrm") * VectorOps.norm(col("embedding")))).as("sim"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
     exact
       .select(col("qid"), col("vec_id"), col("sim"),

@@ -54,8 +54,8 @@ object SemDedup {
     val pairs = side("ida").join(side("idb"),
         Seq("cluster"))
       .where(col("ida") < col("idb") &&
-        round(VectorOps.dot(col("_eida"), col("_eidb")) /
-          (col("_nida") * col("_nidb")), 6) >= eps)
+        graft.functions.VectorOps.simRound6(VectorOps.dot(col("_eida"), col("_eidb")) /
+          (col("_nida") * col("_nidb"))) >= eps)
       .select(col("ida"), col("idb"))
 
     val comps = Dedup.connectedComponents(pairs)
@@ -65,7 +65,7 @@ object SemDedup {
     // prototypical member, deterministic tie-break on id
     val keepers = base.join(comps, "_id")
       .groupBy("component")
-      .agg(max(struct(round(col("dist2"), 6).as("d"), col("_id").as("i")))
+      .agg(max(struct(graft.functions.VectorOps.simRound6(col("dist2")).as("d"), col("_id").as("i")))
         .getField("i").as("_keeper"))
 
     base.join(comps, Seq("_id"), "left")

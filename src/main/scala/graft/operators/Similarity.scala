@@ -34,8 +34,8 @@ object Similarity {
       VectorOps.norm(col("embedding")).as("nrm"))
     val sims = c.join(q, col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        round(VectorOps.dot(col("qemb"), col("embedding")) /
-          (col("qnrm") * col("nrm")), 6).as("sim"))
+        VectorOps.simRound6(VectorOps.dot(col("qemb"), col("embedding")) /
+          (col("qnrm") * col("nrm"))).as("sim"))
     topK(sims, k)
   }
 
@@ -57,8 +57,8 @@ object Similarity {
       VectorOps.norm(col("embedding")).as("nrm"))
     val sims = c.join(q, col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        round(VectorOps.dot(col("qemb"), col("embedding")) /
-          (col("qnrm") * col("nrm")), 6).as("sim"))
+        VectorOps.simRound6(VectorOps.dot(col("qemb"), col("embedding")) /
+          (col("qnrm") * col("nrm"))).as("sim"))
     val agg = new graft.functions.TopKAggregator(k)
     sims.as[(Long, Long, Double)]
       .groupByKey(_._1)
@@ -95,8 +95,8 @@ object Similarity {
     val sims = c.join(q, col("vec_id") =!= col("qid") &&
         col("_clabel") =!= col("_qlabel"))
       .select(col("qid"), col("vec_id"),
-        round(VectorOps.dot(col("qemb"), col("embedding")) /
-          (col("qnrm") * col("nrm")), 6).as("sim"))
+        VectorOps.simRound6(VectorOps.dot(col("qemb"), col("embedding")) /
+          (col("qnrm") * col("nrm"))).as("sim"))
     topK(sims, k)
   }
 
@@ -187,8 +187,8 @@ object Similarity {
       VectorOps.norm(col("embedding")).as("nrm"))
     val sims = c.join(q, col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"), col("_nl"),
-        round(VectorOps.dot(col("qemb"), col("embedding")) /
-          (col("qnrm") * col("nrm")), 6).as("sim"))
+        VectorOps.simRound6(VectorOps.dot(col("qemb"), col("embedding")) /
+          (col("qnrm") * col("nrm"))).as("sim"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
     val knn = sims.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -284,8 +284,8 @@ object Similarity {
       .join(corpus.select(col("vec_id"), col("embedding"),
         VectorOps.norm(col("embedding")).as("nrm")), "vec_id")
       .select(col("qid"), col("vec_id"),
-        round(VectorOps.dot(col("qemb"), col("embedding")) /
-          (col("qnrm") * col("nrm")), 6).as("sim"))
+        VectorOps.simRound6(VectorOps.dot(col("qemb"), col("embedding")) /
+          (col("qnrm") * col("nrm"))).as("sim"))
     topK(sims, k)
   }
 
@@ -352,8 +352,8 @@ object Similarity {
       .join(e("ida"), "ida")
       .join(e("idb"), "idb")
       .select(col("ida"), col("idb"),
-        round(VectorOps.dot(col("emb_ida"), col("emb_idb")) /
-          (col("nrm_ida") * col("nrm_idb")), 6).as("cosine"))
+        VectorOps.simRound6(VectorOps.dot(col("emb_ida"), col("emb_idb")) /
+          (col("nrm_ida") * col("nrm_idb"))).as("cosine"))
       .where(col("cosine") >= threshold)
       .orderBy("ida", "idb")
   }
