@@ -31,14 +31,16 @@ object IvfAnn {
     * SAME 5 base vectors from every range, so 256 centroids trained on
     * 5 effective points, lists skewed ~4x fat, and the kNN join paid
     * 320M candidate pairs where balanced lists cost ~80M (TimeKnn).
-    * `hash(vec_id) % mod` is id-structure-independent and equally
-    * deterministic. Seeding is farthest-point (deterministic k-means++
-    * flavor: ties to the lowest sample index) rather than "first k
-    * collected" — first-k inherits whatever locality the sample order
-    * had, farthest-point spreads seeds across the actual clusters, and
-    * its O(k*sample*dim) driver cost is noise next to one Lloyd pass.
-    * The sample is collected ordered by vec_id so training is
-    * layout-independent, not partition-order-dependent.
+    * `splitmix64(vec_id) % mod` is id-structure-independent, equally
+    * deterministic, and — unlike Spark's builtin murmur hash — exactly
+    * replayable by the DuckDB oracle, which makes the whole training
+    * loop SQL-checkable. Seeding is farthest-point (deterministic
+    * k-means++ flavor: ties to the lowest sample index) rather than
+    * "first k collected" — first-k inherits whatever locality the
+    * sample order had, farthest-point spreads seeds across the actual
+    * clusters, and its O(k*sample*dim) driver cost is noise next to
+    * one Lloyd pass. The sample is collected ordered by vec_id so
+    * training is layout-independent, not partition-order-dependent.
     */
   def trainCentroids(corpus: DataFrame, k: Int, sampleMod: Int = 0,
       iters: Int = 5): Array[Array[Double]] = {
@@ -49,7 +51,9 @@ object IvfAnn {
         math.min(Int.MaxValue.toLong, math.max(1L, n / (k * 100L))).toInt
       }
     val sample = corpus
-      .where(pmod(hash(col("vec_id")), lit(mod)) === 0)
+      .where(pmod(
+        org.apache.spark.sql.graftx.SplitMix64.column(col("vec_id")),
+        lit(mod.toLong)) === 0)
       .select("vec_id", "embedding")
       .orderBy("vec_id")
       .collect()

@@ -38,7 +38,9 @@ object PqAnn {
     // `vec_id % mod` confounds the sample with id-assignment structure;
     // ordered collect keeps training layout-independent
     val sample = corpus
-      .where(pmod(hash(col("vec_id")), lit(mod)) === 0)
+      .where(pmod(
+        org.apache.spark.sql.graftx.SplitMix64.column(col("vec_id")),
+        lit(mod.toLong)) === 0)
       .select("vec_id", "embedding")
       .orderBy("vec_id")
       .collect()

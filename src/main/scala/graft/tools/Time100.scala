@@ -37,6 +37,44 @@ object Time100 {
           regexp_replace(col("text"), "(\\S+)", s"$tag$$1").as("text"))
     }.reduce(_ unionByName _).localCheckpoint(true)
 
+  /** docs10 carrying lang/source — the columns the corpus pipeline's
+    * language filter and per-source stages read.
+    */
+  def docs10Meta(spark: SparkSession, base: String) = {
+    val b = graft.Tables(spark, base, "documents")
+      .select("doc_id", "text", "lang", "source")
+    (0 until 10).map { r =>
+      b.select((col("doc_id") + lit(r * 10000000L)).as("doc_id"),
+        concat(col("text"), lit(s" replica$r")).as("text"),
+        col("lang"), col("source"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** One tagged shard of the 100x pipeline corpus (shard s of
+    * [[docs100Meta]]) — shard 0 is the 10x baseline the linearity
+    * invariants compare against.
+    */
+  def pipelineShard(spark: SparkSession, base: String, s: Int) = {
+    val tag = s"q${('a' + s).toChar}"
+    docs10Meta(spark, base)
+      .select((col("doc_id") + lit(s * 1000000000L)).as("doc_id"),
+        regexp_replace(col("text"), "(\\S+)", s"$tag$$1").as("text"),
+        col("lang"), col("source"))
+  }
+
+  /** The 100x corpus WITH metadata: same 10-disjoint-shard
+    * construction as [[docs100]] (near-dup density constant, shards
+    * share no shingles), plus lang/source so the full corpus pipeline
+    * (language filter -> quality -> dedup -> pack) can run over it.
+    * Note the shard tag prefixes every token, so the stopword leg of
+    * the quality filter is uniformly inert across shards — the
+    * pipeline rehearsal measures COST and linearity, not stopword
+    * selectivity (which sf-table queries already oracle-check).
+    */
+  def docs100Meta(spark: SparkSession, base: String) =
+    (0 until 10).map(pipelineShard(spark, base, _))
+      .reduce(_ unionByName _).localCheckpoint(true)
+
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val spark = SparkSession.builder()

@@ -40,8 +40,8 @@ object TimeKnn {
     val sims = assigned.join(probes, Seq("list_id"))
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        round(VectorOps.dot(col("qemb"), col("embedding")) /
-          (col("qnrm") * col("nrm")), 6).as("sim"))
+        VectorOps.simRound6(VectorOps.dot(col("qemb"), col("embedding")) /
+          (col("qnrm") * col("nrm"))).as("sim"))
     t("sims.count")(println("  s=" + sims.count()))
     t("sims.agg")(println("  sum=" + sims.agg(sum("sim")).collect()(0)))
     val top = org.apache.spark.sql.graftx.TopKPerKey
@@ -95,8 +95,8 @@ object TimeKnn {
     val sims = assigned.join(probes, Seq("list_id"))
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        round(VectorOps.dot(col("qemb"), col("embedding")) /
-          (col("qnrm") * col("nrm")), 6).as("sim"))
+        VectorOps.simRound6(VectorOps.dot(col("qemb"), col("embedding")) /
+          (col("qnrm") * col("nrm"))).as("sim"))
     t("sims.count")(println("  s=" + sims.count()))
     t("sims.agg")(println("  sum=" + sims.agg(sum("sim")).collect()(0)))
     val top = org.apache.spark.sql.graftx.TopKPerKey

@@ -86,6 +86,57 @@ class Scale100Spec extends SparkSpec {
       s"LSH recall ${nCommon.toDouble / nExact} < 0.9 at 100x")
   }
 
+  test("corpus pipeline end-to-end at 100x: one program, linear funnel, bounded") {
+    // the north-star COMPOSITION (r7 verdict task 1): every stage is
+    // individually rehearsed at 100x, but a real training-data run
+    // executes ingest -> language -> quality -> exact dedup -> near
+    // dedup -> sequence packing as ONE program. Baseline = the same
+    // program over ONE tagged shard (10x); shards are disjoint by
+    // construction, so the deterministic stages must scale EXACTLY 10x
+    // and the LSH-dependent near-dedup stage within a tolerance band
+    // (per-shard signatures hash different tokens).
+    import graft.pipeline.CorpusPipeline
+    def funnel(docs: org.apache.spark.sql.DataFrame)
+        : (Map[String, Long], Long, Long) = {
+      val (cleaned, metrics) = CorpusPipeline.prepareObserved(docs)
+      val packed = CorpusPipeline.packSequences(cleaned, seqLen = 2048L)
+      val row = packed
+        .agg(count(lit(1)), sum("n_tokens"), max("pack_id")).collect()(0)
+      (metrics(), row.getLong(1), row.getLong(2))
+    }
+    val base = "/root/testdata/sf0.01"
+    val (m10, tok10, _) = funnel(
+      graft.tools.Time100.pipelineShard(spark, base, 0).localCheckpoint(true))
+    val d100 = graft.tools.Time100.docs100Meta(spark, base)
+    assert(d100.count() == 50000L)
+    val ((m100, tok100, maxPack100), t) = timed(funnel(d100))
+    info(s"100x pipeline funnel: $m100 tokens=$tok100 " +
+      f"maxPack=$maxPack100 in $t%.1fs (10x: $m10 tokens=$tok10)")
+    // deterministic stages: disjoint shards, identical per-shard
+    // semantics => exactly 10x the single-shard counts
+    Seq("1_input", "2_language", "3_quality", "4_exact_dedup").foreach { s =>
+      assert(m100(s) == 10 * m10(s),
+        s"stage $s: ${m100(s)} != 10 * ${m10(s)} — per-shard behavior " +
+          "drifted with corpus size")
+    }
+    // near-dedup survivors: LSH candidates depend on hash values, so
+    // per-shard counts vary slightly around the shard-0 count — but a
+    // superlinear pair blowup or a recall collapse both land far
+    // outside +-10% of linear
+    val near10 = m10("5_near_dedup").toDouble
+    val near100 = m100("5_near_dedup").toDouble
+    assert(near100 >= 9.0 * near10 && near100 <= 11.0 * near10,
+      s"near-dedup survivors $near100 outside [9x, 11x] of $near10")
+    assert(tok100 >= 9L * tok10 && tok100 <= 11L * tok10,
+      s"packed token total $tok100 vs 10x $tok10 — token accounting drifted")
+    // packing lays tokens head-to-tail: the last pack id must equal
+    // floor((total tokens - 1) / seqLen) give-or-take the final doc
+    // straddle — pin the exact floor bound packSequences guarantees
+    assert(maxPack100 <= tok100 / 2048L,
+      s"max pack_id $maxPack100 exceeds token-total bound ${tok100 / 2048L}")
+    assert(t < 360.0, f"100x pipeline took $t%.1fs — superlinear stage?")
+  }
+
   test("knnJoin at 100x vectors: IVF pruning scales with nlist") {
     import graft.operators.IvfAnn
     import org.apache.spark.sql.functions.expr
