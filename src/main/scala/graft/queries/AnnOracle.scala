@@ -1,0 +1,196 @@
+package graft.queries
+
+/** Full DuckDB oracles for the IVF-trained ANN queries — the round-7
+  * verdict's "shrink the rows-only set" ask.
+  *
+  * What made these `no_oracle` before was the trained artifact: the
+  * IVF centroids came from a sample gated on Spark's builtin murmur
+  * hash (not SQL-expressible) and a partition-order-dependent collect.
+  * Both are gone: the gate is SplitMix64 (four shifts, two wrapping
+  * multiplies — exactly replayable in HUGEINT with the MinHash
+  * oracle's split-multiplication technique) and the sample is
+  * collected ORDER BY vec_id with every training fold sequential on
+  * the driver. That makes the whole pipeline — sample, farthest-point
+  * seeding, 5 Lloyd iterations, corpus assignment, probe ranking,
+  * exact rerank — a deterministic chain of IEEE double ops that DuckDB
+  * replays bit-for-bit:
+  *
+  *  - per-(centroid, dim) Lloyd sums are `list_reduce` left folds over
+  *    `list(val ORDER BY vec_id)` seeded with 0.0 — the exact
+  *    accumulation order of the Scala `while` loop over the ordered
+  *    sample (the `dotSql` parity precedent, proven by every green
+  *    sim_* oracle);
+  *  - argmin/argmax tie-breaks mirror the strict inequalities in
+  *    `IvfAnn.nearest` / `farthestPointSeeds` (first minimal index):
+  *    `ORDER BY d, c` / `ORDER BY mind DESC, vec_id`;
+  *  - the final sim rounding is DuckDB's own round(DOUBLE, 6), which
+  *    [[org.apache.spark.sql.graftx.RoundAwayFromZero]] reproduces by
+  *    construction.
+  *
+  * The farthest-point chain unrolls to 16 seed CTEs and Lloyd to 5
+  * assignment/re-mean stages — the TrainerOracle "unrolled merge
+  * rounds" pattern (docs/ORACLES.md).
+  */
+object AnnOracle {
+
+  private val M64 = "18446744073709551616::HUGEINT" // 2^64
+  private val H63 = "9223372036854775808::HUGEINT" // 2^63
+  private val SmA = "13787848793156543929::HUGEINT" // 0xBF58476D1CE4E5B9
+  private val SmB = "10723151780598845931::HUGEINT" // 0x94D049BB133111EB
+  private val SmPhi = "11400714819323198485::HUGEINT" // 0x9E3779B97F4A7C15
+
+  /** (a * b) mod 2^64, 32-bit split so intermediates fit int128. */
+  private def mul64(a: String, b: String): String =
+    s"(((( ($a) // 4294967296) * ($b)) % 4294967296) * 4294967296" +
+      s" + (($a) % 4294967296) * ($b)) % $M64"
+
+  /** The IVF query's geometry: nlist=16, nprobe=4, k=5, sample
+    * modulus n/(16*100) — `IvfAnn.ivfTopK` defaults over the
+    * embeddings table with the `vec_id < 10` query subset.
+    */
+  private val nlist = 16
+  private val nprobe = 4
+  private val k = 5
+
+  /** Squared L2 distance between two DOUBLE[] lists, sequential fold
+    * (`d += x*x` order).
+    */
+  private def dist2(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), " +
+      s"x -> (x[1] - x[2]) * (x[1] - x[2])))"
+
+  /** Dot product of two DOUBLE[] lists (inputs already cast). */
+  private def dot2(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2]))"
+
+  /** CTE chain from the embeddings table to `ivf` = the approximate
+    * top-k (qid, vec_id, sim, rank). Starts with WITH; callers append
+    * further CTEs before the final SELECT.
+    */
+  private def ivfCtes: String = {
+    // splitmix64(vec_id) staged over CTEs: u64 domain end to end,
+    // then back to the signed reading for Spark's pmod
+    val gate = s"""WITH modv AS (
+  SELECT greatest(1::HUGEINT, (count(*) // ${nlist * 100})::HUGEINT) AS md
+  FROM embeddings
+), sm0 AS (
+  SELECT vec_id, embedding,
+    (((CAST(vec_id AS HUGEINT) % $M64) + $M64 + $SmPhi) % $M64) AS z0
+  FROM embeddings
+), sm1 AS (SELECT *, ${mul64("xor(z0, z0 // 1073741824)", SmA)} AS z1 FROM sm0),
+sm2 AS (SELECT *, ${mul64("xor(z1, z1 // 134217728)", SmB)} AS z2 FROM sm1),
+sm3 AS (SELECT *, xor(z2, z2 // 2147483648) AS z3 FROM sm2),
+smp AS MATERIALIZED (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM sm3, modv
+  WHERE ((((CASE WHEN z3 >= $H63 THEN z3 - $M64 ELSE z3 END) % md) + md) % md) = 0
+)"""
+    // farthest-point seeding: s0 = lowest vec_id; each next seed the
+    // sample maximizing the running min-distance, ties lowest vec_id
+    val seed0 = s""",
+s0 AS MATERIALIZED (SELECT emb FROM smp ORDER BY vec_id LIMIT 1),
+m0 AS MATERIALIZED (SELECT p.vec_id, p.emb, ${dist2("p.emb", "s.emb")} AS mind
+  FROM smp p, s0 s)"""
+    val seedChain = (1 until nlist).map { c =>
+      s""",
+s$c AS MATERIALIZED (SELECT emb FROM m${c - 1} ORDER BY mind DESC, vec_id LIMIT 1),
+m$c AS MATERIALIZED (SELECT p.vec_id, p.emb,
+    least(p.mind, ${dist2("p.emb", "s.emb")}) AS mind
+  FROM m${c - 1} p, s$c s)"""
+    }.mkString
+    val cent0 = s""",
+cent0 AS MATERIALIZED (${(0 until nlist)
+      .map(c => s"SELECT $c AS c, emb FROM s$c")
+      .mkString("\n  UNION ALL ")})"""
+    // Lloyd x5: assign (argmin, tie lowest c), per-(c, dim) mean with
+    // the sample-order fold, empty clusters keep the prior centroid
+    val lloyd = (0 until 5).map { t =>
+      s""",
+asg$t AS MATERIALIZED (
+  SELECT vec_id, emb, c FROM (
+    SELECT s.vec_id, s.emb, t.c,
+      row_number() OVER (PARTITION BY s.vec_id
+        ORDER BY ${dist2("s.emb", "t.emb")}, t.c) AS rn
+    FROM smp s CROSS JOIN cent$t t) WHERE rn = 1
+), sums$t AS MATERIALIZED (
+  SELECT c, i AS dim,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list(emb[CAST(i AS INT)] ORDER BY vec_id)), (a, b) -> a + b) AS s,
+    count(*) AS n
+  FROM (SELECT vec_id, c, emb, unnest(range(1, len(emb) + 1)) AS i
+        FROM asg$t)
+  GROUP BY c, i
+), newc$t AS MATERIALIZED (
+  SELECT c, list(s / n ORDER BY dim) AS emb FROM sums$t GROUP BY c
+), cent${t + 1} AS MATERIALIZED (
+  SELECT p.c, coalesce(nw.emb, p.emb) AS emb
+  FROM cent$t p LEFT JOIN newc$t nw USING (c)
+)"""
+    }.mkString
+    // corpus assignment + norms, probe ranking for the query subset,
+    // candidate join (self excluded), exact cosine rerank
+    val queryStage = s""",
+corp AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+), casg AS MATERIALIZED (
+  SELECT vec_id, emb, sqrt(${dot2("emb", "emb")}) AS nrm, c AS list_id
+  FROM (
+    SELECT x.vec_id, x.emb, t.c,
+      row_number() OVER (PARTITION BY x.vec_id
+        ORDER BY ${dist2("x.emb", "t.emb")}, t.c) AS rn
+    FROM corp x CROSS JOIN cent5 t) WHERE rn = 1
+), probes AS MATERIALIZED (
+  SELECT qid, qemb, qnrm, c AS list_id FROM (
+    SELECT q.vec_id AS qid, q.emb AS qemb,
+      sqrt(${dot2("q.emb", "q.emb")}) AS qnrm, t.c,
+      row_number() OVER (PARTITION BY q.vec_id
+        ORDER BY ${dist2("q.emb", "t.emb")}, t.c) AS rn
+    FROM corp q CROSS JOIN cent5 t WHERE q.vec_id < 10) WHERE rn <= $nprobe
+), ivf AS MATERIALIZED (
+  SELECT qid, vec_id, sim,
+    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+  FROM (
+    SELECT p.qid, a.vec_id,
+      round(${dot2("p.qemb", "a.emb")} / (p.qnrm * a.nrm), 6) AS sim
+    FROM casg a JOIN probes p USING (list_id)
+    WHERE a.vec_id <> p.qid)
+)"""
+    gate + seed0 + seedChain + cent0 + lloyd + queryStage
+  }
+
+  private val ivfTopkSql: String =
+    s"""$ivfCtes
+SELECT qid, vec_id, sim, rank FROM ivf WHERE rank <= $k
+ORDER BY qid, rank"""
+
+  /** sim_ann_recall: exact brute-force top-k vs the SAME replayed IVF
+    * pipeline; hit counts and recall@5 per query.
+    */
+  private val recallSql: String =
+    s"""$ivfCtes,
+exact AS MATERIALIZED (
+  SELECT qid, vec_id FROM (
+    SELECT q.vec_id AS qid, e.vec_id,
+      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        round(${dot2("q.emb", "e.emb")} /
+          (sqrt(${dot2("q.emb", "q.emb")}) *
+           sqrt(${dot2("e.emb", "e.emb")})), 6) DESC, e.vec_id) AS rank
+    FROM corp q, corp e WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id)
+  WHERE rank <= $k
+), hits AS (
+  SELECT x.qid, count(*) AS n_hits
+  FROM exact x JOIN (SELECT qid, vec_id FROM ivf WHERE rank <= $k) a
+    USING (qid, vec_id)
+  GROUP BY x.qid
+)
+SELECT qid, coalesce(h.n_hits, 0) AS n_hits,
+  CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5.0 AS recall_at_5
+FROM (SELECT DISTINCT qid FROM exact) q LEFT JOIN hits h USING (qid)
+ORDER BY qid"""
+
+  val oracle: Map[String, String] = Map(
+    "sim_ann_ivf_topk" -> ivfTopkSql,
+    "sim_ann_recall" -> recallSql)
+}

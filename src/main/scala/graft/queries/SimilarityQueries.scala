@@ -395,7 +395,7 @@ SELECT qid, vec_id, sim, rank FROM (
   FROM exact)
 WHERE rank <= 5 ORDER BY qid, rank"""
 
-  val oracle: Map[String, String] = Map(
+  val oracle: Map[String, String] = AnnOracle.oracle ++ Map(
     "sim_mmr_topk" -> mmrOracleSql,
     "sim_ann_lsh_topk" -> lshTopKOracleSql,
     "sim_ann_sq_topk" -> sqTopKOracleSql,

@@ -1,8 +1,8 @@
 package graft
 
 /** Golden-hash regression pins for every registered query the driver
-  * can only rows-check (no DuckDB oracle). After the round-7
-  * conversion wave this is 13 queries, each with a documented replay
+  * can only rows-check (no DuckDB oracle). After the round-7 and
+  * round-9 conversion waves this is 11 queries, each with a documented replay
   * blocker (docs/ORACLES.md "The 13 that stay pinned"): HLL sketch
   * internals, float partials merged in partition order (k-means / GD /
   * co-moment families), and UnigramLm's log()-parity-dependent
@@ -29,8 +29,6 @@ class GoldenHashSpec extends SparkSpec {
     "text_ulm_encode" -> "afa98d2bdb4d88ddc90758543230202f",
     "text_ulm_vocab" -> "f51349e0a16d43db2d4d313d8ee3675a",
     "dedup_semantic" -> "a60e4c40f2dae28e673b857707dcbde1",
-    "sim_ann_recall" -> "0a818d000271346a0518296fe1d49cb5",
-    "sim_ann_ivf_topk" -> "c6e47d8076c6fb1380b431dc56a27e07",
     "sim_ann_pq_topk" -> "bda96752fe46b512b19f0d86e8064f3e")
 
   private val expectedSf01 = Map(
@@ -42,9 +40,7 @@ class GoldenHashSpec extends SparkSpec {
     "emb_logreg_eval" -> "79e5d66af869d63f41cbaf221e848349",
     "emb_mahalanobis_outliers" -> "f4525dc6873729dc96f90155a159ebcd",
     "emb_pca_variance" -> "3c275814983e05599ccbe3ba6f5eb5b5",
-    "sim_ann_ivf_topk" -> "3e75e0af32da044999b43f74e1ab952b",
     "sim_ann_pq_topk" -> "08d15d21fcc1314460d62ecef08b8036",
-    "sim_ann_recall" -> "ea99212a89c385ccb590d457d0b2645d",
     "text_ulm_encode" -> "7f86e5816f761128ac6ceacf6a87e748",
     "text_ulm_vocab" -> "48188b7b9184067b5ed55d0eaeb5e961")
 
