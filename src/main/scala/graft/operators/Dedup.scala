@@ -125,7 +125,8 @@ object Dedup {
       hintBroadcast: Option[Boolean] = None): DataFrame =
     fetchShingles(pairs, sh, hintBroadcast)
       .select(col("ida"), col("idb"),
-        round(jaccardCol(col("sha"), col("shb")), 6).as("jaccard"))
+        org.apache.spark.sql.graftx.RoundAwayFromZero
+          .column(jaccardCol(col("sha"), col("shb")), 6).as("jaccard"))
       .where(col("jaccard") >= threshold)
 
   /** Near-dup pairs via inverted-index blocking + exact Jaccard.
@@ -278,7 +279,8 @@ object Dedup {
       .join(broadcast(rsh.select(col("doc_id").as("rid"),
         col("shs").as("shb"))), "rid")
       .select(col("lid"), col("rid"),
-        round(jaccardCol(col("sha"), col("shb")), 6).as("jaccard"))
+        org.apache.spark.sql.graftx.RoundAwayFromZero
+          .column(jaccardCol(col("sha"), col("shb")), 6).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
@@ -342,7 +344,8 @@ object Dedup {
       .join(corpusSh.select(col("doc_id").as("corpus_id"),
         col("shs").as("shb")), "corpus_id")
       .select(col("batch_id"), col("corpus_id"),
-        round(jaccardCol(col("sha"), col("shb")), 6).as("jaccard"))
+        org.apache.spark.sql.graftx.RoundAwayFromZero
+          .column(jaccardCol(col("sha"), col("shb")), 6).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 

@@ -63,14 +63,12 @@ object AnnOracle {
   private def dot2(a: String, b: String): String =
     s"list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2]))"
 
-  /** CTE chain from the embeddings table to `ivf` = the approximate
-    * top-k (qid, vec_id, sim, rank). Starts with WITH; callers append
-    * further CTEs before the final SELECT.
+  /** Shared sample-gate chain: splitmix64(vec_id) staged over CTEs —
+    * u64 domain end to end, then back to the signed reading for
+    * Spark's pmod. The modulus n/(16*100) is the same for the IVF
+    * (nlist=16) and PQ (ksub=16) trainings.
     */
-  private def ivfCtes: String = {
-    // splitmix64(vec_id) staged over CTEs: u64 domain end to end,
-    // then back to the signed reading for Spark's pmod
-    val gate = s"""WITH modv AS (
+  private def gateCtes: String = s"""WITH modv AS (
   SELECT greatest(1::HUGEINT, (count(*) // ${nlist * 100})::HUGEINT) AS md
   FROM embeddings
 ), sm0 AS (
@@ -86,6 +84,13 @@ smp AS MATERIALIZED (
   FROM sm3, modv
   WHERE ((((CASE WHEN z3 >= $H63 THEN z3 - $M64 ELSE z3 END) % md) + md) % md) = 0
 )"""
+
+  /** CTE chain from the embeddings table to `ivf` = the approximate
+    * top-k (qid, vec_id, sim, rank). Starts with WITH; callers append
+    * further CTEs before the final SELECT.
+    */
+  private def ivfCtes: String = {
+    val gate = gateCtes
     // farthest-point seeding: s0 = lowest vec_id; each next seed the
     // sample maximizing the running min-distance, ties lowest vec_id
     val seed0 = s""",
@@ -190,7 +195,119 @@ SELECT qid, coalesce(h.n_hits, 0) AS n_hits,
 FROM (SELECT DISTINCT qid FROM exact) q LEFT JOIN hits h USING (qid)
 ORDER BY qid"""
 
+  /** sim_ann_pq_topk: the PQ pipeline replayed end to end. Same gate
+    * and ordered-sample discipline as IVF; per-subspace kmeans (m=8,
+    * ksub=16, first-16 init, 5 Lloyd iterations) runs with `sub` as a
+    * COLUMN so the 8 independent trainings share each unrolled stage;
+    * ADC scores are the sub-ascending fold of LUT lookups over the
+    * reconstructed-norm denominator (max(anrm, 1e-12) guard mirrored
+    * as greatest); exact rerank of the top rerankFactor*k = 60.
+    */
+  private val pqTopkSql: String = {
+    val m = 8
+    val ksub = 16
+    val rerank = 60 // rerankFactor(12) * k(5)
+    val slices = (rel: String) => s"""
+  SELECT x.vec_id, b.sub,
+    list_transform(range(1, d.dsub + 1),
+      i -> x.emb[CAST(b.sub * d.dsub + i AS INT)]) AS sl
+  FROM $rel x CROSS JOIN subs b CROSS JOIN dims d"""
+    val head = s"""$gateCtes,
+dims AS (SELECT CAST(len(embedding) // $m AS INT) AS dsub
+  FROM embeddings LIMIT 1),
+subs AS (SELECT CAST(unnest(range(0, $m)) AS INT) AS sub),
+pslice AS MATERIALIZED (${slices("smp")}),
+pcb0 AS MATERIALIZED (
+  SELECT sub, CAST(rn - 1 AS INT) AS c, sl AS cw FROM (
+    SELECT sub, sl,
+      row_number() OVER (PARTITION BY sub ORDER BY vec_id) AS rn
+    FROM pslice) WHERE rn <= $ksub
+)"""
+    val lloyd = (0 until 5).map { t =>
+      s""",
+pasg$t AS MATERIALIZED (
+  SELECT vec_id, sub, sl, c FROM (
+    SELECT p.vec_id, p.sub, p.sl, t.c,
+      row_number() OVER (PARTITION BY p.vec_id, p.sub
+        ORDER BY ${dist2("p.sl", "t.cw")}, t.c) AS rn
+    FROM pslice p JOIN pcb$t t USING (sub)) WHERE rn = 1
+), psum$t AS MATERIALIZED (
+  SELECT sub, c, i AS dim,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list(sl[CAST(i AS INT)] ORDER BY vec_id)), (a, b) -> a + b) AS s,
+    count(*) AS n
+  FROM (SELECT vec_id, sub, c, sl, unnest(range(1, len(sl) + 1)) AS i
+        FROM pasg$t)
+  GROUP BY sub, c, i
+), pnew$t AS MATERIALIZED (
+  SELECT sub, c, list(s / n ORDER BY dim) AS cw FROM psum$t GROUP BY sub, c
+), pcb${t + 1} AS MATERIALIZED (
+  SELECT p.sub, p.c, coalesce(nw.cw, p.cw) AS cw
+  FROM pcb$t p LEFT JOIN pnew$t nw USING (sub, c)
+)"""
+    }.mkString
+    val tail = s""",
+corp AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+), cslice AS MATERIALIZED (${slices("corp")}),
+ccode AS MATERIALIZED (
+  SELECT vec_id, sub, c FROM (
+    SELECT s.vec_id, s.sub, t.c,
+      row_number() OVER (PARTITION BY s.vec_id, s.sub
+        ORDER BY ${dist2("s.sl", "t.cw")}, t.c) AS rn
+    FROM cslice s JOIN pcb5 t USING (sub)) WHERE rn = 1
+), cbn AS MATERIALIZED (
+  SELECT sub, c, list_sum(list_transform(cw, x -> x * x)) AS sq FROM pcb5
+), anrm AS MATERIALIZED (
+  SELECT cc.vec_id,
+    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list(q.sq ORDER BY cc.sub)), (a, b) -> a + b)) AS anrm
+  FROM ccode cc JOIN cbn q USING (sub, c) GROUP BY cc.vec_id
+), qe AS MATERIALIZED (
+  SELECT vec_id AS qid, emb FROM corp WHERE vec_id < 10
+), qn AS MATERIALIZED (
+  SELECT qid, sqrt(${dot2("emb", "emb")}) AS qnrm FROM qe
+), qslice AS MATERIALIZED (
+  SELECT q.qid, b.sub,
+    list_transform(range(1, d.dsub + 1),
+      i -> q.emb[CAST(b.sub * d.dsub + i AS INT)]) AS sl
+  FROM qe q CROSS JOIN subs b CROSS JOIN dims d
+), qlut AS MATERIALIZED (
+  SELECT q.qid, t.sub, t.c, ${dot2("q.sl", "t.cw")} AS lv
+  FROM qslice q JOIN pcb5 t USING (sub)
+), adc AS MATERIALIZED (
+  SELECT l.qid, cc.vec_id,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list(l.lv ORDER BY cc.sub)), (a, b) -> a + b) AS s
+  FROM ccode cc JOIN qlut l ON l.sub = cc.sub AND l.c = cc.c
+  WHERE cc.vec_id <> l.qid
+  GROUP BY l.qid, cc.vec_id
+), cand AS MATERIALIZED (
+  SELECT qid, vec_id FROM (
+    SELECT a.qid, a.vec_id,
+      row_number() OVER (PARTITION BY a.qid
+        ORDER BY a.s / (q.qnrm * greatest(n.anrm, 1e-12)) DESC,
+          a.vec_id) AS r
+    FROM adc a JOIN qn q USING (qid) JOIN anrm n ON n.vec_id = a.vec_id)
+  WHERE r <= $rerank
+), pexact AS MATERIALIZED (
+  SELECT c.qid, c.vec_id,
+    round(${dot2("q.emb", "e.emb")} /
+      (qn.qnrm * sqrt(${dot2("e.emb", "e.emb")})), 6) AS sim
+  FROM cand c JOIN corp e ON e.vec_id = c.vec_id
+  JOIN qe q ON q.qid = c.qid JOIN qn ON qn.qid = c.qid
+)
+SELECT qid, vec_id, sim, rank FROM (
+  SELECT qid, vec_id, sim,
+    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+  FROM pexact) WHERE rank <= $k
+ORDER BY qid, rank"""
+    head + lloyd + tail
+  }
+
   val oracle: Map[String, String] = Map(
     "sim_ann_ivf_topk" -> ivfTopkSql,
-    "sim_ann_recall" -> recallSql)
+    "sim_ann_recall" -> recallSql,
+    "sim_ann_pq_topk" -> pqTopkSql)
 }

@@ -61,8 +61,9 @@ object DedupQueries {
       hint: Option[Boolean]): DataFrame =
     Dedup.fetchShingles(cand, sh, hint)
       .select(col("ida"), col("idb"),
-        round(size(array_intersect(col("sha"), col("shb"))).cast("double") /
-          least(size(col("sha")), size(col("shb"))), 6).as("containment"))
+        org.apache.spark.sql.graftx.RoundAwayFromZero.column(
+          size(array_intersect(col("sha"), col("shb"))).cast("double") /
+            least(size(col("sha")), size(col("shb"))), 6).as("containment"))
       .where(col("containment") >= 0.7)
       .orderBy("ida", "idb")
 
@@ -82,8 +83,9 @@ object DedupQueries {
       .select(col("p_partkey").as("qk"), col("p_name").as("qn"))
     val sims = part.join(broadcast(probe), col("p_partkey") =!= col("qk"))
       .select(col("qk"), col("p_partkey").as("pk"),
-        round(org.apache.spark.sql.graftx.JaroWinkler.column(
-          col("qn"), col("p_name")), 6).as("sim"))
+        org.apache.spark.sql.graftx.RoundAwayFromZero.column(
+          org.apache.spark.sql.graftx.JaroWinkler.column(
+            col("qn"), col("p_name")), 6).as("sim"))
     val w = Window.partitionBy("qk").orderBy(col("sim").desc, col("pk"))
     sims
       .select(col("qk"), col("pk"), col("sim"),

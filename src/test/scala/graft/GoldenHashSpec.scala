@@ -2,8 +2,8 @@ package graft
 
 /** Golden-hash regression pins for every registered query the driver
   * can only rows-check (no DuckDB oracle). After the round-7 and
-  * round-9 conversion waves this is 11 queries, each with a documented replay
-  * blocker (docs/ORACLES.md "The 13 that stay pinned"): HLL sketch
+  * round-9 conversion waves this is 10 queries, each with a documented replay
+  * blocker (docs/ORACLES.md "The 10 that stay pinned"): HLL sketch
   * internals, float partials merged in partition order (k-means / GD /
   * co-moment families), and UnigramLm's log()-parity-dependent
   * Viterbi. All are deterministic by construction — seeded sampling,
@@ -28,8 +28,7 @@ class GoldenHashSpec extends SparkSpec {
     "emb_pca_variance" -> "5a1f4bca8fef27d7defe34f71cf38095",
     "text_ulm_encode" -> "afa98d2bdb4d88ddc90758543230202f",
     "text_ulm_vocab" -> "f51349e0a16d43db2d4d313d8ee3675a",
-    "dedup_semantic" -> "a60e4c40f2dae28e673b857707dcbde1",
-    "sim_ann_pq_topk" -> "bda96752fe46b512b19f0d86e8064f3e")
+    "dedup_semantic" -> "a60e4c40f2dae28e673b857707dcbde1")
 
   private val expectedSf01 = Map(
     "agg_approx_distinct" -> "794784eaf442314bdbcdfee0a849c8b0",
@@ -40,7 +39,6 @@ class GoldenHashSpec extends SparkSpec {
     "emb_logreg_eval" -> "79e5d66af869d63f41cbaf221e848349",
     "emb_mahalanobis_outliers" -> "f4525dc6873729dc96f90155a159ebcd",
     "emb_pca_variance" -> "3c275814983e05599ccbe3ba6f5eb5b5",
-    "sim_ann_pq_topk" -> "08d15d21fcc1314460d62ecef08b8036",
     "text_ulm_encode" -> "7f86e5816f761128ac6ceacf6a87e748",
     "text_ulm_vocab" -> "48188b7b9184067b5ed55d0eaeb5e961")
 
