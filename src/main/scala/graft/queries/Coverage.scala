@@ -216,8 +216,9 @@ object Coverage {
       .agg(countDistinct(col("doc_id")).as("df"))
     val scored = tf.join(broadcast(df), "word")
       .select(col("doc_id"), col("word"),
-        round(col("tf") * (log((lit(nDocs.toDouble) + 1.0) /
-          (col("df") + 1.0)) + 1.0), 6).as("tfidf"))
+        org.apache.spark.sql.graftx.RoundAwayFromZero.column(
+          col("tf") * (log((lit(nDocs.toDouble) + 1.0) /
+            (col("df") + 1.0)) + 1.0), 6).as("tfidf"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("tfidf").desc, col("word"))
     scored

@@ -85,7 +85,8 @@ object EventQueries {
         col("left.event_id").as("click_id"),
         col("left.user_id").as("user_id"),
         col("right.event_id").as("purchase_id"),
-        round(col("right.value"), 2).as("purchase_value"),
+        org.apache.spark.sql.graftx.RoundAwayFromZero
+          .column(col("right.value"), 2).as("purchase_value"),
         (unix_micros(col("left.ts")) - unix_micros(col("right.ts")))
           .as("gap_us"))
       .orderBy("click_id")
@@ -105,7 +106,8 @@ object EventQueries {
         col("left.event_id").as("click_id"),
         col("left.user_id").as("user_id"),
         col("right.event_id").as("purchase_id"),
-        round(col("right.value"), 2).as("purchase_value"),
+        org.apache.spark.sql.graftx.RoundAwayFromZero
+          .column(col("right.value"), 2).as("purchase_value"),
         (unix_micros(col("right.ts")) - unix_micros(col("left.ts")))
           .as("gap_us"))
       .orderBy("click_id")
