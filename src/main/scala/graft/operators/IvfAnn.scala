@@ -213,11 +213,12 @@ object IvfAnn {
       .select(col("qid"), col("vec_id"),
         VectorOps.simRound6(VectorOps.dot(col("qemb"), col("embedding")) /
           (col("qnrm") * col("nrm"))).as("sim"))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
-    sims
-      .select(col("qid"), col("vec_id"), col("sim"),
-        row_number().over(w).cast("long").as("rank"))
-      .where(col("rank") <= k)
+    // native bounded-heap top-k: k rows per (partition, qid) reach the
+    // exchange instead of the full candidate fan-out (same order/rank
+    // semantics as the row_number window it replaced)
+    org.apache.spark.sql.graftx.TopKPerKey
+      .topK(sims, keys = Seq("qid"),
+        order = Seq(("sim", true), ("vec_id", false)), k = k)
       .orderBy("qid", "rank")
   }
 
@@ -298,11 +299,12 @@ object IvfAnn {
       .select(col("qid"), col("vec_id"),
         VectorOps.simRound6(VectorOps.dot(col("qemb"), col("embedding")) /
           (col("qnrm") * col("nrm"))).as("sim"))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
-    sims
-      .select(col("qid"), col("vec_id"), col("sim"),
-        row_number().over(w).cast("long").as("rank"))
-      .where(col("rank") <= k)
+    // native bounded-heap top-k: k rows per (partition, qid) reach the
+    // exchange instead of the full candidate fan-out (same order/rank
+    // semantics as the row_number window it replaced)
+    org.apache.spark.sql.graftx.TopKPerKey
+      .topK(sims, keys = Seq("qid"),
+        order = Seq(("sim", true), ("vec_id", false)), k = k)
       .orderBy("qid", "rank")
   }
 }

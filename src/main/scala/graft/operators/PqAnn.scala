@@ -183,12 +183,10 @@ object PqAnn {
       }
       .toDF("qid", "vec_id", "sim_adc")
 
-    val wAdc = Window.partitionBy("qid")
-      .orderBy(col("sim_adc").desc, col("vec_id"))
-    val cand = scored
-      .select(col("qid"), col("vec_id"),
-        row_number().over(wAdc).as("r"))
-      .where(col("r") <= rerankFactor * k)
+    val cand = org.apache.spark.sql.graftx.TopKPerKey
+      .topK(scored, keys = Seq("qid"),
+        order = Seq(("sim_adc", true), ("vec_id", false)),
+        k = rerankFactor * k, rankName = "r")
       .select("qid", "vec_id")
 
     // exact rerank: only candidate ids re-read full-width vectors
@@ -200,11 +198,9 @@ object PqAnn {
       .select(col("qid"), col("vec_id"),
         VectorOps.simRound6(VectorOps.dot(col("qemb"), col("embedding")) /
           (col("qnrm") * VectorOps.norm(col("embedding")))).as("sim"))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
-    exact
-      .select(col("qid"), col("vec_id"), col("sim"),
-        row_number().over(w).cast("long").as("rank"))
-      .where(col("rank") <= k)
+    org.apache.spark.sql.graftx.TopKPerKey
+      .topK(exact, keys = Seq("qid"),
+        order = Seq(("sim", true), ("vec_id", false)), k = k)
       .orderBy("qid", "rank")
   }
 }

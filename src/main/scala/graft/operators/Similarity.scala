@@ -202,14 +202,16 @@ object Similarity {
         col("n_votes"))
   }
 
-  private def topK(sims: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
-    sims
-      .select(col("qid"), col("vec_id"), col("sim"),
-        row_number().over(w).cast("long").as("rank"))
-      .where(col("rank") <= k)
+  private def topK(sims: DataFrame, k: Int): DataFrame =
+    // native bounded-heap top-k (TopKPerKey): partial heaps run BELOW
+    // the exchange, so k rows per (partition, qid) reach the shuffle
+    // instead of the full candidate fan-out a row_number window drags
+    // through one sort — same (sim desc, vec_id) order and rank column
+    org.apache.spark.sql.graftx.TopKPerKey
+      .topK(sims.select("qid", "vec_id", "sim"),
+        keys = Seq("qid"), order = Seq(("sim", true), ("vec_id", false)),
+        k = k)
       .orderBy("qid", "rank")
-  }
 
   /** Deterministic random hyperplanes: tables x bitsPerTable planes of
     * `dim` components in [-1, 1). Seeded so plans are reproducible.
