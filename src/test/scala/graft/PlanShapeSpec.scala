@@ -51,4 +51,24 @@ class PlanShapeSpec extends SparkSpec {
           "if intentional, re-audit for 100 TB safety and re-pin")
     }
   }
+
+  // round 9: every ANN rerank runs the native bounded-heap TopKPerKey
+  // (partial heaps below the exchange), never a row_number window that
+  // drags the full candidate fan-out through one sort per query
+  // partition. A regression to WindowExec would be invisible to the
+  // Shape counters (same exchange count) and show only as bench noise.
+  Seq("sim_cosine_topk", "sim_knn_graph", "sim_ann_ivf_topk",
+    "sim_ann_pq_topk", "sim_hard_negatives").foreach { name =>
+    test(s"$name ranks through TopKPerKey, not a window sort") {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect()
+      val nodes = PlanShape.flat(df.queryExecution.executedPlan)
+      assert(nodes.exists(
+        _.isInstanceOf[org.apache.spark.sql.graftx.TopKPerKeyFinalExec]),
+        s"$name lost its bounded-heap top-k")
+      assert(!nodes.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+        s"$name re-grew a window sort over the candidate fan-out")
+    }
+  }
 }
