@@ -25,8 +25,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    // same session wiring as Graft.session/Verify: graftx extensions on
+    // by default so benched plans are the plans a library user gets
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .withExtensions(new org.apache.spark.sql.graftx.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

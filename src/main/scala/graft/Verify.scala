@@ -10,8 +10,12 @@ object Verify {
     // iteration); no extra args = dump everything (driver contract)
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // session-default graftx extensions (optimizer rewrite + native
+    // strategy + SQL functions): any row_number-top-k in the registry
+    // gets the bounded-heap plan without a per-call opt-in
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .withExtensions(new org.apache.spark.sql.graftx.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorOps
@@ -89,11 +88,15 @@ object ScalarQuant {
       }
       .toDF("qid", "vec_id", "sim_sq")
 
-    val wSq = Window.partitionBy("qid")
-      .orderBy(col("sim_sq").desc, col("vec_id"))
-    val cand = scored
-      .select(col("qid"), col("vec_id"), row_number().over(wSq).as("r"))
-      .where(col("r") <= rerankFactor * k)
+    // candidate cut via the native bounded-heap TopKPerKey: the scored
+    // set is corpus x batch with qid (the bounded batch) as the only
+    // key, so a row_number window would sort the whole corpus per qid
+    // on a handful of reducers — the heaps keep rerankFactor*k rows per
+    // (partition, qid) below the exchange instead.
+    val cand = org.apache.spark.sql.graftx.TopKPerKey.topK(
+        scored.select("qid", "vec_id", "sim_sq"), keys = Seq("qid"),
+        order = Seq(("sim_sq", true), ("vec_id", false)),
+        k = rerankFactor * k)
       .select("qid", "vec_id")
 
     val q = broadcast(queries.select(
@@ -102,13 +105,14 @@ object ScalarQuant {
     val exact = corpus.join(broadcast(cand), Seq("vec_id"))
       .join(q, Seq("qid"))
       .select(col("qid"), col("vec_id"),
-        round(VectorOps.dot(col("qemb"), col("embedding")) /
-          (col("qnrm") * VectorOps.norm(col("embedding"))), 6).as("sim"))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
-    exact
-      .select(col("qid"), col("vec_id"), col("sim"),
-        row_number().over(w).cast("long").as("rank"))
-      .where(col("rank") <= k)
+        VectorOps.simRound6(VectorOps.dot(col("qemb"), col("embedding")) /
+          (col("qnrm") * VectorOps.norm(col("embedding")))).as("sim"))
+    // exact rerank is bounded (rerankFactor*k rows per qid) but runs
+    // the same native top-k as the rest of the ANN family for one
+    // plan shape to pin
+    org.apache.spark.sql.graftx.TopKPerKey.topK(
+        exact, keys = Seq("qid"),
+        order = Seq(("sim", true), ("vec_id", false)), k = k)
       .orderBy("qid", "rank")
   }
 }

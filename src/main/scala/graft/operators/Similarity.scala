@@ -189,9 +189,15 @@ object Similarity {
       .select(col("qid"), col("vec_id"), col("_nl"),
         VectorOps.simRound6(VectorOps.dot(col("qemb"), col("embedding")) /
           (col("qnrm") * col("nrm"))).as("sim"))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
-    val knn = sims.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+    // the k-nearest cut runs the native bounded-heap TopKPerKey: each
+    // qid's window partition would hold the ENTIRE labeled corpus (keys
+    // are the bounded query batch), so a row_number window is a
+    // corpus-sized sort on a handful of reducers at 100 TB — the heaps
+    // pass at most k rows per (partition, qid) to the exchange instead.
+    // The label column rides through (TopKPerKey keeps all child cols).
+    val knn = org.apache.spark.sql.graftx.TopKPerKey.topK(
+      sims, keys = Seq("qid"),
+      order = Seq(("sim", true), ("vec_id", false)), k = k)
     val votes = knn.groupBy("qid", "_nl")
       .agg(count(lit(1)).as("n_votes"), max("sim").as("best_sim"))
     val pick = Window.partitionBy("qid")

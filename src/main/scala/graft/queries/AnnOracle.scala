@@ -65,11 +65,15 @@ object AnnOracle {
 
   /** Shared sample-gate chain: splitmix64(vec_id) staged over CTEs —
     * u64 domain end to end, then back to the signed reading for
-    * Spark's pmod. The modulus n/(16*100) is the same for the IVF
-    * (nlist=16) and PQ (ksub=16) trainings.
+    * Spark's pmod. `divisor` is the sample-modulus divisor of the
+    * training being replayed — n/(nlist*100) for IVF
+    * (IvfAnn.trainCentroids), n/(ksub*100) for PQ
+    * (PqAnn.trainCodebooks). They happen to coincide at the 16/16
+    * defaults, but the coupling is structural here so changing either
+    * default can't silently desynchronize the other oracle (ADVICE r9).
     */
-  private def gateCtes: String = s"""WITH modv AS (
-  SELECT greatest(1::HUGEINT, (count(*) // ${nlist * 100})::HUGEINT) AS md
+  private def gateCtes(divisor: Int): String = s"""WITH modv AS (
+  SELECT greatest(1::HUGEINT, (count(*) // $divisor)::HUGEINT) AS md
   FROM embeddings
 ), sm0 AS (
   SELECT vec_id, embedding,
@@ -90,7 +94,7 @@ smp AS MATERIALIZED (
     * further CTEs before the final SELECT.
     */
   private def ivfCtes: String = {
-    val gate = gateCtes
+    val gate = gateCtes(nlist * 100)
     // farthest-point seeding: s0 = lowest vec_id; each next seed the
     // sample maximizing the running min-distance, ties lowest vec_id
     val seed0 = s""",
@@ -212,7 +216,7 @@ ORDER BY qid"""
     list_transform(range(1, d.dsub + 1),
       i -> x.emb[CAST(b.sub * d.dsub + i AS INT)]) AS sl
   FROM $rel x CROSS JOIN subs b CROSS JOIN dims d"""
-    val head = s"""$gateCtes,
+    val head = s"""${gateCtes(ksub * 100)},
 dims AS (SELECT CAST(len(embedding) // $m AS INT) AS dsub
   FROM embeddings LIMIT 1),
 subs AS (SELECT CAST(unnest(range(0, $m)) AS INT) AS sub),

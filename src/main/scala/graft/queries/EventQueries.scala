@@ -85,6 +85,14 @@ object EventQueries {
         col("left.event_id").as("click_id"),
         col("left.user_id").as("user_id"),
         col("right.event_id").as("purchase_id"),
+        // Tie semantics on money-like scale-2 values (ADVICE r9):
+        // RoundAwayFromZero rounds half-away on the SCALED BINARY
+        // double — a stored 2.675 (binary ≈ 2.67499999...) rounds to
+        // 2.67, where builtin round()'s decimal HALF_UP gives 2.68.
+        // This engine standardizes on the binary reading because it is
+        // the arithmetic DuckDB (and most engines' DOUBLE round)
+        // perform; callers needing ledger-grade decimal HALF_UP should
+        // store DecimalType, not DOUBLE.
         org.apache.spark.sql.graftx.RoundAwayFromZero
           .column(col("right.value"), 2).as("purchase_value"),
         (unix_micros(col("left.ts")) - unix_micros(col("right.ts")))

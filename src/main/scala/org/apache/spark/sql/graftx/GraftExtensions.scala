@@ -3,7 +3,7 @@
 package org.apache.spark.sql.graftx
 
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, CurrentRow, Expression, GreaterThan, GreaterThanOrEqual, IntegerLiteral, LessThan, LessThanOrEqual, Literal, RowFrame, RowNumber, SpecifiedWindowFrame, UnboundedPreceding, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, CurrentRow, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IntegerLiteral, LessThan, LessThanOrEqual, Literal, RowFrame, RowNumber, SpecifiedWindowFrame, UnboundedPreceding, WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{IntegerType, LongType}
@@ -56,6 +56,14 @@ object TopKPerKeyRewrite extends Rule[LogicalPlan] {
         if a.exprId == rankId => Some(k)
       case GreaterThan(IntegerLiteral(k), a: AttributeReference)
         if a.exprId == rankId => Some(k - 1)
+      // rank = 1 <=> rank <= 1 (row_number is 1-based and unique per
+      // key) — the ubiquitous keep-first-per-key shape. Only k = 1
+      // maps: rank = k for k > 1 selects a single middle rank, which
+      // top-k can't express.
+      case EqualTo(a: AttributeReference, IntegerLiteral(1))
+        if a.exprId == rankId => Some(1)
+      case EqualTo(IntegerLiteral(1), a: AttributeReference)
+        if a.exprId == rankId => Some(1)
       case _ => None
     }
 

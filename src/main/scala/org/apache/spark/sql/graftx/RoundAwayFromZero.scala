@@ -39,7 +39,16 @@ case class RoundAwayFromZero(child: Expression, scale: Int)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "round_away_from_zero"
 
-  private val pow: Double = math.pow(10, scale) // exact for scale <= 15
+  // Exact-by-construction power of ten: 10^s for s <= 15 fits a Long,
+  // and Long -> Double is exact below 2^53. JVM Math.pow only promises
+  // 1-ulp accuracy, not exactness — a 1-ulp-off scale factor would
+  // silently break DuckDB parity on every rounding (ADVICE r9).
+  private val pow: Double = {
+    var p = 1L
+    var i = 0
+    while (i < scale) { p *= 10L; i += 1 }
+    p.toDouble
+  }
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[Double] * pow

@@ -28,14 +28,26 @@ import org.apache.spark.sql.types.LongType
   * `k * distinctKeys * inputPartitions` rows — for top-10-per-category
   * on a trillion-row fact table that is a ~10^5x shuffle reduction.
   *
-  * Memory contract: each task holds `k * (keys seen in its partition)`
-  * row copies — the caller's k is expected tiny (top-N per group). No
-  * spill path, same contract as Spark's own TakeOrderedAndProject.
+  * Memory contract: the MAP side flushes its heaps to the stream and
+  * restarts whenever retained rows reach
+  * `spark.graft.topk.partialFlushRows` (default 4M) — emitting early
+  * only costs shuffle reduction, never correctness, so per-task state
+  * is hard-capped even when the per-partition key set grows with the
+  * data. The REDUCE side holds `k * (keys hashed to the task)` rows,
+  * bounded by the key clustering the exchange provides (the same
+  * contract as hash aggregation's final step; raise
+  * spark.sql.shuffle.partitions if a single task's key range is too
+  * fat).
   *
   * Reference anchor: the reference's top-keywords-per-year need
   * (SURVEY.md §2.2 "Window functions") — this is its scale path.
   */
 object TopKPerKey {
+
+  /** Map-side state cap: flush-and-restart the partial heaps at this
+    * many retained rows (session-settable, read at execution).
+    */
+  val PartialFlushRowsKey = "spark.graft.topk.partialFlushRows"
 
   /** df -> df with all columns plus `rankName` (1-based within key). */
   def topK(df: DataFrame, keys: Seq[String], order: Seq[(String, Boolean)],
@@ -85,25 +97,35 @@ object TopKPerKeyStrategy extends SparkStrategy {
   * in `order` per key. Returns (key -> rows best-first).
   */
 private[graftx] object TopKHeaps {
+  /** Consumes `iter` until exhausted OR the retained-row count reaches
+    * `maxRows` (replacements don't grow the count, only first-k inserts
+    * and new keys do) — the caller loops, draining between rounds, so
+    * map-side state is bounded even when the per-partition key set
+    * grows with the data (e.g. a query side that scales with the
+    * corpus). Pass Long.MaxValue for the classic single-round collect.
+    */
   def collect(iter: Iterator[InternalRow], keys: Seq[Expression],
-      order: Seq[SortOrder], k: Int, schema: Seq[Attribute]):
+      order: Seq[SortOrder], k: Int, schema: Seq[Attribute],
+      maxRows: Long = Long.MaxValue):
       mutable.HashMap[UnsafeRow, mutable.PriorityQueue[InternalRow]] = {
     val keyProj = UnsafeProjection.create(keys, schema)
     // max-heap by sort order: head is the WORST retained row, so a new
     // row only displaces it when strictly better
     val rowOrd = RowOrdering.create(order, schema)
     val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
-    while (iter.hasNext) {
+    var retained = 0L
+    while (iter.hasNext && retained < maxRows) {
       val row = iter.next()
       val key = keyProj(row)
       heaps.get(key) match {
         case Some(h) =>
-          if (h.size < k) h.enqueue(row.copy())
+          if (h.size < k) { h.enqueue(row.copy()); retained += 1 }
           else if (rowOrd.compare(row, h.head) < 0) { h.dequeue(); h.enqueue(row.copy()) }
         case None =>
           val h = mutable.PriorityQueue.empty[InternalRow](rowOrd)
           h.enqueue(row.copy())
           heaps.put(key.copy(), h)
+          retained += 1
       }
     }
     heaps
@@ -117,14 +139,32 @@ case class TopKPerKeyPartialExec(keys: Seq[Expression], order: Seq[SortOrder],
     k: Int, child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
-  override lazy val metrics: Map[String, SQLMetric] =
-    Map("numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numFlushes" -> SQLMetrics.createMetric(sparkContext, "partial heap flushes"))
   override protected def doExecute(): RDD[InternalRow] = {
     val out = metrics("numOutputRows")
+    val flushes = metrics("numFlushes")
     val (ks, ord, kk, schema) = (keys, order, k, child.output)
+    // Memory bound: the heap map holds k rows per DISTINCT KEY seen in
+    // the partition; when the key set grows with the data (a kNN join's
+    // query side, say) that is unbounded. At `flushRows` retained rows
+    // the partial emits everything and restarts — each flush round only
+    // weakens the shuffle reduction (the final exec re-heaps, so the
+    // answer is unchanged), trading at most one extra k-row batch per
+    // key per round against a hard cap on task memory.
+    val flushRows = conf.getConfString(
+      TopKPerKey.PartialFlushRowsKey, "4000000").toLong
+    require(flushRows > 0, s"${TopKPerKey.PartialFlushRowsKey} must be > 0")
     child.execute().mapPartitions({ iter =>
-      TopKHeaps.collect(iter, ks, ord, kk, schema).valuesIterator
-        .flatMap { h => out.add(h.size); h.iterator }
+      new Iterator[Iterator[InternalRow]] {
+        override def hasNext: Boolean = iter.hasNext
+        override def next(): Iterator[InternalRow] = {
+          val heaps = TopKHeaps.collect(iter, ks, ord, kk, schema, flushRows)
+          if (iter.hasNext) flushes.add(1)
+          heaps.valuesIterator.flatMap { h => out.add(h.size); h.iterator }
+        }
+      }.flatten
     }, preservesPartitioning = true)
   }
   override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =

@@ -57,8 +57,12 @@ class PlanShapeSpec extends SparkSpec {
   // drags the full candidate fan-out through one sort per query
   // partition. A regression to WindowExec would be invisible to the
   // Shape counters (same exchange count) and show only as bench noise.
+  // round 10 adds the last two stragglers (emb_knn_classify's k-nearest
+  // cut + vote pick, sim_ann_sq_topk's candidate cut + exact rerank) —
+  // the whole ANN family is now window-free
   Seq("sim_cosine_topk", "sim_knn_graph", "sim_ann_ivf_topk",
-    "sim_ann_pq_topk", "sim_hard_negatives").foreach { name =>
+    "sim_ann_pq_topk", "sim_hard_negatives", "emb_knn_classify",
+    "sim_ann_sq_topk").foreach { name =>
     test(s"$name ranks through TopKPerKey, not a window sort") {
       val df = SparkEntry.queries(name)(spark, sfDir)
       df.collect()

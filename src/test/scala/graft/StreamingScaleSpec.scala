@@ -111,7 +111,14 @@ class StreamingScaleSpec extends SparkSpec {
     def median(xs: Seq[Long]): Long = xs.sorted.apply(xs.size / 2)
     val midMs = median(mid.map(_._2))
     val lastMs = median(last.map(_._2))
-    assert(lastMs <= midMs * 3 + 500,
+    // Wall-clock assertions are host-load-dependent (ADVICE r9): the
+    // always-on bound is order-of-magnitude only (a real per-batch
+    // work-scales-with-history leak blows past 10x within 24 batches;
+    // the deterministic state-plateau checks above are the hard gate).
+    // GRAFT_STRICT_TIMING=1 restores the tight 3x band for quiet hosts.
+    val (factor, slackMs) =
+      if (sys.env.contains("GRAFT_STRICT_TIMING")) (3L, 500L) else (10L, 2000L)
+    assert(lastMs <= midMs * factor + slackMs,
       s"$name batch latency grew ${midMs}ms -> ${lastMs}ms — " +
         "per-batch work is scaling with total history")
   }

@@ -249,6 +249,73 @@ class TopKPerKeySpec extends SparkSpec {
     }
   }
 
+  test("rank = 1 filter (keep-first-per-key) rewrites to the native node") {
+    val s = spark.newSession()
+    s.experimental.extraOptimizations = Seq(TopKPerKeyRewrite)
+    s.experimental.extraStrategies = Seq(TopKPerKeyStrategy)
+    import s.implicits._
+    val df = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 30.0), ("a", 3L, 20.0),
+      ("b", 5L, 1.0), ("b", 6L, 2.0))
+      .toDF("k", "id", "v").repartition(3)
+    val w = Window.partitionBy("k").orderBy(col("v").desc, col("id"))
+    val q = df.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select("k", "id")
+    assert(q.queryExecution.optimizedPlan.collect {
+      case n: org.apache.spark.sql.graftx.TopKPerKeyNode => n }.size === 1)
+    assert(q.collect().map(r => (r.getString(0), r.getLong(1))).toSet ===
+      Set(("a", 2L), ("b", 6L)))
+    // rn = 2 is a middle-rank pick, NOT a top-k — must keep the window
+    val q2 = df.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 2)
+    assert(q2.queryExecution.optimizedPlan.collect {
+      case n: org.apache.spark.sql.graftx.TopKPerKeyNode => n }.isEmpty)
+    assert(q2.collect().map(_.getLong(1)).toSet === Set(3L, 5L))
+  }
+
+  test("map-side flush bound: high key cardinality stays correct and flushes") {
+    // Adversarial shape for the partial heap map: every input row is a
+    // distinct key, so without the flush bound the map would hold the
+    // whole partition (the knnJoin query-side growth mode). With the
+    // cap at 64 retained rows the partial drains and restarts; the
+    // final re-heaps, so the answer must be identical to the window.
+    import spark.implicits._
+    val n = 2000
+    val df = spark.range(n)
+      .select((col("id") % 500).as("k"), col("id"),
+        (col("id") % 37).cast("double").as("v"))
+      .repartition(3)
+    val key = org.apache.spark.sql.graftx.TopKPerKey.PartialFlushRowsKey
+    spark.conf.set(key, "64")
+    try {
+      val native = TopKPerKey.topK(df, Seq("k"),
+        Seq(("v", true), ("id", false)), 2)
+        .select("k", "id", "v", "rank")
+      val rows = native.collect().map(_.toSeq).toSet
+      val w = Window.partitionBy("k").orderBy(col("v").desc, col("id"))
+      val windowed = df
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 2)
+        .select("k", "id", "v", "rank").collect().map(_.toSeq).toSet
+      assert(rows === windowed)
+      // the bound actually engaged: each 667-row partition holds ~500
+      // distinct keys, far above the 64-row cap
+      def flatten(p: org.apache.spark.sql.execution.SparkPlan):
+          Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          p +: flatten(q.plan)
+        case _ => p +: p.children.flatMap(flatten)
+      }
+      val partials = flatten(native.queryExecution.executedPlan)
+        .collect { case p: TopKPerKeyPartialExec => p }
+      assert(partials.nonEmpty)
+      assert(partials.head.metrics("numFlushes").value > 0,
+        "flush threshold never engaged — the adversarial case isn't adversarial")
+    } finally spark.conf.unset(key)
+  }
+
   test("partial emits at most k rows per key per partition") {
     // single group spread over 3 partitions: final input <= 3*k, output = k
     val out = TopKPerKey.topK(sample.withColumn("k", lit("one")),
