@@ -219,7 +219,14 @@ object AudioFingerprint {
           var p2 = 0
           while (p2 < peaksPerFrame) {
             val f2 = peaks(t + dt)(p2)
-            val hash = (f1.toLong << 16) | (f2.toLong << 8) | dt.toLong
+            // 10 bits per peak bin + 12 bits of dt (round 10 — the old
+            // 8-bit f2 capped hash entropy at 2^17, BELOW the ~2^20+ a
+            // real constellation carries, so 100x rehearsals saturated
+            // df-caps on fixture collisions): frames up to 2048 samples
+            // now hash injectively; packed stays < 2^52. The mapping
+            // (f1, f2, dt) <-> hash is bijective either way, so match
+            // results are identical for all pre-existing frame sizes.
+            val hash = (f1.toLong << 22) | (f2.toLong << 12) | dt.toLong
             out += (hash << 20) | t.toLong
             p2 += 1
           }
@@ -240,6 +247,9 @@ object AudioFingerprint {
     require(peaksPerFrame < frameSize / 2,
       s"peaksPerFrame ($peaksPerFrame) must be < frameSize/2 " +
         s"(${frameSize / 2}): only frameSize/2 - 1 non-DC bins exist")
+    require(frameSize <= 2048,
+      s"frameSize ($frameSize) must be <= 2048: peak bins pack in 10 bits")
+    require(fanout < 4096, s"fanout ($fanout) must pack in 12 bits")
     val lm = udf((p: Array[Byte]) =>
       landmarks(p, frameSize, hop, peaksPerFrame, fanout))
     packed.select(col("id"), explode(lm(col("payload"))).as("packed"))

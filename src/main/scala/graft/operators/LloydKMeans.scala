@@ -22,6 +22,14 @@ import graft.functions.VectorOps
   */
 object LloydKMeans {
 
+  /** Fixed training-layout width (see [[fit]]): part of the trained
+    * artifact's definition, NOT a tuning knob — changing it changes
+    * the float-sum merge order and hence the baked-oracle centroids.
+    * At 100 TB the per-partition partial is still k*(d+1)+1 doubles,
+    * so width only bounds per-task input, not driver merge state.
+    */
+  val TrainPartitions = 32
+
   /** dist^2 to each literal centroid; argmin via array_min over
     * (dist, idx) structs — struct ordering compares dist first, index
     * second, so ties deterministically pick the lower index. Stays in
@@ -77,7 +85,20 @@ object LloydKMeans {
     val inertia = scala.collection.mutable.ArrayBuffer.empty[Double]
     val spark = corpus.sparkSession
     import spark.implicits._
-    val rdd = corpus.select(col("embedding")).as[Seq[Float]].rdd
+    // Deterministic training layout (round 10): per-partition float
+    // partials merge in ascending partition index, so the sums — and
+    // through Lloyd's feedback, the final centroids — depend on which
+    // rows share a partition and in what order. Hash-repartitioning on
+    // vec_id to a FIXED width and sorting within partitions makes the
+    // layout a pure function of the data, independent of session core
+    // count or file-split geometry — which is what lets the final
+    // centroids be baked into the DuckDB oracle (KmeansBakedData) and
+    // replayed by any engine. One extra shuffle+sort, paid once before
+    // the cached multi-round E/M loop.
+    val rdd = corpus
+      .repartition(TrainPartitions, col("vec_id"))
+      .sortWithinPartitions("vec_id")
+      .select(col("embedding")).as[Seq[Float]].rdd
       .map(_.toArray)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -136,7 +157,10 @@ object LloydKMeans {
     fit(corpus, k, iters)._2
       .groupBy(col("cluster").cast("long").as("cluster"))
       .agg(count(lit(1)).as("n_vecs"),
-        round(sum("dist2"), 4).as("sse"))
+        // away-from-zero on the scaled double = DuckDB's round(DOUBLE)
+        // arithmetic, so the oracle's rounding matches by construction
+        org.apache.spark.sql.graftx.RoundAwayFromZero
+          .column(sum("dist2"), 4).as("sse"))
       .orderBy("cluster")
 
   // ---- streaming (mini-batch) path ---------------------------------

@@ -580,6 +580,9 @@ edges AS (
     "dedup_lsh_quality" -> MinHashOracle.lshQuality,
     "dedup_incremental_batch" -> MinHashOracle.incrementalBatch,
     "dedup_simhash" -> MinHashOracle.simhash,
+    // round-10 conversion: the k-means clustering's final centroids
+    // baked (KmeansBakedData), the FULL SemDeDup prune chain replayed
+    "dedup_semantic" -> KmeansOracle.dedupSemantic,
     "dedup_semantic_bylabel" ->
       raw"""WITH RECURSIVE p AS (
   SELECT a.vec_id AS ida, b.vec_id AS idb

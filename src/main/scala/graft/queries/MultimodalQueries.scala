@@ -171,25 +171,40 @@ object MultimodalQueries {
     * sf0.001 and sf0.01 — the 60-vote floor sits far under the
     * planted band.
     */
-  /** Deterministic per-doc PCM synthesis, shared by the query UDF and
-    * the oracle-generation bake ([[audioMatchOracleSql]]).
+  /** The chirp's per-block tone frequencies — pure integer arithmetic
+    * on doc_id, independent of any spectral code. This is the THEORY
+    * side of the oracle bake's anchor: an integer-bin cosine's DFT is
+    * a single line at its own bin (orthogonality), so every
+    * block-aligned frame's top peak must equal the block's frequency.
     */
-  private def waveBytes(id: Long): Array[Byte] = {
+  private def chirpFreqs(id: Long): Array[Int] = {
     var st = id * 6364136223846793005L + 1442695040888963407L
     def next(): Int = {
       st = st * 6364136223846793005L + 1442695040888963407L
       (((st >>> 33) % 120) + 1).toInt
     }
-    val freqs = Array.fill(13)(next())
+    Array.fill(13)(next())
+  }
+
+  /** Deterministic per-doc PCM synthesis, shared by the query UDF and
+    * the oracle-generation bake ([[audioMatchOracleSql]]).
+    */
+  private def waveBytes(id: Long): Array[Byte] = {
+    val freqs = chirpFreqs(id)
+    // 128 + is the decode contract's inverse: AudioFingerprint reads
+    // (b & 0xFF) - 128, so bytes must carry the unsigned-offset PCM
+    // convention (round 10 — the old signed `(127*cos).toByte` bytes
+    // decoded to a wave whose harmonics BEAT the fundamental, caught
+    // by the bake's theory anchor: doc 0 peaked at 75 = 3 x tone 25)
     Array.tabulate(3200) { i =>
-      (127 * math.cos(2 * math.Pi * freqs(i / 256) * (i % 256) / 256.0))
+      (128 + 127 * math.cos(2 * math.Pi * freqs(i / 256) * (i % 256) / 256.0))
         .toByte
     }
   }
 
   private def shiftBytes(p: Array[Byte]): Array[Byte] =
     Array.tabulate(256)(i =>
-      (127 * math.cos(2 * math.Pi * 7 * i / 256.0)).toByte) ++ p
+      (128 + 127 * math.cos(2 * math.Pi * 7 * i / 256.0)).toByte) ++ p
 
   def audioMatch(spark: SparkSession, dir: String): DataFrame = {
     // Deterministic per-doc PCM synthesis (the stub-decode contract:
@@ -247,19 +262,55 @@ object MultimodalQueries {
     * documents actually present at the running SF and replays the
     * landmark pairing, df-cap, offset-histogram vote, and best-offset
     * pick relationally. Round-7: converted from rows-only.
+    *
+    * THEORY ANCHORS (round 10 — the bake is no longer purely
+    * self-referential on framePeaks):
+    *  - every block-aligned frame's TOP peak is REQUIRED at bake time
+    *    to equal the block's [[chirpFreqs]] tone — the closed-form
+    *    single-line spectrum of an integer-bin cosine (orthogonality);
+    *    a framePeaks regression that moved a dominant line now aborts
+    *    oracle generation instead of baking its own bug in;
+    *  - twin rows for frames >= 2 are NOT re-measured: the 256-sample
+    *    prefix is exactly 2 hops, so twin frame t covers byte-for-byte
+    *    the same samples as base frame t-2 — their peaks are copied
+    *    under the exact shift identity (the Fourier shift theorem's
+    *    discrete, quantization-proof form). Only the 2 prefix frames
+    *    per twin are measured, with the prefix tone's top peak
+    *    REQUIRED at its theoretical bin 7.
+    * What remains code-derived: the SECOND peak of pure frames, which
+    * is the argmax of quantization noise (the ideal spectrum is zero
+    * off the line, so no closed form exists for the byte-rounded
+    * residue), and both peaks of block-straddling frames.
     */
   private def audioMatchOracleSql: String = {
-    def peaksOf(id: Long, payload: Array[Byte]): Seq[String] = {
+    val basePk: Seq[(Long, Array[Array[Int]])] = (0L until 500L).map { id =>
       val pk = graft.operators.AudioFingerprint.framePeaks(
-        payload, frameSize = 256, hop = 128, peaksPerFrame = 2)
-      for {
-        t <- pk.indices
-        p <- pk(t).indices
-      } yield s"($id,$t,${pk(t)(p)})"
+        waveBytes(id), frameSize = 256, hop = 128, peaksPerFrame = 2)
+      val fr = chirpFreqs(id)
+      pk.indices.filter(_ % 2 == 0).foreach { t =>
+        require(pk(t)(0) == fr(t / 2),
+          s"theory anchor violated: doc $id frame $t top peak ${pk(t)(0)} " +
+            s"!= block tone ${fr(t / 2)} — framePeaks lost a spectral line")
+      }
+      id -> pk
     }
-    val base = (0L until 500L).flatMap(id => peaksOf(id, waveBytes(id)))
-    val twins = (0L until 30L).flatMap(id =>
-      peaksOf(id + 1000000L, shiftBytes(waveBytes(id))))
+    def rows(id: Long, t0: Int, pk: Seq[Array[Int]]): Seq[String] =
+      for {
+        (ps, dt) <- pk.zipWithIndex
+        f <- ps
+      } yield s"($id,${t0 + dt},$f)"
+    val base = basePk.flatMap { case (id, pk) => rows(id, 0, pk.toSeq) }
+    val twins = basePk.take(30).flatMap { case (id0, pk) =>
+      val id = id0 + 1000000L
+      val headPk = graft.operators.AudioFingerprint.framePeaks(
+        shiftBytes(waveBytes(id0)), frameSize = 256, hop = 128,
+        peaksPerFrame = 2).take(2)
+      require(headPk(0)(0) == 7,
+        s"theory anchor violated: twin $id prefix frame top peak " +
+          s"${headPk(0)(0)} != tone bin 7")
+      // frames >= 2: exact shift identity — copy the base rows
+      rows(id, 0, headPk.toSeq) ++ rows(id, 2, pk.toSeq)
+    }
     s"""WITH pk0(id, t, f) AS (VALUES ${(base ++ twins).mkString(",")}),
 ids AS (
   SELECT doc_id AS id FROM documents WHERE doc_id < 500

@@ -196,5 +196,8 @@ object TrainingQueries {
     "text_bpe_vocab" -> TrainerOracle.bpeVocab,
     "text_bpe_encode" -> TrainerOracle.bpeEncode,
     "text_wordpiece_vocab" -> TrainerOracle.wordpieceVocab,
-    "text_wordpiece_encode" -> TrainerOracle.wordpieceEncode)
+    "text_wordpiece_encode" -> TrainerOracle.wordpieceEncode,
+    // round-10 conversion: final centroids baked (KmeansBakedData),
+    // assignment + counts + SSE replayed — see KmeansOracle
+    "emb_kmeans_stats" -> KmeansOracle.kmeansStats)
 }

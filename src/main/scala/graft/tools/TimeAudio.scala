@@ -27,7 +27,7 @@ object TimeAudio {
       }
       val freqs = Array.fill(13)(next())
       Array.tabulate(3200) { i =>
-        (127 * math.cos(2 * math.Pi * freqs(i / 256) * (i % 256) / 256.0)).toByte
+        (128 + 127 * math.cos(2 * math.Pi * freqs(i / 256) * (i % 256) / 256.0)).toByte
       }
     }
     val packed = graft.Tables(spark, dir, "documents")
@@ -74,7 +74,7 @@ object TimeAudio {
       }
       val freqs = Array.fill(13)(next())
       Array.tabulate(6656) { i =>
-        (127 * math.cos(2 * math.Pi * freqs(i / 512) * (i % 512) / 512.0))
+        (128 + 127 * math.cos(2 * math.Pi * freqs(i / 512) * (i % 512) / 512.0))
           .toByte
       }
     }
@@ -83,7 +83,7 @@ object TimeAudio {
       .localCheckpoint(true)
     val shift = udf { p: Array[Byte] =>
       Array.tabulate(512)(i =>
-        (127 * math.cos(2 * math.Pi * 9 * i / 512.0)).toByte) ++ p
+        (128 + 127 * math.cos(2 * math.Pi * 9 * i / 512.0)).toByte) ++ p
     }
     val twins = packed.where(col("id") < 50)
       .select((col("id") + 10000000L).as("id"),

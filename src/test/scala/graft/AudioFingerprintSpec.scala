@@ -106,7 +106,7 @@ class AudioFingerprintSpec extends SparkSpec {
     a.foreach { packed =>
       val hash = packed >> 20
       val t = packed & ((1L << 20) - 1)
-      val dt = hash & 0xFF
+      val dt = hash & 0xFFF // low 12 bits since the round-10 widening
       assert(dt >= 1 && dt <= 3)
       assert(t >= 0 && t < 800 / 32)
     }

@@ -18,23 +18,21 @@ package graft
   */
 class GoldenHashSpec extends SparkSpec {
 
+  // round 10 retired the emb_kmeans_stats + dedup_semantic pins: their
+  // trained artifact is baked into a real DuckDB oracle (KmeansOracle)
   private val expectedSf001 = Map(
     "agg_approx_distinct" -> "cbfd2bc22b0b1dff7524b80bb5580be3",
     "agg_hll_sketch" -> "525397935456c52f1c46a90eb6ea9d33",
     "emb_logreg_eval" -> "6853b1063ee39df1dfabf3ab6608ff0a",
     "emb_logreg_calibration" -> "483fc8d0e382858efe258d3c071751ab",
     "emb_mahalanobis_outliers" -> "e389c05f1add6ed0e7c9ddec3faf1749",
-    "emb_kmeans_stats" -> "e8fb344a308aa32b1ee268f822d6cd38",
     "emb_pca_variance" -> "5a1f4bca8fef27d7defe34f71cf38095",
     "text_ulm_encode" -> "afa98d2bdb4d88ddc90758543230202f",
-    "text_ulm_vocab" -> "f51349e0a16d43db2d4d313d8ee3675a",
-    "dedup_semantic" -> "a60e4c40f2dae28e673b857707dcbde1")
+    "text_ulm_vocab" -> "f51349e0a16d43db2d4d313d8ee3675a")
 
   private val expectedSf01 = Map(
     "agg_approx_distinct" -> "794784eaf442314bdbcdfee0a849c8b0",
     "agg_hll_sketch" -> "dd7caa867662e60117b56de06dd434e9",
-    "dedup_semantic" -> "3f2d4cc1b9601e556bb346a233e8287f",
-    "emb_kmeans_stats" -> "be76816abedaf206f989991036eac59f",
     "emb_logreg_calibration" -> "7f8c3b4d1deb0ecdb95c109fa4cd3ce0",
     "emb_logreg_eval" -> "79e5d66af869d63f41cbaf221e848349",
     "emb_mahalanobis_outliers" -> "f4525dc6873729dc96f90155a159ebcd",

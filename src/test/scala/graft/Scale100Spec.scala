@@ -134,7 +134,11 @@ class Scale100Spec extends SparkSpec {
     // straddle — pin the exact floor bound packSequences guarantees
     assert(maxPack100 <= tok100 / 2048L,
       s"max pack_id $maxPack100 exceeds token-total bound ${tok100 / 2048L}")
-    assert(t < 360.0, f"100x pipeline took $t%.1fs — superlinear stage?")
+    // wall-clock bound is host-load-dependent (ADVICE r9): default is
+    // order-of-magnitude (observed ~4 s; a superlinear stage lands in
+    // the thousands); GRAFT_STRICT_TIMING restores the tighter band
+    val tBound = if (sys.env.contains("GRAFT_STRICT_TIMING")) 360.0 else 1800.0
+    assert(t < tBound, f"100x pipeline took $t%.1fs — superlinear stage?")
   }
 
   test("knnJoin at 100x vectors: IVF pruning scales with nlist") {
@@ -213,7 +217,87 @@ class Scale100Spec extends SparkSpec {
       "probing must not degenerate into corpus-sized work")
   }
 
-  test("audio fingerprint match at 100x (50k waves): bounded, full recall") {
+  test("audio fingerprint match at 100x (50k waves): realistic entropy") {
+    // Round 10 (verdict task 5): the old fixture drew from 250
+    // single-tone frequencies, so landmark hashes collided massively
+    // and the rehearsal's 68 s join fan-out measured FIXTURE entropy,
+    // not the operator. This fixture plays TWO tones per 2048-sample
+    // frame from 1..1023 bins (enabled by the round-10 hash widening)
+    // — ~2^21 distinct (f1, f2, dt) combos, the real-audio regime
+    // where posting lists are near-singleton and the join tracks true
+    // pairs. ~4.4M landmarks over ~2M hash space => mean df ~2.
+    import org.apache.spark.sql.functions.udf
+    val wave = udf { id: Long =>
+      var st = id * 6364136223846793005L + 1442695040888963407L
+      def next(): Int = {
+        st = st * 6364136223846793005L + 1442695040888963407L
+        (((st >>> 33) % 1023) + 1).toInt
+      }
+      val freqs = Array.fill(26)(next())
+      // 128 + for the (b & 0xFF) - 128 decode contract (see waveBytes)
+      Array.tabulate(26624) { i =>
+        val b = i / 2048
+        val f1 = freqs(2 * b)
+        val f2raw = freqs(2 * b + 1)
+        val f2 = if (f2raw == f1) f1 % 1023 + 1 else f2raw
+        (128 + 63 * math.cos(2 * math.Pi * f1 * (i % 2048) / 2048.0) +
+          63 * math.cos(2 * math.Pi * f2 * (i % 2048) / 2048.0)).toByte
+      }
+    }
+    val packed = spark.range(50000)
+      .select(col("id"), wave(col("id")).as("payload"))
+      .localCheckpoint(true)
+    val shift = udf { p: Array[Byte] =>
+      Array.tabulate(2048)(i =>
+        (128 + 127 * math.cos(2 * math.Pi * 9 * i / 2048.0)).toByte) ++ p
+    }
+    val twins = packed.where(col("id") < 50)
+      .select((col("id") + 10000000L).as("id"),
+        shift(col("payload")).as("payload"))
+    val all = packed.unionByName(twins)
+    // staged fan-out readout: at real entropy the pair join must track
+    // TRUE pairs, not posting-list saturation — postings join to only
+    // a small multiple of themselves when df is near-singleton
+    val lt = graft.operators.AudioFingerprint.landmarkTable(
+        all.repartition(col("id")), 2048, 2048, 2, 2)
+      .localCheckpoint(true)
+    val nLandmarks = lt.count()
+    val rare = lt.groupBy("hash")
+      .agg(countDistinct("id").as("df"))
+      .where(col("df") <= 50 && col("df") >= 2)
+    val meanDf = rare.agg(avg("df")).collect()(0).getDouble(0)
+    val joined = lt.join(broadcast(rare.select("hash")), "hash")
+    val nPostings = joined.count()
+    val nPairRows = joined.as("a").join(joined.as("b"),
+        col("a.hash") === col("b.hash") && col("a.id") < col("b.id"))
+      .count()
+    info(f"100x audio entropy: $nLandmarks landmarks, mean rare-df " +
+      f"$meanDf%.1f, $nPostings postings -> $nPairRows pair rows")
+    assert(meanDf < 10.0,
+      f"mean df $meanDf%.1f — fixture entropy collapsed back to the " +
+        "collision regime (was ~45 saturated pre-round-10)")
+    assert(nPairRows < 20L * nPostings,
+      s"$nPairRows pair rows from $nPostings postings — join fan-out " +
+        "no longer tracks true pairs")
+    val (rows, t) = timed {
+      graft.operators.AudioFingerprint.matches(all, minVotes = 60,
+          frameSize = 2048, hop = 2048, peaksPerFrame = 2, fanout = 2)
+        .collect()
+    }
+    val twinHits = rows.count(r => r.getLong(1) == r.getLong(0) + 10000000L)
+    info(f"100x audio: ${rows.length} matches in $t%.1fs, " +
+      s"$twinHits/50 twins recovered")
+    assert(t < 300.0, f"100x audio took $t%.1fs at real entropy — " +
+      "the fan-out is back")
+    assert(twinHits >= 40,
+      s"only $twinHits/50 twins at 100x — df-capping ate the recall")
+  }
+
+  test("audio fingerprint, adversarial collision-heavy corpus: df-cap bounds") {
+    // the OLD 100x fixture, kept deliberately (verdict task 5): 250
+    // single-tone frequencies saturate the hash space, the exact shape
+    // the df-cap exists for. 20k waves (fan-out scales ~quadratically
+    // in corpus/hash-space ratio; 50k measured 68 s, this is ~0.16x).
     import org.apache.spark.sql.functions.udf
     val wave = udf { id: Long =>
       var st = id * 6364136223846793005L + 1442695040888963407L
@@ -223,34 +307,50 @@ class Scale100Spec extends SparkSpec {
       }
       val freqs = Array.fill(13)(next())
       Array.tabulate(6656) { i =>
-        (127 * math.cos(2 * math.Pi * freqs(i / 512) * (i % 512) / 512.0))
+        (128 + 127 * math.cos(2 * math.Pi * freqs(i / 512) * (i % 512) / 512.0))
           .toByte
       }
     }
-    val packed = spark.range(50000)
+    val packed = spark.range(20000)
       .select(col("id"), wave(col("id")).as("payload"))
       .localCheckpoint(true)
     val shift = udf { p: Array[Byte] =>
       Array.tabulate(512)(i =>
-        (127 * math.cos(2 * math.Pi * 9 * i / 512.0)).toByte) ++ p
+        (128 + 127 * math.cos(2 * math.Pi * 9 * i / 512.0)).toByte) ++ p
     }
     val twins = packed.where(col("id") < 50)
       .select((col("id") + 10000000L).as("id"),
         shift(col("payload")).as("payload"))
+    val all = packed.unionByName(twins)
+    // pin the cap MECHANISM: pair rows can never exceed dfCap x
+    // postings (each posting row joins at most dfCap - 1 partners) —
+    // if the cap were dropped, saturation would blow straight past it
+    val lt = graft.operators.AudioFingerprint.landmarkTable(
+        all.repartition(col("id")), 512, 256, 2, 2)
+      .localCheckpoint(true)
+    val rare = lt.groupBy("hash")
+      .agg(countDistinct("id").as("df"))
+      .where(col("df") <= 50 && col("df") >= 2)
+    val joined = lt.join(broadcast(rare.select("hash")), "hash")
+    val nPostings = joined.count()
+    val nPairRows = joined.as("a").join(joined.as("b"),
+        col("a.hash") === col("b.hash") && col("a.id") < col("b.id"))
+      .count()
+    info(s"adversarial audio: $nPostings postings -> $nPairRows pair rows " +
+      s"(cap bound ${50L * nPostings})")
+    assert(nPairRows <= 50L * nPostings,
+      "pair rows exceed the dfCap x postings bound — the cap is not applied")
     val (rows, t) = timed {
-      graft.operators.AudioFingerprint.matches(
-          packed.unionByName(twins), minVotes = 60,
+      graft.operators.AudioFingerprint.matches(all, minVotes = 60,
           frameSize = 512, hop = 256, peaksPerFrame = 2, fanout = 2)
         .collect()
     }
     val twinHits = rows.count(r => r.getLong(1) == r.getLong(0) + 10000000L)
-    info(f"100x audio: ${rows.length} matches in $t%.1fs, " +
+    info(f"adversarial audio: ${rows.length} matches in $t%.1fs, " +
       s"$twinHits/50 twins recovered")
-    // measured 65 s in an idle window and 232 s in a loaded one (the
-    // TIMEONE.md host-drift band): the bound is a cliff detector, not
-    // a latency SLO — the r5 cliff was a >10x blowup
-    assert(t < 600.0, f"100x audio took $t%.1fs — the cliff is back?")
+    assert(t < 600.0, f"collision-heavy audio took $t%.1fs — the cliff " +
+      "is back (df-cap must bound the join even at saturated entropy)")
     assert(twinHits >= 40,
-      s"only $twinHits/50 twins at 100x — df-capping ate the recall")
+      s"only $twinHits/50 twins — df-capping ate the recall")
   }
 }
