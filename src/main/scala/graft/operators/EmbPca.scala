@@ -115,15 +115,39 @@ object EmbPca {
       order.map(i => (0 until d).map(k => v(k)(i)).toArray).toArray)
   }
 
-  /** One aggregation pass -> covariance -> driver eigensolve. */
-  def fit(corpusRaw: DataFrame): Model = {
+  /** One aggregation pass -> covariance -> driver eigensolve.
+    *
+    * `layoutKey` (round 10) makes the moments pass layout-
+    * deterministic: the stock typed-Aggregator path merges partials in
+    * shuffle-arrival order, which is fine for the statistics but makes
+    * the last-ulp float sums — and through Jacobi's rotations, the
+    * eigenvectors — a function of scheduling. With a key, partials are
+    * computed per hash-pinned sorted partition and merged in ascending
+    * partition index (the LloydKMeans.fit pattern), so the model is a
+    * pure function of the data and can bake into the DuckDB oracle.
+    */
+  def fit(corpusRaw: DataFrame, layoutKey: Option[String] = None): Model = {
     val corpus = VectorOps.requireVectors(corpusRaw, "EmbPca.fit")
     val d = corpus.select(size(col("embedding"))).first().getInt(0)
     implicit val enc: Encoder[Seq[Float]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]()
-    val packed = corpus.select(col("embedding")).as[Seq[Float]]
-      .select(new MomentsAgg(d).toColumn)
-      .collect()(0)
+    val packed = layoutKey match {
+      case None =>
+        corpus.select(col("embedding")).as[Seq[Float]]
+          .select(new MomentsAgg(d).toColumn)
+          .collect()(0)
+      case Some(k) =>
+        val agg = new MomentsAgg(d)
+        val partials = corpus
+          .repartition(LloydKMeans.TrainPartitions, col(k))
+          .sortWithinPartitions(k)
+          .select(col("embedding")).as[Seq[Float]].rdd
+          .mapPartitionsWithIndex { (ix, it) =>
+            Iterator((ix, it.foldLeft(agg.zero)(agg.reduce)))
+          }
+          .collect().sortBy(_._1).map(_._2)
+        partials.foldLeft(agg.zero)(agg.merge)
+    }
     val n = packed(0).toLong
     require(n > 1, "PCA needs at least 2 vectors")
     val mean = Array.tabulate(d)(i => packed(1 + i) / n)
@@ -187,7 +211,8 @@ object EmbPca {
   def varianceProfile(spark: SparkSession, dir: String,
       topK: Int = 8): DataFrame = {
     import spark.implicits._
-    val model = fit(graft.Tables(spark, dir, "embeddings"))
+    val model = fit(graft.Tables(spark, dir, "embeddings"),
+      layoutKey = Some("vec_id"))
     val total = model.eigenvalues.sum
     var cum = 0.0
     model.eigenvalues.take(topK).zipWithIndex.map { case (ev, i) =>

@@ -63,8 +63,18 @@ object LogReg {
     * never data.
     */
   def fit(dataRaw: DataFrame, yCol: Column, iters: Int = 20,
-      lr: Double = 2.0, l2: Double = 1e-4): Model = {
-    val data = VectorOps.requireVectors(dataRaw, "LogReg.fit")
+      lr: Double = 2.0, l2: Double = 1e-4,
+      layoutKey: Option[String] = None): Model = {
+    // layoutKey pins the training layout (the LloydKMeans.fit pattern,
+    // round 10): per-partition gradient partials merge in ascending
+    // partition index, so with a hash-repartition on the key + sorted
+    // partitions the final weights are a pure function of the data —
+    // which is what lets the trained model bake into a DuckDB oracle
+    // (ModelBakedData) instead of a golden pin.
+    val pinned = layoutKey.fold(dataRaw)(k =>
+      dataRaw.repartition(LloydKMeans.TrainPartitions, col(k))
+        .sortWithinPartitions(k))
+    val data = VectorOps.requireVectors(pinned, "LogReg.fit")
       .select(col("embedding"), yCol.cast("double").as("_y"))
     val spark = data.sparkSession
     import spark.implicits._

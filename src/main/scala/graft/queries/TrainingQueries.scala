@@ -61,7 +61,7 @@ object TrainingQueries {
     * e2 - e3 > 0 (recoverable target; the synthetic labels are NOT
     * linearly separable in embedding space).
     */
-  private def teacherLabel: Column = {
+  private[graft] def teacherLabel: Column = {
     import org.apache.spark.sql.functions._
     (element_at(col("embedding"), 1) + element_at(col("embedding"), 2)
       - element_at(col("embedding"), 3)) > 0
@@ -78,20 +78,21 @@ object TrainingQueries {
       : graft.operators.LogReg.Model =
     logregCache.getOrElseUpdate(spark, dir) {
       graft.operators.LogReg.fit(Tables(spark, dir, "embeddings"),
-        teacherLabel, iters = 30, lr = 10.0)
+        teacherLabel, iters = 30, lr = 10.0, layoutKey = Some("vec_id"))
     }
 
   def logregEval(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftx.RoundAwayFromZero
     val emb = Tables(spark, dir, "embeddings")
     val m = logregModel(spark, dir)
     graft.operators.LogReg.score(emb, m)
       .groupBy(teacherLabel.as("y_true"))
       .agg(count(lit(1)).as("n"),
         sum((col("prob") >= 0.5).cast("long")).as("n_pred_pos"),
-        round(avg("prob"), 4).as("avg_prob"))
+        RoundAwayFromZero.column(avg("prob"), 4).as("avg_prob"))
       .withColumn("final_loss",
-        round(lit(m.losses.last), 4))
+        RoundAwayFromZero.column(lit(m.losses.last), 4))
       .orderBy("y_true")
   }
 
@@ -111,8 +112,10 @@ object TrainingQueries {
         least(floor(col("prob") * 10).cast("long"), lit(9L)).as("bin"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n"),
-        round(avg("prob"), 4).as("avg_prob"),
-        round(avg(col("y").cast("double")), 4).as("frac_pos"))
+        org.apache.spark.sql.graftx.RoundAwayFromZero
+          .column(avg("prob"), 4).as("avg_prob"),
+        org.apache.spark.sql.graftx.RoundAwayFromZero
+          .column(avg(col("y").cast("double")), 4).as("frac_pos"))
       .orderBy("bin")
   }
 
@@ -128,9 +131,12 @@ object TrainingQueries {
   def mahalanobisOutliers(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val emb = Tables(spark, dir, "embeddings")
-    val model = EmbPca.fit(emb)
+    val model = EmbPca.fit(emb, layoutKey = Some("vec_id"))
     EmbPca.mahalanobis(emb, model)
-      .select(col("vec_id"), round(col("m2"), 4).as("m2"))
+      .select(col("vec_id"),
+        // away-from-zero = DuckDB round, the oracle's rounding
+        org.apache.spark.sql.graftx.RoundAwayFromZero
+          .column(col("m2"), 4).as("m2"))
       .orderBy(col("m2").desc, col("vec_id"))
       .limit(20)
   }
@@ -197,7 +203,11 @@ object TrainingQueries {
     "text_bpe_encode" -> TrainerOracle.bpeEncode,
     "text_wordpiece_vocab" -> TrainerOracle.wordpieceVocab,
     "text_wordpiece_encode" -> TrainerOracle.wordpieceEncode,
-    // round-10 conversion: final centroids baked (KmeansBakedData),
-    // assignment + counts + SSE replayed — see KmeansOracle
-    "emb_kmeans_stats" -> KmeansOracle.kmeansStats)
+    // round-10 conversions via the baked-artifact seam: final trained
+    // models baked (KmeansBakedData / ModelBakedData), everything
+    // downstream replayed — see KmeansOracle / ModelOracle
+    "emb_kmeans_stats" -> KmeansOracle.kmeansStats,
+    "emb_logreg_eval" -> ModelOracle.logregEval,
+    "emb_logreg_calibration" -> ModelOracle.logregCalibration,
+    "emb_mahalanobis_outliers" -> ModelOracle.mahalanobisOutliers)
 }
