@@ -183,6 +183,11 @@ case class TopKPerKeyFinalExec(keys: Seq[Expression], order: Seq[SortOrder],
     org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr)
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(keys) :: Nil
+  // rows never leave their task, so the key clustering the exchange
+  // below provided still holds above — advertising it lets any
+  // downstream per-key operator (a vote groupBy on (key, label), a
+  // per-key join) reuse this exchange instead of planting another
+  override def outputPartitioning: Partitioning = child.outputPartitioning
   override lazy val metrics: Map[String, SQLMetric] =
     Map("numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
   override protected def doExecute(): RDD[InternalRow] = {

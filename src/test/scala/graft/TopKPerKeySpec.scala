@@ -316,6 +316,36 @@ class TopKPerKeySpec extends SparkSpec {
     } finally spark.conf.unset(key)
   }
 
+  test("downstream per-key aggregation reuses the top-k exchange") {
+    // the final exec advertises its child's hash partitioning, so a
+    // groupBy on (key, ...) above it must NOT plant a second exchange
+    // — the knnClassify vote shape (top-k per qid -> votes per
+    // (qid, label)) pays exactly one shuffle end to end. Input NOT
+    // pre-repartitioned: the only exchange in the plan must be the
+    // top-k's own.
+    import spark.implicits._
+    val flat = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 30.0), ("a", 3L, 30.0),
+      ("b", 5L, 1.0), ("b", 6L, 2.0), ("c", 7L, 9.0))
+      .toDF("k", "id", "v")
+    val agged = TopKPerKey.topK(flat, Seq("k"),
+        Seq(("v", true), ("id", false)), 2)
+      .groupBy("k", "v").count()
+    agged.collect()
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        p +: flatten(q.plan)
+      case _ => p +: p.children.flatMap(flatten)
+    }
+    val exchanges = flatten(agged.queryExecution.executedPlan)
+      .count(_.isInstanceOf[ShuffleExchangeExec])
+    assert(exchanges == 1,
+      s"$exchanges exchanges — the vote aggregation re-shuffled rows " +
+        "already clustered by the top-k key")
+  }
+
   test("partial emits at most k rows per key per partition") {
     // single group spread over 3 partitions: final input <= 3*k, output = k
     val out = TopKPerKey.topK(sample.withColumn("k", lit("one")),
