@@ -141,6 +141,63 @@ class Scale100Spec extends SparkSpec {
     assert(t < tBound, f"100x pipeline took $t%.1fs — superlinear stage?")
   }
 
+  test("streaming funnel at 100x: batch parity and flat batches, one decade up") {
+    // the StreamingFunnelSpec contract re-pinned at 50k docs / 10
+    // micro-batches: survivors still EXACTLY the batch funnel's set,
+    // stage totals still the batch frontier counts, and per-batch
+    // latency flat even as the persisted indexes grow 10x — the
+    // months-of-ingest property at rehearsal scale
+    import graft.pipeline.CorpusPipeline
+    import graft.streaming.StreamingFunnel
+    val d100 = graft.tools.Time100
+      .docs100Meta(spark, "/root/testdata/sf0.01")
+    val cfg = CorpusPipeline.Config()
+    val (batchOut, metrics) = CorpusPipeline.prepareObserved(d100, cfg)
+    val expected = batchOut.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val m = metrics()
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("funnel100-src").toString
+    (0 until 10).foreach { s =>
+      d100.where(col("doc_id") >= s * 1000000000L &&
+          col("doc_id") < (s + 1) * 1000000000L)
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("funnel100-idx").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("funnel100-out").toString
+    val stats = scala.collection.mutable.ArrayBuffer
+      .empty[StreamingFunnel.BatchStats]
+    val q = StreamingFunnel.attach(
+      spark.readStream.schema(d100.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir),
+      cfg, indexDir, outDir,
+      java.nio.file.Files.createTempDirectory("funnel100-ck").toString,
+      s => stats.synchronized { stats += s })
+    q.awaitTermination(600000)
+    assert(stats.size == 10, s"expected 10 micro-batches, saw ${stats.size}")
+    val ms = stats.sortBy(_.batchId).map(_.ms).toSeq
+    info(s"100x streamed funnel batches (ms): ${ms.mkString(",")}")
+    val streamed = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == expected,
+      s"decade parity broke — missing: " +
+        s"${(expected -- streamed).toSeq.sorted.take(10)}; extra: " +
+        s"${(streamed -- expected).toSeq.sorted.take(10)}")
+    assert(stats.map(_.nLang).sum == m("2_language"))
+    assert(stats.map(_.nExact).sum == m("4_exact_dedup"))
+    assert(stats.map(_.nNear).sum == m("5_near_dedup"))
+    def median(xs: Seq[Long]): Long = xs.sorted.apply(xs.size / 2)
+    val midMs = median(ms.slice(3, 6))
+    val lastMs = median(ms.drop(6))
+    val (factor, slack) =
+      if (sys.env.contains("GRAFT_STRICT_TIMING")) (3L, 500L) else (10L, 2000L)
+    assert(lastMs <= midMs * factor + slack,
+      s"per-batch latency grew ${midMs}ms -> ${lastMs}ms over the decade — " +
+        "batch work is scaling with ingested history")
+  }
+
   test("knnJoin at 100x vectors: IVF pruning scales with nlist") {
     import graft.operators.IvfAnn
     import org.apache.spark.sql.functions.expr
