@@ -9,6 +9,22 @@ class EmbPcaSpec extends SparkSpec {
 
   private lazy val model = EmbPca.fit(Tables(spark, sfDir, "embeddings"))
 
+  test("layout-keyed moments are input-layout independent (the bake contract)") {
+    // ModelOracle's baked components/muW/eigenvalues are valid only if
+    // layoutKey fitting is a pure function of the data — pin the
+    // eigenstructure bit-exactly across adversarial input layouts
+    val emb = Tables(spark, sfDir, "embeddings")
+    val a = EmbPca.fit(emb.repartition(7), layoutKey = Some("vec_id"))
+    val b = EmbPca.fit(
+      emb.repartition(3, col("label")).sortWithinPartitions("label"),
+      layoutKey = Some("vec_id"))
+    assert(a.eigenvalues.toSeq == b.eigenvalues.toSeq &&
+      a.mean.toSeq == b.mean.toSeq &&
+      a.components.map(_.toSeq).toSeq == b.components.map(_.toSeq).toSeq,
+      "the eigenstructure depends on the input layout — the baked " +
+        "oracle would break under a different session geometry")
+  }
+
   test("eigenvalues are non-negative and descending") {
     val ev = model.eigenvalues
     assert(ev.forall(_ >= -1e-9), ev.take(5).mkString(","))

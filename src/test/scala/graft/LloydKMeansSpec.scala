@@ -46,4 +46,20 @@ class LloydKMeansSpec extends SparkSpec {
     val b = LloydKMeans.clusterStats(emb, k = 8, iters = 3).collect().toSeq
     assert(a == b)
   }
+
+  test("trained centroids are input-layout independent (the bake contract)") {
+    // the KmeansOracle bake is valid only if the FINAL centroids are a
+    // pure function of the data — fit()'s internal hash-repartition +
+    // within-partition sort must erase whatever layout the input
+    // arrives in (session width, file splits, prior shuffles). Pin it
+    // bit-exactly across adversarial input layouts.
+    import org.apache.spark.sql.functions.col
+    val a = LloydKMeans.fit(emb.repartition(7), k = 8, iters = 2)._1
+    val b = LloydKMeans.fit(
+      emb.repartition(3, col("label")).sortWithinPartitions("label"),
+      k = 8, iters = 2)._1
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq,
+      "centroids depend on the input layout — the baked oracle would " +
+        "break under a different session geometry")
+  }
 }

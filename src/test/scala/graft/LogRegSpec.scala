@@ -54,4 +54,22 @@ class LogRegSpec extends SparkSpec {
       s"mean probabilities must separate: $avgT vs $avgF")
     assert(posT > nT / 2 && posF < nF / 2)
   }
+
+  test("trained weights are input-layout independent (the bake contract)") {
+    // ModelOracle's baked weights are valid only if layoutKey training
+    // is a pure function of the data — pin bit-exactly across
+    // adversarial input layouts (see LloydKMeansSpec's twin)
+    import org.apache.spark.sql.functions.col
+    val emb = Tables(spark, sfDir, "embeddings")
+    val y = graft.queries.TrainingQueries.teacherLabel
+    val a = LogReg.fit(emb.repartition(7), y, iters = 3, lr = 10.0,
+      layoutKey = Some("vec_id"))
+    val b = LogReg.fit(
+      emb.repartition(3, col("label")).sortWithinPartitions("label"),
+      y, iters = 3, lr = 10.0, layoutKey = Some("vec_id"))
+    assert(a.w.toSeq == b.w.toSeq && a.b == b.b &&
+      a.losses == b.losses,
+      "weights depend on the input layout — the baked oracle would " +
+        "break under a different session geometry")
+  }
 }
