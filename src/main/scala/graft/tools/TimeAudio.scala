@@ -4,8 +4,11 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Dev scratch: stage breakdown of multimodal_audio_match.
-  * `TimeAudio x100 [cpus]` stages the Scale100Spec construction
-  * (50k waves of 6656 samples, frameSize 512) instead.
+  * `TimeAudio x100 [cpus]` stages the COLLISION-HEAVY 100x corpus
+  * (50k single-tone waves of 6656 samples, frameSize 512 — since
+  * round 10 this is Scale100Spec's ADVERSARIAL df-cap fixture; the
+  * headline rehearsal uses the two-tone 2048-frame realistic-entropy
+  * construction and is staged inside the spec itself).
   */
 object TimeAudio {
   def main(args: Array[String]): Unit = {
