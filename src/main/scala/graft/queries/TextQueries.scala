@@ -754,31 +754,73 @@ object TextQueries {
   def rakeTopK(spark: SparkSession, dir: String): DataFrame =
     rakeTopKFrom(Tables(spark, dir, "documents"))
 
+  /** One compiled pass per document emitting the stopword-free phrase
+    * runs directly — [[TextOps.tokens]]' exact tokenization (lowercase,
+    * non-letters break words) with stopwords closing the current
+    * phrase. UDF for the same reason as CorpusPipeline.tokenStatsUdf:
+    * the declarative HOF form rescans the stopword array per token.
+    */
+  private lazy val rakePhrasesUdf = {
+    val stopSet = stop.toSet
+    udf { text: String =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val sb = new java.lang.StringBuilder
+      val phrase = new java.lang.StringBuilder
+      var plen = 0
+      def flushPhrase(): Unit = if (plen > 0) {
+        out += phrase.toString; phrase.setLength(0); plen = 0
+      }
+      def flushWord(): Unit = if (sb.length > 0) {
+        val w = sb.toString
+        sb.setLength(0)
+        if (stopSet.contains(w)) flushPhrase()
+        else {
+          if (plen > 0) phrase.append(' ')
+          phrase.append(w); plen += 1
+        }
+      }
+      if (text != null) {
+        var i = 0
+        while (i < text.length) {
+          val c = text.charAt(i)
+          if (c >= 'a' && c <= 'z') sb.append(c)
+          else if (c >= 'A' && c <= 'Z') sb.append((c + 32).toChar)
+          else flushWord() // non-letters end the WORD, not the phrase
+          i += 1
+        }
+        flushWord(); flushPhrase()
+      }
+      out.toSeq
+    }
+  }
+
   /** [[rakeTopK]] over an explicit documents frame — the scale-
     * rehearsal seam (ScaleRehearsalSpec runs it on a 10x corpus).
+    *
+    * Round 10 rewrite: the old form posexploded EVERY token through a
+    * per-document running-stopword-count window (a full-corpus
+    * shuffle + sort) and then rebuilt phrase adjacency with two
+    * (doc_id, grp) joins — structure the row already carried. The
+    * row-local [[rakePhrasesUdf]] emits phrase instances in one scan;
+    * what remains distributed is exactly the part that needs to be:
+    * the word-stats hash agg, the word-key join, and the phrase
+    * scoring agg ending in TakeOrdered. Same output (oracle
+    * unchanged, green at sf0.001/0.01/0.1). Local bench moves only
+    * ~10% (1.79 -> 1.61 s at sf0.1 — job overhead dominates at 5000
+    * docs), but the structural point is the 100 TB one: the full
+    * token-instance shuffle + per-doc sort the window required is
+    * gone; every remaining exchange carries phrase/word aggregates.
     */
   private[graft] def rakeTopKFrom(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = docs
-      .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))))
-      .toDF("doc_id", "pos", "w")
-    val grouped = toks
-      .withColumn("_stop", col("w").isin(stop.map(s => s: Any): _*))
-      .withColumn("grp", sum(when(col("_stop"), 1L).otherwise(0L)).over(
-        Window.partitionBy("doc_id").orderBy("pos")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .where(!col("_stop"))
-      .localCheckpoint(true) // word stats + phrase rebuild share it
-    val phrases = grouped.groupBy("doc_id", "grp")
-      .agg(count(lit(1)).as("plen"),
-        concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("pos"), col("w")))),
-          s => s.getField("w"))).as("phrase"))
-    val wordStats = grouped
-      .join(phrases.select("doc_id", "grp", "plen"), Seq("doc_id", "grp"))
+    val words = docs
+      .select(col("doc_id"), explode(rakePhrasesUdf(col("text"))).as("phrase"))
+      .select(col("phrase"),
+        size(split(col("phrase"), " ")).cast("long").as("plen"),
+        explode(split(col("phrase"), " ")).as("w"))
+      .localCheckpoint(true) // word stats + phrase scoring share it
+    val wordStats = words
       .groupBy("w").agg(count(lit(1)).as("freq"), sum("plen").as("degree"))
-    grouped
-      .join(phrases, Seq("doc_id", "grp"))
+    words
       .join(wordStats, "w")
       .groupBy("phrase")
       .agg((count(lit(1)) / max("plen")).cast("long").as("n_occurrences"),

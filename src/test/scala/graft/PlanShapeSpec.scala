@@ -39,9 +39,13 @@ class PlanShapeSpec extends SparkSpec {
     // shared trigram base + hash aggs; the bnlj is the 1-row corpus
     // normalizer joined to every bucket (bounded broadcast, by design)
     "text_perplexity_buckets" -> Shape(4, 2, 0, 0, 1, 0, 1),
-    // per-document windows + TakeOrdered; broadcasts are the bounded
-    // stopword/degree side tables
-    "text_rake_topk" -> Shape(4, 3, 0, 0, 3, 0, 0))
+    // round-10 rewrite: row-local phrase segmentation (no token
+    // window), so the plan is two hash aggs off the checkpointed
+    // phrase-word table + one AQE-broadcast word-stats join +
+    // TakeOrdered — re-audited scale-safe (no corpus-wide sort
+    // anywhere; at 100 TB the word-stats side outgrows broadcast and
+    // AQE falls back to the shuffled join on the 2 existing exchanges)
+    "text_rake_topk" -> Shape(2, 1, 0, 0, 1, 0, 0))
 
   pins.foreach { case (name, expected) =>
     test(s"$name keeps its audited executed-plan shape") {

@@ -200,13 +200,13 @@ class ScaleRehearsalSpec extends SparkSpec {
       s"only $twinHits/50 twins survived df-capping — recall collapsed")
   }
 
-  test("RAKE at 10x: per-doc windows only, bounded") {
+  test("RAKE at 10x: row-local segmentation, bounded") {
     val (top, t) = timed {
       graft.queries.TextQueries.rakeTopKFrom(docs10).collect()
     }
     info(f"10x RAKE: top ${top.length} phrases in $t%.1fs")
     assert(top.length == 30)
-    assert(t < 180.0, f"RAKE took $t%.1fs — the window went global?")
+    assert(t < 180.0, f"RAKE took $t%.1fs — segmentation went corpus-wide?")
     // the replica suffix rides every doc, so phrase stats must reflect
     // the 10x structure: every top phrase occurs at least once
     assert(top.forall(_.getLong(1) >= 1))
