@@ -232,6 +232,15 @@ object DedupQueries {
     * Per-source set sizes ride a broadcast join for the Jaccard.
     */
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    // DELIBERATELY un-checkpointed (round 10 A/B): the three consumers
+    // (sizes + both self-join sides) re-derive the distinct
+    // (source, shingle) table, which measured FASTER here than
+    // materializing it once (1.5 s vs 1.6-1.8 s at sf0.1 — the
+    // pipelined recomputes overlap, the checkpoint write is serial).
+    // At true corpus scale the tradeoff flips (three full scans vs
+    // one), so a 100 TB deployment should insert
+    // `.localCheckpoint(true)` after the distinct — the audit is
+    // n_sources^2-bounded either way.
     val ss = Tables(spark, dir, "documents")
       .select(col("source"), explode(
         org.apache.spark.sql.graftx.TextShingles.column(col("text")))

@@ -685,13 +685,17 @@ object TextQueries {
     * gram-keyed join is the structural point).
     */
   def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    // per-doc distinct is ROW-LOCAL (round 10): array_distinct before
+    // the explode replaces the old corpus-wide .distinct() — a full
+    // shuffle dedup of every trigram instance — with in-row work; the
+    // (doc, gram) pairs are unique by construction since a doc's grams
+    // dedup inside their own array
     val types = Tables(spark, dir, "documents")
       .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
       .where(size(col("ws")) >= 3)
-      .select(col("doc_id"), explode(expr(
+      .select(col("doc_id"), explode(array_distinct(expr(
         "transform(sequence(0, size(ws) - 3), " +
-          "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")).as("g"))
-      .distinct()
+          "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))).as("g"))
       .localCheckpoint(true)
     val novel = types.groupBy("g").agg(min("doc_id").as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
