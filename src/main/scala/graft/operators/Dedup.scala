@@ -284,62 +284,432 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Hash-prefix count the persisted LSH index partitions by —
+    * `spark.graft.lsh.indexPrefixes`, default 64. Read at WRITE time
+    * and recorded in the index's meta file; probes always use the
+    * recorded value, never the live conf, so changing the conf can
+    * never mis-prune an existing index. Size it to the deployment:
+    * a 100 TB corpus wants prefixes >= cluster write parallelism
+    * (e.g. 4096) so each partition stays a bounded fraction of the
+    * index and a small batch's probe touches a small fraction of it.
+    */
+  def lshIndexPrefixes(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.getOption("spark.graft.lsh.indexPrefixes")
+      .map(_.toInt).getOrElse(64)
+
+  /** Layout contract of a persisted LSH index, recorded next to the
+    * data (`_graft_lsh_meta`): the prefix modulus plus the banding
+    * params. Probing with different banding than the index was built
+    * with silently matches nothing, and pruning with a different
+    * modulus silently LOSES matches — both now fail fast instead.
+    */
+  final case class LshIndexMeta(prefixes: Int, bands: Int, rowsPerBand: Int)
+
+  private def lshMetaPath(dir: String) =
+    new org.apache.hadoop.fs.Path(s"$dir/_graft_lsh_meta")
+
+  private def writeLshMeta(spark: org.apache.spark.sql.SparkSession,
+      dir: String, m: LshIndexMeta): Unit = {
+    val p = lshMetaPath(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(
+      s"prefixes=${m.prefixes}\nbands=${m.bands}\nrowsPerBand=${m.rowsPerBand}\n"
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** None = legacy/unknown layout: probes fall back to the full scan
+    * (correct, just not pruned) and appends preserve the flat layout.
+    */
+  def readLshMeta(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Option[LshIndexMeta] = {
+    val p = lshMetaPath(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val kv = txt.linesIterator.filter(_.contains("="))
+        .map { l => val Array(k, v) = l.split("=", 2); k -> v.trim.toInt }
+        .toMap
+      Some(LshIndexMeta(kv("prefixes"), kv("bands"), kv("rowsPerBand")))
+    }
+  }
+
+  /** Expected distinct band keys for the index's rolling key bloom —
+    * `spark.graft.lsh.bloomCapacity`, default 16M (~14 MB at 3% fpp,
+    * comfortably broadcastable). Every bloom of one index is built
+    * with the SAME (capacity, fpp) so per-batch blooms stay bit-
+    * compatible and OR-merge into the rolling artifact. Size to the
+    * deployment's total band keys (16 per doc at the defaults): an
+    * over-full bloom degrades fpp — weaker pruning, never wrong
+    * results (no false negatives).
+    */
+  def lshBloomCapacity(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("spark.graft.lsh.bloomCapacity")
+      .map(_.toLong).getOrElse(16000000L)
+
+  private val LshBloomFpp = 0.03
+
+  private def bloomFile(dir: String, batch: Option[Long]) =
+    new org.apache.hadoop.fs.Path(batch match {
+      case Some(id) => s"$dir/keybloom/bloom-$id.bin"
+      case None => s"$dir/keybloom/bloom-base.bin"
+    })
+
+  /** OR-merge the just-written band keys into the rolling key bloom
+    * (read from `bandsPath` so the batch is never re-shingled). The
+    * merged snapshot lands in a per-batch file — overwrite-on-replay
+    * idempotent like every other index write, and deterministic: bloom
+    * insertion is bit-OR, so content is a pure function of the keys.
+    */
+  private def rollLshBloom(spark: org.apache.spark.sql.SparkSession,
+      dir: String, bandsPath: String, batch: Option[Long]): Unit = {
+    val batchBloom = spark.read.parquet(bandsPath)
+      .stat.bloomFilter("bkey", lshBloomCapacity(spark), LshBloomFpp)
+    val merged = readLshBloom(spark, dir, excludeBatch = batch)
+      .map { prev => prev.mergeInPlace(batchBloom); prev }
+      .getOrElse(batchBloom)
+    val p = bloomFile(dir, batch)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try merged.writeTo(out) finally out.close()
+  }
+
+  /** Newest rolling key bloom, excluding the given batch's own
+    * snapshot (replay safety). None = no bloom yet (legacy index or
+    * first batch) — probes skip the pre-filter, which is correct,
+    * just unpruned.
+    */
+  def readLshBloom(spark: org.apache.spark.sql.SparkSession, dir: String,
+      excludeBatch: Option[Long] = None)
+      : Option[org.apache.spark.util.sketch.BloomFilter] = {
+    val d = new org.apache.hadoop.fs.Path(s"$dir/keybloom")
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(d)) return None
+    val re = "bloom-(base|\\d+)\\.bin".r
+    val ids = fs.listStatus(d).toSeq.map(_.getPath.getName).collect {
+      case re(s) => if (s == "base") -1L else s.toLong
+    }
+    val usable = ids.filterNot(excludeBatch.contains)
+    if (usable.isEmpty) None
+    else {
+      val pick = usable.max
+      val p = bloomFile(dir, if (pick < 0) None else Some(pick))
+      val in = fs.open(p)
+      try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+      finally in.close()
+    }
+  }
+
+  /** (doc_id, bkey) band keys of a batch — the probe side of the index
+    * join (shingle + minhash-band in one pass).
+    */
+  def bandKeys(docs: DataFrame, idCol: String, textCol: String,
+      bands: Int = 16, rowsPerBand: Int = 4): DataFrame =
+    shingled(docs, idCol, textCol).select(
+      col("doc_id"),
+      explode(org.apache.spark.sql.graftx.MinHashBands.column(
+        col("shs"), bands, rowsPerBand)).as("bkey"))
+
+  /** (doc_id, bkey, bp) band rows with the hash-prefix partition key. */
+  private def bandRows(sh: DataFrame, bands: Int, rowsPerBand: Int,
+      prefixes: Int): DataFrame =
+    sh.select(
+        col("doc_id"),
+        explode(org.apache.spark.sql.graftx.MinHashBands.column(
+          col("shs"), bands, rowsPerBand)).as("bkey"))
+      .withColumn("bp", pmod(hash(col("bkey")), lit(prefixes)))
+
   /** Persist the corpus's MinHash-LSH index: the banded signature table
     * (bkey, doc_id) plus the shingle sets needed for exact
     * verification. This is what makes INCREMENTAL dedup possible at
     * 100 TB — a new ingest batch probes the index instead of
     * recomputing corpus-wide signatures and pairs (the same build-once
     * / probe-cheap lifecycle as the IVF ANN index).
+    *
+    * Layout (the sub-linear-probe contract): `bands/` is
+    * hive-partitioned by `bp = pmod(hash(bkey), prefixes)` and
+    * `shingles/` by `sp = pmod(hash(doc_id), prefixes)`, with the
+    * modulus recorded in `_graft_lsh_meta`; `keybloom/` holds a
+    * rolling bloom of every indexed band key. [[dedupAgainstIndex]]
+    * first drops batch keys the bloom proves absent (no false
+    * negatives — only ~true collisions survive), then PARTITION-PRUNES
+    * both reads to the survivors' prefixes, so probe I/O tracks match
+    * density — the difference between O(batch matches) and O(history)
+    * per ingest micro-batch. Scale the two knobs together: `prefixes`
+    * bounds bytes-per-touched-partition, `bloomCapacity` keeps the
+    * pre-filter's fpp low as the corpus grows.
     */
   def writeLshIndex(docs: DataFrame, idCol: String, textCol: String,
       dir: String, bands: Int = 16, rowsPerBand: Int = 4): Unit = {
+    val spark = docs.sparkSession
+    val prefixes = lshIndexPrefixes(spark)
     val sh = shingled(docs, idCol, textCol)
-    sh.select(
-        col("doc_id"),
-        explode(org.apache.spark.sql.graftx.MinHashBands.column(
-          col("shs"), bands, rowsPerBand)).as("bkey"))
-      .write.mode("overwrite").parquet(s"$dir/bands")
-    sh.write.mode("overwrite").parquet(s"$dir/shingles")
+    // repartition ON the partition column: each task owns whole
+    // prefixes, so the write emits one file per (task, prefix) instead
+    // of tasks × prefixes small files
+    bandRows(sh, bands, rowsPerBand, prefixes)
+      .repartition(col("bp"))
+      .write.mode("overwrite").partitionBy("bp").parquet(s"$dir/bands")
+    sh.withColumn("sp", pmod(hash(col("doc_id")), lit(prefixes)))
+      .repartition(col("sp"))
+      .write.mode("overwrite").partitionBy("sp").parquet(s"$dir/shingles")
+    val fs = bloomFile(dir, None)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/keybloom"), true)
+    rollLshBloom(spark, dir, s"$dir/bands", None)
+    writeLshMeta(spark, dir, LshIndexMeta(prefixes, bands, rowsPerBand))
   }
 
-  /** Append an (already deduplicated) ingest batch into the index. */
+  /** Append an (already deduplicated) ingest batch into the index.
+    *
+    * `subdir = Some(batchId)` writes into `bands/batch=<id>/bp=...`
+    * (and `shingles/batch=<id>/sp=...`) with OVERWRITE semantics — the
+    * idempotent-replay unit for streaming ingest (a foreachBatch retry
+    * overwrites its own subtree instead of double-appending), and the
+    * partition column a replayed probe uses to exclude its own
+    * half-written batch. Use it for ALL writes to a given index or for
+    * none: partition discovery requires a uniform directory depth.
+    *
+    * Appending to a legacy (meta-less) flat index preserves the flat
+    * layout; `subdir` requires the partitioned layout.
+    */
   def appendToLshIndex(batch: DataFrame, idCol: String, textCol: String,
-      dir: String, bands: Int = 16, rowsPerBand: Int = 4): Unit = {
+      dir: String, bands: Int = 16, rowsPerBand: Int = 4,
+      subdir: Option[Long] = None): Unit = {
+    val spark = batch.sparkSession
     val sh = shingled(batch, idCol, textCol)
-    sh.select(
-        col("doc_id"),
-        explode(org.apache.spark.sql.graftx.MinHashBands.column(
-          col("shs"), bands, rowsPerBand)).as("bkey"))
-      .write.mode("append").parquet(s"$dir/bands")
-    sh.write.mode("append").parquet(s"$dir/shingles")
+    val meta = readLshMeta(spark, dir)
+    meta.foreach { m =>
+      require(m.bands == bands && m.rowsPerBand == rowsPerBand,
+        s"index at $dir was built with bands=${m.bands}/" +
+          s"rowsPerBand=${m.rowsPerBand}, append used $bands/$rowsPerBand")
+    }
+    if (meta.isEmpty && subdir.isEmpty &&
+        exists(spark, s"$dir/bands")) {
+      // legacy flat index: preserve its layout
+      sh.select(
+          col("doc_id"),
+          explode(org.apache.spark.sql.graftx.MinHashBands.column(
+            col("shs"), bands, rowsPerBand)).as("bkey"))
+        .write.mode("append").parquet(s"$dir/bands")
+      sh.write.mode("append").parquet(s"$dir/shingles")
+      return
+    }
+    val prefixes = meta.map(_.prefixes).getOrElse(lshIndexPrefixes(spark))
+    val (bandsPath, shinglesPath, mode) = subdir match {
+      case Some(id) =>
+        (s"$dir/bands/batch=$id", s"$dir/shingles/batch=$id", "overwrite")
+      case None => (s"$dir/bands", s"$dir/shingles", "append")
+    }
+    bandRows(sh, bands, rowsPerBand, prefixes)
+      .repartition(col("bp"))
+      .write.mode(mode).partitionBy("bp").parquet(bandsPath)
+    sh.withColumn("sp", pmod(hash(col("doc_id")), lit(prefixes)))
+      .repartition(col("sp"))
+      .write.mode(mode).partitionBy("sp").parquet(shinglesPath)
+    rollLshBloom(spark, dir, bandsPath, subdir)
+    if (meta.isEmpty)
+      writeLshMeta(spark, dir, LshIndexMeta(prefixes, bands, rowsPerBand))
+  }
+
+  private def exists(spark: org.apache.spark.sql.SparkSession,
+      path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /** Near-dup pairs between an ingest batch and the indexed corpus:
-    * batch band keys equi-join the persisted band table (shuffle on the
-    * band hash — batch-sized, never corpus-sized work), then exact
+    * batch band keys equi-join the persisted band table, then exact
     * Jaccard verification against the persisted shingle sets. Band
     * seeds are baked into the expression, so batch signatures collide
     * with index signatures exactly as a full-corpus run would.
     * Returns (batch_id, corpus_id, jaccard).
+    *
+    * Probe cost is sub-linear in index size, the property incremental
+    * ingest at 100 TB lives on: the rolling key bloom first drops
+    * every batch band key provably absent from the index (survivors ~
+    * true collisions + fpp), the survivors' `bp` prefixes (a bounded
+    * collect) PARTITION-PRUNE the bands read, and the verified
+    * candidates' corpus ids likewise prune the shingle read to their
+    * `sp` prefixes. Only a legacy meta-less index falls back to the
+    * full scan. The batch-side shingle fetch broadcasts only when the
+    * size estimate fits [[broadcastBudget]] — an oversized backfill
+    * batch takes the shuffled equi-join instead of shipping every
+    * shingle array through the driver.
+    *
+    * `excludeBatch` (streaming replay): drop index rows whose `batch`
+    * partition equals the given id, so a foreachBatch retry does not
+    * match the half-written remains of its own previous attempt.
     */
   def dedupAgainstIndex(batch: DataFrame, idCol: String, textCol: String,
       dir: String, threshold: Double, bands: Int = 16,
-      rowsPerBand: Int = 4): DataFrame = {
+      rowsPerBand: Int = 4, excludeBatch: Option[Long] = None): DataFrame = {
     val spark = batch.sparkSession
-    val sh = shingled(batch, idCol, textCol)
+    val meta = readLshMeta(spark, dir)
+    meta.foreach { m =>
+      require(m.bands == bands && m.rowsPerBand == rowsPerBand,
+        s"index at $dir was built with bands=${m.bands}/" +
+          s"rowsPerBand=${m.rowsPerBand}, probe used $bands/$rowsPerBand")
+    }
+    // batch-sized materialization: one shingle pass feeds the band
+    // keys, the prefix collects and the verify fetch
+    val sh = shingled(batch, idCol, textCol).localCheckpoint(true)
     val batchBands = sh.select(
       col("doc_id"),
       explode(org.apache.spark.sql.graftx.MinHashBands.column(
         col("shs"), bands, rowsPerBand)).as("bkey"))
-    val cand = spark.read.parquet(s"$dir/bands")
-      .join(batchBands.withColumnRenamed("doc_id", "batch_id"), "bkey")
+      .localCheckpoint(true)
+    val cand = indexCandidates(spark, dir, batchBands, meta, excludeBatch)
+      .localCheckpoint(true)
+    val corpusSh = indexShinglesFor(spark, dir, cand, meta, excludeBatch)
+    verifyAgainstIndex(cand, sh, corpusSh, threshold)
+  }
+
+  /** (batch_id, corpus_id) candidate pairs from the PRUNED bands read:
+    * the batch's band keys determine the touched `bp` prefixes (a
+    * bounded collect — at most `prefixes` values), the index read
+    * partition-prunes to those, and the equi-join on the 8-byte band
+    * key yields candidates. Factored out of [[dedupAgainstIndex]] so
+    * the plan pin (IncrementalIndexSpec) asserts the partition filter
+    * on the very frame the probe executes — the checkpoint barriers in
+    * the composed probe hide these scans from its final plan.
+    */
+  def indexCandidates(spark: org.apache.spark.sql.SparkSession, dir: String,
+      batchBands: DataFrame, meta: Option[LshIndexMeta],
+      excludeBatch: Option[Long]): DataFrame = {
+    // bloom pre-filter: a batch's band keys are uniform hashes, so
+    // WITHOUT it a realistic batch touches every prefix and the
+    // partition prune is vacuous. The rolling index bloom (no false
+    // negatives) drops every batch key absent from the index first —
+    // the survivors are ~the true collisions (+fpp), typically a tiny
+    // fraction of the batch — and THEIR prefixes drive the prune, so
+    // probe I/O tracks actual match density, not batch or index size.
+    val probeKeys = readLshBloom(spark, dir, excludeBatch) match {
+      case Some(bf) if meta.isDefined =>
+        val b = spark.sparkContext.broadcast(bf)
+        val mightContain = udf((k: Long) => b.value.mightContainLong(k))
+        batchBands.where(mightContain(col("bkey")))
+      case _ => batchBands
+    }
+    val raw = dropOwnBatch(spark.read.parquet(s"$dir/bands"), excludeBatch)
+    val bandsIdx = meta match {
+      case Some(m) =>
+        val touched = probeKeys
+          .select(pmod(hash(col("bkey")), lit(m.prefixes)).as("bp"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        raw.where(col("bp").isin(touched: _*))
+      case None => raw
+    }
+    bandsIdx
+      .join(probeKeys.withColumnRenamed("doc_id", "batch_id"), "bkey")
       .select(col("batch_id"), col("doc_id").as("corpus_id"))
       // self-match guard for re-probes after the batch was appended
       .where(col("batch_id") =!= col("corpus_id"))
       .distinct()
-    val corpusSh = spark.read.parquet(s"$dir/shingles")
+  }
+
+  /** The PRUNED shingles read serving a candidate set: the candidates'
+    * corpus ids determine the touched `sp` prefixes, so exact
+    * verification reads only the shingle partitions it will join.
+    * `cand` should be materialized (the probe checkpoints it) — the
+    * prefix collect is its second consumer.
+    */
+  def indexShinglesFor(spark: org.apache.spark.sql.SparkSession, dir: String,
+      cand: DataFrame, meta: Option[LshIndexMeta],
+      excludeBatch: Option[Long]): DataFrame = {
+    val raw = dropOwnBatch(spark.read.parquet(s"$dir/shingles"), excludeBatch)
+    meta match {
+      case Some(m) =>
+        val touched = cand
+          .select(pmod(hash(col("corpus_id")), lit(m.prefixes)).as("sp"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        raw.where(col("sp").isin(touched: _*))
+      case None => raw
+    }
+  }
+
+  /** Compact a streaming-layout LSH index (per-batch `batch=<id>`
+    * subtrees, [[appendToLshIndex]]'s `subdir` lifecycle) back to ONE
+    * batch subtree per table — the maintenance pass months of ingest
+    * need: file and directory counts otherwise grow linearly with
+    * batch count (every append adds up to `prefixes` directories), so
+    * per-probe partition DISCOVERY — not the pruned scan — becomes the
+    * creeping cost. Also rebuilds the rolling key bloom from scratch,
+    * resetting any fpp drift from replay-superseded snapshots.
+    *
+    * Safety: the compacted index is built COMPLETELY in a sibling
+    * `<dir>.compacting` tree, then swapped in with two directory
+    * renames. A crash mid-build leaves the live index untouched; the
+    * only unsafe window is between the two renames, where the index
+    * dir is briefly ABSENT — a concurrent probe fails loudly (no such
+    * path), never reads half-compacted state. Run it like any table
+    * OPTIMIZE: from the single ingest writer, between batches.
+    *
+    * Returns the batch id the compacted data landed under (the highest
+    * id seen, so later appends keep increasing).
+    */
+  def compactLshIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val bandsDir = new org.apache.hadoop.fs.Path(s"$dir/bands")
+    val fs = bandsDir.getFileSystem(conf)
+    val ids = fs.listStatus(bandsDir).toSeq.map(_.getPath.getName)
+      .collect { case s if s.startsWith("batch=") =>
+        s.stripPrefix("batch=").toLong }
+    require(ids.nonEmpty,
+      s"$dir/bands has no batch=<id> subtrees — compaction only applies " +
+        "to the streaming (subdir) layout; a writeLshIndex-built index " +
+        "is already one tree")
+    val keep = ids.max
+    val meta = readLshMeta(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"$dir has no _graft_lsh_meta"))
+    val tmp = s"$dir.compacting"
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    spark.read.parquet(s"$dir/bands")
+      .select(col("doc_id"), col("bkey"), col("bp"))
+      .repartition(col("bp"))
+      .write.mode("overwrite").partitionBy("bp")
+      .parquet(s"$tmp/bands/batch=$keep")
+    spark.read.parquet(s"$dir/shingles")
+      .select(col("doc_id"), col("shs"), col("sp"))
+      .repartition(col("sp"))
+      .write.mode("overwrite").partitionBy("sp")
+      .parquet(s"$tmp/shingles/batch=$keep")
+    rollLshBloom(spark, tmp, s"$tmp/bands", Some(keep))
+    writeLshMeta(spark, tmp, meta)
+    val old = new org.apache.hadoop.fs.Path(s"$dir.precompact")
+    fs.delete(old, true)
+    val live = new org.apache.hadoop.fs.Path(dir)
+    require(fs.rename(live, old), s"rename $dir -> $old failed")
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), live),
+      s"rename $tmp -> $dir failed — live index is at $old")
+    fs.delete(old, true)
+    keep
+  }
+
+  private def dropOwnBatch(df: DataFrame,
+      excludeBatch: Option[Long]): DataFrame = excludeBatch match {
+    case Some(id) if df.schema.fieldNames.contains("batch") =>
+      df.where(col("batch") =!= lit(id))
+    case _ => df
+  }
+
+  /** Exact-verify index candidates: (batch_id, corpus_id, jaccard >=
+    * threshold) from the batch shingle table and the (pruned) corpus
+    * shingle read.
+    */
+  private def verifyAgainstIndex(cand: DataFrame, sh: DataFrame,
+      corpusSh: DataFrame, threshold: Double): DataFrame = {
+    // batch-side fetch: size-gated broadcast (the fuzzyJoin lesson —
+    // a "batch" is small by convention, not by contract)
+    val hintBatch = shingleBroadcastFits(sh)
+    def batchSide(d: DataFrame) = if (hintBatch) broadcast(d) else d
     cand
-      .join(broadcast(sh.select(col("doc_id").as("batch_id"),
+      .join(batchSide(sh.select(col("doc_id").as("batch_id"),
         col("shs").as("sha"))), "batch_id")
       .join(corpusSh.select(col("doc_id").as("corpus_id"),
         col("shs").as("shb")), "corpus_id")

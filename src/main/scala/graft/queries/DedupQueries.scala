@@ -282,7 +282,10 @@ object DedupQueries {
     // with a completion marker written after BOTH index dirs land, the
     // same cache discipline as bm25IndexTopK; a real deployment
     // versions the index path by corpus snapshot)
-    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_lsh_idx_" +
+    // v2: hash-prefix-partitioned layout (a pre-v2 cached index would
+    // still probe correctly via the meta-less fallback, but the plan
+    // pin wants the pruned shape — version the cache key instead)
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_lsh_idx_v2_" +
       dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val marker = new java.io.File(s"$idx/_GRAFT_INDEX_COMPLETE")
     if (!marker.exists()) {

@@ -1,0 +1,329 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import graft.pipeline.CorpusPipeline
+import graft.streaming.StreamingFunnel
+
+/** Round-11 contracts of the persisted-LSH-index lifecycle:
+  *
+  *  1. the probe PARTITION-PRUNES both index reads (bands by the
+  *     batch's touched band-key prefixes, shingles by the candidates'
+  *     doc-id prefixes) — the property that makes incremental dedup
+  *     O(batch), not O(index), at 100 TB;
+  *  2. the batch-side shingle broadcast is size-gated (an oversized
+  *     backfill batch takes the shuffled join, results identical);
+  *  3. streamed-funnel parity holds on TRANSITIVE near-dup chains
+  *     bridged by an index-dropped doc (index-match pairs join the
+  *     component edge set instead of pre-filtering);
+  *  4. out-of-order arrival is detected and surfaced per batch;
+  *  5. processBatch is idempotent under foreachBatch's at-least-once
+  *     replay, including a replay AFTER the index appends landed but
+  *     before the survivors write (the half-written-batch crash).
+  */
+class IncrementalIndexSpec extends SparkSpec {
+
+  private def tmp(prefix: String) =
+    Files.createTempDirectory(prefix).toString
+
+  private def scans(df: DataFrame): Seq[FileSourceScanExec] = {
+    df.collect()
+    graft.tools.PlanShape.flat(df.queryExecution.executedPlan)
+      .collect { case s: FileSourceScanExec => s }
+  }
+
+  private lazy val docs = Tables(spark, sfDir, "documents").cache()
+
+  test("probe partition-prunes the bands and shingles reads") {
+    val dir = tmp("lsh-prune")
+    val corpus = docs.where(pmod(col("doc_id"), lit(5)) =!= 0)
+    val batch = docs.where(pmod(col("doc_id"), lit(5)) === 0)
+    Dedup.writeLshIndex(corpus, "doc_id", "text", dir)
+    assert(Dedup.readLshMeta(spark, dir).exists(_.prefixes > 1),
+      "index meta must record the prefix modulus")
+
+    // the same stages dedupAgainstIndex composes (its checkpoint
+    // barriers hide the scans from the final plan, so pin the stages)
+    val meta = Dedup.readLshMeta(spark, dir)
+    val bb = Dedup.bandKeys(batch, "doc_id", "text").localCheckpoint(true)
+    val cand = Dedup.indexCandidates(spark, dir, bb, meta, None)
+    val bandScans = scans(cand)
+      .filter(_.metadata.getOrElse("Location", "").contains("bands"))
+    assert(bandScans.nonEmpty, "candidate stage must read the bands table")
+    assert(bandScans.forall(_.partitionFilters.nonEmpty),
+      "bands scan must carry the touched-prefix partition filter — " +
+        "without it every micro-batch rescans the whole band history")
+
+    val shRead = Dedup.indexShinglesFor(spark, dir,
+      cand.localCheckpoint(true), meta, None)
+    val shScans = scans(shRead)
+      .filter(_.metadata.getOrElse("Location", "").contains("shingles"))
+    assert(shScans.nonEmpty, "verify stage must read the shingles table")
+    assert(shScans.forall(_.partitionFilters.nonEmpty),
+      "shingles scan must carry the candidate-prefix partition filter")
+
+    // end-to-end: the composed probe still matches (layout change is
+    // result-invisible; IncrementalDedupSpec pins the full-run slice)
+    assert(Dedup.dedupAgainstIndex(batch, "doc_id", "text", dir, 0.5)
+      .count() > 0)
+  }
+
+  test("rolling key bloom screens out a disjoint batch's keys") {
+    // the stage that makes the prefix prune bite: batch band keys are
+    // uniform hashes, so without the bloom any realistic batch touches
+    // every prefix. A batch sharing nothing with the corpus must lose
+    // ~all keys at the bloom (fpp 3%), and its probe must return empty.
+    import spark.implicits._
+    val dir = tmp("lsh-bloom")
+    Dedup.writeLshIndex(docs.limit(200), "doc_id", "text", dir)
+    val bf = Dedup.readLshBloom(spark, dir)
+    assert(bf.isDefined, "writeLshIndex must produce the key bloom")
+    val disjoint = (1L to 50L).map(i =>
+        (i + 1000000L, (1 to 40).map(j => w(s"zz${('a' + (i % 26)).toChar}", j))
+          .mkString(" ")))
+      .toDF("doc_id", "text")
+    val keys = Dedup.bandKeys(disjoint, "doc_id", "text")
+      .select("bkey").collect().map(_.getLong(0))
+    val hits = keys.count(bf.get.mightContainLong)
+    assert(hits <= math.max(2, (keys.length * 0.1).toInt),
+      s"$hits/${keys.length} disjoint keys passed the bloom — " +
+        "pre-filter is not screening (capacity/fpp drift?)")
+    assert(Dedup.dedupAgainstIndex(disjoint, "doc_id", "text", dir, 0.5)
+      .count() == 0L)
+  }
+
+  test("mismatched banding params fail fast instead of matching nothing") {
+    val dir = tmp("lsh-params")
+    Dedup.writeLshIndex(docs.limit(50), "doc_id", "text", dir)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dedupAgainstIndex(docs.limit(10), "doc_id", "text", dir, 0.5,
+        bands = 8, rowsPerBand = 8)
+    }
+    assert(e.getMessage.contains("built with"))
+  }
+
+  test("oversized batch takes the shuffled verify join, same results") {
+    val dir = tmp("lsh-gate")
+    val corpus = docs.where(pmod(col("doc_id"), lit(5)) =!= 0)
+    val batch = docs.where(pmod(col("doc_id"), lit(5)) === 0)
+    Dedup.writeLshIndex(corpus, "doc_id", "text", dir)
+
+    def run() = Dedup.dedupAgainstIndex(batch, "doc_id", "text", dir, 0.5)
+    def broadcastsSha(df: DataFrame): Boolean = {
+      df.collect()
+      graft.tools.PlanShape.flat(df.queryExecution.executedPlan).exists {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeLike =>
+          b.schema.fieldNames.contains("sha")
+        case _ => false
+      }
+    }
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    // disable auto-broadcast: any broadcast of the batch shingles then
+    // comes from the explicit hint alone (AQE broadcasting a genuinely
+    // small side on its own is fine and scale-safe — it re-decides
+    // from runtime sizes; the gate's job is only to never FORCE one)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val hinted = run()
+      val hintedRows = rows(hinted)
+      assert(broadcastsSha(hinted),
+        "a batch inside the budget should broadcast its shingle fetch " +
+          "(explicit hints override the disabled auto-threshold)")
+      spark.conf.set("spark.graft.dedup.broadcastBudget", "1")
+      try {
+        val gated = run()
+        val gatedRows = rows(gated)
+        assert(!broadcastsSha(gated),
+          "an over-budget batch must NOT ship its shingle arrays through " +
+            "the driver — the gate has to force the shuffled equi-join")
+        assert(gatedRows == hintedRows, "gate must not change results")
+      } finally spark.conf.unset("spark.graft.dedup.broadcastBudget")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
+  // ---- streamed-funnel semantics ----------------------------------
+
+  /** letter-only synthetic words (digits would split under the
+    * letters-only tokenizer)
+    */
+  private def w(prefix: String, i: Int): String =
+    s"$prefix${('a' + i / 26).toChar}${('a' + i % 26).toChar}"
+
+  private def doc(id: Long, words: Seq[String]) =
+    (id, words.mkString(" "), "en", "web")
+
+  test("transitive chain bridged by an index-dropped doc matches the batch funnel") {
+    import spark.implicits._
+    // E (corpus) ~ B, B ~ A, A !~ E: J(B,E)=J(A,B)=64/92≈0.70 >= 0.5,
+    // J(A,E)=50/106≈0.47 < 0.5. Batch funnel: one component {E,A,B},
+    // keeper E. A pre-filter streamed run would wrongly keep A (B dies
+    // on the index probe, the in-batch component {A,B} elects A).
+    val m = (1 to 80).map(w("m", _))
+    val e = m.take(66) ++ (1 to 14).map(w("e", _))
+    val a = (1 to 14).map(w("a", _)) ++ m.drop(14)
+    val all = Seq(doc(1L, e), doc(10L, a), doc(11L, m))
+      .toDF("doc_id", "text", "lang", "source")
+    val cfg = CorpusPipeline.Config()
+
+    // fixture self-check: the LSH banding must actually catch both
+    // pairs (deterministic — seeds are baked into the expression)
+    val pairs = Dedup.minhashLshPairs(all, "doc_id", "text", 0.5)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(pairs == Set((1L, 11L), (10L, 11L)),
+      s"fixture drift: expected exactly E~B and A~B, got $pairs")
+
+    val expected = CorpusPipeline.prepare(all, cfg)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(expected == Set(1L), s"batch funnel should keep only E: $expected")
+
+    val idxDir = tmp("funnel-idx")
+    val outDir = tmp("funnel-out")
+    StreamingFunnel.processBatch(all.where(col("doc_id") === 1), 0L, cfg,
+      idxDir, outDir)
+    StreamingFunnel.processBatch(all.where(col("doc_id") > 1), 1L, cfg,
+      idxDir, outDir)
+    val streamed = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == expected,
+      s"streamed survivors $streamed diverge from batch funnel $expected")
+  }
+
+  test("out-of-order arrival is detected and counted per batch") {
+    import spark.implicits._
+    val mkDoc = (id: Long) =>
+      doc(id, (1 to 20).map(i => w(s"x${id}q", i)))
+    val late = (1L to 5L).map(mkDoc).toDF("doc_id", "text", "lang", "source")
+    val early = (100L to 104L).map(mkDoc)
+      .toDF("doc_id", "text", "lang", "source")
+    val idxDir = tmp("ooo-idx")
+    val outDir = tmp("ooo-out")
+    val cfg = CorpusPipeline.Config()
+    val s0 = StreamingFunnel.processBatch(early, 0L, cfg, idxDir, outDir)
+    assert(s0.nOutOfOrder == 0L)
+    val s1 = StreamingFunnel.processBatch(late, 1L, cfg, idxDir, outDir)
+    assert(s1.nOutOfOrder == 5L,
+      "every doc below the prior ingest watermark must be counted")
+  }
+
+  test("compaction: probe-identical, fewer files, ingest continues") {
+    import spark.implicits._
+    val cfg = CorpusPipeline.Config()
+    def mk(s: String, ids: Seq[Long]) = ids.map(i =>
+        doc(i, (1 to 30).map(w(s"$s${('a' + (i % 26)).toChar}", _))))
+      .toDF("doc_id", "text", "lang", "source")
+    // two funnels fed identically; one compacts after batch 2
+    val (idxA, outA) = (tmp("cmp-a-idx"), tmp("cmp-a-out"))
+    val (idxB, outB) = (tmp("cmp-b-idx"), tmp("cmp-b-out"))
+    val batches = Seq(
+      mk("ca", 1L to 20L), mk("cb", 30L to 49L), mk("cc", 60L to 79L))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      StreamingFunnel.processBatch(b, i.toLong, cfg, idxA, outA)
+      StreamingFunnel.processBatch(b, i.toLong, cfg, idxB, outB)
+    }
+    def fileCount(p: String): Int = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(path, true)
+      var n = 0
+      while (it.hasNext) { it.next(); n += 1 }
+      n
+    }
+    // a probe batch: near-dup of a batch-0 doc + a fresh doc
+    val probe = Seq(
+        doc(100L, (1 to 30).map(w("cab", _)).take(27) ++
+          (1 to 3).map(w("pp", _))),
+        doc(101L, (1 to 30).map(w("qq", _))))
+      .toDF("doc_id", "text", "lang", "source")
+    def probeRows(idx: String) = Dedup
+      .dedupAgainstIndex(probe, "doc_id", "text", s"$idx/lsh", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val before = probeRows(idxB)
+    val filesBefore = fileCount(idxB)
+    StreamingFunnel.compact(spark, idxB)
+    assert(probeRows(idxB) == before,
+      "compaction changed probe results")
+    val filesAfter = fileCount(idxB)
+    assert(filesAfter < filesBefore,
+      s"compaction did not shrink file count ($filesBefore -> $filesAfter)")
+    // ingest continues on the compacted state: batch 3 sees the same
+    // survivors and the same watermark as the uncompacted twin
+    val b3 = mk("cd", 90L to 109L)
+      .unionByName(Seq(doc(5L, (1 to 30).map(w("late", _))))
+        .toDF("doc_id", "text", "lang", "source"))
+    val sA = StreamingFunnel.processBatch(b3, 3L, cfg, idxA, outA)
+    val sB = StreamingFunnel.processBatch(b3, 3L, cfg, idxB, outB)
+    assert(sB.nOutOfOrder == sA.nOutOfOrder && sA.nOutOfOrder == 1L,
+      "compaction must preserve the ingest watermark")
+    assert(sB.nNear == sA.nNear)
+    def surv(out: String) = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(surv(outB) == surv(outA),
+      "post-compaction ingest diverged from the uncompacted twin")
+  }
+
+  test("replayed micro-batch (even after a half-written crash) changes nothing") {
+    import spark.implicits._
+    val cfg = CorpusPipeline.Config()
+    val base = (1 to 60).map(w("k", _))
+    // batch 0: two docs; batch 1: one near-dup of doc 1 + one fresh doc
+    val b0 = Seq(doc(1L, base), doc(2L, (1 to 60).map(w("z", _))))
+      .toDF("doc_id", "text", "lang", "source")
+    val b1 = Seq(doc(10L, base.take(55) ++ (1 to 5).map(w("n", _))),
+        doc(11L, (1 to 60).map(w("f", _))))
+      .toDF("doc_id", "text", "lang", "source")
+
+    def state(idxDir: String, outDir: String) = {
+      val surv = spark.read.parquet(outDir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val hashes = spark.read.parquet(s"$idxDir/hashes")
+        .select("_h").collect().map(_.getString(0)).sorted.toSeq
+      val bands = spark.read.parquet(s"$idxDir/lsh/bands")
+        .select("doc_id", "bkey").collect()
+        .map(r => (r.getLong(0), r.get(1).toString)).sorted.toSeq
+      (surv, hashes, bands)
+    }
+
+    // clean run
+    val (idxA, outA) = (tmp("replay-a-idx"), tmp("replay-a-out"))
+    StreamingFunnel.processBatch(b0, 0L, cfg, idxA, outA)
+    val cleanB1 = StreamingFunnel.processBatch(b1, 1L, cfg, idxA, outA)
+    val cleanState = state(idxA, outA)
+
+    // crashed-then-replayed run: batch 1's index appends land (the
+    // crash point AFTER hash+LSH writes, BEFORE the survivors write),
+    // then the whole batch replays
+    val (idxB, outB) = (tmp("replay-b-idx"), tmp("replay-b-out"))
+    StreamingFunnel.processBatch(b0, 0L, cfg, idxB, outB)
+    val half = CorpusPipeline.exactDeduped(
+      CorpusPipeline.qualityFiltered(
+        CorpusPipeline.languageFiltered(b1, cfg), cfg))
+    half.select(md5(col("text")).as("_h"))
+      .write.mode("overwrite").parquet(s"$idxB/hashes/batch=1")
+    Dedup.appendToLshIndex(half, "doc_id", "text", s"$idxB/lsh",
+      subdir = Some(1L))
+    val replayB1 = StreamingFunnel.processBatch(b1, 1L, cfg, idxB, outB)
+    assert(state(idxB, outB) == cleanState,
+      "replay after a half-written crash must converge to the clean state")
+    assert((replayB1.nInput, replayB1.nExact, replayB1.nNear) ==
+      (cleanB1.nInput, cleanB1.nExact, cleanB1.nNear),
+      "replayed stats must match the clean run — the probe saw its own " +
+        "half-written remains")
+
+    // plain at-least-once replay (crash after everything committed)
+    val replayAgain = StreamingFunnel.processBatch(b1, 1L, cfg, idxB, outB)
+    assert(state(idxB, outB) == cleanState)
+    assert(replayAgain.nNear == cleanB1.nNear)
+  }
+}
