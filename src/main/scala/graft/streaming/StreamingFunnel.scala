@@ -22,25 +22,39 @@ import graft.pipeline.CorpusPipeline
   *
   * Every batch does BATCH-SIZED work: the cross-batch state lives in
   * two persisted, append-only indexes (md5 hash table, LSH bands +
-  * shingles — [[Dedup.writeLshIndex]]'s lifecycle), probed by
-  * equi-join, never rescanned. Per-batch latency therefore tracks the
-  * batch, not total history — StreamingFunnelSpec pins both that and
-  * result parity: streamed survivors equal the batch funnel run over
-  * the same corpus (batch chopping is result-invisible).
+  * shingles — [[Dedup.writeLshIndex]]'s lifecycle), and the LSH index
+  * is hash-prefix-partitioned so each probe PARTITION-PRUNES to the
+  * batch's touched prefixes instead of rescanning history. Per-batch
+  * latency therefore tracks the batch, not total ingested volume —
+  * StreamingFunnelSpec pins both that and result parity.
   *
-  * Near-dedup parity note: the batch path keeps the min-id member of
-  * each near-dup COMPONENT. The streamed twin reproduces that as long
-  * as batches arrive in id order (the backfill/ingest norm): ALL
-  * exact-surviving docs append to the LSH index (survivors-only
-  * appends would blind later batches to dropped members' neighbors),
-  * so a doc is dropped iff it near-matches any earlier-ingested or
-  * smaller-id-in-batch doc — the greedy reading of min-id-per-
-  * component. StreamingFunnelSpec pins the equality on real data.
+  * Idempotency (foreachBatch is at-least-once): every write this
+  * funnel makes is an OVERWRITE of a `batch=<id>` subtree — hash
+  * index, LSH index ([[Dedup.appendToLshIndex]]'s `subdir`),
+  * survivors, ingest watermarks — and every index probe EXCLUDES the
+  * current batch id. A replayed micro-batch therefore recomputes from
+  * exactly the pre-batch state and overwrites its own outputs: a crash
+  * at any point between writes changes nothing about the final state.
+  *
+  * Near-dedup parity: index-match pairs join the in-batch pair graph
+  * as edges (not a pre-filter), so a batch doc bridged to an earlier
+  * corpus doc through ANOTHER batch doc inherits the global component
+  * — transitive chains resolve exactly as the batch funnel does.
+  * Survivor-set equality with [[CorpusPipeline.prepare]] then holds
+  * whenever batches arrive in id order (the backfill/ingest norm):
+  * component keepers are min-id, and under id-ordered arrival the
+  * min-id member is always the first ingested. Out-of-order arrival
+  * still yields a valid greedy dedup (first-seen wins, no dup pair
+  * survives) but may keep a different component member than the batch
+  * run; the funnel DETECTS it — each batch's id range is persisted and
+  * [[BatchStats.nOutOfOrder]] counts arrivals below the prior
+  * watermark, so a deployment can alert instead of silently diverging.
   */
 object StreamingFunnel {
 
   final case class BatchStats(batchId: Long, nInput: Long, nLang: Long,
-    nQuality: Long, nExact: Long, nNear: Long, ms: Long)
+    nQuality: Long, nExact: Long, nNear: Long, ms: Long,
+    nOutOfOrder: Long = 0L)
 
   private def exists(spark: org.apache.spark.sql.SparkSession,
       path: String): Boolean = {
@@ -56,7 +70,48 @@ object StreamingFunnel {
       indexDir: String, survivorsDir: String): BatchStats = {
     val t0 = System.nanoTime()
     val spark = batch.sparkSession
-    val nInput = batch.count()
+    import spark.implicits._
+    // batch-scoped storage hygiene: this funnel (and the index probe
+    // inside it) pins several batch-sized localCheckpoints as
+    // materialization barriers; without explicit cleanup every
+    // micro-batch LEAKS those blocks (disk-backed blocks are never
+    // evicted), so months of ingest accumulate a full copy of history
+    // in the block store. Snapshot the persisted-RDD ids at entry and
+    // drop exactly the ones this batch created — user-held caches
+    // outside the batch are untouched. Everything the checkpoints feed
+    // is fully materialized before the method returns (stats scalars +
+    // parquet writes), so nothing lazy escapes the cleanup.
+    val rddsBefore = spark.sparkContext.getPersistentRDDs.keySet
+    try processBatchInner(batch, batchId, cfg, indexDir, survivorsDir, t0)
+    finally {
+      val after = spark.sparkContext.getPersistentRDDs
+      (after.keySet -- rddsBefore).foreach(id =>
+        after.get(id).foreach(_.unpersist(blocking = false)))
+    }
+  }
+
+  private def processBatchInner(batch: DataFrame, batchId: Long,
+      cfg: CorpusPipeline.Config, indexDir: String, survivorsDir: String,
+      t0: Long): BatchStats = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+
+    // ingest-order watermark: batches before this one (replay-safe:
+    // own batch id excluded) — arrivals below it are out of order
+    val ingestDir = s"$indexDir/ingest"
+    val prevMax: Option[Long] =
+      if (!exists(spark, ingestDir)) None
+      else spark.read.parquet(ingestDir)
+        .where(col("batch") =!= lit(batchId))
+        .agg(max("max_id")).collect().headOption
+        .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    val ord = batch.agg(
+      count(lit(1)), min("doc_id"), max("doc_id"),
+      coalesce(sum((col("doc_id") < lit(prevMax.getOrElse(Long.MinValue)))
+        .cast("long")), lit(0L))).collect()(0)
+    val nInput = ord.getLong(0)
+    val nOutOfOrder = if (prevMax.isEmpty) 0L else ord.getLong(3)
+
     val lang = CorpusPipeline.languageFiltered(batch, cfg)
     val nLang = lang.count()
     val qual = CorpusPipeline.qualityFiltered(lang, cfg)
@@ -70,34 +125,92 @@ object StreamingFunnel {
     val inBatch = CorpusPipeline.exactDeduped(qual)
       .withColumn("_h", md5(col("text")))
     val exact = (if (exists(spark, hashDir))
-        inBatch.join(spark.read.parquet(hashDir), Seq("_h"), "left_anti")
+        inBatch.join(spark.read.parquet(hashDir)
+            .where(col("batch") =!= lit(batchId)).select("_h"),
+          Seq("_h"), "left_anti")
       else inBatch)
       .localCheckpoint(true)
-    exact.select("_h").write.mode(SaveMode.Append).parquet(hashDir)
+    exact.select("_h").write.mode(SaveMode.Overwrite)
+      .parquet(s"$hashDir/batch=$batchId")
     val nExact = exact.count()
     val docs = exact.drop("_h")
 
-    // near dedup: drop batch docs matching the LSH index (anything
-    // ingested earlier), then min-id-per-component within the batch
+    // near dedup: index-match pairs UNION the in-batch pair graph, one
+    // component pass elects keepers — a batch doc whose component
+    // reaches any earlier corpus doc (directly or through other batch
+    // docs) is never a component minimum, so it drops exactly as the
+    // batch funnel would. Pairs come from ALL exact survivors (not
+    // just eventual keepers) so chains through dropped docs still
+    // bridge.
     val lshDir = s"$indexDir/lsh"
-    val indexed = exists(spark, s"$lshDir/bands")
-    val idxMatched =
-      if (indexed)
-        Dedup.dedupAgainstIndex(docs, "doc_id", "text", lshDir,
-            cfg.dedupThreshold)
-          .select(col("batch_id").as("doc_id")).distinct()
-      else spark.emptyDataFrame.withColumn("doc_id", lit(0L)).limit(0)
-    val afterIdx = docs.join(idxMatched, Seq("doc_id"), "left_anti")
-    val survivors = Dedup.survivorsFromPairs(afterIdx, "doc_id",
-        Dedup.minhashLshPairs(docs, "doc_id", "text", cfg.dedupThreshold))
+    val inBatchPairs = Dedup
+      .minhashLshPairs(docs, "doc_id", "text", cfg.dedupThreshold)
+      .select("ida", "idb")
+    val edges =
+      if (exists(spark, s"$lshDir/bands"))
+        inBatchPairs.unionByName(
+          Dedup.dedupAgainstIndex(docs, "doc_id", "text", lshDir,
+              cfg.dedupThreshold, excludeBatch = Some(batchId))
+            .select(col("batch_id").as("ida"), col("corpus_id").as("idb")))
+      else inBatchPairs
+    val survivors = Dedup.survivorsFromPairs(docs, "doc_id", edges)
       .localCheckpoint(true)
-    // ALL exact-surviving docs enter the index (see scaladoc), AFTER
-    // the probe so a doc can't match itself
-    Dedup.appendToLshIndex(docs, "doc_id", "text", lshDir)
+    // ALL exact-surviving docs enter the index (survivors-only appends
+    // would blind later batches to dropped members' neighbors), into
+    // this batch's own overwrite-on-replay subtree
+    Dedup.appendToLshIndex(docs, "doc_id", "text", lshDir,
+      subdir = Some(batchId))
     val nNear = survivors.count()
-    survivors.write.mode(SaveMode.Append).parquet(survivorsDir)
+    survivors.write.mode(SaveMode.Overwrite)
+      .parquet(s"$survivorsDir/batch=$batchId")
+    Seq((ord.getLong(1), ord.getLong(2))).toDF("min_id", "max_id")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$ingestDir/batch=$batchId")
     BatchStats(batchId, nInput, nLang, nQuality, nExact, nNear,
-      (System.nanoTime() - t0) / 1000000)
+      (System.nanoTime() - t0) / 1000000, nOutOfOrder)
+  }
+
+  /** Compact the funnel's cross-batch state (maintenance, run from
+    * the single ingest writer between batches — the OPTIMIZE step
+    * months of per-batch appends need): the LSH index via
+    * [[Dedup.compactLshIndex]], the md5 hash index and the ingest
+    * watermark rewritten to one `batch=<maxSeen>` subtree each with
+    * the same build-aside-then-rename-swap discipline. Probe results
+    * are unchanged (spec-pinned); only file/directory counts shrink.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def swapRewrite(dir: String)(write: String => Unit): Unit = {
+      val live = new org.apache.hadoop.fs.Path(dir)
+      val fs = live.getFileSystem(conf)
+      if (!fs.exists(live)) return
+      val ids = fs.listStatus(live).toSeq.map(_.getPath.getName)
+        .collect { case s if s.startsWith("batch=") =>
+          s.stripPrefix("batch=").toLong }
+      if (ids.isEmpty) return
+      val tmp = s"$dir.compacting"
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      write(s"$tmp/batch=${ids.max}")
+      val old = new org.apache.hadoop.fs.Path(s"$dir.precompact")
+      fs.delete(old, true)
+      require(fs.rename(live, old), s"rename $dir failed")
+      require(fs.rename(new org.apache.hadoop.fs.Path(tmp), live),
+        s"rename $tmp -> $dir failed — live state is at $old")
+      fs.delete(old, true)
+    }
+    swapRewrite(s"$indexDir/hashes") { out =>
+      spark.read.parquet(s"$indexDir/hashes").select("_h").distinct()
+        .write.mode(SaveMode.Overwrite).parquet(out)
+    }
+    swapRewrite(s"$indexDir/ingest") { out =>
+      // the watermark only ever needs the global max; min kept for the
+      // schema contract
+      spark.read.parquet(s"$indexDir/ingest")
+        .agg(min("min_id").as("min_id"), max("max_id").as("max_id"))
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(out)
+    }
+    Dedup.compactLshIndex(spark, s"$indexDir/lsh")
   }
 
   /** Wire the funnel onto a streaming frame as a foreachBatch sink.

@@ -1,0 +1,80 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.CorpusPipeline
+import graft.streaming.StreamingFunnel
+
+/** Dev utility: the months-of-ingest rehearsal for the incremental
+  * corpus funnel — 50 id-ordered micro-batches of 10 000 docs each
+  * (500 000 docs total, one decade above Scale100Spec's streamed pin)
+  * driven straight through [[StreamingFunnel.processBatch]] against
+  * the persisted hash + bloom-guarded partitioned LSH indexes. The
+  * per-batch wall-clock curve is the deliverable (docs/SCALING.md):
+  * flat = per-batch work tracks the batch; a positive slope isolates
+  * whatever still scales with ingested history.
+  *
+  * Corpus: 100 disjoint token-renamed shards of the sf0.01 documents
+  * table (the Time100 construction, 2-letter tags), two shards per
+  * batch — near-dup density constant, shards share no shingles, ids
+  * globally increasing across batches (the parity norm).
+  */
+object TimeStreamFunnel {
+
+  def shard(spark: SparkSession, base: String, s: Int) = {
+    val tag = s"q${('a' + s / 26).toChar}${('a' + s % 26).toChar}"
+    val b = graft.Tables(spark, base, "documents")
+      .select("doc_id", "text", "lang", "source")
+    (0 until 10).map { r =>
+      b.select((col("doc_id") + lit(r * 10000000L)).as("doc_id"),
+        concat(col("text"), lit(s" replica$r")).as("text"),
+        col("lang"), col("source"))
+    }.reduce(_ unionByName _)
+      .select((col("doc_id") + lit(s * 1000000000L)).as("doc_id"),
+        regexp_replace(col("text"), "(\\S+)", s"$tag$$1").as("text"),
+        col("lang"), col("source"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val nBatches = if (args.length > 1) args(1).toInt else 50
+    // compact the persisted indexes every N batches (0 = never) — the
+    // A/B lever for the ledger: per-batch appends grow file/dir counts
+    // linearly, so listing+open overhead creeps without maintenance
+    val compactEvery = if (args.length > 2) args(2).toInt else 0
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .withExtensions(new org.apache.spark.sql.graftx.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val cfg = CorpusPipeline.Config()
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("tsf-idx").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("tsf-out").toString
+    println(s"TSF start: $nBatches batches x 2 shards (10k docs each), " +
+      s"index=$indexDir")
+    (0 until nBatches).foreach { b =>
+      val batch = shard(spark, base, 2 * b)
+        .unionByName(shard(spark, base, 2 * b + 1))
+        .localCheckpoint(true)
+      val s = StreamingFunnel.processBatch(batch, b.toLong, cfg,
+        indexDir, outDir)
+      println(s"TSF b=${s.batchId} in=${s.nInput} lang=${s.nLang} " +
+        s"qual=${s.nQuality} exact=${s.nExact} near=${s.nNear} " +
+        s"ooo=${s.nOutOfOrder} ms=${s.ms}")
+      if (compactEvery > 0 && b > 0 && b % compactEvery == 0) {
+        val t0 = System.nanoTime()
+        StreamingFunnel.compact(spark, indexDir)
+        println(f"TSF compact after b=$b ms=${(System.nanoTime() - t0) / 1000000}")
+      }
+    }
+    val total = spark.read.parquet(outDir).count()
+    println(s"TSF done: $total survivors over ${nBatches * 10000} docs")
+    spark.stop()
+  }
+}
