@@ -38,7 +38,11 @@ object TopKPerKeyRewrite extends Rule[LogicalPlan] {
           // ClusteredDistribution(keys), which rejects empty clustering —
           // a GLOBAL row_number top-k keeps the stock Window path (it is
           // a single total-order anyway, no per-key heap win).
-          if ps.nonEmpty && os.nonEmpty =>
+          // os MAY be empty: a decorrelated LATERAL `ORDER BY .. LIMIT k`
+          // carries its order in a child Sort instead (resolved in
+          // rewriteFilter) — an order-less window with no such Sort is
+          // rejected there.
+          if ps.nonEmpty =>
         Some((a, ps, os))
       case _ => None
     }
@@ -67,28 +71,65 @@ object TopKPerKeyRewrite extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case f @ Filter(cond, w: Window) =>
-      rowNumberAlias(w).flatMap { case (a, ps, os) =>
-        rankBound(cond, a.exprId).collect {
-          case k if k >= 1 && k <= MaxK =>
+  /** The Filter(rank-bound)-over-Window conversion, shared by the
+    * optimizer rule and the planner-strategy BACKSTOP in
+    * [[TopKPerKeyStrategy]]: some shapes only join the main plan tree
+    * after the injected-rule batches have run — a correlated LATERAL
+    * `ORDER BY ... LIMIT 1` decorrelates into exactly this
+    * Filter(rn <= 1, Window(row_number)) in the late RewriteSubquery
+    * batch — so the strategy, which sees the FULLY optimized plan,
+    * re-applies the same match at planning time.
+    */
+  def rewriteFilter(f: Filter): Option[LogicalPlan] = f match {
+    case Filter(cond, w: Window) =>
+      rowNumberAlias(w).flatMap { case (a, ps, osWin) =>
+        rankBound(cond, a.exprId).flatMap { k =>
+          if (k < 1)
+            // rank <= 0 can never hold: empty relation via trivial filter
+            Some(Filter(Literal(false), w))
+          else if (k > MaxK) None
+          else {
             // Spark's own InferWindowGroupLimit may already have planted
             // a WindowGroupLimit below the Window; the native node
             // subsumes it (and its sort), so strip it from the child
-            val input = w.child match {
+            val below = w.child match {
               case wgl: WindowGroupLimit => wgl.child
               case c => c
             }
-            val rankL = AttributeReference(a.name, LongType, nullable = false)()
-            Project(
-              input.output :+
-                Alias(Cast(rankL, IntegerType), a.name)(exprId = a.exprId),
-              TopKPerKeyNode(ps, os, k, rankL, input))
-          case k if k < 1 =>
-            // rank <= 0 can never hold: empty relation via trivial filter
-            Filter(Literal(false), w)
+            // (order, contract projection, heap input). An order-less
+            // window spec (the decorrelated-LATERAL shape) reads its
+            // intended order from the child's GLOBAL Sort — which the
+            // heap then makes redundant, so the rewrite also deletes
+            // that sort's full range-exchange from the plan.
+            val resolved: Option[(Seq[org.apache.spark.sql.catalyst.expressions.SortOrder],
+                Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression],
+                LogicalPlan)] =
+              if (osWin.nonEmpty) Some((osWin, below.output, below))
+              else below match {
+                case org.apache.spark.sql.catalyst.plans.logical.Sort(so, true, sc, _) =>
+                  Some((so, below.output, sc))
+                case Project(pl,
+                    org.apache.spark.sql.catalyst.plans.logical.Sort(so, true, sc, _))
+                    if pl.forall(_.references.subsetOf(sc.outputSet)) &&
+                      so.forall(_.references.subsetOf(sc.outputSet)) =>
+                  Some((so, pl, sc))
+                case _ => None // no order anywhere: keep the stock path
+              }
+            resolved.map { case (os, projList, input) =>
+              val rankL = AttributeReference(a.name, LongType, nullable = false)()
+              Project(
+                projList :+
+                  Alias(Cast(rankL, IntegerType), a.name)(exprId = a.exprId),
+                TopKPerKeyNode(ps, os, k, rankL, input))
+            }
+          }
         }
-      }.getOrElse(f)
+      }
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(_, _: Window) => rewriteFilter(f).getOrElse(f)
   }
 }
 

@@ -89,6 +89,14 @@ object TopKPerKeyStrategy extends SparkStrategy {
     case TopKPerKeyNode(keys, order, k, rankAttr, child) =>
       TopKPerKeyFinalExec(keys, order, k, rankAttr,
         TopKPerKeyPartialExec(keys, order, k, planLater(child))) :: Nil
+    // backstop for rank-filter windows that materialize AFTER the
+    // injected optimizer batches (e.g. LATERAL `ORDER BY ... LIMIT 1`
+    // decorrelates in the late RewriteSubquery batch): the strategy
+    // sees the fully optimized plan, so the same shape match converts
+    // here and the re-planned subtree hits the TopKPerKeyNode case
+    case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+      TopKPerKeyRewrite.rewriteFilter(f)
+        .map(rewritten => planLater(rewritten) :: Nil).getOrElse(Nil)
     case _ => Nil
   }
 }

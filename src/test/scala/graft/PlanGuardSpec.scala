@@ -293,6 +293,82 @@ class PlanGuardSpec extends SparkSpec {
         "offset window keys by epoch, the rank by (epoch, bucket)")
   }
 
+  test("registry-wide: no rank-filter window survives optimization") {
+    // The session-default TopKPerKeyRewrite (GraftExtensions) must
+    // capture EVERY Filter(rank-bound) over a single-row_number Window
+    // across the whole registry — a Catalyst upgrade or rule edit that
+    // silently re-grows WindowExec under a rank filter would otherwise
+    // surface only as bench noise (the round-10 verdict probed a few
+    // families live; this pins all of them, every round). Checked on
+    // the optimized logical plan: planning-only, no execution, so the
+    // full registry costs seconds.
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Window}
+    def isRankBound(cond: Expression, rankIds: Set[ExprId]): Boolean = {
+      def intLit(e: Expression) = e match {
+        case Literal(_: Int, _) => true
+        case Cast(Literal(_, _), _, _, _) => true
+        case _ => false
+      }
+      def ref(e: Expression) = e match {
+        case a: AttributeReference => rankIds.contains(a.exprId)
+        case Cast(a: AttributeReference, _, _, _) => rankIds.contains(a.exprId)
+        case _ => false
+      }
+      cond match {
+        case LessThanOrEqual(a, l) => ref(a) && intLit(l)
+        case LessThan(a, l) => ref(a) && intLit(l)
+        case GreaterThanOrEqual(l, a) => ref(a) && intLit(l)
+        case GreaterThan(l, a) => ref(a) && intLit(l)
+        case EqualTo(a, l) => ref(a) && intLit(l)
+        case EqualTo(l, a) => ref(a) && intLit(l)
+        case _ => false
+      }
+    }
+    // a surviving Filter+Window in the OPTIMIZED plan is fine iff the
+    // planner-strategy backstop converts it (rewriteFilter is the very
+    // match the strategy applies — e.g. LATERAL top-1 decorrelates
+    // after the injected rule batches and is caught there); flagged
+    // only when the loose shape heuristic fires but the engine's
+    // matcher does NOT — the silently-kept-WindowExec case
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.optimizedPlan
+      val hits = plan.collect {
+        case f @ Filter(cond, w: Window)
+            if w.windowExpressions.size == 1 &&
+              w.partitionSpec.nonEmpty &&
+              w.windowExpressions.head.collectFirst {
+                case WindowExpression(RowNumber(), _) => () }.nonEmpty &&
+              isRankBound(cond,
+                w.windowExpressions.map(_.toAttribute.exprId).toSet) &&
+              org.apache.spark.sql.graftx.TopKPerKeyRewrite
+                .rewriteFilter(f).isEmpty =>
+          w
+      }
+      if (hits.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"rank-filter windows escaped TopKPerKeyRewrite in: " +
+        s"${offenders.mkString(", ")} — neither the session-default " +
+        "rewrite nor the strategy backstop converts them (check " +
+        "GraftExtensions wiring / matcher shape)")
+  }
+
+  test("sql_lateral_subquery: decorrelated top-1 executes as TopKPerKey") {
+    // the shape that motivated the strategy backstop: LATERAL
+    // `ORDER BY ... LIMIT 1` becomes Filter(rn <= 1, Window) only in
+    // the late RewriteSubquery batch, invisible to injected optimizer
+    // rules — the planner-level match must still produce the heap node
+    val ns = nodes(graft.queries.SqlApi.lateralSubquery(spark, sfDir))
+    assert(ns.exists(_.isInstanceOf[
+        org.apache.spark.sql.graftx.TopKPerKeyFinalExec]),
+      "lateral top-1 lost the bounded-heap plan")
+    assert(!ns.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "lateral top-1 re-grew a window sort")
+  }
+
   test("context windows: row-local generator, no exchange") {
     val df = graft.pipeline.CorpusPipeline.contextWindows(
       Tables(spark, sfDir, "documents"), winSize = 16, stride = 8)
