@@ -50,9 +50,10 @@ object LloydKMeans {
   }
 
   /** Deterministic, content-addressed initial centroids. */
-  private def init(corpus: DataFrame, k: Int): Array[Array[Float]] = {
+  private def init(corpus: DataFrame, k: Int,
+      idCol: String = "vec_id"): Array[Array[Float]] = {
     val rows = corpus
-      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
       .limit(k)
       .select("embedding").collect()
     require(rows.length == k, s"corpus has fewer than k=$k vectors")
@@ -77,10 +78,17 @@ object LloydKMeans {
     * never data. The FINAL assignment stays on the declarative
     * DataFrame path so downstream readouts keep codegen + pushdown.
     */
-  def fit(corpusRaw: DataFrame, k: Int, iters: Int)
+  def fit(corpusRaw: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id")
       : (Array[Array[Float]], DataFrame, Seq[Double]) = {
     val corpus = VectorOps.requireVectors(corpusRaw, "LloydKMeans.fit")
-    var cs = init(corpus, k)
+    require(corpus.columns.contains(idCol),
+      s"LloydKMeans.fit: id column '$idCol' not found in " +
+        s"[${corpus.columns.mkString(", ")}] — the deterministic " +
+        "training layout repartitions+sorts on it (pass idCol= for a " +
+        "differently-keyed corpus); it is part of the baked-artifact " +
+        "contract, same values => same layout => same centroids")
+    var cs = init(corpus, k, idCol)
     val d = cs(0).length
     val inertia = scala.collection.mutable.ArrayBuffer.empty[Double]
     val spark = corpus.sparkSession
@@ -96,8 +104,8 @@ object LloydKMeans {
     // replayed by any engine. One extra shuffle+sort, paid once before
     // the cached multi-round E/M loop.
     val rdd = corpus
-      .repartition(TrainPartitions, col("vec_id"))
-      .sortWithinPartitions("vec_id")
+      .repartition(TrainPartitions, col(idCol))
+      .sortWithinPartitions(idCol)
       .select(col("embedding")).as[Seq[Float]].rdd
       .map(_.toArray)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -145,7 +153,7 @@ object LloydKMeans {
       }
     } finally rdd.unpersist(blocking = false)
     val finalAssigned = corpus.withColumn("a", assignCol(cs))
-      .select(col("vec_id"), col("embedding"),
+      .select(col(idCol), col("embedding"),
         col("a.i").as("cluster"), col("a.d").as("dist2"))
     (cs, finalAssigned, inertia.toSeq)
   }

@@ -81,7 +81,7 @@ object SemDedup {
     */
   def dedup(corpus: DataFrame, k: Int, iters: Int, eps: Double,
       idCol: String = "vec_id"): DataFrame = {
-    val (_, assigned, _) = LloydKMeans.fit(corpus, k, iters)
-    prune(assigned.withColumnRenamed("vec_id", idCol), eps, idCol)
+    val (_, assigned, _) = LloydKMeans.fit(corpus, k, iters, idCol)
+    prune(assigned, eps, idCol)
   }
 }
