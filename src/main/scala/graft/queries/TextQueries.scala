@@ -151,7 +151,13 @@ object TextQueries {
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
       .repartition(col("word"))
     val freq = tok.groupBy("word").agg(count(lit(1)).as("c"))
-    val total = freq.agg(sum("c")).collect()(0).getLong(0)
+    // corpus token total == sum of freq counts, but computed as ONE
+    // row-local scan (sum of per-doc token counts) — the freq-side
+    // formulation re-ran the whole explode+shuffle as a separate job
+    // just to produce this scalar (round-11 tail shave, TIMEONE.md)
+    val total = Tables(spark, dir, "documents")
+      .agg(sum(size(TextOps.tokens(col("text"))).cast("long")))
+      .collect()(0).getLong(0)
     tok.join(freq, "word")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
