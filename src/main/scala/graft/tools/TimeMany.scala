@@ -14,6 +14,7 @@ object TimeMany {
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val spark = SparkSession.builder()
       .master("local[32]")
+      .withExtensions(new org.apache.spark.sql.graftx.GraftExtensions)
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
