@@ -351,40 +351,25 @@ object Dedup {
     spark.conf.getOption("spark.graft.lsh.bloomCapacity")
       .map(_.toLong).getOrElse(16000000L)
 
-  private val LshBloomFpp = 0.03
-
-  private def bloomFile(dir: String, batch: Option[Long]) =
-    new org.apache.hadoop.fs.Path(batch match {
-      case Some(id) => s"$dir/keybloom/bloom-$id.bin"
-      case None => s"$dir/keybloom/bloom-base.bin"
-    })
+  /** Bloom false-positive rate — `spark.graft.lsh.bloomFpp`, default
+    * 1%. The knob that sizes pruning at scale: the probe touches
+    * ~(true matches + fpp × batch keys) prefixes, so fpp bounds the
+    * wasted partition reads per batch. Halving fpp costs ~1.44 bits
+    * per key of bloom size.
+    */
+  def lshBloomFpp(spark: org.apache.spark.sql.SparkSession): Double =
+    spark.conf.getOption("spark.graft.lsh.bloomFpp")
+      .map(_.toDouble).getOrElse(0.01)
 
   /** OR-merge the just-written band keys into the rolling key bloom
-    * (read from `bandsPath` so the batch is never re-shingled). The
-    * merged snapshot lands in a per-batch file — overwrite-on-replay
-    * idempotent like every other index write, and deterministic: bloom
-    * insertion is bit-OR, so content is a pure function of the keys.
+    * (read from `bandsPath` so the batch is never re-shingled) — the
+    * [[RollingBloom]] lifecycle under `<dir>/keybloom`.
     */
   private def rollLshBloom(spark: org.apache.spark.sql.SparkSession,
-      dir: String, bandsPath: String, batch: Option[Long]): Unit = {
-    val batchBloom = spark.read.parquet(bandsPath)
-      .stat.bloomFilter("bkey", lshBloomCapacity(spark), LshBloomFpp)
-    val merged = readLshBloom(spark, dir, excludeBatch = batch)
-      .map { prev => prev.mergeInPlace(batchBloom); prev }
-      .getOrElse(batchBloom)
-    val p = bloomFile(dir, batch)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try merged.writeTo(out) finally out.close()
-  }
-
-  /** Per-process bloom cache keyed by (path, mtime, length): repeated
-    * probes of the same index (the steady-state ingest shape) skip the
-    * multi-MB re-read; any append rolls a NEW bloom file, so staleness
-    * is impossible. Bounded: one entry per live index snapshot.
-    */
-  private val bloomCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long, Long), org.apache.spark.util.sketch.BloomFilter]()
+      dir: String, bandsPath: String, batch: Option[Long]): Unit =
+    RollingBloom.roll(spark, s"$dir/keybloom",
+      spark.read.parquet(bandsPath), "bkey", batch,
+      lshBloomCapacity(spark), lshBloomFpp(spark))
 
   /** Newest rolling key bloom, excluding the given batch's own
     * snapshot (replay safety). None = no bloom yet (legacy index or
@@ -393,28 +378,8 @@ object Dedup {
     */
   def readLshBloom(spark: org.apache.spark.sql.SparkSession, dir: String,
       excludeBatch: Option[Long] = None)
-      : Option[org.apache.spark.util.sketch.BloomFilter] = {
-    val d = new org.apache.hadoop.fs.Path(s"$dir/keybloom")
-    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(d)) return None
-    val re = "bloom-(base|\\d+)\\.bin".r
-    val ids = fs.listStatus(d).toSeq.map(_.getPath.getName).collect {
-      case re(s) => if (s == "base") -1L else s.toLong
-    }
-    val usable = ids.filterNot(excludeBatch.contains)
-    if (usable.isEmpty) None
-    else {
-      val pick = usable.max
-      val p = bloomFile(dir, if (pick < 0) None else Some(pick))
-      val st = fs.getFileStatus(p)
-      val key = (p.toString, st.getModificationTime, st.getLen)
-      Some(bloomCache.computeIfAbsent(key, _ => {
-        val in = fs.open(p)
-        try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
-        finally in.close()
-      }))
-    }
-  }
+      : Option[org.apache.spark.util.sketch.BloomFilter] =
+    RollingBloom.read(spark, s"$dir/keybloom", excludeBatch)
 
   /** (doc_id, bkey) band keys of a batch — the probe side of the index
     * join (shingle + minhash-band in one pass).
@@ -469,9 +434,7 @@ object Dedup {
     sh.withColumn("sp", pmod(hash(col("doc_id")), lit(prefixes)))
       .repartition(col("sp"))
       .write.mode("overwrite").partitionBy("sp").parquet(s"$dir/shingles")
-    val fs = bloomFile(dir, None)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/keybloom"), true)
+    RollingBloom.clear(spark, s"$dir/keybloom")
     rollLshBloom(spark, dir, s"$dir/bands", None)
     writeLshMeta(spark, dir, LshIndexMeta(prefixes, bands, rowsPerBand))
   }

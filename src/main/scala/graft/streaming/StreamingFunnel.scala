@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, RollingBloom}
 import graft.pipeline.CorpusPipeline
 
 /** The corpus funnel as ONE incremental streaming program — the shape
@@ -120,18 +120,35 @@ object StreamingFunnel {
 
     // exact dedup: min-id per digest within the batch, then anti-join
     // the persisted hash index (the O3 exists-check pattern — batch
-    // keys probe the index, never the reverse)
+    // keys probe the index, never the reverse). Same sub-linear probe
+    // shape as the LSH index: the rolling hash bloom first drops every
+    // batch digest provably absent from history (those rows survive
+    // the anti-join against ANY subset of the index, so pruning can't
+    // lose them), and only the bloom survivors' hp prefixes are read —
+    // without this every micro-batch re-scanned the full digest
+    // history.
     val hashDir = s"$indexDir/hashes"
     val inBatch = CorpusPipeline.exactDeduped(qual)
-      .withColumn("_h", md5(col("text")))
-    val exact = (if (exists(spark, hashDir))
-        inBatch.join(spark.read.parquet(hashDir)
-            .where(col("batch") =!= lit(batchId)).select("_h"),
-          Seq("_h"), "left_anti")
-      else inBatch)
+      .withColumn("_h", md5(col("text"))).persist()
+    val exact = (if (exists(spark, hashDir)) {
+        val idx0 = spark.read.parquet(hashDir)
+          .where(col("batch") =!= lit(batchId))
+        val idx = (RollingBloom.read(spark, s"$indexDir/hashbloom",
+            Some(batchId)), readHashPrefixes(spark, hashDir)) match {
+          case (Some(bf), Some(p))
+              if idx0.schema.fieldNames.contains("hp") =>
+            val b = spark.sparkContext.broadcast(bf)
+            val mc = udf((h: String) => b.value.mightContainString(h))
+            val touched = inBatch.where(mc(col("_h")))
+              .select(pmod(hash(col("_h")), lit(p)).as("hp"))
+              .distinct().collect().map(_.getInt(0)).toSeq
+            idx0.where(col("hp").isin(touched: _*))
+          case _ => idx0
+        }
+        inBatch.join(idx.select("_h"), Seq("_h"), "left_anti")
+      } else inBatch)
       .localCheckpoint(true)
-    exact.select("_h").write.mode(SaveMode.Overwrite)
-      .parquet(s"$hashDir/batch=$batchId")
+    writeHashBatch(exact.select("_h"), indexDir, batchId)
     val nExact = exact.count()
     val docs = exact.drop("_h")
 
@@ -170,6 +187,66 @@ object StreamingFunnel {
       (System.nanoTime() - t0) / 1000000, nOutOfOrder)
   }
 
+  /** Expected distinct documents for the hash index's rolling bloom —
+    * `spark.graft.hash.bloomCapacity`, default 16M (~14 MB at 3% fpp).
+    * Size to the deployment's corpus; over-full only degrades pruning.
+    */
+  def hashBloomCapacity(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("spark.graft.hash.bloomCapacity")
+      .map(_.toLong).getOrElse(16000000L)
+
+  private def hashMetaPath(hashDir: String) =
+    new org.apache.hadoop.fs.Path(s"$hashDir/_graft_hash_meta")
+
+  /** The hp-prefix modulus the hash index was built with (recorded at
+    * first write, like the LSH `_graft_lsh_meta` — probes never read
+    * the live conf, so a conf change cannot mis-prune). None = legacy
+    * unpartitioned layout: probes fall back to the full read.
+    */
+  def readHashPrefixes(spark: org.apache.spark.sql.SparkSession,
+      hashDir: String): Option[Int] = {
+    val p = hashMetaPath(hashDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      txt.linesIterator.collectFirst {
+        case l if l.startsWith("prefixes=") =>
+          l.stripPrefix("prefixes=").trim.toInt
+      }
+    }
+  }
+
+  /** Write one batch's digests into the hash index: hp-prefix
+    * partitioned under its own overwrite-on-replay `batch=<id>`
+    * subtree, plus the rolling bloom snapshot. The unit the replay
+    * spec also drives directly to simulate a half-written crash.
+    */
+  def writeHashBatch(hashes: DataFrame, indexDir: String,
+      batchId: Long): Unit = {
+    val spark = hashes.sparkSession
+    val hashDir = s"$indexDir/hashes"
+    val prefixes = readHashPrefixes(spark, hashDir).getOrElse {
+      val n = Dedup.lshIndexPrefixes(spark)
+      val p = hashMetaPath(hashDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(p, true)
+      try out.write(s"prefixes=$n\n".getBytes("UTF-8"))
+      finally out.close()
+      n
+    }
+    val path = s"$hashDir/batch=$batchId"
+    hashes.select(col("_h"))
+      .withColumn("hp", pmod(hash(col("_h")), lit(prefixes)))
+      .repartition(col("hp"))
+      .write.mode(SaveMode.Overwrite).partitionBy("hp").parquet(path)
+    RollingBloom.roll(spark, s"$indexDir/hashbloom",
+      spark.read.parquet(path), "_h", Some(batchId),
+      hashBloomCapacity(spark), 0.03)
+  }
+
   /** Compact the funnel's cross-batch state (maintenance, run from
     * the single ingest writer between batches — the OPTIMIZE step
     * months of per-batch appends need): the LSH index via
@@ -181,14 +258,14 @@ object StreamingFunnel {
   def compact(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    def swapRewrite(dir: String)(write: String => Unit): Unit = {
+    def swapRewrite(dir: String)(write: String => Unit): Option[Long] = {
       val live = new org.apache.hadoop.fs.Path(dir)
       val fs = live.getFileSystem(conf)
-      if (!fs.exists(live)) return
+      if (!fs.exists(live)) return None
       val ids = fs.listStatus(live).toSeq.map(_.getPath.getName)
         .collect { case s if s.startsWith("batch=") =>
           s.stripPrefix("batch=").toLong }
-      if (ids.isEmpty) return
+      if (ids.isEmpty) return None
       val tmp = s"$dir.compacting"
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
       write(s"$tmp/batch=${ids.max}")
@@ -198,10 +275,34 @@ object StreamingFunnel {
       require(fs.rename(new org.apache.hadoop.fs.Path(tmp), live),
         s"rename $tmp -> $dir failed — live state is at $old")
       fs.delete(old, true)
+      Some(ids.max)
     }
-    swapRewrite(s"$indexDir/hashes") { out =>
-      spark.read.parquet(s"$indexDir/hashes").select("_h").distinct()
+    val hashDir = s"$indexDir/hashes"
+    val hashPrefixes = readHashPrefixes(spark, hashDir)
+    val hashKeep = swapRewrite(hashDir) { out =>
+      val src = spark.read.parquet(hashDir)
+      if (src.schema.fieldNames.contains("hp"))
+        src.select("_h", "hp").distinct()
+          .repartition(col("hp"))
+          .write.mode(SaveMode.Overwrite).partitionBy("hp").parquet(out)
+      else src.select("_h").distinct()
         .write.mode(SaveMode.Overwrite).parquet(out)
+    }
+    // the meta rode the renamed-away tree; restore it, then rebuild
+    // the hash bloom fresh from the compacted digests (resets fpp
+    // drift from replay-superseded snapshots)
+    hashKeep.foreach { keep =>
+      hashPrefixes.foreach { n =>
+        val p = hashMetaPath(hashDir)
+        val fs = p.getFileSystem(conf)
+        val out = fs.create(p, true)
+        try out.write(s"prefixes=$n\n".getBytes("UTF-8"))
+        finally out.close()
+      }
+      RollingBloom.clear(spark, s"$indexDir/hashbloom")
+      RollingBloom.roll(spark, s"$indexDir/hashbloom",
+        spark.read.parquet(hashDir), "_h", Some(keep),
+        hashBloomCapacity(spark), 0.03)
     }
     swapRewrite(s"$indexDir/ingest") { out =>
       // the watermark only ever needs the global max; min kept for the

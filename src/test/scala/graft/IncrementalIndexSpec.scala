@@ -97,6 +97,63 @@ class IncrementalIndexSpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("probe scan fraction stays bounded as the index grows 10x") {
+    // The metric-level form of the sub-linear claim, no wall-clock
+    // flakiness: with prefixes sized above the probe's SURVIVING keys
+    // (the 100 TB sizing rule — bloom survivors ~ true matches + fpp x
+    // batch keys), the bands rows actually READ are a bounded fraction
+    // of the index, and the fraction holds as the index grows a decade
+    // (a lost bloom or prune would read ~100% either way).
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    spark.conf.set("spark.graft.lsh.indexPrefixes", "256")
+    try {
+      val dir = tmp("lsh-frac")
+      def mkDocs(tag: String, n: Int, base: Long) = (1 to n).map { i =>
+        (base + i, (1 to 40).map(w(
+          s"$tag${('a' + i / 26).toChar}${('a' + i % 26).toChar}", _))
+          .mkString(" "))
+      }.toDF("doc_id", "text")
+      Dedup.writeLshIndex(mkDocs("fa", 300, 0L), "doc_id", "text", dir)
+      val meta = Dedup.readLshMeta(spark, dir)
+      assert(meta.exists(_.prefixes == 256))
+      // probe: one true near-dup of indexed doc 1 + one disjoint doc
+      val dup = mkDocs("fa", 1, 900000L)
+      val probe = dup.unionByName(mkDocs("pq", 1, 910000L))
+
+      def rowsRead(): (Long, Long) = {
+        val bb = Dedup.bandKeys(probe, "doc_id", "text").localCheckpoint(true)
+        val cand = Dedup.indexCandidates(spark, dir, bb, meta, None)
+        val n = cand.collect().length
+        assert(n >= 1, "the planted near-dup must surface as a candidate")
+        val read = graft.tools.PlanShape.flat(cand.queryExecution.executedPlan)
+          .collect { case s: FileSourceScanExec
+            if s.metadata.getOrElse("Location", "").contains("bands") =>
+              s.metrics("numOutputRows").value }.sum
+        (read, spark.read.parquet(s"$dir/bands").count())
+      }
+      val (read1, total1) = rowsRead()
+      val frac1 = read1.toDouble / total1
+      // grow the index 10x with disjoint content
+      (0 until 10).foreach { g =>
+        Dedup.appendToLshIndex(
+          mkDocs(s"g${('a' + g).toChar}", 300, 10000L * (g + 1)),
+          "doc_id", "text", dir)
+      }
+      val (read2, total2) = rowsRead()
+      val frac2 = read2.toDouble / total2
+      assert(total2 >= total1 * 10, "fixture drift: index did not grow 10x")
+      info(f"scan fraction: $frac1%.3f ($read1/$total1) -> " +
+        f"$frac2%.3f ($read2/$total2)")
+      assert(frac1 <= 0.25 && frac2 <= 0.25,
+        f"probe read $frac1%.2f -> $frac2%.2f of the bands index — " +
+          "the bloom screen + prefix prune stopped biting")
+      assert(frac2 <= frac1 * 2 + 0.02,
+        f"pruned fraction grew $frac1%.3f -> $frac2%.3f with index size " +
+          "— probe work is scaling with history, not matches")
+    } finally spark.conf.unset("spark.graft.lsh.indexPrefixes")
+  }
+
   test("mismatched banding params fail fast instead of matching nothing") {
     val dir = tmp("lsh-params")
     Dedup.writeLshIndex(docs.limit(50), "doc_id", "text", dir)
@@ -217,6 +274,39 @@ class IncrementalIndexSpec extends SparkSpec {
       "every doc below the prior ingest watermark must be counted")
   }
 
+  test("hash index probe: bloom-screened, hp-pruned, cross-batch exact") {
+    import spark.implicits._
+    val cfg = CorpusPipeline.Config()
+    val (idx, out) = (tmp("hp-idx"), tmp("hp-out"))
+    val texts = (1L to 30L).map(i =>
+      (i, (1 to 25).map(w(s"hx${('a' + (i % 26)).toChar}", _)).mkString(" ")))
+    val b0 = texts.map { case (i, t) => (i, t, "en", "web") }
+      .toDF("doc_id", "text", "lang", "source")
+    // batch 1 = the SAME texts under new ids + 5 fresh docs: every
+    // repeat must die against the persisted index, through the pruned
+    // read (correctness would break loudly if pruning lost a prefix)
+    val b1 = (texts.map { case (i, t) => (i + 100L, t, "en", "web") } ++
+        (1L to 5L).map(i => (i + 200L,
+          (1 to 25).map(w(s"fresh${('a' + i).toChar}", _)).mkString(" "),
+          "en", "web")))
+      .toDF("doc_id", "text", "lang", "source")
+    StreamingFunnel.processBatch(b0, 0L, cfg, idx, out)
+    val s1 = StreamingFunnel.processBatch(b1, 1L, cfg, idx, out)
+    assert(s1.nExact == 5L,
+      s"expected only the 5 fresh docs past exact dedup, got ${s1.nExact}")
+    // layout contract: hp partitions, meta, rolling bloom
+    val hpDirs = new java.io.File(s"$idx/hashes/batch=0")
+      .listFiles().count(_.getName.startsWith("hp="))
+    assert(hpDirs > 1, "hash batches must be hp-prefix partitioned")
+    assert(StreamingFunnel.readHashPrefixes(spark, s"$idx/hashes").isDefined)
+    val bf = graft.operators.RollingBloom.read(spark, s"$idx/hashbloom")
+    assert(bf.isDefined, "hash bloom snapshot missing")
+    // the screen: digests never ingested mostly fail the bloom
+    val foreign = (1 to 200).map(i => s"zz-$i-not-a-real-digest")
+    val hits = foreign.count(bf.get.mightContainString)
+    assert(hits <= 20, s"$hits/200 foreign digests passed the hash bloom")
+  }
+
   test("compaction: probe-identical, fewer files, ingest continues") {
     import spark.implicits._
     val cfg = CorpusPipeline.Config()
@@ -309,8 +399,8 @@ class IncrementalIndexSpec extends SparkSpec {
     val half = CorpusPipeline.exactDeduped(
       CorpusPipeline.qualityFiltered(
         CorpusPipeline.languageFiltered(b1, cfg), cfg))
-    half.select(md5(col("text")).as("_h"))
-      .write.mode("overwrite").parquet(s"$idxB/hashes/batch=1")
+    StreamingFunnel.writeHashBatch(
+      half.select(md5(col("text")).as("_h")), idxB, 1L)
     Dedup.appendToLshIndex(half, "doc_id", "text", s"$idxB/lsh",
       subdir = Some(1L))
     val replayB1 = StreamingFunnel.processBatch(b1, 1L, cfg, idxB, outB)
