@@ -272,8 +272,9 @@ object DedupQueries {
   /** Incremental ingest dedup: index 80% of the corpus once, probe the
     * remaining 20% as the "new batch" through the persisted LSH index
     * (build-once / probe-cheap — the batch never triggers corpus-wide
-    * recomputation). Rows-only: MinHash band keys are engine-specific;
-    * IncrementalDedupSpec pins exact agreement with the full run.
+    * recomputation). Full oracle: [[MinHashOracle.incrementalBatch]]
+    * replays the banded signatures in DuckDB; IncrementalDedupSpec
+    * additionally pins exact agreement with the full-corpus run.
     */
   def incrementalBatch(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
