@@ -363,6 +363,51 @@ class IncrementalIndexSpec extends SparkSpec {
       "post-compaction ingest diverged from the uncompacted twin")
   }
 
+  test("funnel parity is exact against a pre-seeded 10x index") {
+    // the VERDICT-task shape: the cross-batch indexes are 10x the
+    // stream's own volume BEFORE the first real batch arrives (a
+    // months-old deployment ingesting a trickle). Survivor parity with
+    // the batch funnel must hold exactly — in particular, bloom false
+    // positives against the big index may only cost pruned-read bytes,
+    // never a dropped document (they die at exact verification).
+    import spark.implicits._
+    val cfg = CorpusPipeline.Config()
+    val corpus = (1 to 26).flatMap { g =>
+      // 26 near-dup pairs + 26 singletons, letter-tagged vocabularies
+      val base = (1 to 40).map(w(s"rl${('a' + g - 1).toChar}", _))
+      Seq((1000L + 2 * g, base.mkString(" ")),
+        (1001L + 2 * g, (base.take(36) ++ (1 to 4)
+          .map(w(s"tl${('a' + g - 1).toChar}", _))).mkString(" ")),
+        (1100L + g, (1 to 40).map(w(s"sl${('a' + g - 1).toChar}", _))
+          .mkString(" ")))
+    }.map { case (i, t) => (i, t, "en", "web") }
+      .toDF("doc_id", "text", "lang", "source")
+    val expected = CorpusPipeline.prepare(corpus, cfg)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    val (idx, out) = (tmp("seed-idx"), tmp("seed-out"))
+    // pre-seed: ~10x disjoint docs, ids BELOW the corpus range so the
+    // id-ordered-arrival contract holds
+    val pre = (1 to 780).map { i =>
+      (i.toLong, (1 to 40).map(w(
+        s"pre${('a' + i / 676).toChar}${('a' + i / 26 % 26).toChar}" +
+          s"${('a' + i % 26).toChar}", _)).mkString(" "), "en", "web")
+    }.toDF("doc_id", "text", "lang", "source")
+    StreamingFunnel.processBatch(pre, 0L, cfg, idx, out)
+    val ids = corpus.select("doc_id").collect().map(_.getLong(0)).sorted
+    ids.grouped(26).zipWithIndex.foreach { case (chunk, i) =>
+      val s = StreamingFunnel.processBatch(
+        corpus.where(col("doc_id").isin(chunk: _*)), i + 1L, cfg, idx, out)
+      assert(s.nOutOfOrder == 0L)
+    }
+    val streamed = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+      .filter(_ >= 1000L) // drop the pre-seed survivors
+    assert(streamed == expected,
+      s"10x-index parity broke — missing ${(expected -- streamed).take(5)}" +
+        s", extra ${(streamed -- expected).take(5)}")
+  }
+
   test("replayed micro-batch (even after a half-written crash) changes nothing") {
     import spark.implicits._
     val cfg = CorpusPipeline.Config()
