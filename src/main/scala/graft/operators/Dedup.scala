@@ -475,18 +475,40 @@ object Dedup {
       return
     }
     val prefixes = meta.map(_.prefixes).getOrElse(lshIndexPrefixes(spark))
+    // uniform-depth guard: partition discovery cannot mix batch=<id>
+    // subtrees with a flat bp= layout in one table — fail fast instead
+    // of a cryptic "conflicting directory structures" at the next probe
+    if (exists(spark, s"$dir/bands")) {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/bands")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val hasBatchDirs = fs.listStatus(p)
+        .exists(_.getPath.getName.startsWith("batch="))
+      require(hasBatchDirs == subdir.isDefined,
+        s"index at $dir uses the ${if (hasBatchDirs) "per-batch (subdir)"
+          else "flat"} layout — use subdir=${if (hasBatchDirs) "Some(id)"
+          else "None"} for ALL appends to one index")
+    }
     val (bandsPath, shinglesPath, mode) = subdir match {
       case Some(id) =>
         (s"$dir/bands/batch=$id", s"$dir/shingles/batch=$id", "overwrite")
       case None => (s"$dir/bands", s"$dir/shingles", "append")
     }
-    bandRows(sh, bands, rowsPerBand, prefixes)
+    val batchBands = bandRows(sh, bands, rowsPerBand, prefixes)
+    batchBands
       .repartition(col("bp"))
       .write.mode(mode).partitionBy("bp").parquet(bandsPath)
     sh.withColumn("sp", pmod(hash(col("doc_id")), lit(prefixes)))
       .repartition(col("sp"))
       .write.mode(mode).partitionBy("sp").parquet(shinglesPath)
-    rollLshBloom(spark, dir, bandsPath, subdir)
+    subdir match {
+      // subdir appends read their own just-written subtree back
+      // (batch-sized, no re-shingle); a flat append must NOT read the
+      // shared bands path — that would re-bloom the whole history per
+      // append — so it pays one extra batch shingle pass instead
+      case Some(_) => rollLshBloom(spark, dir, bandsPath, subdir)
+      case None => RollingBloom.roll(spark, s"$dir/keybloom", batchBands,
+        "bkey", None, lshBloomCapacity(spark), lshBloomFpp(spark))
+    }
     if (meta.isEmpty)
       writeLshMeta(spark, dir, LshIndexMeta(prefixes, bands, rowsPerBand))
   }
