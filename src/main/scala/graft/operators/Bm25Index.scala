@@ -17,6 +17,13 @@ import graft.text.TextOps
   *     min/max stats instead of scanning the vocabulary.
   *   - `dfs/`      — (term, dft) document frequencies.
   *   - `stats/`    — mergeable (n_docs, sum_dl) partial rows.
+  *   - `docids/`   — ingested doc ids, partitioned by
+  *     `dp = pmod(hash(doc_id), prefixes)` (`_graft_bm25_meta` records
+  *     the modulus), serving [[appendToIndex]]'s dedupe guard.
+  *   - `docbloom/` — [[RollingBloom]] snapshots over the ingested ids:
+  *     the guard screens each batch through the bloom and reads only
+  *     the survivors' `dp` prefixes, so re-ingest protection costs
+  *     O(batch + matches), not O(index), per append.
   *
   * A probe reads |q| terms' postings (file-skipped), broadcasts the
   * |q|-row df table and the 1-row stats, and runs one per-doc hash agg
@@ -62,9 +69,79 @@ object Bm25Index {
       .write.mode(mode).parquet(s"$path/stats")
   }
 
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def metaPath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_graft_bm25_meta")
+
+  /** The dp-prefix modulus the ingested-doc-id table was built with —
+    * recorded at index creation (probes never read the live conf, so a
+    * conf change cannot mis-prune; same discipline as the LSH/hash
+    * index metas). None = legacy index without a docids table.
+    */
+  def readDocPrefixes(spark: SparkSession, path: String): Option[Int] = {
+    val p = metaPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      txt.linesIterator.collectFirst {
+        case l if l.startsWith("prefixes=") =>
+          l.stripPrefix("prefixes=").trim.toInt
+      }
+    }
+  }
+
+  private def writeDocPrefixes(spark: SparkSession, path: String,
+      n: Int): Unit = {
+    val p = metaPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"prefixes=$n\n".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Expected distinct doc ids for the dedupe guard's rolling bloom —
+    * `spark.graft.bm25.bloomCapacity`, default 16M. Size to the
+    * deployment's corpus; over-full only degrades pruning, never
+    * results (the bloom has no false negatives, and positives are
+    * verified against the real docids table).
+    */
+  def docBloomCapacity(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.bm25.bloomCapacity")
+      .map(_.toLong).getOrElse(16000000L)
+
+  // the ingested-id ledger serving the dedupe guard: dp-prefix
+  // partitioned so a probe reads only the suspects' prefixes, plus the
+  // rolling id bloom that screens the batch first. From the PRE-explode
+  // doc list, so zero-token docs are visible to the guard (the postings
+  // table, which the legacy guard scanned, cannot see them).
+  private def writeDocIds(toks: DataFrame, path: String, prefixes: Int,
+      mode: String): Unit = {
+    val spark = toks.sparkSession
+    toks.select(col("doc_id"))
+      .withColumn("dp", pmod(hash(col("doc_id")), lit(prefixes)))
+      .repartition(col("dp"))
+      .write.mode(mode).partitionBy("dp").parquet(s"$path/docids")
+    if (mode == "overwrite")
+      RollingBloom.clear(spark, s"$path/docbloom")
+    RollingBloom.roll(spark, s"$path/docbloom", toks.select(col("doc_id")),
+      "doc_id", None, docBloomCapacity(spark), 0.03)
+  }
+
   def write(docs: DataFrame, idCol: String, textCol: String,
-      path: String): Unit =
-    writeDerived(tokenizedDocs(docs, idCol, textCol), path, "overwrite")
+      path: String): Unit = {
+    val spark = docs.sparkSession
+    val toks = tokenizedDocs(docs, idCol, textCol)
+    writeDerived(toks, path, "overwrite")
+    val prefixes = Dedup.lshIndexPrefixes(spark)
+    writeDocPrefixes(spark, path, prefixes)
+    writeDocIds(toks, path, prefixes, "overwrite")
+  }
 
   /** Incremental maintenance: a new document batch appends its own
     * postings files and its own df/stats PARTIAL rows — batch-sized
@@ -75,24 +152,75 @@ object Bm25Index {
     *
     * Batches must carry previously-unseen doc_ids; re-ingesting a doc
     * double-counts it. `dedupeAgainstExisting=true` enforces that with
-    * an anti-join against the index's own postings doc_ids (one scan of
-    * the doc_id column, index-sized not corpus-sized — the
-    * `Sinks.notYetWritten` pattern applied at the index boundary).
-    * Caveat: a previously-ingested ZERO-token doc has no postings row,
-    * so the guard cannot see it; its re-ingest would re-count it in
-    * stats (n_docs). Zero-token docs are corpus noise at that level —
-    * dedupe upstream if they matter.
+    * an anti-join against the index's ingested-id ledger, probed
+    * SUB-LINEARLY in index size (the same screen the LSH/hash indexes
+    * use): the rolling id bloom first drops every batch id provably
+    * absent from history — those rows survive the anti-join against
+    * ANY subset of the ledger, so pruning cannot lose them — and only
+    * the bloom survivors' dp prefixes are read. The ledger derives
+    * from the pre-explode doc list, so previously-ingested ZERO-token
+    * docs are caught too (the old postings-doc-id scan could not see
+    * them and was O(index) per append besides). A legacy index without
+    * `docids/` falls back to that postings scan and does NOT start a
+    * partial ledger — half-covered docids would wrongly re-admit old
+    * docs.
     */
+  /** The dedupe guard's anti-join, factored out so the plan pin
+    * asserts the partition filter on the very frame the append
+    * executes: batch rows whose id is NOT already in the index.
+    */
+  def notYetIngested(docs: DataFrame, idCol: String,
+      path: String): DataFrame = {
+    val spark = docs.sparkSession
+    val prefixes = readDocPrefixes(spark, path)
+    if (prefixes.isDefined && exists(spark, s"$path/docids")) {
+      val batchIds = docs.select(col(idCol).as("doc_id"))
+      val suspects = RollingBloom.read(spark, s"$path/docbloom") match {
+        case Some(bf) =>
+          val b = spark.sparkContext.broadcast(bf)
+          import org.apache.spark.sql.types.{LongType, StringType}
+          batchIds.schema("doc_id").dataType match {
+            case LongType =>
+              val mc = udf((v: Long) => b.value.mightContainLong(v))
+              batchIds.where(mc(col("doc_id")))
+            case StringType =>
+              val mc = udf((s: String) => b.value.mightContainString(s))
+              batchIds.where(mc(col("doc_id")))
+            case _ => batchIds
+          }
+        case None => batchIds
+      }
+      val touched = suspects
+        .select(pmod(hash(col("doc_id")), lit(prefixes.get)).as("dp"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      val seen = spark.read.parquet(s"$path/docids")
+        .where(col("dp").isin(touched: _*))
+      docs.join(seen, docs(idCol) === seen("doc_id"), "left_anti")
+    } else {
+      val seen = spark.read.parquet(s"$path/postings")
+        .select(col("doc_id")).distinct()
+      docs.join(seen, docs(idCol) === seen("doc_id"), "left_anti")
+    }
+  }
+
   def appendToIndex(docs: DataFrame, idCol: String, textCol: String,
       path: String, dedupeAgainstExisting: Boolean = false): Unit = {
+    val spark = docs.sparkSession
+    val creation = !exists(spark, s"$path/postings")
+    val prefixes = readDocPrefixes(spark, path)
     val batch =
-      if (!dedupeAgainstExisting) docs
-      else {
-        val seen = docs.sparkSession.read.parquet(s"$path/postings")
-          .select(col("doc_id")).distinct()
-        docs.join(seen, docs(idCol) === seen("doc_id"), "left_anti")
-      }
-    writeDerived(tokenizedDocs(batch, idCol, textCol), path, "append")
+      if (!dedupeAgainstExisting || creation) docs
+      else notYetIngested(docs, idCol, path)
+    val toks = tokenizedDocs(batch, idCol, textCol)
+    writeDerived(toks, path, "append")
+    if (creation) {
+      val n = Dedup.lshIndexPrefixes(spark)
+      writeDocPrefixes(spark, path, n)
+      writeDocIds(toks, path, n, "overwrite")
+    } else prefixes.foreach { n =>
+      if (exists(spark, s"$path/docids"))
+        writeDocIds(toks, path, n, "append")
+    }
   }
 
   /** Top-k BM25 over the persisted index; identical arithmetic to the

@@ -22,10 +22,10 @@ import graft.text.TextOps
   * builds the per-(doc, bucket) count table — `docs x m` rows, hash
   * partitioned, never wider than the token explode it aggregates
   * map-side. Both bucket distributions derive from a second agg over
-  * that SMALL table (m rows out), the per-bucket log-ratio is an
-  * m-row broadcast join back, and the final weight is one partial+final
-  * agg by doc_id. The corpus text is read exactly once; nothing
-  * corpus-sized is collected (the two totals are driver scalars).
+  * that SMALL table, collected once (m rows); the per-bucket log-ratio
+  * is an m-row literal broadcast-joined back, and the final weight is
+  * one partial+final agg by doc_id. The corpus text is read exactly
+  * once; nothing corpus-sized is collected (m rows, fixed up front).
   *
   * The bucket hash is the cross-engine recipe shared with
   * text_hashed_features: first 7 hex digits of md5, so DuckDB can
@@ -75,14 +75,25 @@ object Dsir {
       .groupBy(col("doc_id"), col("_t"), bucket(col("w"), m).as("bucket"))
       .agg(count(lit(1)).as("n"))
       .localCheckpoint(true)
+    // the m-row bucket distribution collects ONCE and the per-bucket
+    // log-ratio becomes a literal local relation — the previous shape
+    // (scalar collect over perB, then a second perB aggregation inside
+    // the weight job for the join) re-aggregated the checkpointed
+    // count table twice. Driver math is java.lang.Math.log either way,
+    // so the weights are bit-identical.
     val perB = docB.groupBy("bucket").agg(
       sum(when(col("_t"), col("n")).otherwise(0L)).as("ct"),
-      sum("n").as("cr"))
-    val tot = perB.agg(sum("ct"), sum("cr")).collect()(0)
-    val (tt, tr) = (tot.getLong(0), tot.getLong(1))
-    val lr = perB.select(col("bucket"),
-      (log((col("ct") + lit(1.0)) / lit(tt + m.toDouble)) -
-        log((col("cr") + lit(1.0)) / lit(tr + m.toDouble))).as("lr"))
+      sum("n").as("cr")).collect()
+    val tt = perB.map(_.getLong(1)).sum
+    val tr = perB.map(_.getLong(2)).sum
+    val lrRows = perB.toSeq.map { r =>
+      (r.getLong(0),
+        math.log((r.getLong(1) + 1.0) / (tt + m.toDouble)) -
+          math.log((r.getLong(2) + 1.0) / (tr + m.toDouble)))
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lr = lrRows.toDF("bucket", "lr")
     docB
       .join(broadcast(lr), "bucket") // m rows: always broadcastable
       .groupBy("doc_id")

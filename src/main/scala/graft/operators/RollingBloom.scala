@@ -40,10 +40,27 @@ object RollingBloom {
   def roll(spark: SparkSession, dir: String, keys: DataFrame,
       keyCol: String, batch: Option[Long], capacity: Long,
       fpp: Double): Unit = {
-    val batchBloom = keys.stat.bloomFilter(keyCol, capacity, fpp)
-    val merged = read(spark, dir, excludeBatch = batch)
-      .map { prev => prev.mergeInPlace(batchBloom); prev }
-      .getOrElse(batchBloom)
+    // stat.bloomFilter NPEs on zero rows (null agg buffer), and
+    // sketch.BloomFilter.create builds a geometry incompatible with
+    // the stat aggregate's V2 impl — so an EMPTY batch (e.g. a
+    // micro-batch fully dropped by upstream filters) re-writes the
+    // previous snapshot unchanged (keeps the snapshot-per-batch
+    // lifecycle monotone) or, with no history either, rolls nothing
+    val prev = read(spark, dir, excludeBatch = batch)
+    val merged =
+      if (keys.isEmpty) prev match {
+        case Some(b) => b
+        case None => return
+      } else {
+        // merge INTO the fresh batch bloom, never into `prev`: read()
+        // hands out the cached instance, and mutating it would pollute
+        // every later reader of the older snapshot (weaker pruning — a
+        // bloom can only over-approximate — but a shared-cache
+        // mutation trap all the same)
+        val batchBloom = keys.stat.bloomFilter(keyCol, capacity, fpp)
+        prev.foreach(batchBloom.mergeInPlace)
+        batchBloom
+      }
     val p = file(dir, batch)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)

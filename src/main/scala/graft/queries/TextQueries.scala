@@ -589,8 +589,17 @@ object TextQueries {
       .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
     val uni = toks.select(explode(col("ws")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
-    val nTok = uni.agg(sum("c")).collect()(0).getLong(0).toDouble
-    val nBg = bg.agg(sum("c_ab")).collect()(0).getLong(0).toDouble
+    // the two normalizers are row-local sums over the token-array
+    // lengths (total tokens; total bigrams = sum of max(len-1, 0)) —
+    // ONE scan of the checkpointed tokens, no explode, no shuffle,
+    // instead of re-running the unigram and bigram aggregations just
+    // to fold them back down to scalars (same discipline as
+    // text_unigram_logprob's corpus total)
+    val totals = toks.agg(
+      sum(size(col("ws"))).as("nt"),
+      sum(greatest(size(col("ws")) - 1, lit(0))).as("nb")).collect()(0)
+    val nTok = totals.getLong(0).toDouble
+    val nBg = totals.getLong(1).toDouble
     bg.where(col("c_ab") >= 5)
       .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
       .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")

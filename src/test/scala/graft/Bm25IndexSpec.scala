@@ -88,6 +88,93 @@ class Bm25IndexSpec extends SparkSpec {
       s"merged=${merged.toSeq}\nfull=${full.toSeq}")
   }
 
+  test("dedupe guard probe is bloom-screened and dp-pruned") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, sfDir, "documents")
+    val p = java.nio.file.Files.createTempDirectory("bm25prune").toString
+    Bm25Index.write(docs.where(pmod(col("doc_id"), lit(5)) =!= 0),
+      "doc_id", "text", p)
+    assert(Bm25Index.readDocPrefixes(spark, p).exists(_ > 1),
+      "index meta must record the dp modulus")
+    def flat(pl: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = pl match {
+      case a: AdaptiveSparkPlanExec => flat(a.executedPlan)
+      case q: QueryStageExec => flat(q.plan)
+      case other => other +: other.children.flatMap(flat)
+    }
+    def docidScans(df: org.apache.spark.sql.DataFrame) = {
+      df.collect()
+      flat(df.queryExecution.executedPlan)
+        .collect { case s: FileSourceScanExec
+          if s.metadata.getOrElse("Location", "").contains("docids") => s }
+    }
+    // a PARTIALLY-seen batch (the whole corpus re-offered): the seen
+    // 80% passes the bloom, so the ledger read is present but pruned
+    // to the suspects' prefixes
+    val reoffer = Bm25Index.notYetIngested(docs, "doc_id", p)
+    val scansSeen = docidScans(reoffer)
+    assert(scansSeen.nonEmpty, "guard must read the docids ledger")
+    assert(scansSeen.forall(_.partitionFilters.nonEmpty),
+      "docids scan must carry the suspects' dp partition filter — " +
+        "without it every append re-scans the whole ingested-id history")
+    assert(reoffer.count() ==
+      docs.where(pmod(col("doc_id"), lit(5)) === 0).count(),
+      "guard must keep exactly the unseen 20%")
+    // a fully-DISJOINT batch loses ~every id at the bloom: with no fpp
+    // survivors the empty prefix set folds the ledger read away
+    // entirely (zero history I/O); the few fpp survivors a larger
+    // batch yields still leave a pruned read. Either way every
+    // bloom-negative row survives the anti-join — the batch passes
+    // untouched.
+    val disjoint = docs.where(pmod(col("doc_id"), lit(5)) === 0)
+      .withColumn("doc_id", col("doc_id") + 10000000L)
+    val kept = Bm25Index.notYetIngested(disjoint, "doc_id", p)
+    assert(docidScans(kept).forall(_.partitionFilters.nonEmpty),
+      "any surviving ledger read must stay prefix-pruned")
+    assert(kept.count() == disjoint.count(),
+      "a disjoint batch must pass the guard untouched")
+  }
+
+  test("dedupe guard catches a re-ingested zero-token doc") {
+    import spark.implicits._
+    // doc 2 has no postings row — the legacy postings-scan guard could
+    // not see it; the docids ledger (pre-explode doc list) must
+    val docs = Seq((1L, "hash map scan"), (2L, "!!! 123 ..."),
+      (3L, "vector merge")).toDF("doc_id", "text")
+    val p = java.nio.file.Files.createTempDirectory("bm25ztok").toString
+    Bm25Index.write(docs, "doc_id", "text", p)
+    Bm25Index.appendToIndex(docs.where($"doc_id" === 2L), "doc_id", "text",
+      p, dedupeAgainstExisting = true)
+    val st = spark.read.parquet(s"$p/stats")
+      .agg(org.apache.spark.sql.functions.sum("n_docs")).collect()(0)
+    assert(st.getDouble(0) == 3.0,
+      "re-offered zero-token doc must not re-count in n_docs")
+  }
+
+  test("legacy index without a docids ledger falls back, stays legacy") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, sfDir, "documents")
+    val p = java.nio.file.Files.createTempDirectory("bm25legacy").toString
+    Bm25Index.write(docs.where(pmod(col("doc_id"), lit(5)) =!= 0),
+      "doc_id", "text", p)
+    // simulate an index built before the ledger existed
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq(s"$p/docids", s"$p/docbloom", s"$p/_graft_bm25_meta").foreach { d =>
+      val hp = new org.apache.hadoop.fs.Path(d)
+      hp.getFileSystem(conf).delete(hp, true)
+    }
+    Bm25Index.appendToIndex(docs, "doc_id", "text", p,
+      dedupeAgainstExisting = true)
+    val merged = Bm25Index.query(spark, p, terms, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val full = Bm25Index.query(spark, idxPath, terms, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(merged.toSeq == full.toSeq, "fallback guard must still dedupe")
+    assert(!new java.io.File(s"$p/docids").exists(),
+      "a legacy index must NOT start a half-covered ledger — " +
+        "it would wrongly re-admit pre-ledger docs")
+  }
+
   test("a single-term probe ranks by tf-normalized score only") {
     // with one term, ordering must be monotone in tf/(tf + k1*(...)):
     // longer docs with equal tf rank lower

@@ -97,6 +97,35 @@ class IncrementalIndexSpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("rolling a new snapshot never mutates the cached older one") {
+    // replay contract: a retried batch reads the newest snapshot
+    // EXCLUDING its own — that view must reflect pre-batch state even
+    // when the prior snapshot is already in the JVM cache. roll() once
+    // merged INTO the cached instance, so a failed first attempt
+    // polluted the very view its replay depends on (correctness-safe —
+    // blooms only over-approximate — but the prune silently weakened).
+    import spark.implicits._
+    val dir = tmp("bloom-cache")
+    graft.operators.RollingBloom.roll(spark, dir,
+      (1L to 100L).toDF("k"), "k", Some(1L), 10000L, 0.001)
+    // prime the cache with snapshot 1 through the replay-view read
+    assert(graft.operators.RollingBloom.read(spark, dir, Some(2L))
+      .exists(_.mightContainLong(1L)))
+    val newKeys = (5000001L to 5000100L).toDF("k")
+    graft.operators.RollingBloom.roll(spark, dir, newKeys, "k", Some(2L),
+      10000L, 0.001)
+    val replayView =
+      graft.operators.RollingBloom.read(spark, dir, Some(2L)).get
+    val leaked = (5000001L to 5000100L).count(replayView.mightContainLong)
+    assert(leaked <= 5,
+      s"$leaked/100 of batch 2's keys visible in the batch-1 snapshot — " +
+        "roll() mutated the cached prior bloom")
+    val merged = graft.operators.RollingBloom.read(spark, dir, None).get
+    assert(merged.mightContainLong(1L) &&
+      merged.mightContainLong(5000001L),
+      "newest snapshot must contain both old and new keys")
+  }
+
   test("probe scan fraction stays bounded as the index grows 10x") {
     // The metric-level form of the sub-linear claim, no wall-clock
     // flakiness: with prefixes sized above the probe's SURVIVING keys
