@@ -223,6 +223,63 @@ object Bm25Index {
     }
   }
 
+  /** Compact an append-accumulated BM25 index back to one file set per
+    * table — the maintenance pass months of per-batch appends need
+    * (same role as [[Dedup.compactLshIndex]]): every append adds its
+    * own postings/dfs/stats/docids files, so file COUNT — listing and
+    * footer overhead, not data — becomes the creeping per-probe cost.
+    * Result-invisible by construction: postings are rewritten
+    * range-partitioned + sorted on term (restoring the tight per-file
+    * term ranges appends dilute), the (term, dft) and (n_docs, sum_dl)
+    * partials are pre-merged (the probe re-aggregates partials anyway,
+    * so fewer partials = same sums), and the id ledger is rewritten
+    * distinct with a fresh bloom snapshot.
+    *
+    * Safety: the compacted index is built COMPLETELY in a sibling
+    * `<path>.compacting` tree, then swapped in with two renames — a
+    * crash mid-build leaves the live index untouched. Run from the
+    * single index writer, between appends.
+    */
+  def compactIndex(spark: SparkSession, path: String): Unit = {
+    require(exists(spark, s"$path/postings"),
+      s"$path has no postings table — nothing to compact")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val prefixes = readDocPrefixes(spark, path)
+    val tmp = s"$path.compacting"
+    val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    spark.read.parquet(s"$path/postings")
+      .repartitionByRange(col("term"))
+      .sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$tmp/postings")
+    spark.read.parquet(s"$path/dfs")
+      .groupBy("term").agg(sum("dft").as("dft"))
+      .write.mode("overwrite").parquet(s"$tmp/dfs")
+    spark.read.parquet(s"$path/stats")
+      .agg(coalesce(sum("n_docs"), lit(0.0)).as("n_docs"),
+        coalesce(sum("sum_dl"), lit(0.0)).as("sum_dl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/stats")
+    if (prefixes.isDefined && exists(spark, s"$path/docids")) {
+      val n = prefixes.get
+      val ids = spark.read.parquet(s"$path/docids")
+        .select("doc_id").distinct()
+        .withColumn("dp", pmod(hash(col("doc_id")), lit(n)))
+      ids.repartition(col("dp"))
+        .write.mode("overwrite").partitionBy("dp").parquet(s"$tmp/docids")
+      writeDocPrefixes(spark, tmp, n)
+      RollingBloom.roll(spark, s"$tmp/docbloom",
+        spark.read.parquet(s"$tmp/docids").select("doc_id"), "doc_id",
+        None, docBloomCapacity(spark), 0.03)
+    }
+    val live = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(s"$path.precompact")
+    fs.delete(old, true)
+    require(fs.rename(live, old), s"rename $path -> $old failed")
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), live),
+      s"rename $tmp -> $path failed — live index is at $old")
+    fs.delete(old, true)
+  }
+
   /** Top-k BM25 over the persisted index; identical arithmetic to the
     * ad-hoc path (k1=1.2, b=0.75, rank cut on the rounded score).
     */

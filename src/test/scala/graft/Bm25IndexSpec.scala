@@ -175,6 +175,45 @@ class Bm25IndexSpec extends SparkSpec {
         "it would wrongly re-admit pre-ledger docs")
   }
 
+  test("compaction: probe-identical, fewer files, guard + append continue") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, sfDir, "documents")
+    val p = java.nio.file.Files.createTempDirectory("bm25cmp").toString
+    // accumulate: build + 3 appends (mod-5 shards 1..4), then compact
+    Bm25Index.write(docs.where(pmod(col("doc_id"), lit(5)) === 1),
+      "doc_id", "text", p)
+    (2 to 4).foreach { s =>
+      Bm25Index.appendToIndex(docs.where(pmod(col("doc_id"), lit(5))
+        === s), "doc_id", "text", p)
+    }
+    val before = Bm25Index.query(spark, p, terms, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    def nFiles(sub: String) = {
+      val d = new java.io.File(s"$p/$sub")
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(d)
+    }
+    val filesBefore = Seq("postings", "dfs", "stats").map(nFiles).sum
+    Bm25Index.compactIndex(spark, p)
+    assert(Seq("postings", "dfs", "stats").map(nFiles).sum < filesBefore,
+      "compaction must shrink the file count")
+    val after = Bm25Index.query(spark, p, terms, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(after.toSeq == before.toSeq, "compaction must be result-invisible")
+    // guard state survives: re-offering the whole corpus admits only
+    // the never-ingested mod-5 == 0 shard, and ingest continues
+    Bm25Index.appendToIndex(docs, "doc_id", "text", p,
+      dedupeAgainstExisting = true)
+    val merged = Bm25Index.query(spark, p, terms, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val full = Bm25Index.query(spark, idxPath, terms, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(merged.toSeq == full.toSeq,
+      "post-compaction append + guard must reach the full-corpus index")
+  }
+
   test("a single-term probe ranks by tf-normalized score only") {
     // with one term, ordering must be monotone in tf/(tf + k1*(...)):
     // longer docs with equal tf rank lower
