@@ -56,5 +56,24 @@ class StreamingBm25Spec extends SparkSpec {
     val b = Bm25Index.query(spark, batchIdx, terms, k = 25)
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
     assert(s.toSeq == b.toSeq, s"streamed=${s.toSeq}\nbatch=${b.toSeq}")
+
+    // maintenance mid-lifecycle: compaction between ingest windows is
+    // probe-invisible, and ingest continues on the compacted index
+    // exactly as if the appends had never been merged (the months-of-
+    // uptime OPTIMIZE cadence: append ... compact ... append ...)
+    Bm25Index.compactIndex(spark, streamedIdx)
+    val sc = Bm25Index.query(spark, streamedIdx, terms, k = 25)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(sc.toSeq == b.toSeq, "compaction changed probe results")
+    val extra = docs.where(pmod(col("doc_id"), lit(4)) === 2)
+      .withColumn("doc_id", col("doc_id") + 20000000L)
+    Bm25Index.appendToIndex(extra, "doc_id", "text", streamedIdx)
+    Bm25Index.appendToIndex(extra, "doc_id", "text", batchIdx)
+    val s2 = Bm25Index.query(spark, streamedIdx, terms, k = 25)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val b2 = Bm25Index.query(spark, batchIdx, terms, k = 25)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(s2.toSeq == b2.toSeq,
+      "post-compaction ingest must track the never-compacted twin")
   }
 }
