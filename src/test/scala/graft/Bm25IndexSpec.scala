@@ -214,6 +214,56 @@ class Bm25IndexSpec extends SparkSpec {
       "post-compaction append + guard must reach the full-corpus index")
   }
 
+  test("guard scan fraction stays bounded as the index grows 10x") {
+    // metric-level form of the sub-linear re-ingest claim (the BM25
+    // twin of IncrementalIndexSpec's bands-fraction pin): with the dp
+    // modulus sized above the batch's bloom SURVIVORS, the ledger rows
+    // actually read are a bounded fraction of the index, and the
+    // fraction holds as the index grows a decade — a lost bloom or
+    // prune would read ~100% either way.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    spark.conf.set("spark.graft.lsh.indexPrefixes", "256")
+    try {
+      val p = java.nio.file.Files.createTempDirectory("bm25frac").toString
+      def mkDocs(tag: String, n: Int, base: Long) = (1 to n).map { i =>
+        (base + i, (1 to 20).map(j => s"$tag${('a' + (i + j) % 26).toChar}")
+          .mkString(" "))
+      }.toDF("doc_id", "text")
+      Bm25Index.write(mkDocs("fa", 300, 0L), "doc_id", "text", p)
+      assert(Bm25Index.readDocPrefixes(spark, p).contains(256))
+      // probe: one already-ingested id + one unseen id
+      val probe = mkDocs("fa", 1, 0L).unionByName(mkDocs("zz", 1, 900000L))
+      def rowsRead(): (Long, Long) = {
+        val kept = Bm25Index.notYetIngested(probe, "doc_id", p)
+        assert(kept.count() == 1L, "exactly the unseen doc must survive")
+        val read = graft.tools.PlanShape.flat(
+            kept.queryExecution.executedPlan)
+          .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.metadata.getOrElse("Location", "").contains("docids") =>
+              s.metrics("numOutputRows").value }.sum
+        (read, spark.read.parquet(s"$p/docids").count())
+      }
+      val (read1, total1) = rowsRead()
+      (0 until 10).foreach { g =>
+        Bm25Index.appendToIndex(
+          mkDocs(s"g${('a' + g).toChar}", 300, 10000L * (g + 1)),
+          "doc_id", "text", p)
+      }
+      val (read2, total2) = rowsRead()
+      assert(total2 >= total1 * 10, "fixture drift: index did not grow 10x")
+      val (frac1, frac2) = (read1.toDouble / total1, read2.toDouble / total2)
+      info(f"ledger scan fraction: $frac1%.3f ($read1/$total1) -> " +
+        f"$frac2%.3f ($read2/$total2)")
+      assert(frac1 <= 0.25 && frac2 <= 0.25,
+        f"guard read $frac1%.2f -> $frac2%.2f of the ledger — " +
+          "the bloom screen + dp prune stopped biting")
+      assert(frac2 <= frac1 * 2 + 0.02,
+        f"pruned fraction grew $frac1%.3f -> $frac2%.3f with index size " +
+          "— guard work is scaling with history, not matches")
+    } finally spark.conf.unset("spark.graft.lsh.indexPrefixes")
+  }
+
   test("a single-term probe ranks by tf-normalized score only") {
     // with one term, ordering must be monotone in tf/(tf + k1*(...)):
     // longer docs with equal tf rank lower
