@@ -40,15 +40,19 @@ import graft.pipeline.CorpusPipeline
   * as edges (not a pre-filter), so a batch doc bridged to an earlier
   * corpus doc through ANOTHER batch doc inherits the global component
   * — transitive chains resolve exactly as the batch funnel does.
-  * Survivor-set equality with [[CorpusPipeline.prepare]] then holds
-  * whenever batches arrive in id order (the backfill/ingest norm):
-  * component keepers are min-id, and under id-ordered arrival the
-  * min-id member is always the first ingested. Out-of-order arrival
-  * still yields a valid greedy dedup (first-seen wins, no dup pair
-  * survives) but may keep a different component member than the batch
-  * run; the funnel DETECTS it — each batch's id range is persisted and
-  * [[BatchStats.nOutOfOrder]] counts arrivals below the prior
-  * watermark, so a deployment can alert instead of silently diverging.
+  * Components ANCHORED to an index doc drop all their batch members
+  * (the indexed survivor was already emitted and cannot be retracted);
+  * unanchored components elect the min-id member. Survivor-set
+  * equality with [[CorpusPipeline.prepare]] then holds whenever
+  * batches arrive in id order (the backfill/ingest norm): the anchor
+  * IS the component minimum under id-ordered arrival, so anchoring and
+  * min-id election coincide. Out-of-order arrival still yields a valid
+  * greedy dedup — first-INGESTED wins and no near-dup pair survives,
+  * in any order (spec-pinned on scrambled shards) — but may keep a
+  * different member than the batch run would; the funnel DETECTS it —
+  * each batch's id range is persisted and [[BatchStats.nOutOfOrder]]
+  * counts arrivals below the prior watermark, so a deployment can
+  * alert instead of silently diverging.
   */
 object StreamingFunnel {
 
@@ -155,22 +159,44 @@ object StreamingFunnel {
     // near dedup: index-match pairs UNION the in-batch pair graph, one
     // component pass elects keepers — a batch doc whose component
     // reaches any earlier corpus doc (directly or through other batch
-    // docs) is never a component minimum, so it drops exactly as the
-    // batch funnel would. Pairs come from ALL exact survivors (not
-    // just eventual keepers) so chains through dropped docs still
-    // bridge.
+    // docs) inherits the global component, so transitive chains
+    // resolve exactly as the batch funnel does. Pairs come from ALL
+    // exact survivors (not just eventual keepers) so chains through
+    // dropped docs still bridge.
+    //
+    // Components ANCHORED to an index doc drop ALL their batch
+    // members, never min-id-elect: the indexed doc was already emitted
+    // as a survivor and cannot be retracted, so electing a batch doc
+    // with a smaller id (possible only under out-of-order arrival)
+    // would emit BOTH sides of a near-dup pair. Under id-ordered
+    // ingest the anchor is the component minimum anyway, so this is
+    // exactly the batch funnel's min-id election; out of order it is
+    // the first-ingested-wins greedy the header contract promises.
     val lshDir = s"$indexDir/lsh"
     val inBatchPairs = Dedup
       .minhashLshPairs(docs, "doc_id", "text", cfg.dedupThreshold)
       .select("ida", "idb")
-    val edges =
+    val idxPairs =
       if (exists(spark, s"$lshDir/bands"))
-        inBatchPairs.unionByName(
-          Dedup.dedupAgainstIndex(docs, "doc_id", "text", lshDir,
-              cfg.dedupThreshold, excludeBatch = Some(batchId))
-            .select(col("batch_id").as("ida"), col("corpus_id").as("idb")))
-      else inBatchPairs
-    val survivors = Dedup.survivorsFromPairs(docs, "doc_id", edges)
+        Dedup.dedupAgainstIndex(docs, "doc_id", "text", lshDir,
+            cfg.dedupThreshold, excludeBatch = Some(batchId))
+          .select(col("batch_id").as("ida"), col("corpus_id").as("idb"))
+          .localCheckpoint(true) // feeds both the edge set and the anchors
+      else spark.emptyDataset[(Long, Long)].toDF("ida", "idb")
+    // persist: three consumers (both loser branches + the anchor join);
+    // free for the driver union-find's literal output, and prevents a
+    // triple label-propagation run if a huge batch takes the
+    // distributed path. The batch-scoped cleanup sweep unpersists it.
+    val comps = Dedup.connectedComponents(inBatchPairs.unionByName(idxPairs))
+      .persist()
+    val anchored = comps
+      .join(idxPairs.select(col("idb").as("doc_id")).distinct(), "doc_id")
+      .select("component").distinct()
+    val losers = comps.where(col("doc_id") =!= col("component"))
+      .select("doc_id")
+      .unionByName(comps.join(anchored, "component").select("doc_id"))
+      .distinct()
+    val survivors = docs.join(losers, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
     // ALL exact-surviving docs enter the index (survivors-only appends
     // would blind later batches to dropped members' neighbors), into

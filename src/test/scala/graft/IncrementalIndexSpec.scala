@@ -286,6 +286,46 @@ class IncrementalIndexSpec extends SparkSpec {
       s"streamed survivors $streamed diverge from batch funnel $expected")
   }
 
+  test("out-of-order ingest still yields a VALID greedy dedup") {
+    // the documented degradation contract (StreamingFunnel header):
+    // scrambled batch order may elect different component members than
+    // the batch funnel, but the result must still BE a dedup — no
+    // surviving pair is near-dup (LSH+verify ground truth) and no two
+    // survivors share an exact digest, across ALL batches. A probe that
+    // missed history (pruning bug, stale bloom) would leak a cross-
+    // batch duplicate into the survivor set and fail here.
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, sfDir, "documents").cache()
+    val idxDir = tmp("greedy-idx")
+    val outDir = tmp("greedy-out")
+    val cfg = CorpusPipeline.Config()
+    // mod-4 hash shards processed in scrambled order: ids interleave
+    // across the whole range, so every later batch sees out-of-order
+    // arrivals (asserted — the detection must fire, not just exist)
+    val order = Seq(2, 0, 3, 1)
+    val stats = order.zipWithIndex.map { case (shard, i) =>
+      StreamingFunnel.processBatch(
+        docs.where(pmod(hash(col("doc_id")), lit(4)) === shard),
+        i.toLong, cfg, idxDir, outDir)
+    }
+    assert(stats.drop(1).exists(_.nOutOfOrder > 0),
+      "fixture drift: scrambled shards produced no out-of-order arrivals")
+    val survivors = spark.read.parquet(outDir).cache()
+    assert(survivors.count() > 0)
+    assert(survivors.select("doc_id").distinct().count()
+      == survivors.count(), "a doc survived twice")
+    val nearDups = Dedup.minhashLshPairs(
+      survivors, "doc_id", "text", cfg.dedupThreshold).count()
+    assert(nearDups == 0L,
+      s"$nearDups near-dup pairs survive across scrambled batches — " +
+        "the index probe missed history")
+    val exactDups = survivors.groupBy(md5(col("text"))).count()
+      .where(col("count") > 1).count()
+    assert(exactDups == 0L,
+      s"$exactDups exact-duplicate digests survive across batches")
+    survivors.unpersist(); docs.unpersist()
+  }
+
   test("out-of-order arrival is detected and counted per batch") {
     import spark.implicits._
     val mkDoc = (id: Long) =>
