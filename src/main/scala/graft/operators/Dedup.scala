@@ -1033,6 +1033,44 @@ object Dedup {
     survivorsFromPairs(docs, idCol,
       minhashLshPairs(docs, idCol, textCol, threshold))
 
+  /** Incremental keeper election for a batch probed against persisted
+    * history: `batchPairs` are within-batch near-dup edges, `idxPairs`
+    * (batch_id, corpus_id) matches from [[dedupAgainstIndex]]. Both
+    * edge sets feed ONE component pass (so transitive chains through
+    * in-batch drops still bridge to history), but components ANCHORED
+    * to a corpus doc drop ALL their batch members instead of
+    * min-id-electing — the indexed doc was already emitted as a
+    * survivor and cannot be retracted, so electing a smaller-id batch
+    * doc (possible only under out-of-order ingest) would emit both
+    * sides of a near-dup pair. Under id-ordered ingest the anchor is
+    * the component minimum, so this IS the batch run's min-id
+    * election; in any order, no near-dup pair survives (spec-pinned
+    * on scrambled shards). The streaming corpus funnel's near-dedup
+    * stage is exactly this call.
+    */
+  def survivorsAgainstIndex(docs: DataFrame, idCol: String,
+      batchPairs: DataFrame, idxPairs: DataFrame): DataFrame = {
+    // persist: three consumers (both loser branches + the anchor
+    // join); free for the driver union-find's literal output, and
+    // prevents a triple label-propagation run if a huge batch takes
+    // the distributed path. Callers with batch-scoped block cleanup
+    // (the funnel) reclaim it; ad-hoc callers leak a bounded
+    // components-sized block, same as the probe's checkpoints.
+    val comps = connectedComponents(
+      batchPairs.select(col("ida"), col("idb"))
+        .unionByName(idxPairs.select(col("ida"), col("idb"))))
+      .persist()
+    val anchored = comps
+      .join(idxPairs.select(col("idb").as("doc_id")).distinct(), "doc_id")
+      .select("component").distinct()
+    val losers = comps.where(col("doc_id") =!= col("component"))
+      .select("doc_id")
+      .unionByName(comps.join(anchored, "component").select("doc_id"))
+      .distinct()
+      .withColumnRenamed("doc_id", idCol)
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 7,

@@ -183,20 +183,8 @@ object StreamingFunnel {
           .select(col("batch_id").as("ida"), col("corpus_id").as("idb"))
           .localCheckpoint(true) // feeds both the edge set and the anchors
       else spark.emptyDataset[(Long, Long)].toDF("ida", "idb")
-    // persist: three consumers (both loser branches + the anchor join);
-    // free for the driver union-find's literal output, and prevents a
-    // triple label-propagation run if a huge batch takes the
-    // distributed path. The batch-scoped cleanup sweep unpersists it.
-    val comps = Dedup.connectedComponents(inBatchPairs.unionByName(idxPairs))
-      .persist()
-    val anchored = comps
-      .join(idxPairs.select(col("idb").as("doc_id")).distinct(), "doc_id")
-      .select("component").distinct()
-    val losers = comps.where(col("doc_id") =!= col("component"))
-      .select("doc_id")
-      .unionByName(comps.join(anchored, "component").select("doc_id"))
-      .distinct()
-    val survivors = docs.join(losers, Seq("doc_id"), "left_anti")
+    val survivors = Dedup
+      .survivorsAgainstIndex(docs, "doc_id", inBatchPairs, idxPairs)
       .localCheckpoint(true)
     // ALL exact-surviving docs enter the index (survivors-only appends
     // would blind later batches to dropped members' neighbors), into
