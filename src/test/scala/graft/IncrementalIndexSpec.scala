@@ -326,6 +326,30 @@ class IncrementalIndexSpec extends SparkSpec {
     survivors.unpersist(); docs.unpersist()
   }
 
+  test("survivorsAgainstIndex: anchored components drop, local ones elect") {
+    // direct API contract (the funnel pins it end-to-end): batch docs
+    // 1..5; edges 2~3 (local component -> min 2 survives), 4~corpus-900
+    // via another batch doc (4~5, 5~900: anchored chain -> BOTH 4 and 5
+    // drop even though 4 < 900 would win a min-id election); 1 isolated.
+    import spark.implicits._
+    val batch = Seq(1L, 2L, 3L, 4L, 5L).map(i => (i, s"d$i"))
+      .toDF("doc_id", "text")
+    val batchPairs = Seq((2L, 3L), (4L, 5L)).toDF("ida", "idb")
+    val idxPairs = Seq((5L, 900L)).toDF("ida", "idb")
+    val kept = Dedup.survivorsAgainstIndex(batch, "doc_id",
+        batchPairs, idxPairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L),
+      s"expected {1, 2} (isolated + local min; anchored chain dropped), " +
+        s"got $kept")
+    // no index matches at all: plain min-id election, same as
+    // survivorsFromPairs
+    val kept2 = Dedup.survivorsAgainstIndex(batch, "doc_id", batchPairs,
+        spark.emptyDataset[(Long, Long)].toDF("ida", "idb"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept2 == Set(1L, 2L, 4L))
+  }
+
   test("out-of-order arrival is detected and counted per batch") {
     import spark.implicits._
     val mkDoc = (id: Long) =>
