@@ -47,9 +47,17 @@ object Bm25Index {
 
   // stats are stored MERGEABLE — (n_docs, sum_dl), never a pre-divided
   // average — so appends add partials instead of rebuilding; avgdl is
-  // derived at query time
+  // derived at query time. `sub = Some(batchId)` writes each table
+  // into its own OVERWRITE `batch=<id>` subtree — the idempotent
+  // replay unit streaming ingest needs (a foreachBatch retry
+  // overwrites its own subtree instead of double-appending partials).
   private def writeDerived(toks: DataFrame, path: String,
-      mode: String): Unit = {
+      mode: String, sub: Option[Long] = None): Unit = {
+    def tablePath(t: String) = sub match {
+      case Some(id) => s"$path/$t/batch=$id"
+      case None => s"$path/$t"
+    }
+    val m = if (sub.isDefined) "overwrite" else mode
     val postings = toks
       .select(col("doc_id"), col("dl"), explode(col("ws")).as("term"))
       .groupBy("doc_id", "dl", "term")
@@ -58,15 +66,15 @@ object Bm25Index {
     postings
       .repartitionByRange(col("term"))
       .sortWithinPartitions("term")
-      .write.mode(mode).parquet(s"$path/postings")
+      .write.mode(m).parquet(tablePath("postings"))
     postings.groupBy("term")
       .agg(count(lit(1)).cast("double").as("dft"))
-      .write.mode(mode).parquet(s"$path/dfs")
+      .write.mode(m).parquet(tablePath("dfs"))
     // from the PRE-explode doc list: a dl=0 doc contributes n_docs+1
     // (sum_dl coalesced for the empty-batch append edge)
     toks.agg(count(lit(1)).cast("double").as("n_docs"),
         coalesce(sum("dl"), lit(0.0)).as("sum_dl"))
-      .write.mode(mode).parquet(s"$path/stats")
+      .write.mode(m).parquet(tablePath("stats"))
   }
 
   private def exists(spark: SparkSession, path: String): Boolean = {
@@ -74,8 +82,17 @@ object Bm25Index {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  private def metaPath(path: String) =
-    new org.apache.hadoop.fs.Path(s"$path/_graft_bm25_meta")
+  /** The index's physical data root ([[IndexLifecycle.resolveRoot]]:
+    * identity until the first compaction, the current generation
+    * after), healing any pre-generation crash state first — without
+    * the recovery, an old-code crash that parked history at
+    * `<path>.precompact` would make the next append mistake the empty
+    * live path for index CREATION and silently orphan all history.
+    */
+  private def rootOf(spark: SparkSession, path: String): String = {
+    IndexLifecycle.recoverLegacySwap(spark, path)
+    IndexLifecycle.resolveRoot(spark, path)
+  }
 
   /** The dp-prefix modulus the ingested-doc-id table was built with —
     * recorded at index creation (probes never read the live conf, so a
@@ -83,64 +100,62 @@ object Bm25Index {
     * index metas). None = legacy index without a docids table.
     */
   def readDocPrefixes(spark: SparkSession, path: String): Option[Int] = {
-    val p = metaPath(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      txt.linesIterator.collectFirst {
-        case l if l.startsWith("prefixes=") =>
-          l.stripPrefix("prefixes=").trim.toInt
-      }
-    }
+    val root = IndexLifecycle.resolveRoot(spark, path)
+    IndexLifecycle.readProps(spark, s"$root/_graft_bm25_meta")
+      .flatMap(_.get("prefixes")).map(_.toInt)
   }
 
-  private def writeDocPrefixes(spark: SparkSession, path: String,
-      n: Int): Unit = {
-    val p = metaPath(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(s"prefixes=$n\n".getBytes("UTF-8")) finally out.close()
-  }
+  private def writeDocPrefixes(spark: SparkSession, root: String,
+      n: Int): Unit =
+    IndexLifecycle.writeProps(spark, s"$root/_graft_bm25_meta",
+      Seq("prefixes" -> n.toString))
 
   /** Expected distinct doc ids for the dedupe guard's rolling bloom —
-    * `spark.graft.bm25.bloomCapacity`, default 16M. Size to the
-    * deployment's corpus; over-full only degrades pruning, never
-    * results (the bloom has no false negatives, and positives are
-    * verified against the real docids table).
+    * `spark.graft.bm25.bloomCapacity`, default AUTO (-1): the first
+    * roll sizes to 16x its own key count (recorded in the bloom meta;
+    * compaction re-sizes to the full corpus — [[RollingBloom.roll]]).
+    * Set explicitly when the corpus size is known up front; over-full
+    * only degrades pruning, never results (the bloom has no false
+    * negatives, and positives are verified against the real docids
+    * table).
     */
   def docBloomCapacity(spark: SparkSession): Long =
     spark.conf.getOption("spark.graft.bm25.bloomCapacity")
-      .map(_.toLong).getOrElse(16000000L)
+      .map(_.toLong).getOrElse(-1L)
 
   // the ingested-id ledger serving the dedupe guard: dp-prefix
   // partitioned so a probe reads only the suspects' prefixes, plus the
   // rolling id bloom that screens the batch first. From the PRE-explode
   // doc list, so zero-token docs are visible to the guard (the postings
   // table, which the legacy guard scanned, cannot see them).
+  // `sub = Some(batchId)`: overwrite-on-replay batch subtree + a
+  // batch-labeled bloom snapshot (probes exclude their own).
   private def writeDocIds(toks: DataFrame, path: String, prefixes: Int,
-      mode: String): Unit = {
+      mode: String, sub: Option[Long] = None): Unit = {
     val spark = toks.sparkSession
+    val (p, m) = sub match {
+      case Some(id) => (s"$path/docids/batch=$id", "overwrite")
+      case None => (s"$path/docids", mode)
+    }
     toks.select(col("doc_id"))
       .withColumn("dp", pmod(hash(col("doc_id")), lit(prefixes)))
       .repartition(col("dp"))
-      .write.mode(mode).partitionBy("dp").parquet(s"$path/docids")
-    if (mode == "overwrite")
+      .write.mode(m).partitionBy("dp").parquet(p)
+    if (m == "overwrite" && sub.isEmpty)
       RollingBloom.clear(spark, s"$path/docbloom")
     RollingBloom.roll(spark, s"$path/docbloom", toks.select(col("doc_id")),
-      "doc_id", None, docBloomCapacity(spark), 0.03)
+      "doc_id", sub, docBloomCapacity(spark), 0.03)
   }
 
   def write(docs: DataFrame, idCol: String, textCol: String,
       path: String): Unit = {
     val spark = docs.sparkSession
+    val root = rootOf(spark, path)
     val toks = tokenizedDocs(docs, idCol, textCol)
-    writeDerived(toks, path, "overwrite")
-    val prefixes = Dedup.lshIndexPrefixes(spark)
-    writeDocPrefixes(spark, path, prefixes)
-    writeDocIds(toks, path, prefixes, "overwrite")
+    writeDerived(toks, root, "overwrite")
+    val prefixes = Dedup.lshPrefixesFor(docs)
+    writeDocPrefixes(spark, root, prefixes)
+    writeDocIds(toks, root, prefixes, "overwrite")
   }
 
   /** Incremental maintenance: a new document batch appends its own
@@ -170,14 +185,15 @@ object Bm25Index {
     * executes: batch rows whose id is NOT already in the index.
     */
   def notYetIngested(docs: DataFrame, idCol: String,
-      path: String): DataFrame = {
+      path0: String, excludeBatch: Option[Long] = None): DataFrame = {
     val spark = docs.sparkSession
+    val path = rootOf(spark, path0)
     val prefixes = readDocPrefixes(spark, path)
     if (prefixes.isDefined && exists(spark, s"$path/docids")) {
       val batchIds = docs.select(col(idCol).as("doc_id"))
-      val suspects = RollingBloom.read(spark, s"$path/docbloom") match {
-        case Some(bf) =>
-          val b = spark.sparkContext.broadcast(bf)
+      val suspects = RollingBloom.readBroadcast(spark,
+          s"$path/docbloom", excludeBatch) match {
+        case Some(b) =>
           import org.apache.spark.sql.types.{LongType, StringType}
           batchIds.schema("doc_id").dataType match {
             case LongType =>
@@ -190,11 +206,20 @@ object Bm25Index {
           }
         case None => batchIds
       }
+      // one partial+final collect_set — same bounded-prefix discipline
+      // as the LSH probe's touched-bp collect
       val touched = suspects
         .select(pmod(hash(col("doc_id")), lit(prefixes.get)).as("dp"))
-        .distinct().collect().map(_.getInt(0)).toSeq
-      val seen = spark.read.parquet(s"$path/docids")
+        .agg(collect_set(col("dp"))).collect()(0).getSeq[Int](0)
+      val seen0 = spark.read.parquet(s"$path/docids")
         .where(col("dp").isin(touched: _*))
+      // replay safety (streaming layout): a retried batch must not
+      // see its own half-written ledger subtree
+      val seen = excludeBatch match {
+        case Some(id) if seen0.schema.fieldNames.contains("batch") =>
+          seen0.where(col("batch") =!= lit(id))
+        case _ => seen0
+      }
       docs.join(seen, docs(idCol) === seen("doc_id"), "left_anti")
     } else {
       val seen = spark.read.parquet(s"$path/postings")
@@ -203,9 +228,47 @@ object Bm25Index {
     }
   }
 
-  def appendToIndex(docs: DataFrame, idCol: String, textCol: String,
-      path: String, dedupeAgainstExisting: Boolean = false): Unit = {
+  /** Streaming append: the batch's postings/dfs/stats partials and its
+    * ledger rows land under their own OVERWRITE `batch=<id>` subtrees
+    * (the same idempotent replay unit as [[Dedup.appendToLshIndex]]'s
+    * `subdir`), the ledger bloom rolls a batch-labeled snapshot, and
+    * the re-ingest guard probes the index EXCLUDING this batch id — a
+    * foreachBatch retry therefore recomputes from exactly the
+    * pre-batch state and overwrites its own remains, even after a
+    * half-written crash. Use for ALL appends to a given index or for
+    * none (uniform directory depth, enforced); the query path is
+    * layout-agnostic (partition discovery just adds a `batch` column
+    * the aggregations ignore).
+    */
+  def appendBatch(docs: DataFrame, idCol: String, textCol: String,
+      path0: String, batchId: Long): Unit = {
     val spark = docs.sparkSession
+    val path = rootOf(spark, path0)
+    val creation = !exists(spark, s"$path/postings")
+    if (!creation) {
+      val p = new org.apache.hadoop.fs.Path(s"$path/postings")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(fs.listStatus(p)
+        .exists(_.getPath.getName.startsWith("batch=")),
+        s"index at $path0 uses the flat layout — appendBatch requires " +
+          "the streaming (batch=) layout from creation")
+    }
+    val batch = if (creation) docs
+      else notYetIngested(docs, idCol, path, Some(batchId))
+    val toks = tokenizedDocs(batch, idCol, textCol)
+    writeDerived(toks, path, "overwrite", Some(batchId))
+    val prefixes = readDocPrefixes(spark, path).getOrElse {
+      val n = Dedup.lshPrefixesFor(docs)
+      writeDocPrefixes(spark, path, n)
+      n
+    }
+    writeDocIds(toks, path, prefixes, "overwrite", Some(batchId))
+  }
+
+  def appendToIndex(docs: DataFrame, idCol: String, textCol: String,
+      path0: String, dedupeAgainstExisting: Boolean = false): Unit = {
+    val spark = docs.sparkSession
+    val path = rootOf(spark, path0)
     val creation = !exists(spark, s"$path/postings")
     val prefixes = readDocPrefixes(spark, path)
     val batch =
@@ -214,7 +277,7 @@ object Bm25Index {
     val toks = tokenizedDocs(batch, idCol, textCol)
     writeDerived(toks, path, "append")
     if (creation) {
-      val n = Dedup.lshIndexPrefixes(spark)
+      val n = Dedup.lshPrefixesFor(docs)
       writeDocPrefixes(spark, path, n)
       writeDocIds(toks, path, n, "overwrite")
     } else prefixes.foreach { n =>
@@ -235,57 +298,129 @@ object Bm25Index {
     * so fewer partials = same sums), and the id ledger is rewritten
     * distinct with a fresh bloom snapshot.
     *
-    * Safety: the compacted index is built COMPLETELY in a sibling
-    * `<path>.compacting` tree, then swapped in with two renames — a
-    * crash mid-build leaves the live index untouched. Run from the
-    * single index writer, between appends.
+    * Safety ([[IndexLifecycle.compactInto]]): the compacted tree is
+    * built COMPLETELY under a fresh `<path>/gen-<n>` and committed by
+    * one atomic pointer rename — the live path is never renamed or
+    * absent, a concurrent probe reads either the old or the new
+    * generation in full, and a crash anywhere leaves the old pointer
+    * live. Run from the single index writer, between appends.
     */
-  def compactIndex(spark: SparkSession, path: String): Unit = {
-    require(exists(spark, s"$path/postings"),
+  def compactIndex(spark: SparkSession, path: String,
+      excludeBatch: Option[Long] = None): Unit = {
+    val root = rootOf(spark, path)
+    require(exists(spark, s"$root/postings"),
       s"$path has no postings table — nothing to compact")
-    val conf = spark.sparkContext.hadoopConfiguration
-    val prefixes = readDocPrefixes(spark, path)
-    val tmp = s"$path.compacting"
-    val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(conf)
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-    spark.read.parquet(s"$path/postings")
-      .repartitionByRange(col("term"))
-      .sortWithinPartitions("term")
-      .write.mode("overwrite").parquet(s"$tmp/postings")
-    spark.read.parquet(s"$path/dfs")
-      .groupBy("term").agg(sum("dft").as("dft"))
-      .write.mode("overwrite").parquet(s"$tmp/dfs")
-    spark.read.parquet(s"$path/stats")
-      .agg(coalesce(sum("n_docs"), lit(0.0)).as("n_docs"),
-        coalesce(sum("sum_dl"), lit(0.0)).as("sum_dl"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/stats")
-    if (prefixes.isDefined && exists(spark, s"$path/docids")) {
-      val n = prefixes.get
-      val ids = spark.read.parquet(s"$path/docids")
-        .select("doc_id").distinct()
-        .withColumn("dp", pmod(hash(col("doc_id")), lit(n)))
-      ids.repartition(col("dp"))
-        .write.mode("overwrite").partitionBy("dp").parquet(s"$tmp/docids")
-      writeDocPrefixes(spark, tmp, n)
-      RollingBloom.roll(spark, s"$tmp/docbloom",
-        spark.read.parquet(s"$tmp/docids").select("doc_id"), "doc_id",
-        None, docBloomCapacity(spark), 0.03)
+    // re-derive the dp modulus from the ledger's real on-disk size
+    // (conf still wins) — compaction rewrites every row anyway and
+    // records the new modulus, so the index upgrades as it grows
+    val prefixes = readDocPrefixes(spark, root).map { _ =>
+      spark.conf.getOption("spark.graft.lsh.indexPrefixes").map(_.toInt)
+        .getOrElse(IndexLifecycle.derivePrefixes(spark,
+          BigInt(IndexLifecycle.dirBytes(spark, s"$root/docids"))))
     }
-    val live = new org.apache.hadoop.fs.Path(path)
-    val old = new org.apache.hadoop.fs.Path(s"$path.precompact")
-    fs.delete(old, true)
-    require(fs.rename(live, old), s"rename $path -> $old failed")
-    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), live),
-      s"rename $tmp -> $path failed — live index is at $old")
-    fs.delete(old, true)
+    val postP = new org.apache.hadoop.fs.Path(s"$root/postings")
+    val pfs = postP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batchIds = pfs.listStatus(postP).toSeq.map(_.getPath.getName)
+      .collect { case s if s.startsWith("batch=") =>
+        s.stripPrefix("batch=").toLong }
+    val legacyEntries = Set("postings", "dfs", "stats", "docids",
+      "docbloom", "_graft_bm25_meta")
+    if (batchIds.isEmpty) {
+      // flat ([[appendToIndex]]) layout — one file set per table
+      IndexLifecycle.compactInto(spark, path)(legacyEntries) { tmp =>
+        spark.read.parquet(s"$root/postings")
+          .repartitionByRange(col("term"))
+          .sortWithinPartitions("term")
+          .write.mode("overwrite").parquet(s"$tmp/postings")
+        spark.read.parquet(s"$root/dfs")
+          .groupBy("term").agg(sum("dft").as("dft"))
+          .write.mode("overwrite").parquet(s"$tmp/dfs")
+        spark.read.parquet(s"$root/stats")
+          .agg(coalesce(sum("n_docs"), lit(0.0)).as("n_docs"),
+            coalesce(sum("sum_dl"), lit(0.0)).as("sum_dl"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/stats")
+        if (prefixes.isDefined && exists(spark, s"$root/docids")) {
+          val n = prefixes.get
+          val ids = spark.read.parquet(s"$root/docids")
+            .select("doc_id").distinct()
+            .withColumn("dp", pmod(hash(col("doc_id")), lit(n)))
+          ids.repartition(col("dp"))
+            .write.mode("overwrite").partitionBy("dp")
+            .parquet(s"$tmp/docids")
+          writeDocPrefixes(spark, tmp, n)
+          RollingBloom.roll(spark, s"$tmp/docbloom",
+            spark.read.parquet(s"$tmp/docids").select("doc_id"), "doc_id",
+            None, docBloomCapacity(spark), 0.03)
+        }
+      }
+      return
+    }
+    // streaming ([[appendBatch]]) layout: fold every batch subtree
+    // except the in-flight one (same replay rationale as
+    // [[Dedup.compactLshIndex]]'s excludeBatch) into one
+    // batch=<keep> subtree per table
+    val fold = batchIds.filterNot(excludeBatch.contains)
+    if (fold.isEmpty) return
+    val keep = fold.max
+    val cur = excludeBatch.filter(batchIds.contains)
+    IndexLifecycle.compactInto(spark, path)(legacyEntries) { tmp =>
+      def split(df: DataFrame): (DataFrame, Option[(Long, DataFrame)]) =
+        excludeBatch match {
+          case Some(id) => (df.where(col("batch") =!= lit(id)),
+            cur.map(c => (c, df.where(col("batch") === lit(c)))))
+          case None => (df, None)
+        }
+      val (pFold, pHeld) = split(spark.read.parquet(s"$root/postings"))
+      def writePostings(df: DataFrame, sub: Long): Unit =
+        df.select("doc_id", "dl", "term", "tf")
+          .repartitionByRange(col("term"))
+          .sortWithinPartitions("term")
+          .write.mode("overwrite").parquet(s"$tmp/postings/batch=$sub")
+      writePostings(pFold, keep)
+      pHeld.foreach { case (id, df) => writePostings(df, id) }
+      val (dFold, dHeld) = split(spark.read.parquet(s"$root/dfs"))
+      dFold.groupBy("term").agg(sum("dft").as("dft"))
+        .write.mode("overwrite").parquet(s"$tmp/dfs/batch=$keep")
+      dHeld.foreach { case (id, df) => df.select("term", "dft")
+        .write.mode("overwrite").parquet(s"$tmp/dfs/batch=$id") }
+      val (sFold, sHeld) = split(spark.read.parquet(s"$root/stats"))
+      sFold.agg(coalesce(sum("n_docs"), lit(0.0)).as("n_docs"),
+          coalesce(sum("sum_dl"), lit(0.0)).as("sum_dl"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$tmp/stats/batch=$keep")
+      sHeld.foreach { case (id, df) => df.select("n_docs", "sum_dl")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$tmp/stats/batch=$id") }
+      prefixes.foreach { n =>
+        val (iFold, iHeld) = split(spark.read.parquet(s"$root/docids"))
+        def writeIds(df: DataFrame, sub: Long): Unit =
+          df.select("doc_id").distinct()
+            .withColumn("dp", pmod(hash(col("doc_id")), lit(n)))
+            .repartition(col("dp"))
+            .write.mode("overwrite").partitionBy("dp")
+            .parquet(s"$tmp/docids/batch=$sub")
+        writeIds(iFold, keep)
+        iHeld.foreach { case (id, df) => writeIds(df, id) }
+        writeDocPrefixes(spark, tmp, n)
+        // over ALL ids (held batch included) — a replay sees its own
+        // ids as bloom positives, but their LEDGER rows are excluded
+        // by the batch filter, so the guard still re-admits them
+        RollingBloom.roll(spark, s"$tmp/docbloom",
+          spark.read.parquet(s"$tmp/docids").select("doc_id"), "doc_id",
+          Some(keep), docBloomCapacity(spark), 0.03)
+      }
+    }
   }
 
   /** Top-k BM25 over the persisted index; identical arithmetic to the
     * ad-hoc path (k1=1.2, b=0.75, rank cut on the rounded score).
     */
-  def query(spark: SparkSession, path: String, terms: Seq[String],
+  def query(spark: SparkSession, path0: String, terms: Seq[String],
       k: Int): DataFrame = {
     require(terms.nonEmpty, "query terms must be non-empty")
+    // resolve the generation ONCE so all three reads see one
+    // consistent snapshot even if a compaction commits mid-query
+    val path = rootOf(spark, path0)
     val postings = spark.read.parquet(s"$path/postings")
       .where(col("term").isInCollection(terms))
     // merge the per-append partials (a handful of rows) at probe time

@@ -285,71 +285,82 @@ object Dedup {
   }
 
   /** Hash-prefix count the persisted LSH index partitions by —
-    * `spark.graft.lsh.indexPrefixes`, default 16 (sized for the test corpora — listing cost scales with it). Read at WRITE time
-    * and recorded in the index's meta file; probes always use the
-    * recorded value, never the live conf, so changing the conf can
-    * never mis-prune an existing index. Size it to the deployment:
-    * a 100 TB corpus wants prefixes >= cluster write parallelism
-    * (e.g. 4096) so each partition stays a bounded fraction of the
-    * index and a small batch's probe touches a small fraction of it.
+    * `spark.graft.lsh.indexPrefixes`; when unset, [[writeLshIndex]]
+    * DERIVES it from the corpus size estimate and every compaction
+    * RE-derives it from the index's real on-disk bytes
+    * ([[IndexLifecycle.derivePrefixes]]: bytes / 128 MB target,
+    * power-of-two, clamped [16, 65536]) — so a funnel that started
+    * tiny upgrades its modulus as it grows instead of freezing the
+    * first write's guess forever. Read at WRITE time and recorded in
+    * the index's meta file; probes always use the recorded value,
+    * never the live conf, so changing the conf can never mis-prune an
+    * existing index.
     */
   def lshIndexPrefixes(spark: org.apache.spark.sql.SparkSession): Int =
     spark.conf.getOption("spark.graft.lsh.indexPrefixes")
       .map(_.toInt).getOrElse(16)
 
+  /** The modulus for a NEW index over `docs`: the conf when set, else
+    * derived from the Catalyst size estimate (file-size-backed for
+    * parquet corpora; free — no job runs).
+    */
+  def lshPrefixesFor(docs: DataFrame): Int = {
+    val spark = docs.sparkSession
+    spark.conf.getOption("spark.graft.lsh.indexPrefixes").map(_.toInt)
+      .getOrElse(IndexLifecycle.derivePrefixes(spark,
+        docs.queryExecution.optimizedPlan.stats.sizeInBytes))
+  }
+
   /** Layout contract of a persisted LSH index, recorded next to the
-    * data (`_graft_lsh_meta`): the prefix modulus plus the banding
-    * params. Probing with different banding than the index was built
-    * with silently matches nothing, and pruning with a different
-    * modulus silently LOSES matches — both now fail fast instead.
+    * data (`_graft_lsh_meta`, [[IndexLifecycle]] props): the prefix
+    * modulus plus the banding params. Probing with different banding
+    * than the index was built with silently matches nothing, and
+    * pruning with a different modulus silently LOSES matches — both
+    * now fail fast instead.
     */
   final case class LshIndexMeta(prefixes: Int, bands: Int, rowsPerBand: Int)
 
-  private def lshMetaPath(dir: String) =
-    new org.apache.hadoop.fs.Path(s"$dir/_graft_lsh_meta")
+  /** The index's physical data root: the current generation after a
+    * compaction, the directory itself before ([[IndexLifecycle
+    * .resolveRoot]]); also heals any pre-generation crash state first.
+    */
+  private def lshRoot(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    IndexLifecycle.recoverLegacySwap(spark, dir)
+    IndexLifecycle.resolveRoot(spark, dir)
+  }
 
   private def writeLshMeta(spark: org.apache.spark.sql.SparkSession,
-      dir: String, m: LshIndexMeta): Unit = {
-    val p = lshMetaPath(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(
-      s"prefixes=${m.prefixes}\nbands=${m.bands}\nrowsPerBand=${m.rowsPerBand}\n"
-        .getBytes("UTF-8"))
-    finally out.close()
-  }
+      root: String, m: LshIndexMeta): Unit =
+    IndexLifecycle.writeProps(spark, s"$root/_graft_lsh_meta", Seq(
+      "prefixes" -> m.prefixes.toString,
+      "bands" -> m.bands.toString,
+      "rowsPerBand" -> m.rowsPerBand.toString))
 
   /** None = legacy/unknown layout: probes fall back to the full scan
     * (correct, just not pruned) and appends preserve the flat layout.
     */
   def readLshMeta(spark: org.apache.spark.sql.SparkSession,
       dir: String): Option[LshIndexMeta] = {
-    val p = lshMetaPath(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      val kv = txt.linesIterator.filter(_.contains("="))
-        .map { l => val Array(k, v) = l.split("=", 2); k -> v.trim.toInt }
-        .toMap
-      Some(LshIndexMeta(kv("prefixes"), kv("bands"), kv("rowsPerBand")))
-    }
+    val root = IndexLifecycle.resolveRoot(spark, dir)
+    IndexLifecycle.readProps(spark, s"$root/_graft_lsh_meta").map(kv =>
+      LshIndexMeta(kv("prefixes").toInt, kv("bands").toInt,
+        kv("rowsPerBand").toInt))
   }
 
   /** Expected distinct band keys for the index's rolling key bloom —
-    * `spark.graft.lsh.bloomCapacity`, default 16M (~14 MB at 3% fpp,
-    * comfortably broadcastable). Every bloom of one index is built
-    * with the SAME (capacity, fpp) so per-batch blooms stay bit-
-    * compatible and OR-merge into the rolling artifact. Size to the
-    * deployment's total band keys (16 per doc at the defaults): an
-    * over-full bloom degrades fpp — weaker pruning, never wrong
-    * results (no false negatives).
+    * `spark.graft.lsh.bloomCapacity`, default AUTO (-1): the first
+    * roll sizes the directory to 16x its own key count, recorded in
+    * `_graft_bloom_meta` so every later snapshot stays bit-compatible,
+    * and a compaction rebuild re-sizes to 16x the full corpus (see
+    * [[RollingBloom.roll]]). Set the conf explicitly when the
+    * deployment's total band keys (16 per doc at the defaults) are
+    * known up front — an over-full bloom degrades fpp, which weakens
+    * pruning but never results (no false negatives).
     */
   def lshBloomCapacity(spark: org.apache.spark.sql.SparkSession): Long =
     spark.conf.getOption("spark.graft.lsh.bloomCapacity")
-      .map(_.toLong).getOrElse(16000000L)
+      .map(_.toLong).getOrElse(-1L)
 
   /** Bloom false-positive rate — `spark.graft.lsh.bloomFpp`, default
     * 1%. The knob that sizes pruning at scale: the probe touches
@@ -363,11 +374,11 @@ object Dedup {
 
   /** OR-merge the just-written band keys into the rolling key bloom
     * (read from `bandsPath` so the batch is never re-shingled) — the
-    * [[RollingBloom]] lifecycle under `<dir>/keybloom`.
+    * [[RollingBloom]] lifecycle under `<root>/keybloom`.
     */
   private def rollLshBloom(spark: org.apache.spark.sql.SparkSession,
-      dir: String, bandsPath: String, batch: Option[Long]): Unit =
-    RollingBloom.roll(spark, s"$dir/keybloom",
+      root: String, bandsPath: String, batch: Option[Long]): Unit =
+    RollingBloom.roll(spark, s"$root/keybloom",
       spark.read.parquet(bandsPath), "bkey", batch,
       lshBloomCapacity(spark), lshBloomFpp(spark))
 
@@ -379,7 +390,20 @@ object Dedup {
   def readLshBloom(spark: org.apache.spark.sql.SparkSession, dir: String,
       excludeBatch: Option[Long] = None)
       : Option[org.apache.spark.util.sketch.BloomFilter] =
-    RollingBloom.read(spark, s"$dir/keybloom", excludeBatch)
+    RollingBloom.read(spark,
+      s"${IndexLifecycle.resolveRoot(spark, dir)}/keybloom", excludeBatch)
+
+  /** [[readLshBloom]] as a snapshot-cached broadcast — the probe's hot
+    * path ([[RollingBloom.readBroadcast]]: one live broadcast per
+    * bloom directory, refreshed only when a new snapshot rolls, so
+    * repeated probes stop paying a fresh bitmap broadcast each).
+    */
+  def readLshBloomBroadcast(spark: org.apache.spark.sql.SparkSession,
+      dir: String, excludeBatch: Option[Long] = None)
+      : Option[org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter]] =
+    RollingBloom.readBroadcast(spark,
+      s"${IndexLifecycle.resolveRoot(spark, dir)}/keybloom", excludeBatch)
 
   /** (doc_id, bkey) band keys of a batch — the probe side of the index
     * join (shingle + minhash-band in one pass).
@@ -423,20 +447,21 @@ object Dedup {
   def writeLshIndex(docs: DataFrame, idCol: String, textCol: String,
       dir: String, bands: Int = 16, rowsPerBand: Int = 4): Unit = {
     val spark = docs.sparkSession
-    val prefixes = lshIndexPrefixes(spark)
+    val root = lshRoot(spark, dir)
+    val prefixes = lshPrefixesFor(docs)
     val sh = shingled(docs, idCol, textCol)
     // repartition ON the partition column: each task owns whole
     // prefixes, so the write emits one file per (task, prefix) instead
     // of tasks × prefixes small files
     bandRows(sh, bands, rowsPerBand, prefixes)
       .repartition(col("bp"))
-      .write.mode("overwrite").partitionBy("bp").parquet(s"$dir/bands")
+      .write.mode("overwrite").partitionBy("bp").parquet(s"$root/bands")
     sh.withColumn("sp", pmod(hash(col("doc_id")), lit(prefixes)))
       .repartition(col("sp"))
-      .write.mode("overwrite").partitionBy("sp").parquet(s"$dir/shingles")
-    RollingBloom.clear(spark, s"$dir/keybloom")
-    rollLshBloom(spark, dir, s"$dir/bands", None)
-    writeLshMeta(spark, dir, LshIndexMeta(prefixes, bands, rowsPerBand))
+      .write.mode("overwrite").partitionBy("sp").parquet(s"$root/shingles")
+    RollingBloom.clear(spark, s"$root/keybloom")
+    rollLshBloom(spark, root, s"$root/bands", None)
+    writeLshMeta(spark, root, LshIndexMeta(prefixes, bands, rowsPerBand))
   }
 
   /** Append an (already deduplicated) ingest batch into the index.
@@ -456,6 +481,7 @@ object Dedup {
       dir: String, bands: Int = 16, rowsPerBand: Int = 4,
       subdir: Option[Long] = None): Unit = {
     val spark = batch.sparkSession
+    val root = lshRoot(spark, dir)
     val sh = shingled(batch, idCol, textCol)
     val meta = readLshMeta(spark, dir)
     meta.foreach { m =>
@@ -464,22 +490,22 @@ object Dedup {
           s"rowsPerBand=${m.rowsPerBand}, append used $bands/$rowsPerBand")
     }
     if (meta.isEmpty && subdir.isEmpty &&
-        exists(spark, s"$dir/bands")) {
+        exists(spark, s"$root/bands")) {
       // legacy flat index: preserve its layout
       sh.select(
           col("doc_id"),
           explode(org.apache.spark.sql.graftx.MinHashBands.column(
             col("shs"), bands, rowsPerBand)).as("bkey"))
-        .write.mode("append").parquet(s"$dir/bands")
-      sh.write.mode("append").parquet(s"$dir/shingles")
+        .write.mode("append").parquet(s"$root/bands")
+      sh.write.mode("append").parquet(s"$root/shingles")
       return
     }
-    val prefixes = meta.map(_.prefixes).getOrElse(lshIndexPrefixes(spark))
+    val prefixes = meta.map(_.prefixes).getOrElse(lshPrefixesFor(batch))
     // uniform-depth guard: partition discovery cannot mix batch=<id>
     // subtrees with a flat bp= layout in one table — fail fast instead
     // of a cryptic "conflicting directory structures" at the next probe
-    if (exists(spark, s"$dir/bands")) {
-      val p = new org.apache.hadoop.fs.Path(s"$dir/bands")
+    if (exists(spark, s"$root/bands")) {
+      val p = new org.apache.hadoop.fs.Path(s"$root/bands")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val hasBatchDirs = fs.listStatus(p)
         .exists(_.getPath.getName.startsWith("batch="))
@@ -490,8 +516,8 @@ object Dedup {
     }
     val (bandsPath, shinglesPath, mode) = subdir match {
       case Some(id) =>
-        (s"$dir/bands/batch=$id", s"$dir/shingles/batch=$id", "overwrite")
-      case None => (s"$dir/bands", s"$dir/shingles", "append")
+        (s"$root/bands/batch=$id", s"$root/shingles/batch=$id", "overwrite")
+      case None => (s"$root/bands", s"$root/shingles", "append")
     }
     val batchBands = bandRows(sh, bands, rowsPerBand, prefixes)
     batchBands
@@ -505,12 +531,12 @@ object Dedup {
       // (batch-sized, no re-shingle); a flat append must NOT read the
       // shared bands path — that would re-bloom the whole history per
       // append — so it pays one extra batch shingle pass instead
-      case Some(_) => rollLshBloom(spark, dir, bandsPath, subdir)
-      case None => RollingBloom.roll(spark, s"$dir/keybloom", batchBands,
+      case Some(_) => rollLshBloom(spark, root, bandsPath, subdir)
+      case None => RollingBloom.roll(spark, s"$root/keybloom", batchBands,
         "bkey", None, lshBloomCapacity(spark), lshBloomFpp(spark))
     }
     if (meta.isEmpty)
-      writeLshMeta(spark, dir, LshIndexMeta(prefixes, bands, rowsPerBand))
+      writeLshMeta(spark, root, LshIndexMeta(prefixes, bands, rowsPerBand))
   }
 
   private def exists(spark: org.apache.spark.sql.SparkSession,
@@ -546,7 +572,10 @@ object Dedup {
       dir: String, threshold: Double, bands: Int = 16,
       rowsPerBand: Int = 4, excludeBatch: Option[Long] = None): DataFrame = {
     val spark = batch.sparkSession
-    val meta = readLshMeta(spark, dir)
+    // resolve the generation ONCE: every read below sees one
+    // consistent snapshot even if a compaction commits mid-probe
+    val root = lshRoot(spark, dir)
+    val meta = readLshMeta(spark, root)
     meta.foreach { m =>
       require(m.bands == bands && m.rowsPerBand == rowsPerBand,
         s"index at $dir was built with bands=${m.bands}/" +
@@ -565,9 +594,9 @@ object Dedup {
       explode(org.apache.spark.sql.graftx.MinHashBands.column(
         col("shs"), bands, rowsPerBand)).as("bkey"))
       .persist()
-    val cand = indexCandidates(spark, dir, batchBands, meta, excludeBatch)
+    val cand = indexCandidates(spark, root, batchBands, meta, excludeBatch)
       .persist()
-    val corpusSh = indexShinglesFor(spark, dir, cand, meta, excludeBatch)
+    val corpusSh = indexShinglesFor(spark, root, cand, meta, excludeBatch)
     verifyAgainstIndex(cand, sh, corpusSh, threshold)
   }
 
@@ -580,9 +609,10 @@ object Dedup {
     * on the very frame the probe executes — the checkpoint barriers in
     * the composed probe hide these scans from its final plan.
     */
-  def indexCandidates(spark: org.apache.spark.sql.SparkSession, dir: String,
+  def indexCandidates(spark: org.apache.spark.sql.SparkSession, dir0: String,
       batchBands: DataFrame, meta: Option[LshIndexMeta],
       excludeBatch: Option[Long]): DataFrame = {
+    val dir = IndexLifecycle.resolveRoot(spark, dir0)
     // bloom pre-filter: a batch's band keys are uniform hashes, so
     // WITHOUT it a realistic batch touches every prefix and the
     // partition prune is vacuous. The rolling index bloom (no false
@@ -590,9 +620,8 @@ object Dedup {
     // the survivors are ~the true collisions (+fpp), typically a tiny
     // fraction of the batch — and THEIR prefixes drive the prune, so
     // probe I/O tracks actual match density, not batch or index size.
-    val probeKeys = readLshBloom(spark, dir, excludeBatch) match {
-      case Some(bf) if meta.isDefined =>
-        val b = spark.sparkContext.broadcast(bf)
+    val probeKeys = readLshBloomBroadcast(spark, dir, excludeBatch) match {
+      case Some(b) if meta.isDefined =>
         val mightContain = udf((k: Long) => b.value.mightContainLong(k))
         batchBands.where(mightContain(col("bkey")))
       case _ => batchBands
@@ -600,9 +629,14 @@ object Dedup {
     val raw = dropOwnBatch(spark.read.parquet(s"$dir/bands"), excludeBatch)
     val bandsIdx = meta match {
       case Some(m) =>
-        val touched = probeKeys
-          .select(pmod(hash(col("bkey")), lit(m.prefixes)).as("bp"))
-          .distinct().collect().map(_.getInt(0)).toSeq
+        // collect_set, not distinct().collect(): the <= prefixes-sized
+        // set reduces through one partial+final agg instead of a
+        // 32-partition exchange plus a 32-partition result fetch —
+        // this collect is the probe's first job (it also materializes
+        // the batch persists), so its stage count is pure fixed
+        // overhead per micro-batch
+        val touched = touchedPrefixes(probeKeys,
+          pmod(hash(col("bkey")), lit(m.prefixes)))
         raw.where(col("bp").isin(touched: _*))
       case None => raw
     }
@@ -621,19 +655,27 @@ object Dedup {
     * collect here is what first materializes it; the verify join is
     * the second consumer.
     */
-  def indexShinglesFor(spark: org.apache.spark.sql.SparkSession, dir: String,
+  def indexShinglesFor(spark: org.apache.spark.sql.SparkSession, dir0: String,
       cand: DataFrame, meta: Option[LshIndexMeta],
       excludeBatch: Option[Long]): DataFrame = {
+    val dir = IndexLifecycle.resolveRoot(spark, dir0)
     val raw = dropOwnBatch(spark.read.parquet(s"$dir/shingles"), excludeBatch)
     meta match {
       case Some(m) =>
-        val touched = cand
-          .select(pmod(hash(col("corpus_id")), lit(m.prefixes)).as("sp"))
-          .distinct().collect().map(_.getInt(0)).toSeq
+        val touched = touchedPrefixes(cand,
+          pmod(hash(col("corpus_id")), lit(m.prefixes)))
         raw.where(col("sp").isin(touched: _*))
       case None => raw
     }
   }
+
+  /** The bounded prefix-set collect behind both pruned index reads:
+    * at most `prefixes` distinct ints, reduced via collect_set (one
+    * partial+final agg — no exchange, no multi-partition fetch).
+    */
+  private def touchedPrefixes(df: DataFrame, prefix: Column): Seq[Int] =
+    df.select(prefix.as("_p")).agg(collect_set(col("_p")))
+      .collect()(0).getSeq[Int](0)
 
   /** Compact a streaming-layout LSH index (per-batch `batch=<id>`
     * subtrees, [[appendToLshIndex]]'s `subdir` lifecycle) back to ONE
@@ -642,24 +684,35 @@ object Dedup {
     * batch count (every append adds up to `prefixes` directories), so
     * per-probe partition DISCOVERY — not the pruned scan — becomes the
     * creeping cost. Also rebuilds the rolling key bloom from scratch,
-    * resetting any fpp drift from replay-superseded snapshots.
+    * resetting any fpp drift from replay-superseded snapshots (and,
+    * since [[RollingBloom]] records geometry per directory, re-sizing
+    * an auto-sized bloom to the full compacted corpus).
     *
-    * Safety: the compacted index is built COMPLETELY in a sibling
-    * `<dir>.compacting` tree, then swapped in with two directory
-    * renames. A crash mid-build leaves the live index untouched; the
-    * only unsafe window is between the two renames, where the index
-    * dir is briefly ABSENT — a concurrent probe fails loudly (no such
-    * path), never reads half-compacted state. Run it like any table
-    * OPTIMIZE: from the single ingest writer, between batches.
+    * Safety ([[IndexLifecycle.compactInto]]): the compacted tree is
+    * built COMPLETELY under a fresh `<dir>/gen-<n>` and committed by
+    * one atomic pointer rename — the live path is never renamed or
+    * absent, a concurrent probe reads either the old or the new
+    * generation in full, and a crash anywhere leaves the old pointer
+    * (and thus the old index) live. Run from the single ingest
+    * writer, between batches, like any table OPTIMIZE.
     *
     * Returns the batch id the compacted data landed under (the highest
-    * id seen, so later appends keep increasing).
+    * id folded, so later appends keep increasing).
+    *
+    * `excludeBatch` (streaming auto-compaction): fold every subtree
+    * EXCEPT the given batch's, which is rewritten unchanged under its
+    * own `batch=<id>`. Compaction inside a foreachBatch runs right
+    * after the batch's own appends but possibly BEFORE the trigger
+    * commits — without the exclusion, a replay of that batch (which
+    * probes with its own id excluded) would find the ENTIRE folded
+    * history under `batch=<id>` and exclude all of it. Returns -1 if
+    * only the excluded batch exists (nothing to fold).
     */
   def compactLshIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Long = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val bandsDir = new org.apache.hadoop.fs.Path(s"$dir/bands")
-    val fs = bandsDir.getFileSystem(conf)
+      dir: String, excludeBatch: Option[Long] = None): Long = {
+    val root = lshRoot(spark, dir)
+    val bandsDir = new org.apache.hadoop.fs.Path(s"$root/bands")
+    val fs = bandsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ids = fs.listStatus(bandsDir).toSeq.map(_.getPath.getName)
       .collect { case s if s.startsWith("batch=") =>
         s.stripPrefix("batch=").toLong }
@@ -667,30 +720,56 @@ object Dedup {
       s"$dir/bands has no batch=<id> subtrees — compaction only applies " +
         "to the streaming (subdir) layout; a writeLshIndex-built index " +
         "is already one tree")
-    val keep = ids.max
-    val meta = readLshMeta(spark, dir).getOrElse(
+    val fold = ids.filterNot(excludeBatch.contains)
+    if (fold.isEmpty) return -1L
+    val keep = fold.max
+    val meta = readLshMeta(spark, root).getOrElse(
       throw new IllegalArgumentException(s"$dir has no _graft_lsh_meta"))
-    val tmp = s"$dir.compacting"
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-    spark.read.parquet(s"$dir/bands")
-      .select(col("doc_id"), col("bkey"), col("bp"))
-      .repartition(col("bp"))
-      .write.mode("overwrite").partitionBy("bp")
-      .parquet(s"$tmp/bands/batch=$keep")
-    spark.read.parquet(s"$dir/shingles")
-      .select(col("doc_id"), col("shs"), col("sp"))
-      .repartition(col("sp"))
-      .write.mode("overwrite").partitionBy("sp")
-      .parquet(s"$tmp/shingles/batch=$keep")
-    rollLshBloom(spark, tmp, s"$tmp/bands", Some(keep))
-    writeLshMeta(spark, tmp, meta)
-    val old = new org.apache.hadoop.fs.Path(s"$dir.precompact")
-    fs.delete(old, true)
-    val live = new org.apache.hadoop.fs.Path(dir)
-    require(fs.rename(live, old), s"rename $dir -> $old failed")
-    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), live),
-      s"rename $tmp -> $dir failed — live index is at $old")
-    fs.delete(old, true)
+    // re-derive the prefix modulus from the index's REAL on-disk size
+    // (conf still wins when set): a funnel whose first tiny batch
+    // froze a small modulus upgrades here as the corpus grows —
+    // result-invisible, since compaction rewrites every partition
+    // column anyway and records the new modulus in the meta
+    val prefixes = spark.conf.getOption("spark.graft.lsh.indexPrefixes")
+      .map(_.toInt).getOrElse(IndexLifecycle.derivePrefixes(spark,
+        BigInt(IndexLifecycle.dirBytes(spark, s"$root/bands") +
+          IndexLifecycle.dirBytes(spark, s"$root/shingles"))))
+    val cur = excludeBatch.filter(ids.contains)
+    IndexLifecycle.compactInto(spark, dir)(
+      Set("bands", "shingles", "keybloom", "_graft_lsh_meta")) { newRoot =>
+      def foldTable(table: String, part: String, keyPart: Column,
+          cols: Seq[String]): Unit = {
+        val src = spark.read.parquet(s"$root/$table")
+          .withColumn(part, pmod(hash(keyPart), lit(prefixes)))
+        val folded = excludeBatch match {
+          case Some(id) => src.where(col("batch") =!= lit(id))
+          case None => src
+        }
+        folded.select(cols.map(col): _*)
+          .repartition(col(part))
+          .write.mode("overwrite").partitionBy(part)
+          .parquet(s"$newRoot/$table/batch=$keep")
+        // the excluded (in-flight) batch's subtree rides along
+        // unchanged so a replay still sees exactly its own remains
+        cur.foreach { id =>
+          src.where(col("batch") === lit(id))
+            .select(cols.map(col): _*)
+            .repartition(col(part))
+            .write.mode("overwrite").partitionBy(part)
+            .parquet(s"$newRoot/$table/batch=$id")
+        }
+      }
+      foldTable("bands", "bp", col("bkey"), Seq("doc_id", "bkey", "bp"))
+      foldTable("shingles", "sp", col("doc_id"),
+        Seq("doc_id", "shs", "sp"))
+      // bloom over ALL bands (excluded subtree included): a replayed
+      // probe reading this snapshot sees its own keys as positives —
+      // weaker pruning for that one replay, never wrong results (its
+      // band ROWS are still dropped by the batch-partition exclusion)
+      rollLshBloom(spark, newRoot, s"$newRoot/bands", Some(keep))
+      writeLshMeta(spark, newRoot,
+        LshIndexMeta(prefixes, meta.bands, meta.rowsPerBand))
+    }
     keep
   }
 

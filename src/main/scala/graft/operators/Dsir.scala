@@ -79,8 +79,10 @@ object Dsir {
     // log-ratio becomes a literal local relation — the previous shape
     // (scalar collect over perB, then a second perB aggregation inside
     // the weight job for the join) re-aggregated the checkpointed
-    // count table twice. Driver math is java.lang.Math.log either way,
-    // so the weights are bit-identical.
+    // count table twice. StrictMath.log on the driver, matching the
+    // executor-side Log expression the previous shape evaluated, so
+    // the weights stay bit-identical across JVMs/platforms (Math.log
+    // is only 1-ulp-accurate and intrinsic-dependent).
     val perB = docB.groupBy("bucket").agg(
       sum(when(col("_t"), col("n")).otherwise(0L)).as("ct"),
       sum("n").as("cr")).collect()
@@ -88,8 +90,8 @@ object Dsir {
     val tr = perB.map(_.getLong(2)).sum
     val lrRows = perB.toSeq.map { r =>
       (r.getLong(0),
-        math.log((r.getLong(1) + 1.0) / (tt + m.toDouble)) -
-          math.log((r.getLong(2) + 1.0) / (tr + m.toDouble)))
+        StrictMath.log((r.getLong(1) + 1.0) / (tt + m.toDouble)) -
+          StrictMath.log((r.getLong(2) + 1.0) / (tr + m.toDouble)))
     }
     val spark = docs.sparkSession
     import spark.implicits._

@@ -286,7 +286,10 @@ object DedupQueries {
     // v2: hash-prefix-partitioned layout (a pre-v2 cached index would
     // still probe correctly via the meta-less fallback, but the plan
     // pin wants the pruned shape — version the cache key instead)
-    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_lsh_idx_v2_" +
+    // v3: auto-sized key bloom (a v2 index probes fine via the legacy
+    // geometry fallback, but keeps broadcasting the oversized fixed-
+    // capacity bitmap on every probe)
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_lsh_idx_v3_" +
       dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val marker = new java.io.File(s"$idx/_GRAFT_INDEX_COMPLETE")
     if (!marker.exists()) {

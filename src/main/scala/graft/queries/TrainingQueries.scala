@@ -209,5 +209,8 @@ object TrainingQueries {
     "emb_kmeans_stats" -> KmeansOracle.kmeansStats,
     "emb_logreg_eval" -> ModelOracle.logregEval,
     "emb_logreg_calibration" -> ModelOracle.logregCalibration,
-    "emb_mahalanobis_outliers" -> ModelOracle.mahalanobisOutliers)
+    "emb_mahalanobis_outliers" -> ModelOracle.mahalanobisOutliers,
+    // round-12 conversion: the raw spectrum baked, the variance
+    // readout (trace, ratios, prefix cumsums, rint rounding) replayed
+    "emb_pca_variance" -> ModelOracle.pcaVariance)
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.operators.{Dedup, RollingBloom}
+import graft.operators.{Dedup, IndexLifecycle, RollingBloom}
 import graft.pipeline.CorpusPipeline
 
 /** The corpus funnel as ONE incremental streaming program — the shape
@@ -19,6 +19,15 @@ import graft.pipeline.CorpusPipeline
   *     -> near dedup                 (within batch + probe of the
   *                                    persisted MinHash-LSH index)
   *     -> survivors appended; batch docs appended to both indexes
+  *     -> (optional) survivors appended to the persisted BM25 text
+  *        index — the retrieval artifact rides the same foreachBatch
+  *
+  * Maintenance is part of the program: [[attach]] auto-compacts the
+  * cross-batch state every [[compactEvery]] batches (generation-
+  * pointer commits — [[graft.operators.IndexLifecycle]] — so probes
+  * racing a compaction never see an absent or half-built index), with
+  * the in-flight batch's subtrees held aside so an at-least-once
+  * replay of that trigger stays idempotent.
   *
   * Every batch does BATCH-SIZED work: the cross-batch state lives in
   * two persisted, append-only indexes (md5 hash table, LSH bands +
@@ -69,9 +78,16 @@ object StreamingFunnel {
   /** Process ONE micro-batch (also the unit the spec drives directly):
     * returns the per-stage stats. Exposed separately from [[attach]] so
     * a foreachBatch caller can compose extra sinks around it.
+    *
+    * `bm25Dir`: also maintain a persisted BM25 text index over the
+    * emitted SURVIVORS ([[graft.operators.Bm25Index.appendBatch]]) —
+    * the same `batch=<id>` overwrite idempotency as every other write
+    * here, so a real ingest gets its retrieval index from the same
+    * foreachBatch instead of a second standalone program.
     */
   def processBatch(batch: DataFrame, batchId: Long, cfg: CorpusPipeline.Config,
-      indexDir: String, survivorsDir: String): BatchStats = {
+      indexDir: String, survivorsDir: String,
+      bm25Dir: Option[String] = None): BatchStats = {
     val t0 = System.nanoTime()
     val spark = batch.sparkSession
     import spark.implicits._
@@ -86,7 +102,8 @@ object StreamingFunnel {
     // is fully materialized before the method returns (stats scalars +
     // parquet writes), so nothing lazy escapes the cleanup.
     val rddsBefore = spark.sparkContext.getPersistentRDDs.keySet
-    try processBatchInner(batch, batchId, cfg, indexDir, survivorsDir, t0)
+    try processBatchInner(batch, batchId, cfg, indexDir, survivorsDir,
+      bm25Dir, t0)
     finally {
       val after = spark.sparkContext.getPersistentRDDs
       (after.keySet -- rddsBefore).foreach(id =>
@@ -96,13 +113,18 @@ object StreamingFunnel {
 
   private def processBatchInner(batch: DataFrame, batchId: Long,
       cfg: CorpusPipeline.Config, indexDir: String, survivorsDir: String,
-      t0: Long): BatchStats = {
+      bm25Dir: Option[String], t0: Long): BatchStats = {
     val spark = batch.sparkSession
     import spark.implicits._
 
     // ingest-order watermark: batches before this one (replay-safe:
-    // own batch id excluded) — arrivals below it are out of order
-    val ingestDir = s"$indexDir/ingest"
+    // own batch id excluded) — arrivals below it are out of order.
+    // Every cross-batch dir resolves through IndexLifecycle: identity
+    // until the first compaction, the current generation after.
+    IndexLifecycle.recoverLegacySwap(spark, s"$indexDir/hashes")
+    IndexLifecycle.recoverLegacySwap(spark, s"$indexDir/ingest")
+    val ingestDir =
+      IndexLifecycle.resolveRoot(spark, s"$indexDir/ingest")
     val prevMax: Option[Long] =
       if (!exists(spark, ingestDir)) None
       else spark.read.parquet(ingestDir)
@@ -131,21 +153,22 @@ object StreamingFunnel {
     // lose them), and only the bloom survivors' hp prefixes are read —
     // without this every micro-batch re-scanned the full digest
     // history.
-    val hashDir = s"$indexDir/hashes"
+    val hashDir = IndexLifecycle.resolveRoot(spark, s"$indexDir/hashes")
     val inBatch = CorpusPipeline.exactDeduped(qual)
       .withColumn("_h", md5(col("text"))).persist()
     val exact = (if (exists(spark, hashDir)) {
         val idx0 = spark.read.parquet(hashDir)
           .where(col("batch") =!= lit(batchId))
-        val idx = (RollingBloom.read(spark, s"$indexDir/hashbloom",
+        val idx = (RollingBloom.readBroadcast(spark, s"$indexDir/hashbloom",
             Some(batchId)), readHashPrefixes(spark, hashDir)) match {
-          case (Some(bf), Some(p))
+          case (Some(b), Some(p))
               if idx0.schema.fieldNames.contains("hp") =>
-            val b = spark.sparkContext.broadcast(bf)
             val mc = udf((h: String) => b.value.mightContainString(h))
+            // one partial+final collect_set — same bounded-prefix
+            // discipline as the LSH probe's touched-bp collect
             val touched = inBatch.where(mc(col("_h")))
               .select(pmod(hash(col("_h")), lit(p)).as("hp"))
-              .distinct().collect().map(_.getInt(0)).toSeq
+              .agg(collect_set(col("hp"))).collect()(0).getSeq[Int](0)
             idx0.where(col("hp").isin(touched: _*))
           case _ => idx0
         }
@@ -177,7 +200,8 @@ object StreamingFunnel {
       .minhashLshPairs(docs, "doc_id", "text", cfg.dedupThreshold)
       .select("ida", "idb")
     val idxPairs =
-      if (exists(spark, s"$lshDir/bands"))
+      if (exists(spark,
+          s"${IndexLifecycle.resolveRoot(spark, lshDir)}/bands"))
         Dedup.dedupAgainstIndex(docs, "doc_id", "text", lshDir,
             cfg.dedupThreshold, excludeBatch = Some(batchId))
           .select(col("batch_id").as("ida"), col("corpus_id").as("idb"))
@@ -194,6 +218,11 @@ object StreamingFunnel {
     val nNear = survivors.count()
     survivors.write.mode(SaveMode.Overwrite)
       .parquet(s"$survivorsDir/batch=$batchId")
+    // the retrieval index rides the same batch: survivors only (the
+    // index serves the EMITTED corpus), its own overwrite subtree,
+    // its guard probing with this batch id excluded
+    bm25Dir.foreach(d => graft.operators.Bm25Index.appendBatch(
+      survivors, "doc_id", "text", d, batchId))
     Seq((ord.getLong(1), ord.getLong(2))).toDF("min_id", "max_id")
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$ingestDir/batch=$batchId")
@@ -202,15 +231,15 @@ object StreamingFunnel {
   }
 
   /** Expected distinct documents for the hash index's rolling bloom —
-    * `spark.graft.hash.bloomCapacity`, default 16M (~14 MB at 3% fpp).
-    * Size to the deployment's corpus; over-full only degrades pruning.
+    * `spark.graft.hash.bloomCapacity`, default AUTO (-1): the first
+    * roll sizes to 16x its own key count (recorded in the bloom meta;
+    * compaction re-sizes to the full corpus — [[RollingBloom.roll]]).
+    * Set explicitly when the deployment corpus size is known up front;
+    * over-full only degrades pruning.
     */
   def hashBloomCapacity(spark: org.apache.spark.sql.SparkSession): Long =
     spark.conf.getOption("spark.graft.hash.bloomCapacity")
-      .map(_.toLong).getOrElse(16000000L)
-
-  private def hashMetaPath(hashDir: String) =
-    new org.apache.hadoop.fs.Path(s"$hashDir/_graft_hash_meta")
+      .map(_.toLong).getOrElse(-1L)
 
   /** The hp-prefix modulus the hash index was built with (recorded at
     * first write, like the LSH `_graft_lsh_meta` — probes never read
@@ -219,18 +248,9 @@ object StreamingFunnel {
     */
   def readHashPrefixes(spark: org.apache.spark.sql.SparkSession,
       hashDir: String): Option[Int] = {
-    val p = hashMetaPath(hashDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      txt.linesIterator.collectFirst {
-        case l if l.startsWith("prefixes=") =>
-          l.stripPrefix("prefixes=").trim.toInt
-      }
-    }
+    val root = IndexLifecycle.resolveRoot(spark, hashDir)
+    IndexLifecycle.readProps(spark, s"$root/_graft_hash_meta")
+      .flatMap(_.get("prefixes")).map(_.toInt)
   }
 
   /** Write one batch's digests into the hash index: hp-prefix
@@ -241,14 +261,15 @@ object StreamingFunnel {
   def writeHashBatch(hashes: DataFrame, indexDir: String,
       batchId: Long): Unit = {
     val spark = hashes.sparkSession
-    val hashDir = s"$indexDir/hashes"
+    val hashDir = IndexLifecycle.resolveRoot(spark, s"$indexDir/hashes")
     val prefixes = readHashPrefixes(spark, hashDir).getOrElse {
-      val n = Dedup.lshIndexPrefixes(spark)
-      val p = hashMetaPath(hashDir)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val out = fs.create(p, true)
-      try out.write(s"prefixes=$n\n".getBytes("UTF-8"))
-      finally out.close()
+      // first write: conf, else derived from this batch's estimate
+      // (floor 16 for any realistic micro-batch — compaction later
+      // re-derives from the ACCUMULATED ledger, upgrading the modulus
+      // as the corpus grows)
+      val n = Dedup.lshPrefixesFor(hashes)
+      IndexLifecycle.writeProps(spark, s"$hashDir/_graft_hash_meta",
+        Seq("prefixes" -> n.toString))
       n
     }
     val path = s"$hashDir/batch=$batchId"
@@ -261,90 +282,153 @@ object StreamingFunnel {
       hashBloomCapacity(spark), 0.03)
   }
 
-  /** Compact the funnel's cross-batch state (maintenance, run from
-    * the single ingest writer between batches — the OPTIMIZE step
-    * months of per-batch appends need): the LSH index via
-    * [[Dedup.compactLshIndex]], the md5 hash index and the ingest
-    * watermark rewritten to one `batch=<maxSeen>` subtree each with
-    * the same build-aside-then-rename-swap discipline. Probe results
-    * are unchanged (spec-pinned); only file/directory counts shrink.
+  /** Compact the funnel's cross-batch state (maintenance, the
+    * OPTIMIZE step months of per-batch appends need — [[attach]] runs
+    * it automatically every [[compactEvery]] batches): the LSH index
+    * via [[Dedup.compactLshIndex]], the md5 hash index and the ingest
+    * watermark rewritten to one `batch=<maxSeen>` subtree each, all
+    * through [[IndexLifecycle.compactInto]]'s generation-pointer
+    * commit (live paths never absent, crash-safe at every point).
+    * Probe results are unchanged (spec-pinned); only file/directory
+    * counts shrink. Single writer by contract, between batches.
+    *
+    * `excludeBatch` — REQUIRED when called from inside a foreachBatch
+    * (as [[attach]]'s auto-compaction does): that batch's subtrees are
+    * rewritten unchanged instead of folded, because the trigger may
+    * not have committed yet and a replay probes with its own batch id
+    * excluded — folding the whole history under `batch=<id>` would
+    * make the replay exclude ALL of it (hash + LSH probes would see an
+    * empty index; the ingest watermark would count the batch's own max
+    * and flag every replayed doc out-of-order).
     */
   def compact(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    def swapRewrite(dir: String)(write: String => Unit): Option[Long] = {
-      val live = new org.apache.hadoop.fs.Path(dir)
-      val fs = live.getFileSystem(conf)
-      if (!fs.exists(live)) return None
-      val ids = fs.listStatus(live).toSeq.map(_.getPath.getName)
+      indexDir: String, excludeBatch: Option[Long] = None,
+      bm25Dir: Option[String] = None): Unit = {
+    def batchIds(root: String): Seq[Long] = {
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).toSeq.map(_.getPath.getName)
         .collect { case s if s.startsWith("batch=") =>
           s.stripPrefix("batch=").toLong }
-      if (ids.isEmpty) return None
-      val tmp = s"$dir.compacting"
-      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-      write(s"$tmp/batch=${ids.max}")
-      val old = new org.apache.hadoop.fs.Path(s"$dir.precompact")
-      fs.delete(old, true)
-      require(fs.rename(live, old), s"rename $dir failed")
-      require(fs.rename(new org.apache.hadoop.fs.Path(tmp), live),
-        s"rename $tmp -> $dir failed — live state is at $old")
-      fs.delete(old, true)
-      Some(ids.max)
     }
-    val hashDir = s"$indexDir/hashes"
-    val hashPrefixes = readHashPrefixes(spark, hashDir)
-    val hashKeep = swapRewrite(hashDir) { out =>
-      val src = spark.read.parquet(hashDir)
-      if (src.schema.fieldNames.contains("hp"))
-        src.select("_h", "hp").distinct()
-          .repartition(col("hp"))
-          .write.mode(SaveMode.Overwrite).partitionBy("hp").parquet(out)
-      else src.select("_h").distinct()
-        .write.mode(SaveMode.Overwrite).parquet(out)
-    }
-    // the meta rode the renamed-away tree; restore it, then rebuild
-    // the hash bloom fresh from the compacted digests (resets fpp
-    // drift from replay-superseded snapshots)
-    hashKeep.foreach { keep =>
-      hashPrefixes.foreach { n =>
-        val p = hashMetaPath(hashDir)
-        val fs = p.getFileSystem(conf)
-        val out = fs.create(p, true)
-        try out.write(s"prefixes=$n\n".getBytes("UTF-8"))
-        finally out.close()
+    def splitSrc(src: DataFrame): (DataFrame, Option[(Long, DataFrame)]) =
+      excludeBatch match {
+        case Some(id) => (src.where(col("batch") =!= lit(id)),
+          Some((id, src.where(col("batch") === lit(id)))))
+        case None => (src, None)
       }
+
+    val hashLogical = s"$indexDir/hashes"
+    IndexLifecycle.recoverLegacySwap(spark, hashLogical)
+    val hashRoot = IndexLifecycle.resolveRoot(spark, hashLogical)
+    val hashFold = batchIds(hashRoot).filterNot(excludeBatch.contains)
+    if (hashFold.nonEmpty) {
+      val keep = hashFold.max
+      // re-derive the hp modulus from the ledger's real on-disk size
+      // (conf still wins) — same upgrade-as-it-grows rationale as
+      // compactLshIndex; compaction rewrites every row anyway
+      val prefixes = readHashPrefixes(spark, hashLogical).map { _ =>
+        spark.conf.getOption("spark.graft.lsh.indexPrefixes").map(_.toInt)
+          .getOrElse(IndexLifecycle.derivePrefixes(spark,
+            BigInt(IndexLifecycle.dirBytes(spark, hashRoot))))
+      }
+      IndexLifecycle.compactInto(spark, hashLogical)(
+        n => n.startsWith("batch=") || n == "_graft_hash_meta") { out =>
+        val (folded, held) = splitSrc(spark.read.parquet(hashRoot))
+        def writeSub(df: DataFrame, sub: Long): Unit =
+          if (df.schema.fieldNames.contains("hp") && prefixes.isDefined)
+            df.select(col("_h")).distinct()
+              .withColumn("hp",
+                pmod(hash(col("_h")), lit(prefixes.get)))
+              .repartition(col("hp"))
+              .write.mode(SaveMode.Overwrite).partitionBy("hp")
+              .parquet(s"$out/batch=$sub")
+          else df.select("_h").distinct()
+            .write.mode(SaveMode.Overwrite).parquet(s"$out/batch=$sub")
+        writeSub(folded, keep)
+        held.foreach { case (id, df) => writeSub(df, id) }
+        prefixes.foreach(n => IndexLifecycle.writeProps(spark,
+          s"$out/_graft_hash_meta", Seq("prefixes" -> n.toString)))
+      }
+      // rebuild the hash bloom fresh from the compacted digests:
+      // resets fpp drift from replay-superseded snapshots, and (auto-
+      // sized geometry) re-sizes it to the full corpus. Rolled over
+      // ALL digests (held-out batch included) under the folded keep
+      // id: a replay sees its own digests as bloom positives — weaker
+      // pruning for that one replay, never wrong results (its ROWS
+      // are still dropped by the batch-partition exclusion).
       RollingBloom.clear(spark, s"$indexDir/hashbloom")
       RollingBloom.roll(spark, s"$indexDir/hashbloom",
-        spark.read.parquet(hashDir), "_h", Some(keep),
-        hashBloomCapacity(spark), 0.03)
+        spark.read.parquet(IndexLifecycle.resolveRoot(spark, hashLogical)),
+        "_h", Some(keep), hashBloomCapacity(spark), 0.03)
     }
-    swapRewrite(s"$indexDir/ingest") { out =>
-      // the watermark only ever needs the global max; min kept for the
-      // schema contract
-      spark.read.parquet(s"$indexDir/ingest")
-        .agg(min("min_id").as("min_id"), max("max_id").as("max_id"))
-        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(out)
-    }
-    Dedup.compactLshIndex(spark, s"$indexDir/lsh")
+
+    val ingLogical = s"$indexDir/ingest"
+    IndexLifecycle.recoverLegacySwap(spark, ingLogical)
+    val ingRoot = IndexLifecycle.resolveRoot(spark, ingLogical)
+    val ingFold = batchIds(ingRoot).filterNot(excludeBatch.contains)
+    if (ingFold.nonEmpty)
+      IndexLifecycle.compactInto(spark, ingLogical)(
+        _.startsWith("batch=")) { out =>
+        // the watermark only ever needs the global max; min kept for
+        // the schema contract
+        val (folded, held) = splitSrc(spark.read.parquet(ingRoot))
+        folded.agg(min("min_id").as("min_id"), max("max_id").as("max_id"))
+          .coalesce(1).write.mode(SaveMode.Overwrite)
+          .parquet(s"$out/batch=${ingFold.max}")
+        held.foreach { case (id, df) =>
+          df.select("min_id", "max_id")
+            .coalesce(1).write.mode(SaveMode.Overwrite)
+            .parquet(s"$out/batch=$id")
+        }
+      }
+
+    Dedup.compactLshIndex(spark, s"$indexDir/lsh", excludeBatch)
+    bm25Dir.foreach(d =>
+      graft.operators.Bm25Index.compactIndex(spark, d, excludeBatch))
   }
+
+  /** Auto-compaction cadence for [[attach]] —
+    * `spark.graft.funnel.compactEvery`, default every 10 micro-batches
+    * (the cadence the 500k-doc scaling ledger showed keeps per-batch
+    * wall flat; without ANY compaction the accumulated per-batch files
+    * grow listing cost linearly in batch count — docs/SCALING.md).
+    * `<= 0` disables, restoring compaction as a manual operator step.
+    */
+  def compactEvery(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.getOption("spark.graft.funnel.compactEvery")
+      .map(_.toInt).getOrElse(10)
 
   /** Wire the funnel onto a streaming frame as a foreachBatch sink.
     * AvailableNow by default (drain the backlog, then stop — the
     * batch-parity harness shape); pass a processing-time trigger for a
-    * continuously-fed deployment.
+    * continuously-fed deployment. Index maintenance is automatic:
+    * every [[compactEvery]] batches the cross-batch state compacts in
+    * place (we ARE between batches inside foreachBatch, which is
+    * exactly the single-writer window [[compact]] requires) — a
+    * deployment no longer degrades just because nobody scheduled the
+    * OPTIMIZE step. A replayed trigger batch at the cadence point
+    * re-runs compaction, which is result-invisible and idempotent.
     */
   def attach(stream: DataFrame, cfg: CorpusPipeline.Config,
       indexDir: String, survivorsDir: String, checkpointDir: String,
       onBatch: BatchStats => Unit = _ => (),
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.AvailableNow()): StreamingQuery =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      bm25Dir: Option[String] = None): StreamingQuery =
     stream.writeStream
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
          id: Long) =>
-          if (!batch.isEmpty)
+          if (!batch.isEmpty) {
             onBatch(processBatch(batch.toDF(), id, cfg, indexDir,
-              survivorsDir))
+              survivorsDir, bm25Dir))
+            val every = compactEvery(batch.sparkSession)
+            if (every > 0 && (id + 1) % every == 0)
+              compact(batch.sparkSession, indexDir,
+                excludeBatch = Some(id), bm25Dir = bm25Dir)
+          }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

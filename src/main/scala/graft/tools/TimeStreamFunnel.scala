@@ -39,9 +39,13 @@ object TimeStreamFunnel {
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val nBatches = if (args.length > 1) args(1).toInt else 50
-    // compact the persisted indexes every N batches (0 = never) — the
-    // A/B lever for the ledger: per-batch appends grow file/dir counts
-    // linearly, so listing+open overhead creeps without maintenance
+    // compact the persisted indexes every N batches (0 = never;
+    // -1 = the AUTO path: the attach() cadence from the
+    // spark.graft.funnel.compactEvery knob, in-flight batch held out
+    // — exactly what a deployment gets with no manual maintenance) —
+    // the A/B lever for the ledger: per-batch appends grow file/dir
+    // counts linearly, so listing+open overhead creeps without
+    // maintenance
     val compactEvery = if (args.length > 2) args(2).toInt else 0
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -71,6 +75,15 @@ object TimeStreamFunnel {
         val t0 = System.nanoTime()
         StreamingFunnel.compact(spark, indexDir)
         println(f"TSF compact after b=$b ms=${(System.nanoTime() - t0) / 1000000}")
+      } else if (compactEvery == -1) {
+        val every = StreamingFunnel.compactEvery(spark)
+        if (every > 0 && (b + 1) % every == 0) {
+          val t0 = System.nanoTime()
+          StreamingFunnel.compact(spark, indexDir,
+            excludeBatch = Some(b.toLong))
+          println(f"TSF auto-compact after b=$b " +
+            f"ms=${(System.nanoTime() - t0) / 1000000}")
+        }
       }
     }
     val total = spark.read.parquet(outDir).count()

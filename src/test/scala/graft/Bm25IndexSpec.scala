@@ -189,7 +189,10 @@ class Bm25IndexSpec extends SparkSpec {
     val before = Bm25Index.query(spark, p, terms, k = 20)
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
     def nFiles(sub: String) = {
-      val d = new java.io.File(s"$p/$sub")
+      // count under the RESOLVED root: after a compaction the live
+      // data moves to the current generation subtree
+      val root = graft.operators.IndexLifecycle.resolveRoot(spark, p)
+      val d = new java.io.File(s"$root/$sub")
       def walk(f: java.io.File): Int =
         if (f.isDirectory) f.listFiles().map(walk).sum
         else if (f.getName.endsWith(".parquet")) 1 else 0

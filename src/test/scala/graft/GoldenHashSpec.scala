@@ -1,11 +1,10 @@
 package graft
 
 /** Golden-hash regression pins for every registered query the driver
-  * can only rows-check (no DuckDB oracle). After the round-7/9/10
-  * conversion waves this is 5 queries, each with a documented replay
-  * blocker (docs/ORACLES.md "The 5 that stay pinned"): HLL sketch
-  * internals, the PCA spectrum (its output IS the trained artifact),
-  * and UnigramLm's log()-parity-dependent Viterbi. All are deterministic by construction — seeded sampling,
+  * can only rows-check (no DuckDB oracle). After the round-7/9/10/12
+  * conversion waves this is 4 queries, each with a documented replay
+  * blocker (docs/ORACLES.md): HLL sketch internals and UnigramLm's
+  * log()-parity-dependent Viterbi. All are deterministic by construction — seeded sampling,
   * fixed iteration counts — so their exact output is pinned at TWO
   * scale factors: sf0.001 (fast iteration) and sf0.01 (the driver's
   * correctness SF). The second table exists because a
@@ -18,22 +17,18 @@ package graft
 class GoldenHashSpec extends SparkSpec {
 
   // round 10 retired the emb_kmeans_stats, dedup_semantic,
-  // emb_logreg_*, and emb_mahalanobis_outliers pins: their trained
-  // artifacts are baked into real DuckDB oracles (KmeansOracle /
-  // ModelOracle). emb_pca_variance's hashes survived the trainers'
-  // round-10 layout pinning unchanged — the last-ulp float-sum shifts
-  // sit below the readout's 6dp rounding.
+  // emb_logreg_*, and emb_mahalanobis_outliers pins; round 12 retired
+  // emb_pca_variance (raw spectrum baked, variance readout replayed —
+  // ModelOracle.pcaVariance).
   private val expectedSf001 = Map(
     "agg_approx_distinct" -> "cbfd2bc22b0b1dff7524b80bb5580be3",
     "agg_hll_sketch" -> "525397935456c52f1c46a90eb6ea9d33",
-    "emb_pca_variance" -> "5a1f4bca8fef27d7defe34f71cf38095",
     "text_ulm_encode" -> "afa98d2bdb4d88ddc90758543230202f",
     "text_ulm_vocab" -> "f51349e0a16d43db2d4d313d8ee3675a")
 
   private val expectedSf01 = Map(
     "agg_approx_distinct" -> "794784eaf442314bdbcdfee0a849c8b0",
     "agg_hll_sketch" -> "dd7caa867662e60117b56de06dd434e9",
-    "emb_pca_variance" -> "3c275814983e05599ccbe3ba6f5eb5b5",
     "text_ulm_encode" -> "7f86e5816f761128ac6ceacf6a87e748",
     "text_ulm_vocab" -> "48188b7b9184067b5ed55d0eaeb5e961")
 

@@ -76,4 +76,68 @@ class StreamingBm25Spec extends SparkSpec {
     assert(s2.toSeq == b2.toSeq,
       "post-compaction ingest must track the never-compacted twin")
   }
+
+  test("funnel-maintained BM25 index == batch index over the survivors") {
+    // round-12: the text index rides the corpus funnel's foreachBatch
+    // (processBatch(bm25Dir=...)) with the same batch=<id> overwrite
+    // idempotency as the dedup indexes — one ingest program maintains
+    // ALL the cross-batch state. Pins: (1) the streamed index answers
+    // exactly like a batch build over the emitted survivors, (2) an
+    // at-least-once REPLAY of a batch changes nothing, (3) mid-stream
+    // compaction (with the in-flight batch held out, as auto-
+    // compaction runs it) stays probe-invisible.
+    import graft.pipeline.CorpusPipeline
+    import graft.streaming.StreamingFunnel
+    val cfg = CorpusPipeline.Config()
+    val docs = Tables(spark, sfDir, "documents")
+      .select("doc_id", "text", "lang", "source").cache()
+    val idx = Files.createTempDirectory("fbm-idx").toString
+    val out = Files.createTempDirectory("fbm-out").toString
+    val bm = s"${Files.createTempDirectory("fbm-bm25").toString}/idx"
+
+    val ids = docs.select(min("doc_id"), max("doc_id")).collect()(0)
+    val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+    val step = (hi - lo) / 3 + 1
+    val chunks = (0 until 3).map(i => docs.where(
+      col("doc_id") >= lo + i * step && col("doc_id") < lo + (i + 1) * step))
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      StreamingFunnel.processBatch(c, i.toLong, cfg, idx, out,
+        bm25Dir = Some(bm))
+    }
+    val terms = Seq("hash", "vector", "filter", "merge", "scan")
+    def q(path: String) = Bm25Index.query(spark, path, terms, k = 25)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    def nDocs(path: String) = spark.read.parquet(
+        s"${graft.operators.IndexLifecycle.resolveRoot(spark, path)}/stats")
+      .agg(sum("n_docs")).collect()(0).getDouble(0)
+
+    val ref = Files.createTempDirectory("fbm-ref").toString
+    // materialize the survivor set BEFORE the replays below overwrite
+    // batch=2's part files (a lazy frame would hold a stale listing)
+    val nSurv = spark.read.parquet(out).count().toDouble
+    Bm25Index.write(spark.read.parquet(out).select("doc_id", "text")
+      .localCheckpoint(true), "doc_id", "text", ref)
+    assert(q(bm) == q(ref),
+      s"funnel index diverged from the batch build:\n${q(bm)}\n${q(ref)}")
+    assert(nDocs(bm) == nSurv,
+      "funnel index must count exactly the emitted survivors")
+
+    // at-least-once replay of the last batch: nothing changes
+    StreamingFunnel.processBatch(chunks(2), 2L, cfg, idx, out,
+      bm25Dir = Some(bm))
+    assert(q(bm) == q(ref), "a replayed batch changed the index")
+    assert(nDocs(bm) == nSurv,
+      "a replayed batch double-counted stats partials")
+
+    // auto-compaction shape: fold with the in-flight batch held out,
+    // then a replay of that batch — still invisible
+    StreamingFunnel.compact(spark, idx, excludeBatch = Some(2L),
+      bm25Dir = Some(bm))
+    assert(q(bm) == q(ref), "compaction changed probe results")
+    StreamingFunnel.processBatch(chunks(2), 2L, cfg, idx, out,
+      bm25Dir = Some(bm))
+    assert(q(bm) == q(ref),
+      "replay after held-out compaction changed the index")
+    assert(nDocs(bm) == nSurv)
+  }
 }
