@@ -126,6 +126,61 @@ class IncrementalIndexSpec extends SparkSpec {
       "newest snapshot must contain both old and new keys")
   }
 
+  test("scan fraction stays bounded at a DERIVED prefix count too") {
+    // the round-12 derivation path (no explicit indexPrefixes conf):
+    // the modulus comes from the corpus size estimate against a small
+    // byte target, and the sub-linear pin must hold there exactly as
+    // it does at the hand-set 256 below
+    import spark.implicits._
+    spark.conf.set("spark.graft.index.prefixTargetBytes", "1024")
+    try {
+      val dir = tmp("lsh-dfrac")
+      def mkDocs(tag: String, n: Int, base: Long) = (1 to n).map { i =>
+        (base + i, (1 to 40).map(w(
+          s"$tag${('a' + i / 26).toChar}${('a' + i % 26).toChar}", _))
+          .mkString(" "))
+      }.toDF("doc_id", "text")
+      // parquet-backed corpus: the derivation reads the Catalyst size
+      // estimate, which is file-size-backed for parquet (a local Seq
+      // would estimate fixed 20 B per string and stay at the floor)
+      val corpusDir = tmp("lsh-dfrac-src")
+      mkDocs("da", 300, 0L).write.mode("overwrite").parquet(corpusDir)
+      Dedup.writeLshIndex(spark.read.parquet(corpusDir),
+        "doc_id", "text", dir)
+      val meta = Dedup.readLshMeta(spark, dir)
+      assert(meta.exists(m => m.prefixes > 16 &&
+        Integer.bitCount(m.prefixes) == 1),
+        s"fixture drift: expected a derived modulus above the floor, " +
+          s"got ${meta.map(_.prefixes)}")
+      val probe = mkDocs("da", 1, 900000L)
+        .unionByName(mkDocs("xy", 1, 910000L))
+      def frac(): Double = {
+        val bb = Dedup.bandKeys(probe, "doc_id", "text")
+          .localCheckpoint(true)
+        val cand = Dedup.indexCandidates(spark, dir, bb, meta, None)
+        assert(cand.collect().length >= 1)
+        val read = graft.tools.PlanShape.flat(
+            cand.queryExecution.executedPlan)
+          .collect { case s: FileSourceScanExec
+            if s.metadata.getOrElse("Location", "").contains("bands") =>
+              s.metrics("numOutputRows").value }.sum
+        read.toDouble / spark.read.parquet(
+          s"${graft.operators.IndexLifecycle.resolveRoot(spark, dir)}/bands")
+          .count()
+      }
+      val f1 = frac()
+      (0 until 10).foreach { g =>
+        Dedup.appendToLshIndex(
+          mkDocs(s"e${('a' + g).toChar}", 300, 10000L * (g + 1)),
+          "doc_id", "text", dir)
+      }
+      val f2 = frac()
+      info(f"derived-modulus scan fraction: $f1%.3f -> $f2%.3f")
+      assert(f1 <= 0.25 && f2 <= 0.25 && f2 <= f1 * 2 + 0.02,
+        f"pruning at the derived modulus broke: $f1%.3f -> $f2%.3f")
+    } finally spark.conf.unset("spark.graft.index.prefixTargetBytes")
+  }
+
   test("probe scan fraction stays bounded as the index grows 10x") {
     // The metric-level form of the sub-linear claim, no wall-clock
     // flakiness: with prefixes sized above the probe's SURVIVING keys
