@@ -10,7 +10,9 @@ import graft.text.TextOps
   * number of query-term probes touch only the postings files whose
   * term range can match.
   *
-  * Layout under `path`:
+  * Layout under `path` (all resolved through
+  * [[IndexLifecycle.resolveRoot]] — after a compaction the tables
+  * live in the current `gen-<n>` subtree):
   *   - `postings/` — (term, doc_id, dl, tf), repartitionByRange(term)
   *     + sortWithinPartitions(term): every parquet file covers a tight
   *     term range, so a probe's `term IN (...)` prunes via row-group
@@ -19,11 +21,17 @@ import graft.text.TextOps
   *   - `stats/`    — mergeable (n_docs, sum_dl) partial rows.
   *   - `docids/`   — ingested doc ids, partitioned by
   *     `dp = pmod(hash(doc_id), prefixes)` (`_graft_bm25_meta` records
-  *     the modulus), serving [[appendToIndex]]'s dedupe guard.
+  *     the modulus), serving the append paths' dedupe guard.
   *   - `docbloom/` — [[RollingBloom]] snapshots over the ingested ids:
   *     the guard screens each batch through the bloom and reads only
   *     the survivors' `dp` prefixes, so re-ingest protection costs
   *     O(batch + matches), not O(index), per append.
+  *
+  * Two append lifecycles, never mixed in one index (enforced):
+  * [[appendToIndex]] (flat — each append adds its own files) and
+  * [[appendBatch]] (streaming — every table under overwrite-on-replay
+  * `batch=<id>` subtrees, the idempotent unit the corpus funnel's
+  * foreachBatch drives). [[compactIndex]] folds either layout.
   *
   * A probe reads |q| terms' postings (file-skipped), broadcasts the
   * |q|-row df table and the 1-row stats, and runs one per-doc hash agg

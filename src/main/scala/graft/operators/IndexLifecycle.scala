@@ -146,13 +146,40 @@ object IndexLifecycle {
     * at the first compaction). Resolution is one small-file read; the
     * pointer is committed by atomic rename, so a reader sees either
     * the old or the new generation, never a torn state.
+    *
+    * Defense for filesystems WITHOUT atomic rename-over-existing
+    * (where the commit degrades to delete+rename): a missing pointer
+    * next to existing `gen-*` dirs is retried briefly, then — if the
+    * directory also has no legacy-layout entries to fall back to —
+    * fails loudly instead of resolving to an empty root. (Gen dirs
+    * WITH legacy entries is the normal mid-FIRST-compaction build
+    * state: the legacy tree is still the committed data there.)
     */
-  def resolveRoot(spark: SparkSession, dir: String): String =
-    readProps(spark, s"$dir/$pointerName")
-      .flatMap(_.get("gen")) match {
-      case Some(n) => s"$dir/$genPrefix$n"
-      case None => dir
+  def resolveRoot(spark: SparkSession, dir: String): String = {
+    var attempt = 0
+    while (true) {
+      readProps(spark, s"$dir/$pointerName").flatMap(_.get("gen")) match {
+        case Some(n) => return s"$dir/$genPrefix$n"
+        case None =>
+          val gens = listGens(spark, dir)
+          if (gens.isEmpty) return dir
+          val d = new Path(dir)
+          val hasLegacy = fsOf(spark, d).listStatus(d)
+            .map(_.getPath.getName)
+            .exists(n => !n.startsWith(genPrefix) &&
+              !n.startsWith(pointerName))
+          if (hasLegacy) return dir
+          if (attempt >= 3) throw new IllegalStateException(
+            s"$dir has generation dirs (${gens.sorted.mkString(",")}) " +
+              "but no _graft_current pointer and no legacy data — a " +
+              "non-atomic pointer swap was interrupted; restore " +
+              "_graft_current (gen=<newest complete generation>)")
+          attempt += 1
+          Thread.sleep(50L * attempt)
+      }
     }
+    dir // unreachable
+  }
 
   /** The committed generation number, None while in legacy layout. */
   def currentGen(spark: SparkSession, dir: String): Option[Long] =
@@ -208,10 +235,15 @@ object IndexLifecycle {
       fs.delete(ptr, false)
       require(fs.rename(tmp, ptr), s"pointer commit failed for $dir")
     }
-    // cleanup: older-than-previous always; previous per retention conf;
-    // legacy root entries on the first compaction
-    val keepFloor = if (keepPreviousGeneration(spark)) next - 1 else next
-    listGens(spark, dir).filter(g => g < keepFloor && g != next)
+    // cleanup: keep the new generation plus (per retention conf) the
+    // previously COMMITTED one — everything else goes, including any
+    // stale partial from a crashed build (whose number may sit ABOVE
+    // the committed generation, so a numeric floor would wrongly
+    // prefer it over the live previous gen)
+    val keep: Set[Long] =
+      if (keepPreviousGeneration(spark)) Set(next) ++ cur.toSet
+      else Set(next)
+    listGens(spark, dir).filterNot(keep)
       .foreach(g => fs.delete(new Path(s"$dir/$genPrefix$g"), true))
     if (cur.isEmpty || !keepPreviousGeneration(spark))
       fs.listStatus(d).map(_.getPath).foreach { p =>
