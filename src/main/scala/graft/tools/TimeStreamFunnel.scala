@@ -47,6 +47,9 @@ object TimeStreamFunnel {
     // counts linearly, so listing+open overhead creeps without
     // maintenance
     val compactEvery = if (args.length > 2) args(2).toInt else 0
+    // 4th arg "bm25": also maintain the streamed BM25 text index over
+    // the survivors (processBatch bm25Dir) — the full ingest program
+    val withBm25 = args.length > 3 && args(3) == "bm25"
     val spark = SparkSession.builder()
       .master("local[32]")
       .withExtensions(new org.apache.spark.sql.graftx.GraftExtensions)
@@ -60,27 +63,29 @@ object TimeStreamFunnel {
       .createTempDirectory("tsf-idx").toString
     val outDir = java.nio.file.Files
       .createTempDirectory("tsf-out").toString
+    val bm25Dir = if (withBm25) Some(java.nio.file.Files
+      .createTempDirectory("tsf-bm25").toString + "/idx") else None
     println(s"TSF start: $nBatches batches x 2 shards (10k docs each), " +
-      s"index=$indexDir")
+      s"index=$indexDir bm25=${bm25Dir.getOrElse("off")}")
     (0 until nBatches).foreach { b =>
       val batch = shard(spark, base, 2 * b)
         .unionByName(shard(spark, base, 2 * b + 1))
         .localCheckpoint(true)
       val s = StreamingFunnel.processBatch(batch, b.toLong, cfg,
-        indexDir, outDir)
+        indexDir, outDir, bm25Dir)
       println(s"TSF b=${s.batchId} in=${s.nInput} lang=${s.nLang} " +
         s"qual=${s.nQuality} exact=${s.nExact} near=${s.nNear} " +
         s"ooo=${s.nOutOfOrder} ms=${s.ms}")
       if (compactEvery > 0 && b > 0 && b % compactEvery == 0) {
         val t0 = System.nanoTime()
-        StreamingFunnel.compact(spark, indexDir)
+        StreamingFunnel.compact(spark, indexDir, bm25Dir = bm25Dir)
         println(f"TSF compact after b=$b ms=${(System.nanoTime() - t0) / 1000000}")
       } else if (compactEvery == -1) {
         val every = StreamingFunnel.compactEvery(spark)
         if (every > 0 && (b + 1) % every == 0) {
           val t0 = System.nanoTime()
           StreamingFunnel.compact(spark, indexDir,
-            excludeBatch = Some(b.toLong))
+            excludeBatch = Some(b.toLong), bm25Dir = bm25Dir)
           println(f"TSF auto-compact after b=$b " +
             f"ms=${(System.nanoTime() - t0) / 1000000}")
         }
@@ -88,6 +93,23 @@ object TimeStreamFunnel {
     }
     val total = spark.read.parquet(outDir).count()
     println(s"TSF done: $total survivors over ${nBatches * 10000} docs")
+    bm25Dir.foreach { d =>
+      // the streamed text index must serve and count exactly the
+      // emitted survivors (stats partials sum across batch subtrees);
+      // probe with the corpus's own top term — the ledger shards are
+      // token-renamed, so no fixed English term exists in them
+      import org.apache.spark.sql.functions.{desc, sum => fsum}
+      val root = graft.operators.IndexLifecycle.resolveRoot(spark, d)
+      val n = spark.read.parquet(s"$root/stats")
+        .agg(fsum("n_docs")).collect()(0).getDouble(0)
+      val topTerm = spark.read.parquet(s"$root/dfs")
+        .groupBy("term").agg(fsum("dft").as("d"))
+        .orderBy(desc("d")).limit(1).collect()(0).getString(0)
+      val hits = graft.operators.Bm25Index.query(spark, d,
+        Seq(topTerm), 10).count()
+      println(s"TSF bm25: n_docs=$n (survivors=$total) " +
+        s"topk_rows=$hits (term=$topTerm)")
+    }
     spark.stop()
   }
 }
