@@ -196,6 +196,15 @@ class Scale100Spec extends SparkSpec {
     assert(lastMs <= midMs * factor + slack,
       s"per-batch latency grew ${midMs}ms -> ${lastMs}ms over the decade — " +
         "batch work is scaling with ingested history")
+    // round-12: attach()'s AUTO-compaction fired at the default
+    // cadence (10 batches -> one pass at trigger 9) — the cross-batch
+    // state is in generation layout, and the run above already proved
+    // it result-invisible (survivor parity asserted post-compaction)
+    assert(graft.operators.IndexLifecycle
+      .currentGen(spark, s"$indexDir/hashes").nonEmpty,
+      "auto-compaction did not fire during the 10-batch attach run")
+    assert(graft.operators.IndexLifecycle
+      .currentGen(spark, s"$indexDir/lsh").nonEmpty)
   }
 
   test("knnJoin at 100x vectors: IVF pruning scales with nlist") {
