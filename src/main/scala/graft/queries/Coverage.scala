@@ -201,12 +201,17 @@ object Coverage {
       .orderBy("w_start", "event_type")
 
   /** TF-IDF top-3 terms per document (first 50 docs): two aggregations
-    * + a broadcast join of the document-frequency table, window top-k.
+    * + a join of the document-frequency table (broadcast ONLY under
+    * the size-estimate budget — noisy web text at 100 TB can grow the
+    * vocabulary past executor memory; the fallback is the shuffled
+    * equi-join on the word key), window top-k.
     */
   def tfidfTop(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
-    val nDocs = docs.count() // small driver-side scalar; at scale use a
-    // computed literal from a prior pass or approx count
+    // corpus size as a COMPUTED one-row broadcast, not a driver-side
+    // collect — at scale the count is a job like any other and rides
+    // the same DAG instead of serializing on the driver
+    val nd = docs.agg(count(lit(1)).cast("double").as("_nd"))
     val words = docs.select(
       col("doc_id"),
       explode(TextOps.tokens(col("text"))).as("word"))
@@ -214,10 +219,12 @@ object Coverage {
     val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
     val df = words.groupBy("word")
       .agg(countDistinct(col("doc_id")).as("df"))
-    val scored = tf.join(broadcast(df), "word")
+    val dfSide =
+      if (graft.operators.Dedup.broadcastFits(df)) broadcast(df) else df
+    val scored = tf.join(dfSide, "word").crossJoin(broadcast(nd))
       .select(col("doc_id"), col("word"),
         org.apache.spark.sql.graftx.RoundAwayFromZero.column(
-          col("tf") * (log((lit(nDocs.toDouble) + 1.0) /
+          col("tf") * (log((col("_nd") + 1.0) /
             (col("df") + 1.0)) + 1.0), 6).as("tfidf"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("tfidf").desc, col("word"))

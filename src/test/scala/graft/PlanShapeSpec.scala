@@ -79,4 +79,41 @@ class PlanShapeSpec extends SparkSpec {
         s"$name re-grew a window sort over the candidate fan-out")
     }
   }
+
+  // round 13: the tfidf vocabulary broadcast is GATED on the size
+  // estimate (a 100 TB web corpus's vocabulary can exceed executor
+  // memory). Under a starved budget the word join must fall back to a
+  // shuffled join — only the 1-row corpus-count broadcast survives.
+  test("text_tfidf_top sheds the vocabulary broadcast under budget") {
+    def bhjJoins(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      PlanShape.flat(df.queryExecution.executedPlan).count(
+        _.isInstanceOf[
+          org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
+    }
+    val withBudget = bhjJoins(SparkEntry.queries("text_tfidf_top")(
+      spark, sfDir))
+    assert(withBudget >= 1, "default budget should broadcast the df table")
+    spark.conf.set("spark.graft.dedup.broadcastBudget", "1")
+    // the explicit-hint fallback only; AQE may still pick a broadcast
+    // from RUNTIME sizes at sf0.001, so pin the logical hint instead
+    try {
+      val df = SparkEntry.queries("text_tfidf_top")(spark, sfDir)
+      val hinted = df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+            if j.hint.leftHint.exists(_.strategy.isDefined) ||
+              j.hint.rightHint.exists(_.strategy.isDefined) => j
+      }
+      // exactly one hinted broadcast remains: the 1-row corpus count
+      assert(hinted.size == 1,
+        s"expected only the corpus-count broadcast hint, got " +
+          s"${hinted.size}")
+      // and results are identical either way
+      val starved = df.collect().map(_.toString).toSeq
+      spark.conf.unset("spark.graft.dedup.broadcastBudget")
+      val normal = SparkEntry.queries("text_tfidf_top")(spark, sfDir)
+        .collect().map(_.toString).toSeq
+      assert(starved == normal, "the join strategy changed results")
+    } finally spark.conf.unset("spark.graft.dedup.broadcastBudget")
+  }
 }
