@@ -141,16 +141,20 @@ object Bm25Index {
   private def writeDocIds(toks: DataFrame, path: String, prefixes: Int,
       mode: String, sub: Option[Long] = None): Unit = {
     val spark = toks.sparkSession
-    val (p, m) = sub match {
-      case Some(id) => (s"$path/docids/batch=$id", "overwrite")
-      case None => (s"$path/docids", mode)
+    sub match {
+      case Some(id) =>
+        // streaming run: UNPARTITIONED (micro-batch-sized — tier folds
+        // rewrite merged runs dp-partitioned, [[maintainIndex]])
+        RunManifest.sizedWrite(toks.select(col("doc_id")),
+          RunManifest.runPath(path, "docids", id))
+      case None =>
+        toks.select(col("doc_id"))
+          .withColumn("dp", pmod(hash(col("doc_id")), lit(prefixes)))
+          .repartition(col("dp"))
+          .write.mode(mode).partitionBy("dp").parquet(s"$path/docids")
+        if (mode == "overwrite")
+          RollingBloom.clear(spark, s"$path/docbloom")
     }
-    toks.select(col("doc_id"))
-      .withColumn("dp", pmod(hash(col("doc_id")), lit(prefixes)))
-      .repartition(col("dp"))
-      .write.mode(m).partitionBy("dp").parquet(p)
-    if (m == "overwrite" && sub.isEmpty)
-      RollingBloom.clear(spark, s"$path/docbloom")
     RollingBloom.roll(spark, s"$path/docbloom", toks.select(col("doc_id")),
       "doc_id", sub, docBloomCapacity(spark), 0.03)
   }
@@ -197,42 +201,60 @@ object Bm25Index {
     val spark = docs.sparkSession
     val path = rootOf(spark, path0)
     val prefixes = readDocPrefixes(spark, path)
-    if (prefixes.isDefined && exists(spark, s"$path/docids")) {
-      val batchIds = docs.select(col(idCol).as("doc_id"))
-      val suspects = RollingBloom.readBroadcast(spark,
+    def bloomSuspects(batchIds: DataFrame)
+        : (Boolean, DataFrame) =
+      RollingBloom.readBroadcast(spark,
           s"$path/docbloom", excludeBatch) match {
         case Some(b) =>
           import org.apache.spark.sql.types.{LongType, StringType}
           batchIds.schema("doc_id").dataType match {
             case LongType =>
               val mc = udf((v: Long) => b.value.mightContainLong(v))
-              batchIds.where(mc(col("doc_id")))
+              (true, batchIds.where(mc(col("doc_id"))))
             case StringType =>
               val mc = udf((s: String) => b.value.mightContainString(s))
-              batchIds.where(mc(col("doc_id")))
-            case _ => batchIds
+              (true, batchIds.where(mc(col("doc_id"))))
+            case _ => (false, batchIds)
           }
-        case None => batchIds
+        case None => (false, batchIds)
       }
-      // one partial+final collect_set — same bounded-prefix discipline
-      // as the LSH probe's touched-bp collect
-      val touched = suspects
-        .select(pmod(hash(col("doc_id")), lit(prefixes.get)).as("dp"))
-        .agg(collect_set(col("dp"))).collect()(0).getSeq[Int](0)
-      val seen0 = spark.read.parquet(s"$path/docids")
-        .where(col("dp").isin(touched: _*))
-      // replay safety (streaming layout): a retried batch must not
-      // see its own half-written ledger subtree
-      val seen = excludeBatch match {
-        case Some(id) if seen0.schema.fieldNames.contains("batch") =>
-          seen0.where(col("batch") =!= lit(id))
-        case _ => seen0
-      }
-      docs.join(seen, docs(idCol) === seen("doc_id"), "left_anti")
-    } else {
-      val seen = spark.read.parquet(s"$path/postings")
-        .select(col("doc_id")).distinct()
-      docs.join(seen, docs(idCol) === seen("doc_id"), "left_anti")
+    RunManifest.read(spark, path) match {
+      case Some(man) =>
+        val runs = man.live.filterNot(r => excludeBatch.contains(r.id))
+        if (runs.isEmpty) return docs // replay of the creation batch
+        val (screened, suspects) =
+          bloomSuspects(docs.select(col(idCol).as("doc_id")))
+        // ONE job: suspect count + touched-prefix set per modulus
+        // group (append runs are unpartitioned and read whole)
+        val (nSusp, touched) = RunManifest.touchedSets(
+          suspects, col("doc_id"), runs.flatMap(_.prefixes))
+        // fast path: the bloom proves no batch id was ever ingested
+        if (screened && nSusp == 0L) return docs
+        val seen = RunManifest.readData(spark, path, "docids", runs,
+          Seq("doc_id"), "dp", m => touched.getOrElse(m, Nil))
+        docs.join(seen, docs(idCol) === seen("doc_id"), "left_anti")
+      case None if prefixes.isDefined && exists(spark, s"$path/docids") =>
+        val (_, suspects) =
+          bloomSuspects(docs.select(col(idCol).as("doc_id")))
+        // one partial+final collect_set — same bounded-prefix
+        // discipline as the LSH probe's touched-bp collect
+        val touched = suspects
+          .select(pmod(hash(col("doc_id")), lit(prefixes.get)).as("dp"))
+          .agg(collect_set(col("dp"))).collect()(0).getSeq[Int](0)
+        val seen0 = spark.read.parquet(s"$path/docids")
+          .where(col("dp").isin(touched: _*))
+        // replay safety (streaming layout): a retried batch must not
+        // see its own half-written ledger subtree
+        val seen = excludeBatch match {
+          case Some(id) if seen0.schema.fieldNames.contains("batch") =>
+            seen0.where(col("batch") =!= lit(id))
+          case _ => seen0
+        }
+        docs.join(seen, docs(idCol) === seen("doc_id"), "left_anti")
+      case None =>
+        val seen = spark.read.parquet(s"$path/postings")
+          .select(col("doc_id")).distinct()
+        docs.join(seen, docs(idCol) === seen("doc_id"), "left_anti")
     }
   }
 
@@ -264,6 +286,14 @@ object Bm25Index {
     val batch = if (creation) docs
       else notYetIngested(docs, idCol, path, Some(batchId))
     val toks = tokenizedDocs(batch, idCol, textCol)
+    // an EMPTY effective batch (every row filtered upstream, or every
+    // doc already ingested) must not write: on creation, a zero-row
+    // write would leave a docids/ tree with no data files and the
+    // NEXT batch's guard read dies on schema inference; appends
+    // would just add empty partials. Skip entirely — a replay
+    // recomputes empty and skips again, so idempotency holds. The
+    // check is a limit-1 job over the just-checkpointed tokens.
+    if (toks.isEmpty) return
     writeDerived(toks, path, "overwrite", Some(batchId))
     val prefixes = readDocPrefixes(spark, path).getOrElse {
       val n = Dedup.lshPrefixesFor(docs)
@@ -271,13 +301,29 @@ object Bm25Index {
       n
     }
     writeDocIds(toks, path, prefixes, "overwrite", Some(batchId))
+    RunManifest.addRun(spark, path, bm25Tables, batchId,
+      readDocPrefixes(spark, path))
   }
+
+  private val bm25Tables = Seq("postings", "dfs", "stats", "docids")
 
   def appendToIndex(docs: DataFrame, idCol: String, textCol: String,
       path0: String, dedupeAgainstExisting: Boolean = false): Unit = {
     val spark = docs.sparkSession
     val path = rootOf(spark, path0)
     val creation = !exists(spark, s"$path/postings")
+    if (!creation) {
+      // the mirror of appendBatch's guard: a FLAT append onto an
+      // appendBatch-built index would drop loose part files next to
+      // its batch=<id> subtrees and corrupt partition discovery for
+      // every later query/compaction — fail fast instead
+      val p = new org.apache.hadoop.fs.Path(s"$path/postings")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(!fs.listStatus(p)
+        .exists(_.getPath.getName.startsWith("batch=")),
+        s"index at $path0 uses the streaming (batch=) layout — use " +
+          "appendBatch for ALL appends to one index")
+    }
     val prefixes = readDocPrefixes(spark, path)
     val batch =
       if (!dedupeAgainstExisting || creation) docs
@@ -313,11 +359,91 @@ object Bm25Index {
     * generation in full, and a crash anywhere leaves the old pointer
     * live. Run from the single index writer, between appends.
     */
+  /** The BM25 merge for one fold group: postings rewritten
+    * range-partitioned + sorted on term (restoring the tight per-file
+    * term ranges appends dilute), df/stats partials pre-merged, the id
+    * ledger distinct + dp-partitioned at a modulus derived from its
+    * merged size.
+    */
+  private def mergeBm25Runs(spark: SparkSession, root: String)
+      (runs: Seq[RunManifest.Run], newId: Long): Option[Int] = {
+    RunManifest.readData(spark, root, "postings", runs,
+        Seq("doc_id", "dl", "term", "tf"))
+      .repartitionByRange(col("term"))
+      .sortWithinPartitions("term")
+      .write.mode("overwrite")
+      .parquet(RunManifest.runPath(root, "postings", newId))
+    RunManifest.readData(spark, root, "dfs", runs, Seq("term", "dft"))
+      .groupBy("term").agg(sum("dft").as("dft"))
+      .write.mode("overwrite")
+      .parquet(RunManifest.runPath(root, "dfs", newId))
+    RunManifest.readData(spark, root, "stats", runs,
+        Seq("n_docs", "sum_dl"))
+      .agg(coalesce(sum("n_docs"), lit(0.0)).as("n_docs"),
+        coalesce(sum("sum_dl"), lit(0.0)).as("sum_dl"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(RunManifest.runPath(root, "stats", newId))
+    val idBytes = runs.map(r => IndexLifecycle.dirBytes(spark,
+      RunManifest.runPath(root, "docids", r.id))).sum
+    val prefixes = spark.conf.getOption("spark.graft.lsh.indexPrefixes")
+      .map(_.toInt).orElse(
+        IndexLifecycle.derivePrefixesForRun(spark, BigInt(idBytes)))
+    val ids = RunManifest.readData(spark, root, "docids", runs,
+      Seq("doc_id")).distinct()
+    val out = RunManifest.runPath(root, "docids", newId)
+    prefixes match {
+      case Some(p) =>
+        ids.withColumn("dp", pmod(hash(col("doc_id")), lit(p)))
+          .repartition(col("dp"))
+          .write.mode("overwrite").partitionBy("dp").parquet(out)
+      case None => RunManifest.sizedWrite(ids, out)
+    }
+    prefixes
+  }
+
+  /** One TIERED maintenance cycle over a streaming-layout BM25 index
+    * ([[RunManifest.tierMaintain]]) — per-cycle work proportional to
+    * data appended since the last cycle; the id bloom is untouched.
+    * Returns the number of fold groups committed.
+    */
+  def maintainIndex(spark: SparkSession, path0: String,
+      excludeFrom: Long = Long.MaxValue): Int = {
+    val root = rootOf(spark, path0)
+    if (!exists(spark, s"$root/postings")) return 0
+    RunManifest.ensureStreaming(spark, root, bm25Tables,
+        readDocPrefixes(spark, root)) match {
+      case Some(_) => RunManifest.tierMaintain(spark, root, bm25Tables,
+        excludeFrom)(mergeBm25Runs(spark, root))
+      case None => 0 // flat (appendToIndex) layout: compactIndex only
+    }
+  }
+
   def compactIndex(spark: SparkSession, path: String,
       excludeBatch: Option[Long] = None): Unit = {
     val root = rootOf(spark, path)
     require(exists(spark, s"$root/postings"),
       s"$path has no postings table — nothing to compact")
+    RunManifest.read(spark, root).foreach { _ =>
+      // manifest index: deep fold in place by manifest swap, then
+      // rebuild the id bloom from the folded ledger (fpp-drift reset
+      // + auto-size upgrade — the step tiered maintenance skips)
+      val excludeFrom = excludeBatch.getOrElse(Long.MaxValue)
+      RunManifest.foldAll(spark, root, bm25Tables,
+        excludeFrom)(mergeBm25Runs(spark, root))
+      val man = RunManifest.read(spark, root).get
+      val fold = man.live.filter(_.id < excludeFrom)
+      fold.flatMap(_.prefixes).headOption.foreach(p =>
+        writeDocPrefixes(spark, root, p))
+      if (fold.nonEmpty) {
+        RollingBloom.clear(spark, s"$root/docbloom")
+        RollingBloom.roll(spark, s"$root/docbloom",
+          RunManifest.readData(spark, root, "docids", man.live,
+            Seq("doc_id")),
+          "doc_id", Some(fold.map(_.id).min), docBloomCapacity(spark),
+          0.03)
+      }
+      return
+    }
     // re-derive the dp modulus from the ledger's real on-disk size
     // (conf still wins) — compaction rewrites every row anyway and
     // records the new modulus, so the index upgrades as it grows
@@ -423,19 +549,37 @@ object Bm25Index {
   /** Top-k BM25 over the persisted index; identical arithmetic to the
     * ad-hoc path (k1=1.2, b=0.75, rank cut on the rounded score).
     */
+  /** Manifest-aware read of one of the index's uniform tables
+    * (postings/dfs/stats): the LIVE runs when a manifest exists —
+    * folded-away runs linger on disk for in-flight readers and must
+    * not be re-read (double counting) — the directory glob otherwise.
+    */
+  def table(spark: SparkSession, path0: String, t: String): DataFrame = {
+    val path = rootOf(spark, path0)
+    RunManifest.read(spark, path) match {
+      case Some(man) => RunManifest.readRuns(spark, path, t, man.live)
+      case None => spark.read.parquet(s"$path/$t")
+    }
+  }
+
   def query(spark: SparkSession, path0: String, terms: Seq[String],
       k: Int): DataFrame = {
     require(terms.nonEmpty, "query terms must be non-empty")
-    // resolve the generation ONCE so all three reads see one
-    // consistent snapshot even if a compaction commits mid-query
+    // resolve the generation + manifest ONCE so all three reads see
+    // one consistent snapshot even if maintenance commits mid-query
     val path = rootOf(spark, path0)
-    val postings = spark.read.parquet(s"$path/postings")
+    val man = RunManifest.read(spark, path)
+    def tbl(t: String): DataFrame = man match {
+      case Some(m) => RunManifest.readRuns(spark, path, t, m.live)
+      case None => spark.read.parquet(s"$path/$t")
+    }
+    val postings = tbl("postings")
       .where(col("term").isInCollection(terms))
     // merge the per-append partials (a handful of rows) at probe time
-    val dfs = spark.read.parquet(s"$path/dfs")
+    val dfs = tbl("dfs")
       .where(col("term").isInCollection(terms))
       .groupBy("term").agg(sum("dft").as("dft"))
-    val stats = spark.read.parquet(s"$path/stats")
+    val stats = tbl("stats")
       .agg(sum("n_docs").as("n_docs"),
         (sum("sum_dl") / sum("n_docs")).as("avgdl"))
     postings.join(broadcast(dfs), "term")

@@ -87,9 +87,16 @@ object Dedup {
     * stats surface as Long.MaxValue estimates => gate says no (the
     * scale-safe direction).
     */
-  def shingleBroadcastFits(sh: DataFrame): Boolean =
-    sh.queryExecution.optimizedPlan.stats.sizeInBytes <=
-      BigInt(broadcastBudget(sh.sparkSession))
+  def shingleBroadcastFits(sh: DataFrame): Boolean = broadcastFits(sh)
+
+  /** The same free, scale-safe gate for ANY candidate broadcast side
+    * (e.g. a vocabulary-sized document-frequency table): hint only
+    * when the Catalyst size estimate fits [[broadcastBudget]]; unknown
+    * estimates (Long.MaxValue) say no.
+    */
+  def broadcastFits(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes <=
+      BigInt(broadcastBudget(df.sparkSession))
 
   /** Fetch both sides' shingle sets for candidate (ida, idb) pairs:
     * returns (ida, idb, sha, shb). The shared join shape behind every
@@ -482,6 +489,15 @@ object Dedup {
       subdir: Option[Long] = None): Unit = {
     val spark = batch.sparkSession
     val root = lshRoot(spark, dir)
+    // an EMPTY batch must not write at all: on creation, partitionBy
+    // of zero rows leaves bands/ with no data files and the next
+    // probe's read dies on schema inference; on a subdir append the
+    // bloom roll re-reads the just-written (file-less) subtree and
+    // dies the same way. Skipping is replay-safe — the batch is a
+    // deterministic function of its input, so a replay recomputes
+    // empty and skips again. The isEmpty check is a limit-1 job over
+    // an (in the funnel) already-checkpointed frame.
+    if (batch.isEmpty) return
     val sh = shingled(batch, idCol, textCol)
     val meta = readLshMeta(spark, dir)
     meta.foreach { m =>
@@ -514,29 +530,48 @@ object Dedup {
           else "flat"} layout — use subdir=${if (hasBatchDirs) "Some(id)"
           else "None"} for ALL appends to one index")
     }
-    val (bandsPath, shinglesPath, mode) = subdir match {
-      case Some(id) =>
-        (s"$root/bands/batch=$id", s"$root/shingles/batch=$id", "overwrite")
-      case None => (s"$root/bands", s"$root/shingles", "append")
-    }
-    val batchBands = bandRows(sh, bands, rowsPerBand, prefixes)
-    batchBands
-      .repartition(col("bp"))
-      .write.mode(mode).partitionBy("bp").parquet(bandsPath)
-    sh.withColumn("sp", pmod(hash(col("doc_id")), lit(prefixes)))
-      .repartition(col("sp"))
-      .write.mode(mode).partitionBy("sp").parquet(shinglesPath)
     subdir match {
-      // subdir appends read their own just-written subtree back
-      // (batch-sized, no re-shingle); a flat append must NOT read the
-      // shared bands path — that would re-bloom the whole history per
-      // append — so it pays one extra batch shingle pass instead
-      case Some(_) => rollLshBloom(spark, root, bandsPath, subdir)
-      case None => RollingBloom.roll(spark, s"$root/keybloom", batchBands,
-        "bkey", None, lshBloomCapacity(spark), lshBloomFpp(spark))
+      case Some(id) =>
+        // streaming run: UNPARTITIONED — micro-batches sit far below
+        // the prefix-partition size target, so per-batch bp/sp
+        // partitioning bought no pruning and cost two shuffles + a
+        // small-file fan-out per batch; tier folds rewrite merged
+        // runs prefix-partitioned instead ([[maintainLshIndex]])
+        val bandsPath = RunManifest.runPath(root, "bands", id)
+        RunManifest.sizedWrite(
+          sh.select(
+            col("doc_id"),
+            explode(org.apache.spark.sql.graftx.MinHashBands.column(
+              col("shs"), bands, rowsPerBand)).as("bkey")),
+          bandsPath)
+        RunManifest.sizedWrite(sh.select("doc_id", "shs"),
+          RunManifest.runPath(root, "shingles", id))
+        // read the just-written run back for the bloom roll
+        // (batch-sized, no re-shingle)
+        rollLshBloom(spark, root, bandsPath, subdir)
+        if (meta.isEmpty)
+          writeLshMeta(spark, root,
+            LshIndexMeta(prefixes, bands, rowsPerBand))
+        RunManifest.addRun(spark, root, Seq("bands", "shingles"), id,
+          meta.map(_.prefixes))
+      case None =>
+        val batchBands = bandRows(sh, bands, rowsPerBand, prefixes)
+        batchBands
+          .repartition(col("bp"))
+          .write.mode("append").partitionBy("bp").parquet(s"$root/bands")
+        sh.withColumn("sp", pmod(hash(col("doc_id")), lit(prefixes)))
+          .repartition(col("sp"))
+          .write.mode("append").partitionBy("sp")
+          .parquet(s"$root/shingles")
+        // a flat append must NOT read the shared bands path back —
+        // that would re-bloom the whole history per append — so it
+        // pays one extra batch shingle pass instead
+        RollingBloom.roll(spark, s"$root/keybloom", batchBands,
+          "bkey", None, lshBloomCapacity(spark), lshBloomFpp(spark))
+        if (meta.isEmpty)
+          writeLshMeta(spark, root,
+            LshIndexMeta(prefixes, bands, rowsPerBand))
     }
-    if (meta.isEmpty)
-      writeLshMeta(spark, root, LshIndexMeta(prefixes, bands, rowsPerBand))
   }
 
   private def exists(spark: org.apache.spark.sql.SparkSession,
@@ -620,25 +655,44 @@ object Dedup {
     // the survivors are ~the true collisions (+fpp), typically a tiny
     // fraction of the batch — and THEIR prefixes drive the prune, so
     // probe I/O tracks actual match density, not batch or index size.
-    val probeKeys = readLshBloomBroadcast(spark, dir, excludeBatch) match {
+    val bloom = readLshBloomBroadcast(spark, dir, excludeBatch)
+    val probeKeys = bloom match {
       case Some(b) if meta.isDefined =>
         val mightContain = udf((k: Long) => b.value.mightContainLong(k))
         batchBands.where(mightContain(col("bkey")))
       case _ => batchBands
     }
-    val raw = dropOwnBatch(spark.read.parquet(s"$dir/bands"), excludeBatch)
-    val bandsIdx = meta match {
-      case Some(m) =>
-        // collect_set, not distinct().collect(): the <= prefixes-sized
-        // set reduces through one partial+final agg instead of a
-        // 32-partition exchange plus a 32-partition result fetch —
-        // this collect is the probe's first job (it also materializes
-        // the batch persists), so its stage count is pure fixed
-        // overhead per micro-batch
-        val touched = touchedPrefixes(probeKeys,
-          pmod(hash(col("bkey")), lit(m.prefixes)))
-        raw.where(col("bp").isin(touched: _*))
-      case None => raw
+    def emptyPairs: DataFrame = batchBands
+      .select(col("doc_id").as("batch_id"), col("doc_id").as("corpus_id"))
+      .where(lit(false))
+    val bandsIdx = RunManifest.read(spark, dir) match {
+      case Some(man) =>
+        val runs = man.live.filterNot(r => excludeBatch.contains(r.id))
+        if (runs.isEmpty) return emptyPairs
+        // ONE job: bloom-survivor count plus the touched-prefix set
+        // per modulus group (merged runs carry their own recorded
+        // modulus; unpartitioned append runs are read whole — they
+        // are micro-batch-sized by construction). The collect is the
+        // probe's first job (it also materializes the batch
+        // persists), so its stage count is fixed per micro-batch.
+        val (nSusp, touched) = RunManifest.touchedSets(
+          probeKeys, col("bkey"), runs.flatMap(_.prefixes))
+        // fast path: no batch key exists anywhere in the index — skip
+        // the bands read and the candidate join entirely
+        if (bloom.isDefined && nSusp == 0L) return emptyPairs
+        RunManifest.readData(spark, dir, "bands", runs,
+          Seq("doc_id", "bkey"), "bp", m => touched.getOrElse(m, Nil))
+      case None =>
+        // legacy (pre-manifest) layout: glob + recorded-modulus prune
+        val raw = dropOwnBatch(spark.read.parquet(s"$dir/bands"),
+          excludeBatch)
+        meta match {
+          case Some(m) =>
+            val touched = touchedPrefixes(probeKeys,
+              pmod(hash(col("bkey")), lit(m.prefixes)))
+            raw.where(col("bp").isin(touched: _*))
+          case None => raw
+        }
     }
     bandsIdx
       .join(probeKeys.withColumnRenamed("doc_id", "batch_id"), "bkey")
@@ -659,13 +713,30 @@ object Dedup {
       cand: DataFrame, meta: Option[LshIndexMeta],
       excludeBatch: Option[Long]): DataFrame = {
     val dir = IndexLifecycle.resolveRoot(spark, dir0)
-    val raw = dropOwnBatch(spark.read.parquet(s"$dir/shingles"), excludeBatch)
-    meta match {
-      case Some(m) =>
-        val touched = touchedPrefixes(cand,
-          pmod(hash(col("corpus_id")), lit(m.prefixes)))
-        raw.where(col("sp").isin(touched: _*))
-      case None => raw
+    RunManifest.read(spark, dir) match {
+      case Some(man) =>
+        val runs = man.live.filterNot(r => excludeBatch.contains(r.id))
+        if (runs.isEmpty)
+          // no live index rows => no candidates either; an empty frame
+          // with the shingle schema keeps the verify join well-typed
+          return cand.where(lit(false)).select(
+            col("corpus_id").as("doc_id"),
+            org.apache.spark.sql.graftx.TextShingles.column(lit(""))
+              .as("shs"))
+        val (_, touched) = RunManifest.touchedSets(
+          cand, col("corpus_id"), runs.flatMap(_.prefixes))
+        RunManifest.readData(spark, dir, "shingles", runs,
+          Seq("doc_id", "shs"), "sp", m => touched.getOrElse(m, Nil))
+      case None =>
+        val raw = dropOwnBatch(spark.read.parquet(s"$dir/shingles"),
+          excludeBatch)
+        meta match {
+          case Some(m) =>
+            val touched = touchedPrefixes(cand,
+              pmod(hash(col("corpus_id")), lit(m.prefixes)))
+            raw.where(col("sp").isin(touched: _*))
+          case None => raw
+        }
     }
   }
 
@@ -708,9 +779,90 @@ object Dedup {
     * history under `batch=<id>` and exclude all of it. Returns -1 if
     * only the excluded batch exists (nothing to fold).
     */
+  /** The LSH merge for one fold group: bands + shingles rewritten
+    * hash-prefix-partitioned at a modulus derived from the MERGED size
+    * (conf wins) — the probe's pruning upgrades as the index grows
+    * without a global rewrite.
+    */
+  private def mergeLshRuns(spark: org.apache.spark.sql.SparkSession,
+      root: String)(runs: Seq[RunManifest.Run], newId: Long)
+      : Option[Int] = {
+    val prefixes = spark.conf.getOption("spark.graft.lsh.indexPrefixes")
+      .map(_.toInt).orElse(IndexLifecycle.derivePrefixesForRun(spark,
+        BigInt(runs.map(_.bytes).sum)))
+    val bands = RunManifest.readData(spark, root, "bands", runs,
+      Seq("doc_id", "bkey"))
+    val shingles = RunManifest.readData(spark, root, "shingles", runs,
+      Seq("doc_id", "shs"))
+    prefixes match {
+      case Some(p) =>
+        bands.withColumn("bp", pmod(hash(col("bkey")), lit(p)))
+          .repartition(col("bp"))
+          .write.mode("overwrite").partitionBy("bp")
+          .parquet(RunManifest.runPath(root, "bands", newId))
+        shingles.withColumn("sp", pmod(hash(col("doc_id")), lit(p)))
+          .repartition(col("sp"))
+          .write.mode("overwrite").partitionBy("sp")
+          .parquet(RunManifest.runPath(root, "shingles", newId))
+      case None =>
+        RunManifest.sizedWrite(bands,
+          RunManifest.runPath(root, "bands", newId))
+        RunManifest.sizedWrite(shingles,
+          RunManifest.runPath(root, "shingles", newId))
+    }
+    prefixes
+  }
+
+  /** One TIERED maintenance cycle over a streaming-layout LSH index
+    * ([[RunManifest.tierMaintain]]): folds only the run tiers whose
+    * member count tripped the threshold — per-cycle work proportional
+    * to data appended since the last cycle; the key bloom is untouched
+    * (a fold moves keys between files, the key SET is unchanged).
+    * Returns the number of fold groups committed.
+    */
+  def maintainLshIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, excludeFrom: Long = Long.MaxValue): Int = {
+    val root = lshRoot(spark, dir)
+    if (!exists(spark, s"$root/bands")) return 0
+    RunManifest.ensureStreaming(spark, root, Seq("bands", "shingles"),
+        readLshMeta(spark, root).map(_.prefixes)) match {
+      case Some(_) => RunManifest.tierMaintain(spark, root,
+        Seq("bands", "shingles"), excludeFrom)(mergeLshRuns(spark, root))
+      case None => 0 // flat (writeLshIndex) layout: already one tree
+    }
+  }
+
   def compactLshIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, excludeBatch: Option[Long] = None): Long = {
     val root = lshRoot(spark, dir)
+    RunManifest.read(spark, root).foreach { _ =>
+      // manifest index: the deep fold commits in place by manifest
+      // swap — same reader atomicity as the generation pointer, no
+      // tree copy. Record the fold's modulus in the meta (the
+      // compaction-re-derives contract) and rebuild the key bloom
+      // from the folded bands (fpp-drift reset + auto-size upgrade —
+      // the step tiered maintenance deliberately skips).
+      val excludeFrom = excludeBatch.getOrElse(Long.MaxValue)
+      val meta = readLshMeta(spark, root).getOrElse(
+        throw new IllegalArgumentException(s"$dir has no _graft_lsh_meta"))
+      RunManifest.foldAll(spark, root, Seq("bands", "shingles"),
+        excludeFrom)(mergeLshRuns(spark, root))
+      val man = RunManifest.read(spark, root).get
+      val fold = man.live.filter(_.id < excludeFrom)
+      fold.flatMap(_.prefixes).headOption.foreach { p =>
+        writeLshMeta(spark, root, LshIndexMeta(p, meta.bands,
+          meta.rowsPerBand))
+      }
+      if (fold.nonEmpty) {
+        RollingBloom.clear(spark, s"$root/keybloom")
+        RollingBloom.roll(spark, s"$root/keybloom",
+          RunManifest.readData(spark, root, "bands", man.live,
+            Seq("bkey")),
+          "bkey", Some(fold.map(_.id).min), lshBloomCapacity(spark),
+          lshBloomFpp(spark))
+      }
+      return fold.map(_.id).maxOption.getOrElse(-1L)
+    }
     val bandsDir = new org.apache.hadoop.fs.Path(s"$root/bands")
     val fs = bandsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ids = fs.listStatus(bandsDir).toSeq.map(_.getPath.getName)

@@ -115,6 +115,25 @@ object IndexLifecycle {
     math.min(65536L, math.max(16L, pow2)).toInt
   }
 
+  /** Modulus for a MERGED run in the tiered lifecycle
+    * ([[RunManifest]]): None below one [[prefixTargetBytes]] worth of
+    * data — partitioning a small run only multiplies file count while
+    * a probe reads it whole anyway — else the next power of two of
+    * bytes/target, capped. No 16-floor here (that floor exists to keep
+    * whole-index plan shapes stable); per-run moduli are recorded in
+    * the manifest, so each run prunes at exactly its own scale.
+    */
+  def derivePrefixesForRun(spark: SparkSession,
+      bytes: BigInt): Option[Int] = {
+    if (bytes <= 0 || bytes > (BigInt(1L) << 50)) return None
+    val target = prefixTargetBytes(spark)
+    val raw = ((bytes + target - 1) / target).toLong
+    if (raw <= 1L) None
+    else Some(math.min(65536L,
+      java.lang.Long.highestOneBit(raw) *
+        (if (java.lang.Long.bitCount(raw) > 1) 2L else 1L)).toInt)
+  }
+
   /** Recursive on-disk byte size of `path` (0 if absent) — the REAL
     * size compaction re-derives the modulus from.
     */
@@ -128,6 +147,11 @@ object IndexLifecycle {
 
   private val pointerName = "_graft_current"
   private val genPrefix = "gen-"
+  // present when compactInto RETAINED the legacy root-level entries as
+  // the oldest snapshot: they serve in-flight readers that resolved the
+  // legacy root before the first commit, but they are NOT live data —
+  // resolveRoot must not fall back to them when the pointer is missing
+  private val legacyRetainedName = "_graft_legacy_retained"
 
   /** Keep the previous generation after a compaction commit (default
     * true — a reader that resolved the old generation mid-compaction
@@ -139,6 +163,21 @@ object IndexLifecycle {
   def keepPreviousGeneration(spark: SparkSession): Boolean =
     spark.conf.getOption("spark.graft.index.keepPreviousGeneration")
       .forall(_.toBoolean)
+
+  /** Number of PREVIOUS generations retained after a compaction commit
+    * — `spark.graft.index.keepGenerations`, default 1 (equivalent to
+    * `keepPreviousGeneration=true`; that boolean still works and maps
+    * to 1/0 when this conf is unset). `N` covers a reader whose query
+    * spans up to N compaction cycles: it keeps reading intact files
+    * even if N commits land mid-query. `0` reclaims everything but the
+    * new generation at commit. The same count also sets how many
+    * maintenance cycles a folded run lingers before deletion in the
+    * tiered-run lifecycle ([[RunManifest]]).
+    */
+  def keepGenerations(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.index.keepGenerations")
+      .map(_.toInt.max(0))
+      .getOrElse(if (keepPreviousGeneration(spark)) 1 else 0)
 
   /** The physical root of the index's CURRENT data: `<dir>/gen-<n>`
     * when the generation pointer exists, `dir` itself otherwise (the
@@ -164,9 +203,11 @@ object IndexLifecycle {
           val gens = listGens(spark, dir)
           if (gens.isEmpty) return dir
           val d = new Path(dir)
-          val hasLegacy = fsOf(spark, d).listStatus(d)
-            .map(_.getPath.getName)
-            .exists(n => !n.startsWith(genPrefix) &&
+          val names = fsOf(spark, d).listStatus(d).map(_.getPath.getName)
+          // a retained-snapshot marker means the legacy entries are a
+          // superseded generation, not live data — never resolve there
+          val hasLegacy = !names.contains(legacyRetainedName) &&
+            names.exists(n => !n.startsWith(genPrefix) &&
               !n.startsWith(pointerName))
           if (hasLegacy) return dir
           if (attempt >= 3) throw new IllegalStateException(
@@ -202,14 +243,15 @@ object IndexLifecycle {
     * COMPLETE index tree there (data, metas, blooms — everything
     * [[resolveRoot]]-relative); it reads the current data via
     * [[resolveRoot]] as usual. The commit is one atomic rename of the
-    * pointer file; afterwards generations older than the previous are
-    * always deleted, the previous one too unless
-    * [[keepPreviousGeneration]], and — on the FIRST compaction only —
-    * the legacy root-level entries matched by `legacyEntry` are
-    * removed (the one transition where in-flight readers of the old
-    * layout lose their files; every later compaction is fully
-    * reader-safe). Single writer by contract, like every index
-    * mutation here.
+    * pointer file; afterwards only the newest [[keepGenerations]]
+    * previous generations are retained (plus any stale partial from a
+    * crashed build is always removed). The legacy root-level entries
+    * matched by `legacyEntry` count as the OLDEST generation: with
+    * retention on they survive the first compaction(s) and are removed
+    * only once the retention window is full of real generations — so
+    * even the legacy→gen transition never strands an in-flight reader
+    * of the old layout (r12's one reader-unsafe step, closed). Single
+    * writer by contract, like every index mutation here.
     */
   def compactInto(spark: SparkSession, dir: String)
       (legacyEntry: String => Boolean)(build: String => Unit): Long = {
@@ -236,19 +278,30 @@ object IndexLifecycle {
       require(fs.rename(tmp, ptr), s"pointer commit failed for $dir")
     }
     // cleanup: keep the new generation plus (per retention conf) the
-    // previously COMMITTED one — everything else goes, including any
-    // stale partial from a crashed build (whose number may sit ABOVE
-    // the committed generation, so a numeric floor would wrongly
-    // prefer it over the live previous gen)
-    val keep: Set[Long] =
-      if (keepPreviousGeneration(spark)) Set(next) ++ cur.toSet
-      else Set(next)
+    // newest N previously COMMITTED ones — everything else goes,
+    // including any stale partial from a crashed build (whose number
+    // may sit ABOVE the committed generation, so a numeric floor would
+    // wrongly prefer it over the live previous gens). Only gens <= the
+    // just-superseded committed one count as real history.
+    val n = keepGenerations(spark)
+    val prevKept = listGens(spark, dir)
+      .filter(g => cur.exists(g <= _)).sorted.reverse.take(n)
+    val keep: Set[Long] = Set(next) ++ prevKept
     listGens(spark, dir).filterNot(keep)
       .foreach(g => fs.delete(new Path(s"$dir/$genPrefix$g"), true))
-    if (cur.isEmpty || !keepPreviousGeneration(spark))
+    // the legacy root-level entries are the OLDEST snapshot: delete
+    // them only once the retention window holds n REAL generations
+    // (n=0 deletes at the first commit, matching no-retention mode).
+    // While retained they carry a marker so resolveRoot never mistakes
+    // them for live data if the pointer goes missing.
+    if (prevKept.size >= n) {
       fs.listStatus(d).map(_.getPath).foreach { p =>
         if (legacyEntry(p.getName)) fs.delete(p, true)
       }
+      fs.delete(new Path(s"$dir/$legacyRetainedName"), false)
+    } else if (cur.isEmpty &&
+        fs.listStatus(d).exists(s => legacyEntry(s.getPath.getName)))
+      writeProps(spark, s"$dir/$legacyRetainedName", Seq("gen" -> "legacy"))
     next
   }
 

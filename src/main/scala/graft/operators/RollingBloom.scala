@@ -43,7 +43,10 @@ object RollingBloom {
     */
   private val baseGensKept = 2
 
-  private val snapRe = "bloom-(\\d+)\\.bin".r
+  // batch ids may be NEGATIVE (folded-run labels from the tiered
+  // lifecycle — chosen so no stream batch's excludeBatch can ever
+  // drop them); "bloom-base*" names stay disjoint from "bloom--3.bin"
+  private val snapRe = "bloom-(-?\\d+)\\.bin".r
   private val baseRe = "bloom-base(?:-(\\d+))?\\.bin".r
 
   /** (isBatch, id/gen) of every snapshot in `dir`; legacy suffix-less
@@ -161,10 +164,17 @@ object RollingBloom {
           .collect { case (false, g) => g }
         (false, if (gens.isEmpty) 0L else gens.max + 1L)
     }
+    // record the geometry BEFORE the snapshot lands: a crash between
+    // the two writes must never leave an auto-sized snapshot with no
+    // meta — the next roll's fallback would pick the legacy capacity
+    // and every subsequent mergeInPlace would throw until the
+    // directory was cleared by hand (meta-with-no-snapshot, the other
+    // crash order, is harmless: the next roll just uses the recorded
+    // geometry for its first snapshot)
+    if (readMeta(spark, dir).isEmpty) writeMeta(fs, dir, cap, f)
     val p = snapPath(dir, snap)
     val out = fs.create(p, true)
     try merged.writeTo(out) finally out.close()
-    if (readMeta(spark, dir).isEmpty) writeMeta(fs, dir, cap, f)
     if (!snap._1) pruneBaseGens(fs, dir, snap._2)
   }
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.operators.{Dedup, IndexLifecycle, RollingBloom}
+import graft.operators.{Dedup, IndexLifecycle, RollingBloom, RunManifest}
 import graft.pipeline.CorpusPipeline
 
 /** The corpus funnel as ONE incremental streaming program — the shape
@@ -22,12 +22,19 @@ import graft.pipeline.CorpusPipeline
   *     -> (optional) survivors appended to the persisted BM25 text
   *        index — the retrieval artifact rides the same foreachBatch
   *
-  * Maintenance is part of the program: [[attach]] auto-compacts the
-  * cross-batch state every [[compactEvery]] batches (generation-
-  * pointer commits — [[graft.operators.IndexLifecycle]] — so probes
-  * racing a compaction never see an absent or half-built index), with
-  * the in-flight batch's subtrees held aside so an at-least-once
-  * replay of that trigger stays idempotent.
+  * Maintenance is part of the program: every [[compactEvery]] batches
+  * [[attach]] runs one TIERED maintenance cycle over the cross-batch
+  * state ([[maintain]] — [[graft.operators.RunManifest]]'s LSM-style
+  * run folds, committed by atomic manifest swap so probes racing a
+  * fold never see an absent, half-built or double-counted index), by
+  * default on a BACKGROUND thread so ingest never stalls for it.
+  * Per-cycle maintenance work is proportional to the data appended
+  * since the last cycle, not to the accumulated index (r12 rewrote
+  * the whole index every cycle — O(index) per pass, quadratic over
+  * the ingest lifetime); runs at or above the in-flight trigger id
+  * are never folded, so an at-least-once replay of that trigger stays
+  * idempotent. [[compact]] (the full generation-commit rewrite)
+  * remains the manual deep-OPTIMIZE.
   *
   * Every batch does BATCH-SIZED work: the cross-batch state lives in
   * two persisted, append-only indexes (md5 hash table, LSH bands +
@@ -120,17 +127,28 @@ object StreamingFunnel {
     // ingest-order watermark: batches before this one (replay-safe:
     // own batch id excluded) — arrivals below it are out of order.
     // Every cross-batch dir resolves through IndexLifecycle: identity
-    // until the first compaction, the current generation after.
+    // until the first full compaction, the current generation after;
+    // within a root, the run MANIFEST (when present) names the exact
+    // live run set — folded-away runs linger on disk for in-flight
+    // readers and must not be re-read.
     IndexLifecycle.recoverLegacySwap(spark, s"$indexDir/hashes")
     IndexLifecycle.recoverLegacySwap(spark, s"$indexDir/ingest")
     val ingestDir =
       IndexLifecycle.resolveRoot(spark, s"$indexDir/ingest")
-    val prevMax: Option[Long] =
-      if (!exists(spark, ingestDir)) None
-      else spark.read.parquet(ingestDir)
-        .where(col("batch") =!= lit(batchId))
-        .agg(max("max_id")).collect().headOption
-        .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    val ingestSrc: Option[DataFrame] = RunManifest.read(spark, ingestDir)
+      .map(_.live.filterNot(_.id == batchId)) match {
+        case Some(runs) =>
+          if (runs.isEmpty) None
+          else Some(RunManifest.readData(spark, ingestDir, "", runs,
+            Seq("max_id")))
+        case None =>
+          if (!exists(spark, ingestDir)) None
+          else Some(spark.read.parquet(ingestDir)
+            .where(col("batch") =!= lit(batchId)).select("max_id"))
+      }
+    val prevMax: Option[Long] = ingestSrc
+      .flatMap(_.agg(max("max_id")).collect().headOption)
+      .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
     val ord = batch.agg(
       count(lit(1)), min("doc_id"), max("doc_id"),
       coalesce(sum((col("doc_id") < lit(prevMax.getOrElse(Long.MinValue)))
@@ -156,7 +174,37 @@ object StreamingFunnel {
     val hashDir = IndexLifecycle.resolveRoot(spark, s"$indexDir/hashes")
     val inBatch = CorpusPipeline.exactDeduped(qual)
       .withColumn("_h", md5(col("text"))).persist()
-    val exact = (if (exists(spark, hashDir)) {
+    val hashRuns = RunManifest.read(spark, hashDir)
+      .map(_.live.filterNot(_.id == batchId))
+    val exact = (hashRuns match {
+      case Some(runs) if runs.nonEmpty =>
+        val bloom = RollingBloom.readBroadcast(spark,
+          s"$indexDir/hashbloom", Some(batchId))
+        val suspects = bloom match {
+          case Some(b) =>
+            val mc = udf((h: String) => b.value.mightContainString(h))
+            inBatch.where(mc(col("_h")))
+          case None => inBatch
+        }
+        // ONE job: suspect count + the touched-prefix set per modulus
+        // group (merged runs carry their own recorded modulus; append
+        // runs are unpartitioned and read whole — they are
+        // micro-batch-sized by construction)
+        val (nSusp, touched) = RunManifest.touchedSets(
+          suspects, col("_h"), runs.flatMap(_.prefixes))
+        if (bloom.isDefined && nSusp == 0L)
+          // fast path: the bloom (no false negatives) proves no batch
+          // digest exists in history — skip the index read AND the
+          // anti-join entirely
+          inBatch
+        else {
+          val idx = RunManifest.readData(spark, hashDir, "", runs,
+            Seq("_h"), "hp", m => touched.getOrElse(m, Nil))
+          inBatch.join(idx, Seq("_h"), "left_anti")
+        }
+      case Some(_) => inBatch // only this batch's own run (replay)
+      case None if exists(spark, hashDir) =>
+        // legacy (pre-manifest) layout: glob + recorded-modulus prune
         val idx0 = spark.read.parquet(hashDir)
           .where(col("batch") =!= lit(batchId))
         val idx = (RollingBloom.readBroadcast(spark, s"$indexDir/hashbloom",
@@ -164,8 +212,6 @@ object StreamingFunnel {
           case (Some(b), Some(p))
               if idx0.schema.fieldNames.contains("hp") =>
             val mc = udf((h: String) => b.value.mightContainString(h))
-            // one partial+final collect_set — same bounded-prefix
-            // discipline as the LSH probe's touched-bp collect
             val touched = inBatch.where(mc(col("_h")))
               .select(pmod(hash(col("_h")), lit(p)).as("hp"))
               .agg(collect_set(col("hp"))).collect()(0).getSeq[Int](0)
@@ -173,8 +219,8 @@ object StreamingFunnel {
           case _ => idx0
         }
         inBatch.join(idx.select("_h"), Seq("_h"), "left_anti")
-      } else inBatch)
-      .localCheckpoint(true)
+      case None => inBatch
+    }).localCheckpoint(true)
     writeHashBatch(exact.select("_h"), indexDir, batchId)
     val nExact = exact.count()
     val docs = exact.drop("_h")
@@ -226,6 +272,7 @@ object StreamingFunnel {
     Seq((ord.getLong(1), ord.getLong(2))).toDF("min_id", "max_id")
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$ingestDir/batch=$batchId")
+    RunManifest.addRun(spark, ingestDir, Seq(""), batchId, None)
     BatchStats(batchId, nInput, nLang, nQuality, nExact, nNear,
       (System.nanoTime() - t0) / 1000000, nOutOfOrder)
   }
@@ -253,57 +300,137 @@ object StreamingFunnel {
       .flatMap(_.get("prefixes")).map(_.toInt)
   }
 
-  /** Write one batch's digests into the hash index: hp-prefix
-    * partitioned under its own overwrite-on-replay `batch=<id>`
-    * subtree, plus the rolling bloom snapshot. The unit the replay
+  /** Write one batch's digests into the hash index: an UNPARTITIONED
+    * run under its own overwrite-on-replay `batch=<id>` subtree
+    * (micro-batches sit far below the prefix-partition size target, so
+    * per-batch prefix partitioning bought no pruning and cost a
+    * shuffle + a fan-out of small files per batch — tier folds rewrite
+    * the merged runs prefix-partitioned instead), plus the rolling
+    * bloom snapshot and the run-manifest entry. The unit the replay
     * spec also drives directly to simulate a half-written crash.
     */
   def writeHashBatch(hashes: DataFrame, indexDir: String,
       batchId: Long): Unit = {
     val spark = hashes.sparkSession
     val hashDir = IndexLifecycle.resolveRoot(spark, s"$indexDir/hashes")
-    val prefixes = readHashPrefixes(spark, hashDir).getOrElse {
-      // first write: conf, else derived from this batch's estimate
-      // (floor 16 for any realistic micro-batch — compaction later
-      // re-derives from the ACCUMULATED ledger, upgrading the modulus
-      // as the corpus grows)
-      val n = Dedup.lshPrefixesFor(hashes)
-      IndexLifecycle.writeProps(spark, s"$hashDir/_graft_hash_meta",
-        Seq("prefixes" -> n.toString))
-      n
-    }
-    val path = s"$hashDir/batch=$batchId"
-    hashes.select(col("_h"))
-      .withColumn("hp", pmod(hash(col("_h")), lit(prefixes)))
-      .repartition(col("hp"))
-      .write.mode(SaveMode.Overwrite).partitionBy("hp").parquet(path)
-    RollingBloom.roll(spark, s"$indexDir/hashbloom",
-      spark.read.parquet(path), "_h", Some(batchId),
-      hashBloomCapacity(spark), 0.03)
+    // an EMPTY batch must not write at all: zero-row writes leave a
+    // run with no data files and later reads die on schema inference.
+    // Replays recompute empty and skip again, so idempotency holds.
+    if (hashes.isEmpty) return
+    val keys = hashes.select(col("_h"))
+    RunManifest.sizedWrite(keys, RunManifest.runPath(hashDir, "", batchId))
+    RollingBloom.roll(spark, s"$indexDir/hashbloom", keys, "_h",
+      Some(batchId), hashBloomCapacity(spark), 0.03)
+    RunManifest.addRun(spark, hashDir, Seq(""), batchId,
+      readHashPrefixes(spark, hashDir))
   }
 
-  /** Compact the funnel's cross-batch state (maintenance, the
-    * OPTIMIZE step months of per-batch appends need — [[attach]] runs
-    * it automatically every [[compactEvery]] batches): the LSH index
-    * via [[Dedup.compactLshIndex]], the md5 hash index and the ingest
-    * watermark rewritten to one `batch=<maxSeen>` subtree each, all
-    * through [[IndexLifecycle.compactInto]]'s generation-pointer
-    * commit (live paths never absent, crash-safe at every point).
-    * Probe results are unchanged (spec-pinned); only file/directory
-    * counts shrink. Single writer by contract, between batches.
+  /** The hash-index merge for one fold group: distinct digests,
+    * rewritten hash-prefix-partitioned at a modulus derived from the
+    * MERGED size (conf wins when set) — how the probe's partition
+    * pruning upgrades as the index grows without a global rewrite.
+    */
+  private def mergeHashRuns(spark: org.apache.spark.sql.SparkSession,
+      hashRoot: String)(runs: Seq[RunManifest.Run], newId: Long)
+      : Option[Int] = {
+    val prefixes = spark.conf.getOption("spark.graft.lsh.indexPrefixes")
+      .map(_.toInt).orElse(IndexLifecycle.derivePrefixesForRun(spark,
+        BigInt(runs.map(_.bytes).sum)))
+    val merged = RunManifest.readData(spark, hashRoot, "", runs,
+      Seq("_h")).distinct()
+    val out = RunManifest.runPath(hashRoot, "", newId)
+    prefixes match {
+      case Some(p) =>
+        merged.withColumn("hp", pmod(hash(col("_h")), lit(p)))
+          .repartition(col("hp"))
+          .write.mode(SaveMode.Overwrite).partitionBy("hp").parquet(out)
+      case None => RunManifest.sizedWrite(merged, out)
+    }
+    prefixes
+  }
+
+  /** The ingest-watermark merge: the fold reduces to one row (global
+    * min/max) — the watermark only ever needs the max; min kept for
+    * the schema contract.
+    */
+  private def mergeIngestRuns(spark: org.apache.spark.sql.SparkSession,
+      ingRoot: String)(runs: Seq[RunManifest.Run], newId: Long)
+      : Option[Int] = {
+    RunManifest.readData(spark, ingRoot, "", runs, Seq("min_id", "max_id"))
+      .agg(min("min_id").as("min_id"), max("max_id").as("max_id"))
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(RunManifest.runPath(ingRoot, "", newId))
+    None
+  }
+
+  /** One TIERED maintenance cycle over the funnel's cross-batch state
+    * — what [[attach]] runs at the [[compactEvery]] cadence. Folds
+    * only the run tiers whose member count tripped the threshold
+    * ([[RunManifest.tierMaintain]]): per-cycle work is proportional to
+    * the data appended since the last cycle, large runs are left in
+    * place (their partition layout is already probe-optimal), and the
+    * commit is one atomic manifest swap per index — a probe racing the
+    * cycle reads either the old or the new run set, never a torn or
+    * double-counted one. Blooms are untouched (they are already
+    * incremental — a fold moves keys between files, the key SET is
+    * unchanged).
     *
-    * `excludeBatch` — REQUIRED when called from inside a foreachBatch
-    * (as [[attach]]'s auto-compaction does): that batch's subtrees are
-    * rewritten unchanged instead of folded, because the trigger may
-    * not have committed yet and a replay probes with its own batch id
-    * excluded — folding the whole history under `batch=<id>` would
-    * make the replay exclude ALL of it (hash + LSH probes would see an
-    * empty index; the ingest watermark would count the batch's own max
-    * and flag every replayed doc out-of-order).
+    * `excludeFrom`: runs with id >= this are never folded — inside a
+    * stream, pass the in-flight trigger id (it may not have committed;
+    * a replay probes with its own id excluded and must still find
+    * exactly the pre-batch state). Offline, pass `Long.MaxValue`.
+    *
+    * Returns the number of fold groups committed across the indexes.
+    */
+  def maintain(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, excludeFrom: Long = Long.MaxValue,
+      bm25Dir: Option[String] = None): Int = {
+    var folds = 0
+    val hashLogical = s"$indexDir/hashes"
+    IndexLifecycle.recoverLegacySwap(spark, hashLogical)
+    val hashRoot = IndexLifecycle.resolveRoot(spark, hashLogical)
+    if (RunManifest.ensureStreaming(spark, hashRoot, Seq(""),
+        readHashPrefixes(spark, hashRoot)).isDefined)
+      folds += RunManifest.tierMaintain(spark, hashRoot, Seq(""),
+        excludeFrom)(mergeHashRuns(spark, hashRoot))
+    val ingLogical = s"$indexDir/ingest"
+    IndexLifecycle.recoverLegacySwap(spark, ingLogical)
+    val ingRoot = IndexLifecycle.resolveRoot(spark, ingLogical)
+    if (RunManifest.ensureStreaming(spark, ingRoot, Seq(""), None)
+        .isDefined)
+      folds += RunManifest.tierMaintain(spark, ingRoot, Seq(""),
+        excludeFrom)(mergeIngestRuns(spark, ingRoot))
+    folds += Dedup.maintainLshIndex(spark, s"$indexDir/lsh", excludeFrom)
+    bm25Dir.foreach(d => folds +=
+      graft.operators.Bm25Index.maintainIndex(spark, d, excludeFrom))
+    folds
+  }
+
+  /** Deep-OPTIMIZE of the funnel's cross-batch state: fold EVERYTHING
+    * (except the optionally-excluded in-flight batch) into one
+    * freshly-partitioned run per index, and rebuild the rolling hash
+    * bloom from the folded digests (resetting fpp drift from
+    * replay-superseded snapshots and, for auto-sized geometry,
+    * re-sizing it to the full corpus — the one maintenance step the
+    * tiered cycle deliberately skips). O(index) by nature — run it
+    * OFFLINE from the single writer, not on a cadence; [[maintain]]
+    * is the cadence step.
+    *
+    * Pre-manifest (r12-layout) indexes take the original
+    * generation-pointer rewrite instead ([[IndexLifecycle
+    * .compactInto]]); manifest indexes commit in place by manifest
+    * swap — same reader-atomicity, no tree copy.
+    *
+    * `excludeBatch` — REQUIRED when called from inside a foreachBatch:
+    * that batch's run is left untouched because the trigger may not
+    * have committed yet and a replay probes with its own batch id
+    * excluded — folding the whole history under one id would make the
+    * replay see a torn state.
     */
   def compact(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, excludeBatch: Option[Long] = None,
       bm25Dir: Option[String] = None): Unit = {
+    val excludeFrom = excludeBatch.getOrElse(Long.MaxValue)
     def batchIds(root: String): Seq[Long] = {
       val p = new org.apache.hadoop.fs.Path(root)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -322,94 +449,169 @@ object StreamingFunnel {
     val hashLogical = s"$indexDir/hashes"
     IndexLifecycle.recoverLegacySwap(spark, hashLogical)
     val hashRoot = IndexLifecycle.resolveRoot(spark, hashLogical)
-    val hashFold = batchIds(hashRoot).filterNot(excludeBatch.contains)
-    if (hashFold.nonEmpty) {
-      val keep = hashFold.max
-      // re-derive the hp modulus from the ledger's real on-disk size
-      // (conf still wins) — same upgrade-as-it-grows rationale as
-      // compactLshIndex; compaction rewrites every row anyway
-      val prefixes = readHashPrefixes(spark, hashLogical).map { _ =>
-        spark.conf.getOption("spark.graft.lsh.indexPrefixes").map(_.toInt)
-          .getOrElse(IndexLifecycle.derivePrefixes(spark,
-            BigInt(IndexLifecycle.dirBytes(spark, hashRoot))))
-      }
-      IndexLifecycle.compactInto(spark, hashLogical)(
-        n => n.startsWith("batch=") || n == "_graft_hash_meta") { out =>
-        val (folded, held) = splitSrc(spark.read.parquet(hashRoot))
-        def writeSub(df: DataFrame, sub: Long): Unit =
-          if (df.schema.fieldNames.contains("hp") && prefixes.isDefined)
-            df.select(col("_h")).distinct()
-              .withColumn("hp",
-                pmod(hash(col("_h")), lit(prefixes.get)))
-              .repartition(col("hp"))
-              .write.mode(SaveMode.Overwrite).partitionBy("hp")
-              .parquet(s"$out/batch=$sub")
-          else df.select("_h").distinct()
-            .write.mode(SaveMode.Overwrite).parquet(s"$out/batch=$sub")
-        writeSub(folded, keep)
-        held.foreach { case (id, df) => writeSub(df, id) }
-        prefixes.foreach(n => IndexLifecycle.writeProps(spark,
-          s"$out/_graft_hash_meta", Seq("prefixes" -> n.toString)))
-      }
-      // rebuild the hash bloom fresh from the compacted digests:
-      // resets fpp drift from replay-superseded snapshots, and (auto-
-      // sized geometry) re-sizes it to the full corpus. Rolled over
-      // ALL digests (held-out batch included) under the folded keep
-      // id: a replay sees its own digests as bloom positives — weaker
-      // pruning for that one replay, never wrong results (its ROWS
-      // are still dropped by the batch-partition exclusion).
-      RollingBloom.clear(spark, s"$indexDir/hashbloom")
-      RollingBloom.roll(spark, s"$indexDir/hashbloom",
-        spark.read.parquet(IndexLifecycle.resolveRoot(spark, hashLogical)),
-        "_h", Some(keep), hashBloomCapacity(spark), 0.03)
+    RunManifest.read(spark, hashRoot) match {
+      case Some(_) =>
+        RunManifest.foldAll(spark, hashRoot, Seq(""),
+          excludeFrom)(mergeHashRuns(spark, hashRoot))
+        RunManifest.read(spark, hashRoot).foreach { man =>
+          val fold = man.live.filter(_.id < excludeFrom)
+          if (fold.nonEmpty) {
+            // rebuild the bloom from the folded digests, labeled with
+            // the merged run's id (negative — no probe's excludeBatch
+            // can ever drop it). Held-out digests are included: a
+            // replay sees its own keys as bloom positives — weaker
+            // pruning for that one replay, never wrong results.
+            RollingBloom.clear(spark, s"$indexDir/hashbloom")
+            RollingBloom.roll(spark, s"$indexDir/hashbloom",
+              RunManifest.readData(spark, hashRoot, "", man.live,
+                Seq("_h")),
+              "_h", Some(fold.map(_.id).min), hashBloomCapacity(spark),
+              0.03)
+          }
+        }
+      case None =>
+        val hashFold = batchIds(hashRoot).filterNot(excludeBatch.contains)
+        if (hashFold.nonEmpty) {
+          val keep = hashFold.max
+          // re-derive the hp modulus from the ledger's real on-disk
+          // size (conf still wins) — same upgrade-as-it-grows
+          // rationale as compactLshIndex
+          val prefixes = readHashPrefixes(spark, hashLogical).map { _ =>
+            spark.conf.getOption("spark.graft.lsh.indexPrefixes")
+              .map(_.toInt)
+              .getOrElse(IndexLifecycle.derivePrefixes(spark,
+                BigInt(IndexLifecycle.dirBytes(spark, hashRoot))))
+          }
+          IndexLifecycle.compactInto(spark, hashLogical)(
+            n => n.startsWith("batch=") || n == "_graft_hash_meta") { out =>
+            val (folded, held) = splitSrc(spark.read.parquet(hashRoot))
+            def writeSub(df: DataFrame, sub: Long): Unit =
+              if (df.schema.fieldNames.contains("hp") && prefixes.isDefined)
+                df.select(col("_h")).distinct()
+                  .withColumn("hp",
+                    pmod(hash(col("_h")), lit(prefixes.get)))
+                  .repartition(col("hp"))
+                  .write.mode(SaveMode.Overwrite).partitionBy("hp")
+                  .parquet(s"$out/batch=$sub")
+              else df.select("_h").distinct()
+                .write.mode(SaveMode.Overwrite).parquet(s"$out/batch=$sub")
+            writeSub(folded, keep)
+            held.foreach { case (id, df) => writeSub(df, id) }
+            prefixes.foreach(n => IndexLifecycle.writeProps(spark,
+              s"$out/_graft_hash_meta", Seq("prefixes" -> n.toString)))
+          }
+          RollingBloom.clear(spark, s"$indexDir/hashbloom")
+          RollingBloom.roll(spark, s"$indexDir/hashbloom",
+            spark.read.parquet(
+              IndexLifecycle.resolveRoot(spark, hashLogical)),
+            "_h", Some(keep), hashBloomCapacity(spark), 0.03)
+        }
     }
 
     val ingLogical = s"$indexDir/ingest"
     IndexLifecycle.recoverLegacySwap(spark, ingLogical)
     val ingRoot = IndexLifecycle.resolveRoot(spark, ingLogical)
-    val ingFold = batchIds(ingRoot).filterNot(excludeBatch.contains)
-    if (ingFold.nonEmpty)
-      IndexLifecycle.compactInto(spark, ingLogical)(
-        _.startsWith("batch=")) { out =>
-        // the watermark only ever needs the global max; min kept for
-        // the schema contract
-        val (folded, held) = splitSrc(spark.read.parquet(ingRoot))
-        folded.agg(min("min_id").as("min_id"), max("max_id").as("max_id"))
-          .coalesce(1).write.mode(SaveMode.Overwrite)
-          .parquet(s"$out/batch=${ingFold.max}")
-        held.foreach { case (id, df) =>
-          df.select("min_id", "max_id")
-            .coalesce(1).write.mode(SaveMode.Overwrite)
-            .parquet(s"$out/batch=$id")
-        }
-      }
+    RunManifest.read(spark, ingRoot) match {
+      case Some(_) =>
+        RunManifest.foldAll(spark, ingRoot, Seq(""),
+          excludeFrom)(mergeIngestRuns(spark, ingRoot))
+      case None =>
+        val ingFold = batchIds(ingRoot).filterNot(excludeBatch.contains)
+        if (ingFold.nonEmpty)
+          IndexLifecycle.compactInto(spark, ingLogical)(
+            _.startsWith("batch=")) { out =>
+            val (folded, held) = splitSrc(spark.read.parquet(ingRoot))
+            folded.agg(min("min_id").as("min_id"),
+                max("max_id").as("max_id"))
+              .coalesce(1).write.mode(SaveMode.Overwrite)
+              .parquet(s"$out/batch=${ingFold.max}")
+            held.foreach { case (id, df) =>
+              df.select("min_id", "max_id")
+                .coalesce(1).write.mode(SaveMode.Overwrite)
+                .parquet(s"$out/batch=$id")
+            }
+          }
+    }
 
-    Dedup.compactLshIndex(spark, s"$indexDir/lsh", excludeBatch)
-    bm25Dir.foreach(d =>
-      graft.operators.Bm25Index.compactIndex(spark, d, excludeBatch))
+    // guards for a cadence point reached before any batch wrote data
+    val lshLogical = s"$indexDir/lsh"
+    IndexLifecycle.recoverLegacySwap(spark, lshLogical)
+    if (exists(spark,
+        s"${IndexLifecycle.resolveRoot(spark, lshLogical)}/bands"))
+      Dedup.compactLshIndex(spark, lshLogical, excludeBatch)
+    bm25Dir.foreach { d =>
+      IndexLifecycle.recoverLegacySwap(spark, d)
+      if (exists(spark,
+          s"${IndexLifecycle.resolveRoot(spark, d)}/postings"))
+        graft.operators.Bm25Index.compactIndex(spark, d, excludeBatch)
+    }
   }
 
-  /** Auto-compaction cadence for [[attach]] —
+  /** Maintenance cadence for [[attach]] —
     * `spark.graft.funnel.compactEvery`, default every 10 micro-batches
-    * (the cadence the 500k-doc scaling ledger showed keeps per-batch
-    * wall flat; without ANY compaction the accumulated per-batch files
-    * grow listing cost linearly in batch count — docs/SCALING.md).
-    * `<= 0` disables, restoring compaction as a manual operator step.
+    * (without ANY maintenance the accumulated per-batch runs grow
+    * listing cost linearly in batch count — docs/SCALING.md). `<= 0`
+    * disables, restoring maintenance as a manual operator step.
     */
   def compactEvery(spark: org.apache.spark.sql.SparkSession): Int =
     spark.conf.getOption("spark.graft.funnel.compactEvery")
       .map(_.toInt).getOrElse(10)
 
+  /** What the cadence runs — `spark.graft.funnel.maintenance`:
+    * `tiered` (default — [[maintain]]'s amortized run folds), `full`
+    * (r12 behavior: [[compact]]'s whole-index rewrite every cycle —
+    * only for small deployments that want maximal read locality), or
+    * `off`.
+    */
+  def maintenanceMode(spark: org.apache.spark.sql.SparkSession): String =
+    spark.conf.getOption("spark.graft.funnel.maintenance")
+      .getOrElse("tiered")
+
+  /** Run tiered maintenance on a background thread instead of inside
+    * the foreachBatch — `spark.graft.funnel.asyncMaintenance`, default
+    * true: ingest never stalls for a fold. Safe because folds touch
+    * only runs below the trigger id, appends only create runs at or
+    * above it, and every manifest read-modify-write is locked — the
+    * single-WRITER contract holds per file even with the two threads.
+    */
+  def asyncMaintenance(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.funnel.asyncMaintenance")
+      .forall(_.toBoolean)
+
+  private lazy val maintenancePool =
+    java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+      val t = new Thread(r, "graft-funnel-maintenance")
+      t.setDaemon(true)
+      t
+    })
+  private val maintenanceInFlight = new java.util.concurrent
+    .ConcurrentHashMap[String, java.util.concurrent.Future[_]]()
+
+  /** Block until every queued background maintenance cycle finished —
+    * for harness/spec shutdown (a deployment never needs it: the
+    * manifest is consistent at every instant, and an interrupted fold
+    * just leaves unreferenced data the next cycle reclaims).
+    */
+  def drainMaintenance(): Unit = {
+    val it = maintenanceInFlight.values().iterator()
+    while (it.hasNext) {
+      try it.next().get()
+      catch { case _: java.util.concurrent.ExecutionException => () }
+    }
+  }
+
   /** Wire the funnel onto a streaming frame as a foreachBatch sink.
     * AvailableNow by default (drain the backlog, then stop — the
     * batch-parity harness shape); pass a processing-time trigger for a
     * continuously-fed deployment. Index maintenance is automatic:
-    * every [[compactEvery]] batches the cross-batch state compacts in
-    * place (we ARE between batches inside foreachBatch, which is
-    * exactly the single-writer window [[compact]] requires) — a
-    * deployment no longer degrades just because nobody scheduled the
-    * OPTIMIZE step. A replayed trigger batch at the cadence point
-    * re-runs compaction, which is result-invisible and idempotent.
+    * every [[compactEvery]] batches one tiered cycle runs (by default
+    * on the background thread, so the NEXT batch is never waiting on a
+    * fold) — a deployment no longer degrades just because nobody
+    * scheduled the OPTIMIZE step. A replayed trigger at the cadence
+    * point re-runs maintenance, which is result-invisible and
+    * idempotent; if a cycle is still running when the next cadence
+    * fires, the new trigger is skipped (the running cycle's plan
+    * already covers most of its work, and the one after catches up).
     */
   def attach(stream: DataFrame, cfg: CorpusPipeline.Config,
       indexDir: String, survivorsDir: String, checkpointDir: String,
@@ -421,14 +623,44 @@ object StreamingFunnel {
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
          id: Long) =>
-          if (!batch.isEmpty) {
+          if (!batch.isEmpty)
             onBatch(processBatch(batch.toDF(), id, cfg, indexDir,
               survivorsDir, bm25Dir))
-            val every = compactEvery(batch.sparkSession)
-            if (every > 0 && (id + 1) % every == 0)
-              compact(batch.sparkSession, indexDir,
-                excludeBatch = Some(id), bm25Dir = bm25Dir)
-          }
+          // the cadence is evaluated OUTSIDE the non-empty guard:
+          // maintenance needs no batch data, and an empty batch
+          // landing exactly on the cadence point must not defer it a
+          // full cycle (a periodic quiet source could defer it
+          // forever while run counts keep growing)
+          val spark = batch.sparkSession
+          val every = compactEvery(spark)
+          if (every > 0 && (id + 1) % every == 0)
+            maintenanceMode(spark) match {
+              case "off" => ()
+              case "full" =>
+                compact(spark, indexDir, excludeBatch = Some(id),
+                  bm25Dir = bm25Dir)
+              case _ =>
+                if (asyncMaintenance(spark)) {
+                  val prev = maintenanceInFlight.get(indexDir)
+                  if (prev == null || prev.isDone)
+                    maintenanceInFlight.put(indexDir,
+                      maintenancePool.submit(new Runnable {
+                        def run(): Unit =
+                          try maintain(spark, indexDir, id, bm25Dir)
+                          catch {
+                            case t: Throwable =>
+                              // maintenance is best-effort: a failed
+                              // fold leaves the old manifest live and
+                              // unreferenced garbage the next cycle
+                              // reclaims — never fail the stream for it
+                              System.err.println(
+                                s"[graft] background maintenance of " +
+                                  s"$indexDir failed: $t")
+                          }
+                      }))
+                } else maintain(spark, indexDir, id, bm25Dir)
+            }
+          ()
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

@@ -40,12 +40,12 @@ object TimeStreamFunnel {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val nBatches = if (args.length > 1) args(1).toInt else 50
     // compact the persisted indexes every N batches (0 = never;
-    // -1 = the AUTO path: the attach() cadence from the
-    // spark.graft.funnel.compactEvery knob, in-flight batch held out
-    // — exactly what a deployment gets with no manual maintenance) —
-    // the A/B lever for the ledger: per-batch appends grow file/dir
-    // counts linearly, so listing+open overhead creeps without
-    // maintenance
+    // -1 = the r12 AUTO path: FULL compaction at the attach() cadence,
+    // in-flight batch held out; -2 = the r13 AUTO path: TIERED
+    // maintenance at the same cadence — what attach() now runs by
+    // default) — the A/B lever for the ledger: full compaction's
+    // per-cycle cost grows with the index, tiered maintenance's with
+    // the data appended since the last cycle
     val compactEvery = if (args.length > 2) args(2).toInt else 0
     // 4th arg "bm25": also maintain the streamed BM25 text index over
     // the survivors (processBatch bm25Dir) — the full ingest program
@@ -65,6 +65,7 @@ object TimeStreamFunnel {
       .createTempDirectory("tsf-out").toString
     val bm25Dir = if (withBm25) Some(java.nio.file.Files
       .createTempDirectory("tsf-bm25").toString + "/idx") else None
+    val maintThreads = scala.collection.mutable.ArrayBuffer.empty[Thread]
     println(s"TSF start: $nBatches batches x 2 shards (10k docs each), " +
       s"index=$indexDir bm25=${bm25Dir.getOrElse("off")}")
     (0 until nBatches).foreach { b =>
@@ -89,8 +90,36 @@ object TimeStreamFunnel {
           println(f"TSF auto-compact after b=$b " +
             f"ms=${(System.nanoTime() - t0) / 1000000}")
         }
+      } else if (compactEvery == -2) {
+        val every = StreamingFunnel.compactEvery(spark)
+        if (every > 0 && (b + 1) % every == 0) {
+          val t0 = System.nanoTime()
+          val folds = StreamingFunnel.maintain(spark, indexDir,
+            excludeFrom = b.toLong, bm25Dir = bm25Dir)
+          println(f"TSF tiered-maintain after b=$b folds=$folds " +
+            f"ms=${(System.nanoTime() - t0) / 1000000}")
+        }
+      } else if (compactEvery == -3) {
+        // the attach() default: tiered maintenance on a BACKGROUND
+        // thread — per-batch wall at the cadence boundary is the
+        // decoupling evidence (ingest never stalls for a fold)
+        val every = StreamingFunnel.compactEvery(spark)
+        if (every > 0 && (b + 1) % every == 0) {
+          val bb = b
+          val t = new Thread(() => {
+            val t0 = System.nanoTime()
+            val folds = StreamingFunnel.maintain(spark, indexDir,
+              excludeFrom = bb.toLong, bm25Dir = bm25Dir)
+            println(f"TSF async-maintain after b=$bb folds=$folds " +
+              f"ms=${(System.nanoTime() - t0) / 1000000}")
+          }, s"tsf-maintain-$b")
+          t.setDaemon(false)
+          t.start()
+          maintThreads += t
+        }
       }
     }
+    maintThreads.foreach(_.join(600000))
     val total = spark.read.parquet(outDir).count()
     println(s"TSF done: $total survivors over ${nBatches * 10000} docs")
     bm25Dir.foreach { d =>
@@ -99,10 +128,9 @@ object TimeStreamFunnel {
       // probe with the corpus's own top term — the ledger shards are
       // token-renamed, so no fixed English term exists in them
       import org.apache.spark.sql.functions.{desc, sum => fsum}
-      val root = graft.operators.IndexLifecycle.resolveRoot(spark, d)
-      val n = spark.read.parquet(s"$root/stats")
+      val n = graft.operators.Bm25Index.table(spark, d, "stats")
         .agg(fsum("n_docs")).collect()(0).getDouble(0)
-      val topTerm = spark.read.parquet(s"$root/dfs")
+      val topTerm = graft.operators.Bm25Index.table(spark, d, "dfs")
         .groupBy("term").agg(fsum("dft").as("d"))
         .orderBy(desc("d")).limit(1).collect()(0).getString(0)
       val hits = graft.operators.Bm25Index.query(spark, d,

@@ -442,11 +442,36 @@ class IncrementalIndexSpec extends SparkSpec {
     val s1 = StreamingFunnel.processBatch(b1, 1L, cfg, idx, out)
     assert(s1.nExact == 5L,
       s"expected only the 5 fresh docs past exact dedup, got ${s1.nExact}")
-    // layout contract: hp partitions, meta, rolling bloom
-    val hpDirs = new java.io.File(s"$idx/hashes/batch=0")
-      .listFiles().count(_.getName.startsWith("hp="))
-    assert(hpDirs > 1, "hash batches must be hp-prefix partitioned")
-    assert(StreamingFunnel.readHashPrefixes(spark, s"$idx/hashes").isDefined)
+    // layout contract (r13): append runs are UNPARTITIONED and listed
+    // in the run manifest; hp partitioning appears when a tier fold
+    // rewrites the merged run, with its modulus recorded per run
+    val man0 = graft.operators.RunManifest.read(spark, s"$idx/hashes").get
+    assert(man0.live.map(_.id).toSet == Set(0L, 1L),
+      s"manifest must list both append runs: ${man0.live}")
+    assert(new java.io.File(s"$idx/hashes/batch=0")
+      .listFiles().count(_.getName.startsWith("hp=")) == 0,
+      "append runs should be unpartitioned (no per-batch shuffle)")
+    spark.conf.set("spark.graft.index.tierMinRuns", "2")
+    // tiny target so the merged run is big enough to PARTITION (a
+    // merged run below one target's bytes stays unpartitioned)
+    spark.conf.set("spark.graft.index.prefixTargetBytes", "256")
+    try StreamingFunnel.maintain(spark, idx)
+    finally {
+      spark.conf.unset("spark.graft.index.tierMinRuns")
+      spark.conf.unset("spark.graft.index.prefixTargetBytes")
+    }
+    val man1 = graft.operators.RunManifest.read(spark, s"$idx/hashes").get
+    val merged = man1.live.find(_.id < 0)
+    assert(merged.exists(_.prefixes.exists(_ > 1)),
+      s"fold must record the merged run's modulus: ${man1.live}")
+    assert(new java.io.File(s"$idx/hashes/batch=${merged.get.id}")
+      .listFiles().count(_.getName.startsWith("hp=")) > 1,
+      "merged run must be hp-prefix partitioned")
+    // and the folded index still kills repeats: batch 2 re-offers b0
+    val s2 = StreamingFunnel.processBatch(
+      b0.withColumn("doc_id", col("doc_id") + 300L), 2L, cfg, idx, out)
+    assert(s2.nExact == 0L,
+      s"merged-run probe lost matches: ${s2.nExact} survived")
     val bf = graft.operators.RollingBloom.read(spark, s"$idx/hashbloom")
     assert(bf.isDefined, "hash bloom snapshot missing")
     // the screen: digests never ingested mostly fail the bloom
@@ -487,14 +512,29 @@ class IncrementalIndexSpec extends SparkSpec {
     def probeRows(idx: String) = Dedup
       .dedupAgainstIndex(probe, "doc_id", "text", s"$idx/lsh", 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // count the LIVE runs only (manifest): retention keeps folded runs
+    // and superseded snapshots around for in-flight readers, so the
+    // raw directory total is live + retained by design
+    def liveCount(idx: String): Int =
+      Seq("hashes" -> Seq(""), "lsh" -> Seq("bands", "shingles"),
+        "ingest" -> Seq("")).map { case (t, tables) =>
+        val root = graft.operators.IndexLifecycle
+          .resolveRoot(spark, s"$idx/$t")
+        graft.operators.RunManifest.read(spark, root) match {
+          case Some(m) => m.live.flatMap(r => tables.map(tb =>
+            fileCount(graft.operators.RunManifest
+              .runPath(root, tb, r.id)))).sum
+          case None => fileCount(root)
+        }
+      }.sum
     val before = probeRows(idxB)
-    val filesBefore = fileCount(idxB)
+    val filesBefore = liveCount(idxB)
     StreamingFunnel.compact(spark, idxB)
     assert(probeRows(idxB) == before,
       "compaction changed probe results")
-    val filesAfter = fileCount(idxB)
+    val filesAfter = liveCount(idxB)
     assert(filesAfter < filesBefore,
-      s"compaction did not shrink file count ($filesBefore -> $filesAfter)")
+      s"compaction did not shrink live file count ($filesBefore -> $filesAfter)")
     // ingest continues on the compacted state: batch 3 sees the same
     // survivors and the same watermark as the uncompacted twin
     val b3 = mk("cd", 90L to 109L)

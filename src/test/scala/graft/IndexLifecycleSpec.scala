@@ -58,8 +58,12 @@ class IndexLifecycleSpec extends SparkSpec {
       Dedup.appendToLshIndex(mk("rc", (b * 20 + 1).toLong to (b * 20 + 20L)),
         "doc_id", "text", dir, subdir = Some(b.toLong))
     }
-    // enter the generation layout before racing: the legacy->gen-1
-    // transition is the one documented reader-unsafe step
+    // exercise the LEGACY (r12, pre-manifest) generation machinery:
+    // dropping the run manifest makes compactLshIndex take the
+    // generation-pointer rewrite (the manifest fold path has its own
+    // race pin in RunManifestSpec)
+    fs(dir).delete(new org.apache.hadoop.fs.Path(s"$dir/_graft_runs"),
+      false)
     Dedup.compactLshIndex(spark, dir)
     assert(IndexLifecycle.currentGen(spark, dir).contains(1L))
 
@@ -105,6 +109,9 @@ class IndexLifecycleSpec extends SparkSpec {
           .mkString(" ")))
       .toDF("doc_id", "text")
     Dedup.appendToLshIndex(docs, "doc_id", "text", dir, subdir = Some(0L))
+    // legacy (pre-manifest) generation path, as in the race test above
+    fs(dir).delete(new org.apache.hadoop.fs.Path(s"$dir/_graft_runs"),
+      false)
     spark.conf.set("spark.graft.index.keepPreviousGeneration", "false")
     try {
       Dedup.compactLshIndex(spark, dir)
@@ -230,9 +237,14 @@ class IndexLifecycleSpec extends SparkSpec {
     def state(idxDir: String, outDir: String) = {
       val surv = spark.read.parquet(outDir)
         .select("doc_id").collect().map(_.getLong(0)).toSet
-      val hashes = spark.read.parquet(
-          IndexLifecycle.resolveRoot(spark, s"$idxDir/hashes"))
-        .select("_h").collect().map(_.getString(0)).sorted.toSeq
+      // manifest-aware: after a fold the run depths are mixed and dead
+      // runs linger — a raw glob would conflict or double-count
+      val root = IndexLifecycle.resolveRoot(spark, s"$idxDir/hashes")
+      val hashes = (graft.operators.RunManifest.read(spark, root) match {
+        case Some(m) => graft.operators.RunManifest
+          .readData(spark, root, "", m.live, Seq("_h"))
+        case None => spark.read.parquet(root).select("_h")
+      }).collect().map(_.getString(0)).sorted.toSeq
       (surv, hashes)
     }
 

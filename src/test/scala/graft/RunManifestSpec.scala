@@ -1,0 +1,259 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Bm25Index, Dedup, IndexLifecycle, RunManifest}
+import graft.pipeline.CorpusPipeline
+import graft.streaming.StreamingFunnel
+
+/** Round-13 tiered-run lifecycle contracts ([[RunManifest]] — the
+  * LSM-style maintenance that replaced r12's full-index rewrite every
+  * compactEvery batches):
+  *
+  *  1. tier planning folds exactly the tiers whose member count
+  *     tripped the threshold, never runs at/above the exclusion floor;
+  *  2. a maintained funnel is RESULT-IDENTICAL to an unmaintained twin
+  *     (survivors, probe results, watermark), run counts shrink, and a
+  *     replay of the in-flight batch after a maintenance cycle still
+  *     converges;
+  *  3. probes RACING a maintenance cycle never error and never read a
+  *     torn or double-counted run set (the manifest swap is the only
+  *     visible transition);
+  *  4. folded runs linger `keepGenerations` cycles for in-flight
+  *     readers, then are reclaimed;
+  *  5. appends racing a background maintenance cycle (the attach async
+  *     mode) commit without losing either side's manifest update.
+  */
+class RunManifestSpec extends SparkSpec {
+
+  private def tmp(prefix: String) =
+    Files.createTempDirectory(prefix).toString
+
+  private def w(prefix: String, i: Int): String =
+    s"$prefix${('a' + i / 26).toChar}${('a' + i % 26).toChar}"
+
+  private def mkDocs(tag: String, ids: Seq[Long]) = {
+    import spark.implicits._
+    ids.map(i => (i,
+        (1 to 40).map(w(s"$tag${('a' + (i % 26)).toChar}", _))
+          .mkString(" "), "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+  }
+
+  test("planFolds: threshold per tier, exclusion floor respected") {
+    import RunManifest.Run
+    spark.conf.set("spark.graft.index.tierMinRuns", "3")
+    spark.conf.set("spark.graft.index.tierFactor", "8")
+    spark.conf.set("spark.graft.index.tierBaseBytes", "1000")
+    try {
+      val m = RunManifest.Manifest(0L, Seq(
+        Run(0L, 100, None), Run(1L, 900, None), Run(2L, 500, None),
+        Run(3L, 5000, None), Run(4L, 6000, None), // tier 1: only 2
+        Run(-1L, 7000, Some(16)),                 // tier 1: now 3
+        Run(9L, 200, None)                        // at the floor: held
+      ), Nil)
+      val folds = RunManifest.planFolds(spark, m, excludeFrom = 9L)
+      assert(folds.size == 2, s"expected 2 fold groups, got $folds")
+      val ids = folds.map(_.map(_.id).toSet).toSet
+      assert(ids == Set(Set(0L, 1L, 2L), Set(3L, 4L, -1L)),
+        s"wrong grouping: $ids")
+      // nothing trips: singleton tiers
+      val m2 = RunManifest.Manifest(0L,
+        Seq(Run(0L, 100, None), Run(1L, 5000, None)), Nil)
+      assert(RunManifest.planFolds(spark, m2, 9L).isEmpty)
+    } finally {
+      spark.conf.unset("spark.graft.index.tierMinRuns")
+      spark.conf.unset("spark.graft.index.tierFactor")
+      spark.conf.unset("spark.graft.index.tierBaseBytes")
+    }
+  }
+
+  test("tiered funnel == unmaintained twin; replay after a cycle converges") {
+    val cfg = CorpusPipeline.Config()
+    val (idxA, outA) = (tmp("tm-a-idx"), tmp("tm-a-out"))
+    val (idxB, outB) = (tmp("tm-b-idx"), tmp("tm-b-out"))
+    val (bmA, bmB) = (s"${tmp("tm-a-bm")}/i", s"${tmp("tm-b-bm")}/i")
+    // 6 batches; batch 3 carries a near-dup of a batch-0 doc and an
+    // exact dup of a batch-1 doc, so cross-batch probes matter
+    val base = (1 to 60).map(w("tm", _))
+    val batches = (0 until 6).map { b =>
+      val fresh = mkDocs(s"t$b", (b * 100 + 1).toLong to (b * 100 + 12L))
+      if (b == 3)
+        fresh.unionByName(mkDocs("x3", Seq(900L))
+            .withColumn("text",
+              lit((base.take(55) ++ (1 to 5).map(w("nn", _)))
+                .mkString(" "))))
+          .unionByName(mkDocs("x4", Seq(901L))
+            .withColumn("text", lit(base.mkString(" "))))
+      else if (b == 0)
+        fresh.unionByName(mkDocs("x0", Seq(50L))
+          .withColumn("text", lit(base.mkString(" "))))
+      else fresh
+    }
+    spark.conf.set("spark.graft.index.tierMinRuns", "2")
+    try {
+      var lastB: StreamingFunnel.BatchStats = null
+      batches.zipWithIndex.foreach { case (b, i) =>
+        StreamingFunnel.processBatch(b, i.toLong, cfg, idxA, outA,
+          bm25Dir = Some(bmA))
+        lastB = StreamingFunnel.processBatch(b, i.toLong, cfg, idxB, outB,
+          bm25Dir = Some(bmB))
+        // maintenance every 2 batches, attach-style (in-flight held)
+        if (i % 2 == 1)
+          StreamingFunnel.maintain(spark, idxB, excludeFrom = i.toLong,
+            bm25Dir = Some(bmB))
+      }
+      def surv(out: String) = spark.read.parquet(out)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(surv(outB) == surv(outA),
+        "tiered maintenance changed the survivor set")
+      // probe parity: a fresh near-dup batch sees identical matches
+      val probe = mkDocs("pr", Seq(5000L))
+        .withColumn("text", lit(base.take(57).mkString(" ") + " zz"))
+      def probeRows(idx: String) = Dedup
+        .dedupAgainstIndex(probe, "doc_id", "text", s"$idx/lsh", 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(probeRows(idxB) == probeRows(idxA),
+        "tiered maintenance changed LSH probe results")
+      assert(probeRows(idxB).nonEmpty, "fixture drift: no planted match")
+      // bm25 parity
+      val terms = Seq(w("tmaa", 1), w("t1ab", 2), w("nn", 1))
+      def q(p: String) = Bm25Index.query(spark, p, terms, 20)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(q(bmB) == q(bmA), "tiered maintenance changed BM25 results")
+      // run counts actually shrank on the maintained twin
+      val manB = RunManifest.read(spark,
+        IndexLifecycle.resolveRoot(spark, s"$idxB/hashes")).get
+      assert(manB.live.exists(_.id < 0),
+        s"no folded run in the maintained hash index: ${manB.live}")
+      val manA = RunManifest.read(spark,
+        IndexLifecycle.resolveRoot(spark, s"$idxA/hashes")).get
+      assert(manB.live.size < manA.live.size,
+        s"tiering did not shrink run count (${manA.live.size} -> " +
+          s"${manB.live.size})")
+      // replay of the LAST batch (its run was held out of every fold)
+      val replay = StreamingFunnel.processBatch(batches(5), 5L, cfg,
+        idxB, outB, bm25Dir = Some(bmB))
+      assert((replay.nInput, replay.nExact, replay.nNear) ==
+        (lastB.nInput, lastB.nExact, lastB.nNear),
+        "replay after maintenance diverged — a fold touched the " +
+          "in-flight batch's run")
+      assert(surv(outB) == surv(outA), "replay changed survivors")
+      assert(q(bmB) == q(bmA), "replay changed the BM25 index")
+    } finally spark.conf.unset("spark.graft.index.tierMinRuns")
+  }
+
+  test("probe racing tiered maintenance: never torn, never double-counted") {
+    val dir = s"${tmp("race-man")}/idx"
+    (0 until 6).foreach { b =>
+      Dedup.appendToLshIndex(
+        mkDocs("rm", (b * 20 + 1).toLong to (b * 20 + 20L))
+          .select("doc_id", "text"),
+        "doc_id", "text", dir, subdir = Some(b.toLong))
+    }
+    val probe = mkDocs("rm", Seq(1L)).select("doc_id", "text")
+      .withColumn("doc_id", lit(900L))
+    def probeRows() = Dedup
+      .dedupAgainstIndex(probe, "doc_id", "text", dir, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val expected = probeRows()
+    assert(expected.nonEmpty, "fixture drift: planted near-dup not found")
+    spark.conf.set("spark.graft.index.tierMinRuns", "2")
+    try {
+      @volatile var failure: Option[Throwable] = None
+      val results = new java.util.concurrent.ConcurrentLinkedQueue[
+        Set[(Long, Long, Double)]]()
+      val prober = new Thread(() =>
+        try (1 to 10).foreach(_ => results.add(probeRows()))
+        catch { case t: Throwable => failure = Some(t) })
+      prober.start()
+      // fold repeatedly while the probes run: tier cycles + deep folds
+      Dedup.maintainLshIndex(spark, dir)
+      Dedup.compactLshIndex(spark, dir)
+      Dedup.compactLshIndex(spark, dir)
+      prober.join(300000)
+      assert(failure.isEmpty,
+        s"a probe racing maintenance failed: ${failure.map(_.toString)}")
+      assert(results.size == 10)
+      results.forEach(r => assert(r == expected,
+        s"racing probe read a torn run set: $r vs $expected"))
+    } finally spark.conf.unset("spark.graft.index.tierMinRuns")
+  }
+
+  test("folded runs linger keepGenerations cycles, then are reclaimed") {
+    val dir = s"${tmp("grace-man")}/idx"
+    (0 until 4).foreach { b =>
+      Dedup.appendToLshIndex(
+        mkDocs("gr", (b * 10 + 1).toLong to (b * 10 + 10L))
+          .select("doc_id", "text"),
+        "doc_id", "text", dir, subdir = Some(b.toLong))
+    }
+    spark.conf.set("spark.graft.index.tierMinRuns", "2")
+    spark.conf.set("spark.graft.index.keepGenerations", "2")
+    try {
+      val root = IndexLifecycle.resolveRoot(spark, dir)
+      assert(Dedup.maintainLshIndex(spark, dir) == 1)
+      val m1 = RunManifest.read(spark, root).get
+      assert(m1.dead.map(_._1).toSet == Set(0L, 1L, 2L, 3L) &&
+        m1.dead.forall(_._2 == 2), s"dead after fold: ${m1.dead}")
+      // a reader that resolved the PRE-fold manifest keeps its files
+      // through two more cycles
+      def runFiles(id: Long) = {
+        val p = new org.apache.hadoop.fs.Path(
+          RunManifest.runPath(root, "bands", id))
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+      }
+      assert(runFiles(0L), "dead run reclaimed at its own fold commit")
+      Dedup.maintainLshIndex(spark, dir) // cycle 2: ages to 1
+      assert(runFiles(0L), "dead run reclaimed one cycle early")
+      Dedup.maintainLshIndex(spark, dir) // cycle 3: ages to 0 -> gone
+      assert(!runFiles(0L), "expired dead run not reclaimed")
+      assert(RunManifest.read(spark, root).get.dead.isEmpty)
+    } finally {
+      spark.conf.unset("spark.graft.index.tierMinRuns")
+      spark.conf.unset("spark.graft.index.keepGenerations")
+    }
+  }
+
+  test("appends racing a background cycle: both manifest updates survive") {
+    val cfg = CorpusPipeline.Config()
+    val (idx, out) = (tmp("ar-idx"), tmp("ar-out"))
+    (0 until 4).foreach { b =>
+      StreamingFunnel.processBatch(
+        mkDocs(s"a$b", (b * 50 + 1).toLong to (b * 50 + 10L)),
+        b.toLong, cfg, idx, out)
+    }
+    spark.conf.set("spark.graft.index.tierMinRuns", "2")
+    try {
+      // maintenance of runs < 4 on another thread, appends 4..7 racing
+      @volatile var failure: Option[Throwable] = None
+      val maint = new Thread(() =>
+        try StreamingFunnel.maintain(spark, idx, excludeFrom = 4L)
+        catch { case t: Throwable => failure = Some(t) })
+      maint.start()
+      (4 until 8).foreach { b =>
+        StreamingFunnel.processBatch(
+          mkDocs(s"a$b", (b * 50 + 1).toLong to (b * 50 + 10L)),
+          b.toLong, cfg, idx, out)
+      }
+      maint.join(300000)
+      assert(failure.isEmpty, s"racing maintenance failed: $failure")
+      val man = RunManifest.read(spark,
+        IndexLifecycle.resolveRoot(spark, s"$idx/hashes")).get
+      // every appended run AND the folded run are in the manifest
+      assert(Set(4L, 5L, 6L, 7L).subsetOf(man.liveIds),
+        s"an append's manifest update was lost: ${man.live}")
+      assert(man.live.exists(_.id < 0),
+        s"the background fold's commit was lost: ${man.live}")
+      // and the index state is complete: every batch's digests present
+      val hashes = RunManifest.readData(spark,
+        IndexLifecycle.resolveRoot(spark, s"$idx/hashes"), "",
+        man.live, Seq("_h")).count()
+      assert(hashes == 80L, s"expected 80 digests, got $hashes")
+    } finally spark.conf.unset("spark.graft.index.tierMinRuns")
+  }
+}

@@ -196,15 +196,19 @@ class Scale100Spec extends SparkSpec {
     assert(lastMs <= midMs * factor + slack,
       s"per-batch latency grew ${midMs}ms -> ${lastMs}ms over the decade — " +
         "batch work is scaling with ingested history")
-    // round-12: attach()'s AUTO-compaction fired at the default
-    // cadence (10 batches -> one pass at trigger 9) — the cross-batch
-    // state is in generation layout, and the run above already proved
-    // it result-invisible (survivor parity asserted post-compaction)
-    assert(graft.operators.IndexLifecycle
-      .currentGen(spark, s"$indexDir/hashes").nonEmpty,
-      "auto-compaction did not fire during the 10-batch attach run")
-    assert(graft.operators.IndexLifecycle
-      .currentGen(spark, s"$indexDir/lsh").nonEmpty)
+    // round-13: attach()'s AUTO-maintenance fired at the default
+    // cadence (10 batches -> one tiered cycle at trigger 9, on the
+    // background thread — drained here for the assertion) and FOLDED
+    // runs (negative ids in the manifest); the run above already
+    // proved it result-invisible (survivor parity asserted after)
+    graft.streaming.StreamingFunnel.drainMaintenance()
+    def foldedRuns(idx: String): Boolean =
+      graft.operators.RunManifest.read(spark,
+          graft.operators.IndexLifecycle.resolveRoot(spark, idx))
+        .exists(m => m.live.exists(_.id < 0) || m.dead.nonEmpty)
+    assert(foldedRuns(s"$indexDir/hashes"),
+      "auto-maintenance did not fold during the 10-batch attach run")
+    assert(foldedRuns(s"$indexDir/lsh"))
   }
 
   test("knnJoin at 100x vectors: IVF pruning scales with nlist") {

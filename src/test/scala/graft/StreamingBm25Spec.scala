@@ -107,8 +107,9 @@ class StreamingBm25Spec extends SparkSpec {
     val terms = Seq("hash", "vector", "filter", "merge", "scan")
     def q(path: String) = Bm25Index.query(spark, path, terms, k = 25)
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
-    def nDocs(path: String) = spark.read.parquet(
-        s"${graft.operators.IndexLifecycle.resolveRoot(spark, path)}/stats")
+    // manifest-aware: after a fold, dead runs linger on disk for
+    // in-flight readers — a raw glob would double-count them
+    def nDocs(path: String) = Bm25Index.table(spark, path, "stats")
       .agg(sum("n_docs")).collect()(0).getDouble(0)
 
     val ref = Files.createTempDirectory("fbm-ref").toString
