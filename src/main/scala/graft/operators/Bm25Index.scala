@@ -71,7 +71,14 @@ object Bm25Index {
       .groupBy("doc_id", "dl", "term")
       .agg(count(lit(1)).cast("double").as("tf"))
       .localCheckpoint(true)
-    postings
+    if (sub.isDefined)
+      // streaming run: UNSORTED — a micro-batch run's files are small
+      // enough that term-range file-skip buys nothing, while the
+      // range write costs a sampling job + a shuffle per batch; the
+      // tier fold restores the tight per-file term ranges when runs
+      // merge into something worth skipping ([[maintainIndex]])
+      RunManifest.sizedWrite(postings, tablePath("postings"))
+    else postings
       .repartitionByRange(col("term"))
       .sortWithinPartitions("term")
       .write.mode(m).parquet(tablePath("postings"))

@@ -367,7 +367,24 @@ object RunManifest {
       else Nil
     })(merge)
 
+  // one maintenance cycle per root at a time: two concurrent cycles
+  // would plan from the same seq and write the same merged-run id.
+  // tryAcquire (not blocking) — a caller whose cycle is already
+  // running skips; the next cadence catches up. Appends are NOT
+  // blocked by this (they only take the brief manifest lock).
+  private val cycleBusy = new ConcurrentHashMap[String, java.lang.Boolean]()
+
   private def maintainWith(spark: SparkSession, root: String,
+      tables: Seq[String], excludeFrom: Long,
+      plan: Manifest => Seq[Seq[Run]])
+      (merge: (Seq[Run], Long) => Option[Int]): Int = {
+    if (cycleBusy.putIfAbsent(root, java.lang.Boolean.TRUE) != null)
+      return 0
+    try maintainLocked(spark, root, tables, excludeFrom, plan)(merge)
+    finally cycleBusy.remove(root)
+  }
+
+  private def maintainLocked(spark: SparkSession, root: String,
       tables: Seq[String], excludeFrom: Long,
       plan: Manifest => Seq[Seq[Run]])
       (merge: (Seq[Run], Long) => Option[Int]): Int = {

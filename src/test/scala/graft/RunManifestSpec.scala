@@ -219,6 +219,64 @@ class RunManifestSpec extends SparkSpec {
     }
   }
 
+  test("probe scan fraction stays bounded across tier folds") {
+    // the sub-linearity pin for the TIERED layout: after folds the
+    // probe reads whole (micro-batch-sized) append runs plus only the
+    // touched prefixes of each merged run — rows actually read stay a
+    // bounded fraction of the live index, and the fraction holds as
+    // the index grows and folds cascade
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = s"${tmp("frac-man")}/idx"
+    spark.conf.set("spark.graft.index.tierMinRuns", "2")
+    // tiny target so merged runs PARTITION (and at a real modulus)
+    spark.conf.set("spark.graft.index.prefixTargetBytes", "4096")
+    try {
+      def grow(from: Int, until: Int): Unit =
+        (from until until).foreach { b =>
+          Dedup.appendToLshIndex(
+            mkDocs(s"f$b", (b * 300 + 1).toLong to (b * 300 + 300L))
+              .select("doc_id", "text"),
+            "doc_id", "text", dir, subdir = Some(b.toLong))
+        }
+      grow(0, 4)
+      Dedup.maintainLshIndex(spark, dir)
+      val probe = mkDocs("f0", Seq(1L)).select("doc_id", "text")
+        .withColumn("doc_id", lit(990000L))
+        .unionByName(mkDocs("zz", Seq(990001L)).select("doc_id", "text"))
+      def frac(): Double = {
+        val root = IndexLifecycle.resolveRoot(spark, dir)
+        val man = RunManifest.read(spark, root).get
+        val meta = Dedup.readLshMeta(spark, dir)
+        val bb = Dedup.bandKeys(probe, "doc_id", "text")
+          .localCheckpoint(true)
+        val cand = Dedup.indexCandidates(spark, root, bb, meta, None)
+        assert(cand.collect().nonEmpty, "planted dup must surface")
+        val read = graft.tools.PlanShape.flat(
+            cand.queryExecution.executedPlan)
+          .collect { case s: FileSourceScanExec
+            if s.metadata.getOrElse("Location", "").contains("bands") =>
+              s.metrics("numOutputRows").value }.sum
+        val total = RunManifest.readData(spark, root, "bands",
+          man.live, Seq("bkey")).count()
+        read.toDouble / total
+      }
+      val f1 = frac()
+      grow(4, 12)
+      Dedup.maintainLshIndex(spark, dir) // folds new runs + cascades
+      Dedup.maintainLshIndex(spark, dir)
+      val f2 = frac()
+      info(f"tiered scan fraction: $f1%.3f -> $f2%.3f")
+      assert(f1 <= 0.35 && f2 <= 0.35,
+        f"tiered probe read $f1%.2f -> $f2%.2f of the live bands — " +
+          "merged-run pruning stopped biting")
+      assert(f2 <= f1 + 0.05,
+        f"tiered scan fraction grew with index size: $f1%.3f -> $f2%.3f")
+    } finally {
+      spark.conf.unset("spark.graft.index.tierMinRuns")
+      spark.conf.unset("spark.graft.index.prefixTargetBytes")
+    }
+  }
+
   test("appends racing a background cycle: both manifest updates survive") {
     val cfg = CorpusPipeline.Config()
     val (idx, out) = (tmp("ar-idx"), tmp("ar-out"))
