@@ -151,11 +151,15 @@ object RunManifest {
 
   /** The manifest, creating it from the directory layout when absent —
     * the r12→r13 migration: every existing `batch=<id>` subtree
-    * becomes a live run carrying the index meta's recorded modulus
-    * (r12 appends were prefix-partitioned). Idempotent; callers that
-    * only READ must not use this (probes fall back to the directory
-    * glob while no manifest exists, which is correct exactly because
-    * no fold can have happened yet).
+    * becomes a live run. A run whose directory actually contains
+    * hash-prefix partition subdirectories (r12 appends and folded
+    * runs) carries the index meta's recorded modulus; a run holding
+    * plain files (an r13 append whose manifest was lost) is recorded
+    * unpartitioned — labeling it with a modulus would make probes
+    * filter on a partition column the scan does not have. Idempotent;
+    * callers that only READ must not use this (probes fall back to
+    * the directory glob while no manifest exists, which is correct
+    * exactly because no fold can have happened yet).
     */
   def ensure(spark: SparkSession, root: String, tables: Seq[String],
       legacyPrefixes: Option[Int]): Manifest =
@@ -169,8 +173,14 @@ object RunManifest {
           else fs.listStatus(d).toSeq.map(_.getPath.getName)
             .collect { case s if s.startsWith("batch=") =>
               s.stripPrefix("batch=").toLong }
+        def partitioned(id: Long): Boolean = {
+          val rp = new Path(runPath(root, t0, id))
+          fs.exists(rp) && fs.listStatus(rp).exists(s =>
+            s.isDirectory && s.getPath.getName.contains("="))
+        }
         val m = Manifest(0L, ids.sorted.map(id =>
-          Run(id, runBytes(spark, root, tables, id), legacyPrefixes)), Nil)
+          Run(id, runBytes(spark, root, tables, id),
+            if (partitioned(id)) legacyPrefixes else None)), Nil)
         write(spark, root, m)
         m
       }

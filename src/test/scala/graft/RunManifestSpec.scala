@@ -277,6 +277,65 @@ class RunManifestSpec extends SparkSpec {
     }
   }
 
+  test("r12-layout migration: prefix-partitioned runs probe and fold correctly") {
+    // an on-disk index from the PREVIOUS layout: prefix-partitioned
+    // batch runs + meta, NO manifest (r12 wrote exactly this). The
+    // first r13 append must migrate it — manifest created from the
+    // listing with the meta's modulus on the partitioned runs — and
+    // probes/folds must then read old and new runs through their own
+    // layouts. Also covers the lost-manifest case: an UNPARTITIONED
+    // run present at migration time must be recorded as such, not
+    // mislabeled with the meta's modulus.
+    import org.apache.spark.sql.SaveMode
+    val dir = s"${tmp("mig-man")}/idx"
+    val prefixes = 8
+    // hand-build two r12-style runs of the HASH index shape (the
+    // simplest single-table run layout): hp-partitioned + meta
+    import spark.implicits._
+    (0 to 1).foreach { b =>
+      (1 to 30).map(i => s"digest-$b-$i").toDF("_h")
+        .withColumn("hp", pmod(hash(col("_h")), lit(prefixes)))
+        .repartition(col("hp"))
+        .write.mode(SaveMode.Overwrite).partitionBy("hp")
+        .parquet(s"$dir/batch=$b")
+    }
+    IndexLifecycle.writeProps(spark, s"$dir/_graft_hash_meta",
+      Seq("prefixes" -> prefixes.toString))
+    // plus one unpartitioned (r13, manifest-lost) run
+    (1 to 10).map(i => s"plain-$i").toDF("_h")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/batch=2")
+    val man = RunManifest.ensure(spark, dir, Seq(""), Some(prefixes))
+    assert(man.live.map(r => r.id -> r.prefixes).toMap ==
+      Map(0L -> Some(prefixes), 1L -> Some(prefixes), 2L -> None),
+      s"migration mislabeled run layouts: ${man.live}")
+    // mixed-group read sees every digest exactly once, with pruning
+    // on the partitioned runs only
+    val (n, touched) = RunManifest.touchedSets(
+      Seq("digest-0-1", "digest-1-7", "plain-3").toDF("_h"),
+      col("_h"), man.live.flatMap(_.prefixes))
+    assert(n == 3 && touched(prefixes).nonEmpty)
+    val rows = RunManifest.readData(spark, dir, "", man.live,
+      Seq("_h"), "hp", m => touched.getOrElse(m, Nil))
+    assert(rows.count() <= 70 && rows.count() > 0)
+    val all = RunManifest.readData(spark, dir, "", man.live, Seq("_h"))
+    assert(all.count() == 70, s"migration lost rows: ${all.count()}")
+    // and a fold over the mixed layouts commits cleanly
+    spark.conf.set("spark.graft.index.tierMinRuns", "2")
+    try {
+      val folds = RunManifest.tierMaintain(spark, dir, Seq(""),
+        Long.MaxValue) { (runs, newId) =>
+        RunManifest.sizedWrite(
+          RunManifest.readData(spark, dir, "", runs, Seq("_h")).distinct(),
+          RunManifest.runPath(dir, "", newId))
+        None
+      }
+      assert(folds == 1)
+      val after = RunManifest.read(spark, dir).get
+      assert(RunManifest.readData(spark, dir, "", after.live,
+        Seq("_h")).count() == 70, "fold over mixed layouts lost rows")
+    } finally spark.conf.unset("spark.graft.index.tierMinRuns")
+  }
+
   test("appends racing a background cycle: both manifest updates survive") {
     val cfg = CorpusPipeline.Config()
     val (idx, out) = (tmp("ar-idx"), tmp("ar-out"))
