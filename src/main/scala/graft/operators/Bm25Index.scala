@@ -241,6 +241,9 @@ object Bm25Index {
           Seq("doc_id"), "dp", m => touched.getOrElse(m, Nil))
         docs.join(seen, docs(idCol) === seen("doc_id"), "left_anti")
       case None if prefixes.isDefined && exists(spark, s"$path/docids") =>
+        // no manifest: glob fallback is only correct when no fold ever
+        // happened — fail loudly on fold orphans (lost manifest)
+        RunManifest.requireNoFoldOrphans(spark, path, "docids")
         val (_, suspects) =
           bloomSuspects(docs.select(col(idCol).as("doc_id")))
         // one partial+final collect_set — same bounded-prefix
@@ -565,7 +568,9 @@ object Bm25Index {
     val path = rootOf(spark, path0)
     RunManifest.read(spark, path) match {
       case Some(man) => RunManifest.readRuns(spark, path, t, man.live)
-      case None => spark.read.parquet(s"$path/$t")
+      case None =>
+        RunManifest.requireNoFoldOrphans(spark, path, t)
+        spark.read.parquet(s"$path/$t")
     }
   }
 
@@ -576,6 +581,11 @@ object Bm25Index {
     // one consistent snapshot even if maintenance commits mid-query
     val path = rootOf(spark, path0)
     val man = RunManifest.read(spark, path)
+    // glob fallback (no manifest) is only correct fold-free: BM25's
+    // stats/dfs are SUMS over run partials, so reading a merged run
+    // next to its folded-away sources silently doubles every score
+    if (man.isEmpty)
+      RunManifest.requireNoFoldOrphans(spark, path, "stats")
     def tbl(t: String): DataFrame = man match {
       case Some(m) => RunManifest.readRuns(spark, path, t, m.live)
       case None => spark.read.parquet(s"$path/$t")

@@ -684,6 +684,8 @@ object Dedup {
           Seq("doc_id", "bkey"), "bp", m => touched.getOrElse(m, Nil))
       case None =>
         // legacy (pre-manifest) layout: glob + recorded-modulus prune
+        // — only correct fold-free (lost manifests fail loudly)
+        RunManifest.requireNoFoldOrphans(spark, dir, "bands")
         val raw = dropOwnBatch(spark.read.parquet(s"$dir/bands"),
           excludeBatch)
         meta match {
@@ -728,6 +730,7 @@ object Dedup {
         RunManifest.readData(spark, dir, "shingles", runs,
           Seq("doc_id", "shs"), "sp", m => touched.getOrElse(m, Nil))
       case None =>
+        RunManifest.requireNoFoldOrphans(spark, dir, "shingles")
         val raw = dropOwnBatch(spark.read.parquet(s"$dir/shingles"),
           excludeBatch)
         meta match {

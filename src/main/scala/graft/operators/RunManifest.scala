@@ -96,13 +96,7 @@ object RunManifest {
     fsOf(spark, p).exists(p)
   }
 
-  def read(spark: SparkSession, root: String): Option[Manifest] = {
-    val p = new Path(s"$root/$manifestName")
-    val fs = fsOf(spark, p)
-    if (!fs.exists(p)) return None
-    val in = fs.open(p)
-    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
+  private def parse(txt: String): Manifest = {
     var seq = 0L
     val live = Seq.newBuilder[Run]
     val dead = Seq.newBuilder[(Long, Int)]
@@ -119,12 +113,50 @@ object RunManifest {
         case _ => ()
       }
     }
-    Some(Manifest(seq, live.result(), dead.result()))
+    Manifest(seq, live.result(), dead.result())
+  }
+
+  /** The manifest, or None when the index has none (flat layout, or a
+    * pre-manifest index). An ABSENT file next to an in-flight commit
+    * marker (`.tmp`) is the delete+rename fallback's crash window, not
+    * "no manifest" — retry briefly before concluding, because a reader
+    * that falls through to the legacy directory glob here could read
+    * folded-away dead runs (for BM25 that silently double-counts the
+    * summed stats/df partials). The primary commit path
+    * (FileContext overwrite rename, [[write]]) never opens this window
+    * on HDFS or local; the retry only ever spins on filesystems
+    * without an AbstractFileSystem binding, and only while a commit is
+    * actually in flight.
+    */
+  def read(spark: SparkSession, root: String): Option[Manifest] = {
+    val ptr = new Path(s"$root/$manifestName")
+    val tmp = new Path(s"$root/$manifestName.tmp")
+    val fs = fsOf(spark, ptr)
+    var result: Option[Option[Manifest]] = None
+    var tries = 0
+    while (result.isEmpty) {
+      try {
+        val in = fs.open(ptr)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        result = Some(Some(parse(txt)))
+      } catch {
+        case _: java.io.FileNotFoundException =>
+          if (tries >= 6 || !fs.exists(tmp)) result = Some(None)
+          else { tries += 1; Thread.sleep(50) }
+      }
+    }
+    result.get
   }
 
   /** Commit `m` by writing aside and atomically renaming over the
-    * manifest — same protocol (and same delete+rename portability
-    * fallback) as the generation pointer. Callers hold [[lockFor]].
+    * manifest. The rename uses FileContext's OVERWRITE mode — atomic
+    * replace-on-rename on HDFS and local — because plain
+    * `FileSystem.rename` REFUSES an existing destination on HDFS, and
+    * the delete+rename workaround would open a manifest-absent window
+    * on every single commit. Filesystems without an AbstractFileSystem
+    * binding fall back to delete+rename; [[read]]'s tmp-present retry
+    * covers that window. Callers hold [[lockFor]].
     */
   private def write(spark: SparkSession, root: String, m: Manifest): Unit = {
     val lines =
@@ -138,9 +170,16 @@ object RunManifest {
     val fs = fsOf(spark, tmp)
     val out = fs.create(tmp, true)
     try out.write(lines.getBytes("UTF-8")) finally out.close()
-    if (!fs.rename(tmp, ptr)) {
-      fs.delete(ptr, false)
-      require(fs.rename(tmp, ptr), s"manifest commit failed for $root")
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        fs.getUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        if (!fs.rename(tmp, ptr)) {
+          fs.delete(ptr, false)
+          require(fs.rename(tmp, ptr), s"manifest commit failed for $root")
+        }
     }
   }
 
@@ -149,6 +188,28 @@ object RunManifest {
       tables: Seq[String], id: Long): Long =
     tables.map(t => IndexLifecycle.dirBytes(spark, runPath(root, t, id))).sum
 
+  /** The message both [[ensure]] and [[requireNoFoldOrphans]] fail
+    * with when fold evidence (a negative-id run — appends are always
+    * >= 0) exists without a manifest: that state means the manifest
+    * was LOST, and the directory may still hold folded-away DEAD runs
+    * inside their retention grace. Treating the listing as live would
+    * silently resurrect them next to the merged run — harmless for the
+    * hash/LSH indexes' superset-tolerant anti-join/edge semantics, but
+    * BM25's summed stats/df partials would double-count every score.
+    * Same loud posture as a lost generation pointer
+    * ([[IndexLifecycle.resolveRoot]]).
+    */
+  private def foldOrphanMsg(root: String): String =
+    s"index at $root holds folded runs (batch=<negative id>) but no " +
+      s"$manifestName manifest — the manifest was lost after a fold. " +
+      "Refusing to rebuild it from the directory listing, which would " +
+      "resurrect folded-away dead runs as live and double-count. " +
+      s"Restore $root/$manifestName from a backup or filesystem " +
+      "snapshot (a small text file, committed on every append and " +
+      "fold); if none exists, delete the batch=<negative id> " +
+      "directories ONLY after verifying every original batch=<id >= 0> " +
+      "run is still present, then retry to migrate the survivors."
+
   /** The manifest, creating it from the directory layout when absent —
     * the r12→r13 migration: every existing `batch=<id>` subtree
     * becomes a live run. A run whose directory actually contains
@@ -156,10 +217,16 @@ object RunManifest {
     * runs) carries the index meta's recorded modulus; a run holding
     * plain files (an r13 append whose manifest was lost) is recorded
     * unpartitioned — labeling it with a modulus would make probes
-    * filter on a partition column the scan does not have. Idempotent;
-    * callers that only READ must not use this (probes fall back to
-    * the directory glob while no manifest exists, which is correct
-    * exactly because no fold can have happened yet).
+    * filter on a partition column the scan does not have. The check is
+    * PER RUN and PER TABLE SET: one run's tables can mix layouts (a
+    * migrated BM25 run dp-partitions `docids` while `postings` holds
+    * plain files), so the head table alone would mislabel the run and
+    * the next multi-path read would crash on conflicting partition
+    * depths. Idempotent; callers that only READ must not use this
+    * (probes fall back to the directory glob while no manifest exists,
+    * which is correct exactly because no fold can have happened yet —
+    * and REFUSED when fold evidence says one has, see
+    * [[foldOrphanMsg]]).
     */
   def ensure(spark: SparkSession, root: String, tables: Seq[String],
       legacyPrefixes: Option[Int]): Manifest =
@@ -173,8 +240,10 @@ object RunManifest {
           else fs.listStatus(d).toSeq.map(_.getPath.getName)
             .collect { case s if s.startsWith("batch=") =>
               s.stripPrefix("batch=").toLong }
-        def partitioned(id: Long): Boolean = {
-          val rp = new Path(runPath(root, t0, id))
+        if (ids.exists(_ < 0))
+          throw new IllegalStateException(foldOrphanMsg(root))
+        def partitioned(id: Long): Boolean = tables.exists { t =>
+          val rp = new Path(runPath(root, t, id))
           fs.exists(rp) && fs.listStatus(rp).exists(s =>
             s.isDirectory && s.getPath.getName.contains("="))
         }
@@ -185,6 +254,23 @@ object RunManifest {
         m
       }
     }
+
+  /** Loud-failure guard for the legacy directory-glob fallbacks every
+    * probe takes when [[read]] returns None: a `table` directory that
+    * holds folded (negative-id) runs WITHOUT a manifest means the
+    * manifest was lost after a fold — globbing would read the merged
+    * run AND its folded-away sources together (see [[foldOrphanMsg]]).
+    * One listStatus; call it only on the already-cold fallback path,
+    * never on the manifest path.
+    */
+  def requireNoFoldOrphans(spark: SparkSession, root: String,
+      table: String): Unit = {
+    val d = new Path(if (table.isEmpty) root else s"$root/$table")
+    val fs = fsOf(spark, d)
+    if (fs.exists(d) && fs.listStatus(d).exists(s =>
+        s.getPath.getName.startsWith("batch=-")))
+      throw new IllegalStateException(foldOrphanMsg(root))
+  }
 
   /** Record (or, on replay, re-record) an append run after its data
     * landed. `prefixes = None`: append runs are unpartitioned.
@@ -314,12 +400,28 @@ object RunManifest {
     else (math.log(bytes.toDouble / base) / math.log(factor.toDouble))
       .toInt + 1
 
+  /** Fold groups committed per maintenance cycle —
+    * `spark.graft.index.maxTiersPerCycle`, default 1: when several
+    * tiers trip in the same cycle (a tier-0 fold tipping tier 1 over
+    * its threshold — the cascade), only the LOWEST tier folds now and
+    * the rest defer to the next cadence. This flattens the periodic
+    * ~2x cycle-wall spikes the uncapped plan showed (every tripped
+    * tier folded in one cycle) at the price of carrying a tripped
+    * higher tier one extra cadence — run counts stay bounded because
+    * each cycle still retires the tier that holds the most runs.
+    * `<= 0` = unbounded (fold every tripped tier per cycle).
+    */
+  def maxTiersPerCycle(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.index.maxTiersPerCycle")
+      .map(_.toInt).getOrElse(1)
+
   /** The fold groups this cycle: live runs with id < `excludeFrom`
     * (folded runs are negative, so always eligible; append runs at or
     * above the floor may belong to an uncommitted trigger and are
     * never touched), bucketed by size tier; every tier holding at
-    * least [[tierMinRuns]] members folds entirely. Cascades (the
-    * merged run tipping the NEXT tier over its threshold) resolve on
+    * least [[tierMinRuns]] members is eligible, and the lowest
+    * [[maxTiersPerCycle]] of them fold entirely. Cascades (the merged
+    * run tipping the NEXT tier over its threshold) resolve on
     * subsequent cycles — bounded laziness that keeps one cycle's work
     * proportional to one cycle's data.
     */
@@ -328,10 +430,12 @@ object RunManifest {
     val base = tierBaseBytes(spark)
     val factor = tierFactor(spark)
     val minRuns = tierMinRuns(spark)
-    m.live.filter(_.id < excludeFrom)
+    val cap = maxTiersPerCycle(spark)
+    val tripped = m.live.filter(_.id < excludeFrom)
       .groupBy(r => tierOf(r.bytes, base, factor))
       .toSeq.sortBy(_._1)
       .collect { case (_, rs) if rs.size >= minRuns => rs }
+    if (cap > 0) tripped.take(cap) else tripped
   }
 
   /** Run one maintenance cycle over the index at `root`:

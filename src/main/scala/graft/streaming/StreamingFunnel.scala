@@ -143,8 +143,11 @@ object StreamingFunnel {
             Seq("max_id")))
         case None =>
           if (!exists(spark, ingestDir)) None
-          else Some(spark.read.parquet(ingestDir)
-            .where(col("batch") =!= lit(batchId)).select("max_id"))
+          else {
+            RunManifest.requireNoFoldOrphans(spark, ingestDir, "")
+            Some(spark.read.parquet(ingestDir)
+              .where(col("batch") =!= lit(batchId)).select("max_id"))
+          }
       }
     val prevMax: Option[Long] = ingestSrc
       .flatMap(_.agg(max("max_id")).collect().headOption)
@@ -205,6 +208,8 @@ object StreamingFunnel {
       case Some(_) => inBatch // only this batch's own run (replay)
       case None if exists(spark, hashDir) =>
         // legacy (pre-manifest) layout: glob + recorded-modulus prune
+        // — only correct fold-free (lost manifests fail loudly)
+        RunManifest.requireNoFoldOrphans(spark, hashDir, "")
         val idx0 = spark.read.parquet(hashDir)
           .where(col("batch") =!= lit(batchId))
         val idx = (RollingBloom.readBroadcast(spark, s"$indexDir/hashbloom",
@@ -587,6 +592,73 @@ object StreamingFunnel {
   private val maintenanceInFlight = new java.util.concurrent
     .ConcurrentHashMap[String, java.util.concurrent.Future[_]]()
 
+  /** Operational readout of [[attach]]'s automatic maintenance, per
+    * index root: cycles that completed, total and CONSECUTIVE failure
+    * counts, and the last failure's rendering. Best-effort background
+    * maintenance must not fail the stream, but it must not be
+    * invisible either — a deployment whose folds fail every cycle
+    * (say, a permission regression on the index root) would otherwise
+    * grow run counts and file listings without bound with nothing but
+    * a stderr line to notice. Alert on `consecutiveFailures` the way
+    * you alert on watermark lag.
+    */
+  final case class MaintenanceStats(cycles: Long = 0L, failures: Long = 0L,
+      consecutiveFailures: Long = 0L, lastError: Option[String] = None)
+
+  private val maintStats = new java.util.concurrent
+    .ConcurrentHashMap[String, MaintenanceStats]()
+
+  def maintenanceStats(indexDir: String): MaintenanceStats =
+    maintStats.getOrDefault(indexDir, MaintenanceStats())
+
+  private lazy val log =
+    org.slf4j.LoggerFactory.getLogger("graft.streaming.StreamingFunnel")
+
+  /** Fail the STREAM (loudly, from the foreachBatch) once this many
+    * CONSECUTIVE automatic maintenance cycles have failed —
+    * `spark.graft.funnel.failAfterMaintenanceFailures`, default 0 =
+    * never (failures only surface through [[maintenanceStats]] and the
+    * error log; ingest keeps running). Set it when unbounded run
+    * growth is worse for the deployment than a stopped stream.
+    */
+  def failAfterMaintenanceFailures(
+      spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("spark.graft.funnel.failAfterMaintenanceFailures")
+      .map(_.toLong).getOrElse(0L)
+
+  /** One recorded maintenance cycle — the unit [[attach]] submits
+    * (async) or runs inline (sync): success resets the consecutive
+    * counter, failure bumps it, logs through the Spark/slf4j logger,
+    * and rethrows only when `rethrow` (the sync path, where the stream
+    * SHOULD fail — the caller opted out of best-effort).
+    */
+  private[graft] def runMaintenanceCycle(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      excludeFrom: Long, bm25Dir: Option[String],
+      rethrow: Boolean): Unit =
+    try {
+      maintain(spark, indexDir, excludeFrom, bm25Dir)
+      maintStats.compute(indexDir, (_, s0) => {
+        val s = Option(s0).getOrElse(MaintenanceStats())
+        s.copy(cycles = s.cycles + 1, consecutiveFailures = 0L)
+      })
+    } catch {
+      case t: Throwable =>
+        val s = maintStats.compute(indexDir, (_, s0) => {
+          val s1 = Option(s0).getOrElse(MaintenanceStats())
+          s1.copy(failures = s1.failures + 1,
+            consecutiveFailures = s1.consecutiveFailures + 1,
+            lastError = Some(t.toString))
+        })
+        // best-effort posture (async): a failed fold leaves the old
+        // manifest live and unreferenced garbage the next cycle
+        // reclaims — never fail the stream for it, but do surface it
+        log.error(s"graft index maintenance of $indexDir failed " +
+          s"(${s.consecutiveFailures} consecutive, ${s.failures} total)",
+          t)
+        if (rethrow) throw t
+    }
+
   /** Block until every queued background maintenance cycle finished —
     * for harness/spec shutdown (a deployment never needs it: the
     * manifest is consistent at every instant, and an interrupted fold
@@ -632,6 +704,20 @@ object StreamingFunnel {
           // full cycle (a periodic quiet source could defer it
           // forever while run counts keep growing)
           val spark = batch.sparkSession
+          // escalation gate: best-effort background maintenance never
+          // fails the stream on its own, but a deployment can opt into
+          // a hard stop after N consecutive failed cycles — checked
+          // HERE (on the stream thread) so the failure is a normal
+          // query termination, not a swallowed background throw
+          val failAfter = failAfterMaintenanceFailures(spark)
+          val consec = maintenanceStats(indexDir).consecutiveFailures
+          if (failAfter > 0 && consec >= failAfter)
+            throw new IllegalStateException(
+              s"$consec consecutive index-maintenance cycles failed " +
+                s"for $indexDir (last: " +
+                s"${maintenanceStats(indexDir).lastError.getOrElse("?")})" +
+                " — failing the stream per " +
+                "spark.graft.funnel.failAfterMaintenanceFailures")
           val every = compactEvery(spark)
           if (every > 0 && (id + 1) % every == 0)
             maintenanceMode(spark) match {
@@ -645,20 +731,11 @@ object StreamingFunnel {
                   if (prev == null || prev.isDone)
                     maintenanceInFlight.put(indexDir,
                       maintenancePool.submit(new Runnable {
-                        def run(): Unit =
-                          try maintain(spark, indexDir, id, bm25Dir)
-                          catch {
-                            case t: Throwable =>
-                              // maintenance is best-effort: a failed
-                              // fold leaves the old manifest live and
-                              // unreferenced garbage the next cycle
-                              // reclaims — never fail the stream for it
-                              System.err.println(
-                                s"[graft] background maintenance of " +
-                                  s"$indexDir failed: $t")
-                          }
+                        def run(): Unit = runMaintenanceCycle(spark,
+                          indexDir, id, bm25Dir, rethrow = false)
                       }))
-                } else maintain(spark, indexDir, id, bm25Dir)
+                } else runMaintenanceCycle(spark, indexDir, id, bm25Dir,
+                  rethrow = true)
             }
           ()
       }

@@ -54,6 +54,13 @@ class RunManifestSpec extends SparkSpec {
         Run(-1L, 7000, Some(16)),                 // tier 1: now 3
         Run(9L, 200, None)                        // at the floor: held
       ), Nil)
+      // default cap (maxTiersPerCycle=1): both tiers trip, only the
+      // LOWEST folds this cycle — the cascade spreads over cadences
+      val capped = RunManifest.planFolds(spark, m, excludeFrom = 9L)
+      assert(capped.size == 1 &&
+        capped.head.map(_.id).toSet == Set(0L, 1L, 2L),
+        s"capped plan should fold only tier 0: $capped")
+      spark.conf.set("spark.graft.index.maxTiersPerCycle", "0")
       val folds = RunManifest.planFolds(spark, m, excludeFrom = 9L)
       assert(folds.size == 2, s"expected 2 fold groups, got $folds")
       val ids = folds.map(_.map(_.id).toSet).toSet
@@ -67,6 +74,7 @@ class RunManifestSpec extends SparkSpec {
       spark.conf.unset("spark.graft.index.tierMinRuns")
       spark.conf.unset("spark.graft.index.tierFactor")
       spark.conf.unset("spark.graft.index.tierBaseBytes")
+      spark.conf.unset("spark.graft.index.maxTiersPerCycle")
     }
   }
 
@@ -333,6 +341,118 @@ class RunManifestSpec extends SparkSpec {
       val after = RunManifest.read(spark, dir).get
       assert(RunManifest.readData(spark, dir, "", after.live,
         Seq("_h")).count() == 70, "fold over mixed layouts lost rows")
+    } finally spark.conf.unset("spark.graft.index.tierMinRuns")
+  }
+
+  test("r12 bm25 migration: per-table layout detection, probe + fold survive") {
+    // an r12-layout BM25 index mixes partition depths WITHIN one run:
+    // postings/dfs/stats are plain files under batch=<id> while docids
+    // is dp-PARTITIONED — head-table-only detection would record the
+    // migrated runs unpartitioned, group them with flat r13 appends,
+    // and the first multi-path docids scan dies on conflicting
+    // partition columns (the round-13 advisor's crash). Detection is
+    // per run x any-table now; this pins the full lifecycle: migrate,
+    // guarded probe with a bloom suspect, tiered fold, score parity
+    // with a never-migrated twin.
+    import org.apache.spark.sql.SaveMode
+    import graft.text.TextOps
+    val bm = s"${tmp("mig-bm")}/i"
+    val fresh = s"${tmp("mig-bm-fresh")}/i"
+    val prefixes = 8
+    val batches = (0 until 4).map(b =>
+      mkDocs(s"m${('a' + b).toChar}", (b * 20 + 1).toLong to (b * 20 + 10L)))
+    (0 to 1).foreach { b =>
+      val toks = batches(b).select(col("doc_id"),
+          TextOps.tokens(col("text")).as("ws"))
+        .select(col("doc_id"), size(col("ws")).cast("double").as("dl"),
+          col("ws"))
+      val postings = toks
+        .select(col("doc_id"), col("dl"), explode(col("ws")).as("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(count(lit(1)).cast("double").as("tf"))
+      postings.write.mode(SaveMode.Overwrite)
+        .parquet(s"$bm/postings/batch=$b")
+      postings.groupBy("term")
+        .agg(count(lit(1)).cast("double").as("dft"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$bm/dfs/batch=$b")
+      toks.agg(count(lit(1)).cast("double").as("n_docs"),
+          sum("dl").as("sum_dl"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$bm/stats/batch=$b")
+      toks.select("doc_id")
+        .withColumn("dp", pmod(hash(col("doc_id")), lit(prefixes)))
+        .repartition(col("dp"))
+        .write.mode(SaveMode.Overwrite).partitionBy("dp")
+        .parquet(s"$bm/docids/batch=$b")
+      graft.operators.RollingBloom.roll(spark, s"$bm/docbloom",
+        toks.select("doc_id"), "doc_id", Some(b.toLong), -1L, 0.03)
+    }
+    IndexLifecycle.writeProps(spark, s"$bm/_graft_bm25_meta",
+      Seq("prefixes" -> prefixes.toString))
+    // never-migrated twin: same batches through appendBatch only
+    (0 until 4).foreach(b => Bm25Index.appendBatch(batches(b), "doc_id",
+      "text", fresh, b.toLong))
+    // first post-upgrade append triggers the migration
+    Bm25Index.appendBatch(batches(2), "doc_id", "text", bm, 2L)
+    val man = RunManifest.read(spark, bm).get
+    assert(man.live.map(r => r.id -> r.prefixes).toMap ==
+      Map(0L -> Some(prefixes), 1L -> Some(prefixes), 2L -> None),
+      s"migration mislabeled the bm25 run layouts: ${man.live}")
+    // batch 3 re-ingests a batch-0 doc: the guard's bloom yields a
+    // suspect and notYetIngested reads the MIXED-layout docids runs
+    Bm25Index.appendBatch(
+      batches(3).unionByName(batches(0).limit(1)), "doc_id", "text",
+      bm, 3L)
+    def q(p: String) = Bm25Index.query(spark, p,
+        Seq(w("mab", 1), w("mcp", 1)), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(q(bm).nonEmpty, "fixture drift: query terms match nothing")
+    assert(q(bm) == q(fresh), "migrated index diverges from fresh twin")
+    // and tiered maintenance folds the mixed layouts without crashing
+    spark.conf.set("spark.graft.index.tierMinRuns", "2")
+    try {
+      assert(Bm25Index.maintainIndex(spark, bm) >= 1,
+        "no fold committed over the migrated index")
+      assert(q(bm) == q(fresh), "fold over migrated runs changed scores")
+    } finally spark.conf.unset("spark.graft.index.tierMinRuns")
+  }
+
+  test("post-fold manifest loss fails loudly; manual restore recovers") {
+    val bm = s"${tmp("loss-bm")}/i"
+    (0 until 4).foreach(b => Bm25Index.appendBatch(
+      mkDocs(s"l${('a' + b).toChar}", (b * 20 + 1).toLong to (b * 20 + 10L)),
+      "doc_id", "text", bm, b.toLong))
+    spark.conf.set("spark.graft.index.tierMinRuns", "2")
+    try {
+      assert(Bm25Index.maintainIndex(spark, bm) == 1)
+      val terms = Seq(w("lab", 1), w("ldp", 1))
+      def q() = Bm25Index.query(spark, bm, terms, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val before = q()
+      assert(before.nonEmpty, "fixture drift: query terms match nothing")
+      // the hazard state: manifest gone while folded-away DEAD runs
+      // still linger inside their retention grace — a silent rebuild
+      // from the listing would resurrect them into the summed stats
+      assert(RunManifest.read(spark, bm).get.dead.nonEmpty,
+        "fixture drift: no dead runs lingering after the fold")
+      val manFile = java.nio.file.Paths.get(bm, "_graft_runs")
+      val bytes = java.nio.file.Files.readAllBytes(manFile)
+      java.nio.file.Files.delete(manFile)
+      // every lifecycle entry fails LOUDLY with the restore message
+      val e1 = intercept[IllegalStateException] {
+        Bm25Index.maintainIndex(spark, bm) }
+      assert(e1.getMessage.contains("Restore"), e1.getMessage)
+      val e2 = intercept[IllegalStateException] { q() }
+      assert(e2.getMessage.contains("Restore"), e2.getMessage)
+      val e3 = intercept[IllegalStateException] {
+        Bm25Index.appendBatch(mkDocs("lz", Seq(900L)), "doc_id", "text",
+          bm, 9L) }
+      assert(e3.getMessage.contains("Restore"), e3.getMessage)
+      // manual restore per the message: put the manifest back — BM25
+      // stats/scores are exactly what they were before the loss
+      java.nio.file.Files.write(manFile, bytes)
+      assert(q() == before, "restored index lost stats parity")
+      // the benign case (manifest lost BEFORE any fold) still migrates
+      // silently — pinned by the r12-layout migration test above
     } finally spark.conf.unset("spark.graft.index.tierMinRuns")
   }
 
