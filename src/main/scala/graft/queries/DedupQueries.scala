@@ -304,6 +304,45 @@ object DedupQueries {
       .orderBy("batch_id")
   }
 
+  /** [[incrementalBatch]]'s twin over the STREAMING (run-manifest)
+    * index layout — the layout months of `StreamingFunnel` ingest
+    * actually probe: the same 80% corpus lands as four
+    * `appendToLshIndex(subdir=...)` micro-batch runs, ONE tiered
+    * maintenance cycle folds them into a merged prefix-partitioned run
+    * ([[Dedup.maintainLshIndex]] — the folded-away source runs linger
+    * on disk inside their retention grace, exactly the state a probe
+    * must NOT re-read), and the probe resolves the run manifest to
+    * read exactly the live run set. Same corpus, same probe, same
+    * threshold as the flat twin, so the SAME oracle SQL binds it: the
+    * row goes red if manifest resolution ever double-counts (dead
+    * runs resurrected — duplicated shingle rows multiply the verify
+    * join) or tears (the merged run missed — matches vanish).
+    */
+  def incrementalStream(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    // same build-once cache discipline as incrementalBatch (full
+    // sanitized path key + completion marker after the fold commits)
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_lsh_stm_v1_" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val marker = new java.io.File(s"$idx/_GRAFT_INDEX_COMPLETE")
+    if (!marker.exists()) {
+      val corpus = docs.where(pmod(col("doc_id"), lit(5)) =!= 0)
+      (0 until 4).foreach(b => Dedup.appendToLshIndex(
+        corpus.where(pmod(col("doc_id"), lit(4)) === b),
+        "doc_id", "text", idx, subdir = Some(b.toLong)))
+      // four tier-0 runs == the default tierMinRuns threshold: one
+      // cycle folds them all into one merged run
+      val folds = Dedup.maintainLshIndex(spark, idx)
+      require(folds >= 1, s"expected a tier fold, got $folds")
+      marker.createNewFile()
+    }
+    Dedup.dedupAgainstIndex(docs.where(pmod(col("doc_id"), lit(5)) === 0),
+        "doc_id", "text", idx, threshold = 0.5)
+      .groupBy("batch_id")
+      .agg(count(lit(1)).as("n_matches"), max("jaccard").as("max_jaccard"))
+      .orderBy("batch_id")
+  }
+
   /** Fuzzy join (entity resolution): every 10th document, with its
     * first five words stripped, plays an external probe list to be
     * resolved against the corpus by trigram-shingle similarity — the
@@ -490,6 +529,7 @@ object DedupQueries {
     "join_jaro_names" -> jaroNames,
     "dedup_cluster_sizes" -> clusterSizes,
     "dedup_incremental_batch" -> incrementalBatch,
+    "dedup_incremental_stream" -> incrementalStream,
     "dedup_chunk_level" -> chunkLevel,
     "dedup_decontaminate" -> decontaminate,
     "dedup_source_overlap" -> sourceOverlap,
@@ -595,6 +635,9 @@ edges AS (
     "dedup_minhash_lsh" -> MinHashOracle.minhashLsh,
     "dedup_lsh_quality" -> MinHashOracle.lshQuality,
     "dedup_incremental_batch" -> MinHashOracle.incrementalBatch,
+    // the streaming-layout twin probes the SAME corpus with the SAME
+    // semantics — one oracle binds both (red on double-count/tear)
+    "dedup_incremental_stream" -> MinHashOracle.incrementalBatch,
     "dedup_simhash" -> MinHashOracle.simhash,
     // round-10 conversion: the k-means clustering's final centroids
     // baked (KmeansBakedData), the FULL SemDeDup prune chain replayed
