@@ -60,6 +60,20 @@ object Dedup {
       org.apache.spark.sql.graftx.TextShingles.column(col(textCol)).as("shs"))
       .repartition(col("doc_id"))
 
+  /** [[shingled]] minus the materialization barrier — ONLY for callers
+    * that persist/checkpoint the result before fanning it out: the
+    * cached blocks are the computed-once pin there, so the extra
+    * exchange bought nothing (one shuffle of the batch per probe, pure
+    * overhead at micro-batch cadence). Callers that hand the frame to
+    * a multi-consumer plan WITHOUT materializing it must use
+    * [[shingled]] — CollapseProject would re-shingle per consumer.
+    */
+  private[graft] def shingledUnpinned(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      org.apache.spark.sql.graftx.TextShingles.column(col(textCol)).as("shs"))
+
   /** Set Jaccard via linear merge of the sorted hash arrays — the
     * native codegen expression [[org.apache.spark.sql.graftx.JaccardSorted]]
     * (no serde, stays in whole-stage codegen across the candidate-pair
@@ -238,8 +252,18 @@ object Dedup {
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, bands: Int = 16, rowsPerBand: Int = 4,
+      verifyBroadcast: Option[Boolean] = None): DataFrame =
+    minhashLshPairsShingled(shingled(docs, idCol, textCol), threshold,
+      bands, rowsPerBand, verifyBroadcast)
+
+  /** [[minhashLshPairs]] over an already-[[shingled]] table — the
+    * funnel's share-one-shingle-pass entry point (`sh` persisted or
+    * checkpointed by the caller, or carrying [[shingled]]'s exchange
+    * barrier: something must pin the arrays to computed-once rows).
+    */
+  def minhashLshPairsShingled(sh: DataFrame, threshold: Double,
+      bands: Int = 16, rowsPerBand: Int = 4,
       verifyBroadcast: Option[Boolean] = None): DataFrame = {
-    val sh = shingled(docs, idCol, textCol)
     // barrier on the band key: signatures are minhashed ONCE (reused
     // exchange feeds both self-join sides, already co-partitioned)
     val bandKeys = sh.select(
@@ -487,8 +511,6 @@ object Dedup {
   def appendToLshIndex(batch: DataFrame, idCol: String, textCol: String,
       dir: String, bands: Int = 16, rowsPerBand: Int = 4,
       subdir: Option[Long] = None): Unit = {
-    val spark = batch.sparkSession
-    val root = lshRoot(spark, dir)
     // an EMPTY batch must not write at all: on creation, partitionBy
     // of zero rows leaves bands/ with no data files and the next
     // probe's read dies on schema inference; on a subdir append the
@@ -498,7 +520,21 @@ object Dedup {
     // empty and skips again. The isEmpty check is a limit-1 job over
     // an (in the funnel) already-checkpointed frame.
     if (batch.isEmpty) return
-    val sh = shingled(batch, idCol, textCol)
+    appendShingledToLshIndex(shingled(batch, idCol, textCol), dir,
+      bands, rowsPerBand, subdir)
+  }
+
+  /** [[appendToLshIndex]] over an already-[[shingled]] table. The
+    * caller must guarantee `sh` is NON-EMPTY (the emptiness contract
+    * above) and materialized-or-barriered like every other shingled
+    * consumer — the funnel passes its persisted batch shingle table,
+    * so the append pays zero additional shingle passes.
+    */
+  def appendShingledToLshIndex(sh: DataFrame, dir: String,
+      bands: Int = 16, rowsPerBand: Int = 4,
+      subdir: Option[Long] = None): Unit = {
+    val spark = sh.sparkSession
+    val root = lshRoot(spark, dir)
     val meta = readLshMeta(spark, dir)
     meta.foreach { m =>
       require(m.bands == bands && m.rowsPerBand == rowsPerBand,
@@ -516,7 +552,10 @@ object Dedup {
       sh.write.mode("append").parquet(s"$root/shingles")
       return
     }
-    val prefixes = meta.map(_.prefixes).getOrElse(lshPrefixesFor(batch))
+    // first write of a new index: derive the modulus from the shingle
+    // table's size estimate (same free Catalyst-stats source as
+    // [[lshPrefixesFor]]; both clamp to the same [16, 65536] band)
+    val prefixes = meta.map(_.prefixes).getOrElse(lshPrefixesFor(sh))
     // uniform-depth guard: partition discovery cannot mix batch=<id>
     // subtrees with a flat bp= layout in one table — fail fast instead
     // of a cryptic "conflicting directory structures" at the next probe
@@ -580,6 +619,18 @@ object Dedup {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Run `f` under a Spark job description (guide discipline: label
+    * multi-job operators so the UI/job log attributes each driver
+    * round-trip), restoring the caller's label after.
+    */
+  private def labeled[A](spark: org.apache.spark.sql.SparkSession,
+      desc: String)(f: => A): A = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(desc)
+    try f finally sc.setJobDescription(prev)
+  }
+
   /** Near-dup pairs between an ingest batch and the indexed corpus:
     * batch band keys equi-join the persisted band table, then exact
     * Jaccard verification against the persisted shingle sets. Band
@@ -605,8 +656,30 @@ object Dedup {
     */
   def dedupAgainstIndex(batch: DataFrame, idCol: String, textCol: String,
       dir: String, threshold: Double, bands: Int = 16,
-      rowsPerBand: Int = 4, excludeBatch: Option[Long] = None): DataFrame = {
-    val spark = batch.sparkSession
+      rowsPerBand: Int = 4, excludeBatch: Option[Long] = None): DataFrame =
+    // batch-sized materialization: ONE shingle pass feeds the band
+    // keys, the prefix collects and the verify fetch. persist(), not
+    // eager localCheckpoint — the prefix collects inside the pruned
+    // stages materialize these anyway, so eager checkpoints would just
+    // add three dedicated jobs of pure overhead per probe (measured
+    // ~0.5 s at bench scale) — and the UNPINNED shingle projection: the
+    // cache is the computed-once barrier here, so [[shingled]]'s
+    // exchange would be one more full batch shuffle per probe for
+    // nothing. StreamingFunnel's batch-scoped cleanup unpersists these
+    // blocks; ad-hoc callers leak bounded batch-sized ones.
+    dedupAgainstIndexShingled(
+      shingledUnpinned(batch, idCol, textCol).persist(), dir, threshold,
+      bands, rowsPerBand, excludeBatch)
+
+  /** [[dedupAgainstIndex]] over an already-[[shingled]] batch table —
+    * the funnel's share-one-shingle-pass entry point. `sh` must be
+    * persisted or checkpointed by the caller: the probe's bounded
+    * collects materialize it, and the verify join re-reads it.
+    */
+  def dedupAgainstIndexShingled(sh: DataFrame, dir: String,
+      threshold: Double, bands: Int = 16, rowsPerBand: Int = 4,
+      excludeBatch: Option[Long] = None): DataFrame = {
+    val spark = sh.sparkSession
     // resolve the generation ONCE: every read below sees one
     // consistent snapshot even if a compaction commits mid-probe
     val root = lshRoot(spark, dir)
@@ -616,14 +689,6 @@ object Dedup {
         s"index at $dir was built with bands=${m.bands}/" +
           s"rowsPerBand=${m.rowsPerBand}, probe used $bands/$rowsPerBand")
     }
-    // batch-sized materialization: one shingle pass feeds the band
-    // keys, the prefix collects and the verify fetch. persist(), not
-    // eager localCheckpoint — the prefix collects inside the pruned
-    // stages materialize these anyway, so eager checkpoints would just
-    // add three dedicated jobs of pure overhead per probe (measured
-    // ~0.5 s at bench scale). StreamingFunnel's batch-scoped cleanup
-    // unpersists them; ad-hoc callers leak bounded batch-sized blocks.
-    val sh = shingled(batch, idCol, textCol).persist()
     val batchBands = sh.select(
       col("doc_id"),
       explode(org.apache.spark.sql.graftx.MinHashBands.column(
@@ -675,8 +740,10 @@ object Dedup {
         // are micro-batch-sized by construction). The collect is the
         // probe's first job (it also materializes the batch
         // persists), so its stage count is fixed per micro-batch.
-        val (nSusp, touched) = RunManifest.touchedSets(
-          probeKeys, col("bkey"), runs.flatMap(_.prefixes))
+        val (nSusp, touched) = labeled(spark,
+          "lsh-probe: bloom screen + touched band prefixes")(
+          RunManifest.touchedSets(
+            probeKeys, col("bkey"), runs.flatMap(_.prefixes)))
         // fast path: no batch key exists anywhere in the index — skip
         // the bands read and the candidate join entirely
         if (bloom.isDefined && nSusp == 0L) return emptyPairs
@@ -690,12 +757,20 @@ object Dedup {
           excludeBatch)
         meta match {
           case Some(m) =>
-            val touched = touchedPrefixes(probeKeys,
-              pmod(hash(col("bkey")), lit(m.prefixes)))
+            val touched = labeled(spark,
+              "lsh-probe: bloom screen + touched band prefixes")(
+              touchedPrefixes(probeKeys,
+                pmod(hash(col("bkey")), lit(m.prefixes))))
             raw.where(col("bp").isin(touched: _*))
           case None => raw
         }
     }
+    // NO broadcast hint on the candidate join (round-14 A/B): hinting
+    // the bloom-surviving probe side measured ~0.7 s SLOWER per probe
+    // than letting AQE pick — the dedicated broadcast-build job plus
+    // the eager size-estimate computation cost more than the exchanges
+    // they removed, and AQE already converts this join from runtime
+    // sizes when that wins.
     bandsIdx
       .join(probeKeys.withColumnRenamed("doc_id", "batch_id"), "bkey")
       .select(col("batch_id"), col("doc_id").as("corpus_id"))
@@ -725,8 +800,18 @@ object Dedup {
             col("corpus_id").as("doc_id"),
             org.apache.spark.sql.graftx.TextShingles.column(lit(""))
               .as("shs"))
-        val (_, touched) = RunManifest.touchedSets(
-          cand, col("corpus_id"), runs.flatMap(_.prefixes))
+        val (nCand, touched) = labeled(spark,
+          "lsh-probe: candidate shingle prefixes")(
+          RunManifest.touchedSets(
+            cand, col("corpus_id"), runs.flatMap(_.prefixes)))
+        // fast path: zero candidates means the verify join is empty —
+        // skip the shingles read outright (same typed-empty contract
+        // as the no-live-runs case above)
+        if (nCand == 0L)
+          return cand.where(lit(false)).select(
+            col("corpus_id").as("doc_id"),
+            org.apache.spark.sql.graftx.TextShingles.column(lit(""))
+              .as("shs"))
         RunManifest.readData(spark, dir, "shingles", runs,
           Seq("doc_id", "shs"), "sp", m => touched.getOrElse(m, Nil))
       case None =>
@@ -735,8 +820,17 @@ object Dedup {
           excludeBatch)
         meta match {
           case Some(m) =>
-            val touched = touchedPrefixes(cand,
-              pmod(hash(col("corpus_id")), lit(m.prefixes)))
+            val touched = labeled(spark,
+              "lsh-probe: candidate shingle prefixes")(
+              touchedPrefixes(cand,
+                pmod(hash(col("corpus_id")), lit(m.prefixes))))
+            // zero candidates => zero touched prefixes (corpus ids are
+            // non-null): same fast path as the manifest branch
+            if (touched.isEmpty)
+              return cand.where(lit(false)).select(
+                col("corpus_id").as("doc_id"),
+                org.apache.spark.sql.graftx.TextShingles.column(lit(""))
+                  .as("shs"))
             raw.where(col("sp").isin(touched: _*))
           case None => raw
         }

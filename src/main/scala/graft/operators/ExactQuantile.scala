@@ -84,15 +84,28 @@ object ExactQuantile {
     (vk, if (wantPair) sorted(curK.toInt + 1) else vk)
   }
 
-  /** quantile_cont-style exact quantile of the value expression. */
+  /** quantile_cont-style exact quantile of the value expression.
+    *
+    * `knownStats = Some((n, lo, hi))` skips the count/min/max pass when
+    * the caller already knows the non-null row count exactly and a
+    * CONSERVATIVE value range (lo <= true min, hi >= true max): the
+    * histogram's bin expression clamps into [0, NBins-1], so a wider
+    * bracket only coarsens the first descent round — every returned
+    * order statistic is still the exact value. The canonical caller is
+    * a derived-column quantile (MAD's median of |x - med|), whose count
+    * equals the base column's and whose range is arithmetic on the base
+    * column's min/max — one full pass of the data saved per call.
+    */
   def quantile(df: DataFrame, value: Column, q: Double,
-      bracketLimit: Int = 65536): Double = {
+      bracketLimit: Int = 65536,
+      knownStats: Option[(Long, Double, Double)] = None): Double = {
     val base = df.select(value.cast("double").as("v"))
       .where(col("v").isNotNull)
-    val r = base.agg(count(lit(1)), min("v"), max("v")).collect()(0)
-    val n = r.getLong(0)
+    val (n, lo, hi) = knownStats.getOrElse {
+      val r = base.agg(count(lit(1)), min("v"), max("v")).collect()(0)
+      (r.getLong(0), r.getDouble(1), r.getDouble(2))
+    }
     require(n > 0, "quantile of an empty column")
-    val (lo, hi) = (r.getDouble(1), r.getDouble(2))
     if (lo == hi) return lo
     val pos = (n - 1) * q
     val lowIdx = math.floor(pos).toLong

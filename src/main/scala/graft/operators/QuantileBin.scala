@@ -47,31 +47,54 @@ object QuantileBin {
       bucketWidth: Double, tieCols: Seq[String],
       tileCol: String = "tile"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
     val ord = col(valueCol) +: tieCols.map(col)
     val bucketed = df.withColumn("_qb",
       floor(col(valueCol).cast("double") / lit(bucketWidth)).cast("long"))
-    val counts = bucketed.groupBy("_qb").agg(count(lit(1)).as("_c"))
-      .localCheckpoint(true) // offsets + total share one counting scan
-    val offsets = BoundedPrefix.offsets(
-      counts, Nil, Seq("_qb"), Seq("_c" -> "_off"))
-      .select("_qb", "_off")
-    val total = counts.agg(sum("_c").as("_n_total"))
+    // ONE bounded action serves offsets AND the total: the bucket table
+    // is ~n/bucketWidth rows by construction, so collect it (the same
+    // driver budget BoundedPrefix spends), scan for the exclusive
+    // prefix sums, and fold n/base/rem into LITERALS — no checkpoint
+    // job, no second total aggregation, no crossJoin broadcast.
+    // null values bucket to a null _qb: those rows were dropped by the
+    // offsets equi-join before AND after this fold, but the former
+    // prefix-sum path sorted the null group FIRST (shifting every
+    // non-null offset by its count) and the former total summed over
+    // it — both reproduced exactly here.
+    val allRows = bucketed.groupBy("_qb").agg(count(lit(1)).as("_c"))
+      .collect()
+    val nullCnt = allRows.filter(_.isNullAt(0)).map(_.getLong(1)).sum
+    val rows = allRows.filterNot(_.isNullAt(0))
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = nullCnt
+    val offRows = rows.map { case (b, c) =>
+      val o = acc; acc += c; org.apache.spark.sql.Row(b, o)
+    }
+    val nTotal = acc
+    val offSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_qb",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("_off",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val offsets = spark.createDataFrame(
+      java.util.Arrays.asList(offRows: _*), offSchema)
+    // ntile(k): base = n div k rows per tile, the first n % k tiles
+    // carry one extra; tile from rank is pure integer math (identical
+    // to the former column arithmetic, with the scalars pre-folded)
+    val base = nTotal / k
+    val rem = nTotal % k
+    val cut = rem * (base + 1)
     bucketed
       .join(broadcast(offsets), "_qb")
       .withColumn("_rn", row_number().over(
         Window.partitionBy("_qb").orderBy(ord: _*)).cast("long"))
       .withColumn("_rank", col("_off") + col("_rn"))
-      .crossJoin(broadcast(total))
-      // ntile(k): base = n div k rows per tile, the first n % k tiles
-      // carry one extra; tile from rank is pure integer math
-      .withColumn("_base", expr(s"_n_total div $k"))
-      .withColumn("_rem", expr(s"_n_total % $k"))
-      .withColumn("_cut", col("_rem") * (col("_base") + 1))
       .withColumn(tileCol,
-        when(col("_rank") <= col("_cut"),
-          expr("(_rank - 1) div (_base + 1)") + 1)
-          .otherwise(col("_rem") + expr("(_rank - _cut - 1) div _base") + 1))
-      .drop("_qb", "_off", "_rn", "_rank", "_n_total", "_base", "_rem", "_cut")
+        when(col("_rank") <= lit(cut),
+          expr(s"(_rank - 1) div ${base + 1}L") + 1)
+          .otherwise(lit(rem) +
+            expr(s"(_rank - ${cut}L - 1) div ${base}L") + 1))
+      .drop("_qb", "_off", "_rn", "_rank")
   }
 
   /** Adds `binCol` (0-based) assigning each row to its equi-depth bin

@@ -144,6 +144,14 @@ object RunManifest {
         case _: java.io.FileNotFoundException =>
           if (tries >= 6 || !fs.exists(tmp)) result = Some(None)
           else { tries += 1; Thread.sleep(50) }
+        case e: org.apache.hadoop.fs.ChecksumException =>
+          // local-FS commit race: ChecksumFs renames the manifest data
+          // file and its .crc sidecar in TWO steps, so a read between
+          // them sees new bytes under the old checksum. The window is
+          // microseconds — retry; persistent mismatch (real corruption)
+          // still fails loudly after the bounded retries.
+          if (tries >= 6) throw e
+          tries += 1; Thread.sleep(50)
       }
     }
     result.get

@@ -71,8 +71,15 @@ object CorpusPipeline {
           greatest(col("_q._1"), lit(1)).cast("double"))
       .drop("_q")
 
+  /** The language filter as a row-local predicate — exposed so the
+    * streaming funnel can fold its stage count into the batch's one
+    * entry aggregation instead of a dedicated filtered count() scan.
+    */
+  def languagePredicate(cfg: Config): org.apache.spark.sql.Column =
+    col("lang").isin(cfg.langs: _*)
+
   def languageFiltered(docs: DataFrame, cfg: Config): DataFrame =
-    docs.where(col("lang").isin(cfg.langs: _*))
+    docs.where(languagePredicate(cfg))
 
   def qualityFiltered(docs: DataFrame, cfg: Config): DataFrame =
     withQuality(docs)

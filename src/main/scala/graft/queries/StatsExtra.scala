@@ -81,10 +81,19 @@ object StatsExtra {
     */
   def outliersMad(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir, "lineitem")
+    // one stats pass serves BOTH medians: the deviation column |x - med|
+    // has the same non-null count as x, and [0, max(med-lo, hi-med)] is
+    // a conservative range for it — so the MAD descent skips its own
+    // count/min/max job (one full column pass fewer; the returned order
+    // statistics are exact regardless of bracket width).
+    val px = col("l_extendedprice").cast("double")
+    val r = li.agg(count(px), min(px), max(px)).collect()(0)
+    val (n, lo, hi) = (r.getLong(0), r.getDouble(1), r.getDouble(2))
     val med = graft.operators.ExactQuantile.quantile(
-      li, col("l_extendedprice"), 0.5)
+      li, col("l_extendedprice"), 0.5, knownStats = Some((n, lo, hi)))
     val mad = graft.operators.ExactQuantile.quantile(
-      li, abs(col("l_extendedprice") - lit(med)), 0.5)
+      li, abs(col("l_extendedprice") - lit(med)), 0.5,
+      knownStats = Some((n, 0.0, math.max(med - lo, hi - med))))
     val dev = abs(col("l_extendedprice") - lit(med))
     li.select((dev > lit(1.2 * 1.4826 * mad)).as("is_outlier"),
         col("l_extendedprice"))

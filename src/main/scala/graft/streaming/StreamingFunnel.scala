@@ -152,15 +152,21 @@ object StreamingFunnel {
     val prevMax: Option[Long] = ingestSrc
       .flatMap(_.agg(max("max_id")).collect().headOption)
       .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    // the language-survivor count rides the SAME entry aggregation as
+    // the ordering stats (the filter is a row-local predicate): one
+    // batch scan instead of two, one driver round-trip fewer per
+    // micro-batch
     val ord = batch.agg(
       count(lit(1)), min("doc_id"), max("doc_id"),
       coalesce(sum((col("doc_id") < lit(prevMax.getOrElse(Long.MinValue)))
-        .cast("long")), lit(0L))).collect()(0)
+        .cast("long")), lit(0L)),
+      coalesce(sum(CorpusPipeline.languagePredicate(cfg).cast("long")),
+        lit(0L))).collect()(0)
     val nInput = ord.getLong(0)
     val nOutOfOrder = if (prevMax.isEmpty) 0L else ord.getLong(3)
+    val nLang = ord.getLong(4)
 
     val lang = CorpusPipeline.languageFiltered(batch, cfg)
-    val nLang = lang.count()
     val qual = CorpusPipeline.qualityFiltered(lang, cfg)
       .localCheckpoint(true) // one materialization feeds all dedup stages
     val nQuality = qual.count()
@@ -226,8 +232,12 @@ object StreamingFunnel {
         inBatch.join(idx.select("_h"), Seq("_h"), "left_anti")
       case None => inBatch
     }).localCheckpoint(true)
-    writeHashBatch(exact.select("_h"), indexDir, batchId)
+    // count first: the checkpoint makes it a cheap cached scan, and the
+    // exact count replaces writeHashBatch's own isEmpty probe job
     val nExact = exact.count()
+    if (nExact > 0L)
+      writeHashBatch(exact.select("_h"), indexDir, batchId,
+        skipEmptyCheck = true)
     val docs = exact.drop("_h")
 
     // near dedup: index-match pairs UNION the in-batch pair graph, one
@@ -247,13 +257,19 @@ object StreamingFunnel {
     // exactly the batch funnel's min-id election; out of order it is
     // the first-ingested-wins greedy the header contract promises.
     val lshDir = s"$indexDir/lsh"
+    // ONE batch shingle pass (persisted) feeds all three near-dedup
+    // consumers — the in-batch pair graph, the index probe and the
+    // index append each re-shingled `docs` before (three tokenize+
+    // minhash passes per micro-batch; the batch-scoped cleanup above
+    // reclaims the cached blocks)
+    val sh = Dedup.shingledUnpinned(docs, "doc_id", "text").persist()
     val inBatchPairs = Dedup
-      .minhashLshPairs(docs, "doc_id", "text", cfg.dedupThreshold)
+      .minhashLshPairsShingled(sh, cfg.dedupThreshold)
       .select("ida", "idb")
     val idxPairs =
       if (exists(spark,
           s"${IndexLifecycle.resolveRoot(spark, lshDir)}/bands"))
-        Dedup.dedupAgainstIndex(docs, "doc_id", "text", lshDir,
+        Dedup.dedupAgainstIndexShingled(sh, lshDir,
             cfg.dedupThreshold, excludeBatch = Some(batchId))
           .select(col("batch_id").as("ida"), col("corpus_id").as("idb"))
           .localCheckpoint(true) // feeds both the edge set and the anchors
@@ -263,9 +279,10 @@ object StreamingFunnel {
       .localCheckpoint(true)
     // ALL exact-surviving docs enter the index (survivors-only appends
     // would blind later batches to dropped members' neighbors), into
-    // this batch's own overwrite-on-replay subtree
-    Dedup.appendToLshIndex(docs, "doc_id", "text", lshDir,
-      subdir = Some(batchId))
+    // this batch's own overwrite-on-replay subtree; nExact gates the
+    // emptiness contract, replacing the append's own isEmpty job
+    if (nExact > 0L)
+      Dedup.appendShingledToLshIndex(sh, lshDir, subdir = Some(batchId))
     val nNear = survivors.count()
     survivors.write.mode(SaveMode.Overwrite)
       .parquet(s"$survivorsDir/batch=$batchId")
@@ -315,13 +332,16 @@ object StreamingFunnel {
     * spec also drives directly to simulate a half-written crash.
     */
   def writeHashBatch(hashes: DataFrame, indexDir: String,
-      batchId: Long): Unit = {
+      batchId: Long, skipEmptyCheck: Boolean = false): Unit = {
     val spark = hashes.sparkSession
     val hashDir = IndexLifecycle.resolveRoot(spark, s"$indexDir/hashes")
     // an EMPTY batch must not write at all: zero-row writes leave a
     // run with no data files and later reads die on schema inference.
     // Replays recompute empty and skip again, so idempotency holds.
-    if (hashes.isEmpty) return
+    // `skipEmptyCheck`: the funnel already holds the batch's exact
+    // count and only calls in when it is positive — one isEmpty job
+    // per micro-batch saved.
+    if (!skipEmptyCheck && hashes.isEmpty) return
     val keys = hashes.select(col("_h"))
     RunManifest.sizedWrite(keys, RunManifest.runPath(hashDir, "", batchId))
     RollingBloom.roll(spark, s"$indexDir/hashbloom", keys, "_h",

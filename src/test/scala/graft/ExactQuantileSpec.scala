@@ -48,6 +48,34 @@ class ExactQuantileSpec extends SparkSpec {
     }
   }
 
+  test("knownStats skips the stats pass, result bit-identical even " +
+      "with a conservative range") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val df = Seq.fill(3000)(rnd.nextDouble() * 500.0 - 100.0).toDF("x")
+    val r = df.agg(count(col("x")), min("x"), max("x")).collect()(0)
+    val (n, lo, hi) = (r.getLong(0), r.getDouble(1), r.getDouble(2))
+    for (q <- Seq(0.1, 0.5, 0.9)) {
+      val self = ExactQuantile.quantile(df, col("x"), q)
+      val exact = ExactQuantile.quantile(df, col("x"), q,
+        knownStats = Some((n, lo, hi)))
+      // a WIDER bracket only coarsens the first descent round; the
+      // returned order statistics must still be the exact values
+      val wide = ExactQuantile.quantile(df, col("x"), q,
+        knownStats = Some((n, lo - 250.0, hi + 77.0)))
+      assert(exact === self, s"q=$q exact-stats path")
+      assert(wide === self, s"q=$q conservative-stats path")
+    }
+    // the MAD-shape derived column: same count, derived range
+    val med = ExactQuantile.quantile(df, col("x"), 0.5,
+      knownStats = Some((n, lo, hi)))
+    val dev = abs(col("x") - lit(med))
+    val madSelf = ExactQuantile.quantile(df, dev, 0.5)
+    val madKnown = ExactQuantile.quantile(df, dev, 0.5,
+      knownStats = Some((n, 0.0, math.max(med - lo, hi - med))))
+    assert(madKnown === madSelf)
+  }
+
   test("duplicates, odd/even counts, and exact-rank positions") {
     import spark.implicits._
     val vals = Seq(1.0, 2.0, 2.0, 2.0, 3.5, 7.25, 7.25, 100.0, -4.5)

@@ -36,9 +36,13 @@ class PlanShapeSpec extends SparkSpec {
     // the df-cap hot-hash filter and the vote floor (both bounded
     // aggregates), one exchange reused across the self-join sides
     "multimodal_audio_match" -> Shape(6, 2, 1, 0, 2, 0, 0),
-    // shared trigram base + hash aggs; the bnlj is the 1-row corpus
-    // normalizer joined to every bucket (bounded broadcast, by design)
-    "text_perplexity_buckets" -> Shape(4, 2, 0, 0, 1, 0, 1),
+    // shared trigram base + hash aggs. Round-14 re-audit: exactNtile
+    // now folds the bucket total/offsets into driver literals from its
+    // ONE bounded bucket-table collect, so the former 1-row normalizer
+    // bnlj broadcast AND its checkpoint shuffle are gone — one fewer
+    // exchange and broadcast at any scale (the collected table stays
+    // corpus/bucketWidth-bounded, same budget as before).
+    "text_perplexity_buckets" -> Shape(3, 1, 0, 0, 1, 0, 0),
     // round-10 rewrite: row-local phrase segmentation (no token
     // window), so the plan is two hash aggs off the checkpointed
     // phrase-word table + one AQE-broadcast word-stats join +

@@ -493,4 +493,42 @@ class RunManifestSpec extends SparkSpec {
       assert(hashes == 80L, s"expected 80 digests, got $hashes")
     } finally spark.conf.unset("spark.graft.index.tierMinRuns")
   }
+
+  test("read() rides out a torn-checksum commit window; persistent " +
+      "corruption still fails loudly") {
+    // local-FS commits go through ChecksumFs, which renames the
+    // manifest's data file and its .crc sidecar in TWO steps — a read
+    // between them sees new bytes under the old checksum. Simulate the
+    // torn state (java.io write bypasses the sidecar), heal it from
+    // another thread inside read()'s retry budget, and require the
+    // reader to come back with the manifest instead of crashing.
+    val root = tmp("ck-retry")
+    RunManifest.addRun(spark, root, Seq(""), 0L, None)
+    val ptr = new java.io.File(root, "_graft_runs")
+    val crc = new java.io.File(root, "._graft_runs.crc")
+    assert(ptr.exists, "manifest file expected")
+    assume(crc.exists, "checksum sidecar expected on local FS")
+    val good = java.nio.file.Files.readAllBytes(ptr.toPath)
+    def tear(): Unit = java.nio.file.Files.write(ptr.toPath,
+      (new String(good, "UTF-8") + "# torn commit bytes\n")
+        .getBytes("UTF-8"))
+    tear()
+    val healer = new Thread(() => {
+      Thread.sleep(120)
+      java.nio.file.Files.write(ptr.toPath, good)
+    })
+    healer.start()
+    val m = RunManifest.read(spark, root)
+    healer.join(10000)
+    assert(m.exists(_.liveIds == Set(0L)),
+      s"reader must ride out the torn window and see the manifest: $m")
+    // a mismatch that never heals is real corruption: loud failure
+    // after the bounded retries, never a silent None (which would send
+    // probes to the legacy directory glob)
+    tear()
+    intercept[org.apache.hadoop.fs.ChecksumException] {
+      RunManifest.read(spark, root)
+    }
+    java.nio.file.Files.write(ptr.toPath, good) // restore for cleanup
+  }
 }
