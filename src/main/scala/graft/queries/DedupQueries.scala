@@ -141,11 +141,24 @@ object DedupQueries {
     // dedup family keeps materializing ONE blocking cascade
     val exact = sharedPairs(spark, dir)
       .where(col("jaccard") >= 0.5)
-      .select("ida", "idb").localCheckpoint(true)
+      .select("ida", "idb")
     val lsh = sharedLshPairs(spark, dir).select("ida", "idb")
-    val nExact = exact.count()
-    val nLsh = lsh.count()
-    val nCommon = exact.intersect(lsh).count()
+    // ONE action for all three counts (round 14; was a checkpoint +
+    // two counts + an intersect count = four driver round-trips over
+    // the two memoized pair tables): both sides are DISTINCT by
+    // construction (candidates are de-duplicated before the 1:1
+    // verify fetch), so a tagged full-outer join counts exact/lsh/
+    // common in a single aggregation — identical arithmetic.
+    val r = exact.withColumn("_e", lit(1L))
+      .join(lsh.withColumn("_l", lit(1L)), Seq("ida", "idb"), "full_outer")
+      .agg(
+        coalesce(sum("_e"), lit(0L)),
+        coalesce(sum("_l"), lit(0L)),
+        coalesce(count(when(col("_e").isNotNull && col("_l").isNotNull,
+          lit(1))), lit(0L)))
+      .collect()(0)
+    val (nExact, nLsh, nCommon) =
+      (r.getLong(0), r.getLong(1), r.getLong(2))
     import spark.implicits._
     def r4(x: Double) =
       BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble

@@ -39,6 +39,7 @@ object SimilarityQueries {
     */
   def matryoshkaRecall(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    import graft.functions.VectorOps
     val emb = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
     val q = queriesSubset(spark, dir).select("vec_id", "embedding")
     val full = Similarity.cosineTopK(emb, q, k = 5)
@@ -47,17 +48,49 @@ object SimilarityQueries {
       val nQ = q.count()
       def r4(x: Double) =
         BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-      Seq(8, 16, 32).map { d =>
-        def cut(df: DataFrame) = df.select(col("vec_id"),
-          slice(col("embedding"), 1, d).as("embedding"))
-        val approx = Similarity.cosineTopK(cut(emb), cut(q), k = 5)
-          .select(col("qid"), col("vec_id"))
-        val hits = full.join(approx, Seq("qid", "vec_id")).count()
+      // ONE corpus pass serves all three truncation searches (round 14;
+      // was one broadcast scan + one count action PER dim — 4 corpus
+      // scans and ~29 stage-jobs for the query): every vector explodes
+      // into its three prefix slices and the bounded-heap top-k runs
+      // keyed by (dim, qid). Slicing, the parity-safe dot fold, the
+      // 6dp rounding and the (sim desc, vec_id) tie-break are the
+      // EXACT per-dim expressions, so each (dim, qid) group is the
+      // per-dim run's top-5 bit-for-bit — the oracle is unchanged.
+      val dims = Seq(8, 16, 32)
+      def sliced(df: DataFrame, idAs: String) = df
+        .select(explode(typedlit(dims)).as("dim"),
+          col("vec_id").as(idAs),
+          col("embedding"))
+        .select(col("dim"), col(idAs),
+          slice(col("embedding"), lit(1), col("dim")).as("embedding"))
+      val qs = sliced(q, "qid").select(
+        col("dim").as("qdim"), col("qid"),
+        col("embedding").as("qemb"),
+        VectorOps.norm(col("embedding")).as("qnrm"))
+      val cs = sliced(emb, "vec_id").select(
+        col("dim"), col("vec_id"), col("embedding"),
+        VectorOps.norm(col("embedding")).as("nrm"))
+      val sims = cs.join(broadcast(qs),
+          col("dim") === col("qdim") && col("vec_id") =!= col("qid"))
+        .select(col("dim"), col("qid"), col("vec_id"),
+          VectorOps.simRound6(
+            VectorOps.dot(col("qemb"), col("embedding")) /
+              (col("qnrm") * col("nrm"))).as("sim"))
+      val top = org.apache.spark.sql.graftx.TopKPerKey
+        .topK(sims.select("dim", "qid", "vec_id", "sim"),
+          keys = Seq("dim", "qid"),
+          order = Seq(("sim", true), ("vec_id", false)), k = 5)
+      val hitMap = full
+        .join(top.select("dim", "qid", "vec_id"), Seq("qid", "vec_id"))
+        .groupBy("dim").agg(count(lit(1)).as("hits"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      dims.map { d =>
+        val hits = hitMap.getOrElse(d, 0L)
         (d.toLong, nQ, hits, r4(hits.toDouble / (5.0 * nQ)))
       }.toDF("dim", "n_queries", "n_hits", "recall_at_5")
         .orderBy("dim")
     } finally
-      // all three recall joins have been COUNTED above — the returned
+      // the fused recall join has been COLLECTED above — the returned
       // frame is a local Seq, so the checkpoint blocks can be freed
       // here instead of leaking per invocation in a long-lived session
       graft.SessionMemo.free(full)
