@@ -665,8 +665,17 @@ object Dedup {
     // ~0.5 s at bench scale) — and the UNPINNED shingle projection: the
     // cache is the computed-once barrier here, so [[shingled]]'s
     // exchange would be one more full batch shuffle per probe for
-    // nothing. StreamingFunnel's batch-scoped cleanup unpersists these
-    // blocks; ad-hoc callers leak bounded batch-sized ones.
+    // nothing.
+    //
+    // CACHE CONTRACT (r15): the probe itself unpersists its internal
+    // band table once the prune collects consumed it; the batch
+    // shingle table built here and the candidate table stay persisted
+    // because the RETURNED lazy plan reads them — a caller that
+    // materializes the result and keeps the session alive should
+    // reclaim them the way StreamingFunnel.processBatch does (snapshot
+    // sparkContext.getPersistentRDDs before the call, unpersist the
+    // difference after materializing). Ad-hoc callers that skip this
+    // leak two bounded batch-sized cache entries per probe.
     dedupAgainstIndexShingled(
       shingledUnpinned(batch, idCol, textCol).persist(), dir, threshold,
       bands, rowsPerBand, excludeBatch)
@@ -697,6 +706,12 @@ object Dedup {
     val cand = indexCandidates(spark, root, batchBands, meta, excludeBatch)
       .persist()
     val corpusSh = indexShinglesFor(spark, root, cand, meta, excludeBatch)
+    // batchBands is consumed ENTIRELY inside the two prune collects
+    // above (the returned verify plan reads only cand + sh), so its
+    // cached blocks can be dropped here instead of leaking until the
+    // caller's cleanup — correctness is lineage's problem (an evicted
+    // cand partition recomputes through sh, which stays persisted)
+    batchBands.unpersist(blocking = false)
     verifyAgainstIndex(cand, sh, corpusSh, threshold)
   }
 
@@ -765,13 +780,21 @@ object Dedup {
           case None => raw
         }
     }
-    // NO broadcast hint on the candidate join (round-14 A/B): hinting
-    // the bloom-surviving probe side measured ~0.7 s SLOWER per probe
-    // than letting AQE pick — the dedicated broadcast-build job plus
-    // the eager size-estimate computation cost more than the exchanges
-    // they removed, and AQE already converts this join from runtime
-    // sizes when that wins.
-    bandsIdx
+    // NO broadcast hint on the PROBE side of the candidate join
+    // (round-14 A/B): hinting the bloom-surviving probe side measured
+    // ~0.7 s SLOWER per probe (dedicated broadcast-build job + eager
+    // size-estimate computation). The INDEX side is different (r15):
+    // the bands read is already partition-pruned to the bloom
+    // survivors' prefixes, so its Catalyst size estimate is the pruned
+    // FILE bytes — free, no job — and broadcasting it when it fits the
+    // budget removes both exchanges of the join (the probe side then
+    // streams straight out of its cache). At 100 TB a dense-match
+    // batch fails the gate and takes the shuffled join, which AQE can
+    // still convert from runtime sizes; a legacy meta-less index's
+    // estimate is the full table and likewise fails the gate.
+    val bandsSide =
+      if (broadcastFits(bandsIdx)) broadcast(bandsIdx) else bandsIdx
+    bandsSide
       .join(probeKeys.withColumnRenamed("doc_id", "batch_id"), "bkey")
       .select(col("batch_id"), col("doc_id").as("corpus_id"))
       // self-match guard for re-probes after the batch was appended
@@ -1036,14 +1059,23 @@ object Dedup {
   private def verifyAgainstIndex(cand: DataFrame, sh: DataFrame,
       corpusSh: DataFrame, threshold: Double): DataFrame = {
     // batch-side fetch: size-gated broadcast (the fuzzyJoin lesson —
-    // a "batch" is small by convention, not by contract)
+    // a "batch" is small by convention, not by contract). The CORPUS
+    // side gets the same gate (r15): it is the partition-pruned
+    // shingles read, so its estimate is the pruned file bytes (free);
+    // when the candidates touch few prefixes, broadcasting it removes
+    // the last two exchanges of the probe and the whole verify
+    // pipelines over the cached candidate table. A wide-match batch
+    // (many touched prefixes) fails the gate and keeps the shuffled
+    // equi-join on the 8-byte id — bounded at any scale.
     val hintBatch = shingleBroadcastFits(sh)
     def batchSide(d: DataFrame) = if (hintBatch) broadcast(d) else d
+    val hintCorpus = shingleBroadcastFits(corpusSh)
+    def corpusSide(d: DataFrame) = if (hintCorpus) broadcast(d) else d
     cand
       .join(batchSide(sh.select(col("doc_id").as("batch_id"),
         col("shs").as("sha"))), "batch_id")
-      .join(corpusSh.select(col("doc_id").as("corpus_id"),
-        col("shs").as("shb")), "corpus_id")
+      .join(corpusSide(corpusSh.select(col("doc_id").as("corpus_id"),
+        col("shs").as("shb"))), "corpus_id")
       .select(col("batch_id"), col("corpus_id"),
         org.apache.spark.sql.graftx.RoundAwayFromZero
           .column(jaccardCol(col("sha"), col("shb")), 6).as("jaccard"))

@@ -78,6 +78,33 @@ object CorpusPipeline {
   def languagePredicate(cfg: Config): org.apache.spark.sql.Column =
     col("lang").isin(cfg.langs: _*)
 
+  /** The one-pass token-stats struct over a text column — exposed
+    * (like [[languagePredicate]]) so the streaming funnel can fold the
+    * quality-survivor count into the batch's one entry aggregation.
+    * Compute it ONCE per row in a projection (`withColumn`) and read
+    * the fields from the alias: CollapseProject refuses to duplicate a
+    * non-cheap expression referenced twice, so the UDF runs once per
+    * row however many consumers read it.
+    */
+  def tokenStats(text: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = tokenStatsUdf(text)
+
+  /** The quality filter as a row-local predicate over a pre-computed
+    * [[tokenStats]] struct — the EXACT arithmetic of
+    * [[qualityFiltered]] (same int-to-double casts, same greatest
+    * guard), so a count of `languagePredicate`-survivors passing this
+    * equals `qualityFiltered(languageFiltered(docs)).count()`
+    * bit-for-bit. Null-safe: a null struct (language-failed row under
+    * a `when(languagePredicate, tokenStats)` projection) yields a null
+    * predicate, which a `sum(cast)` fold skips.
+    */
+  def qualityPredicate(q: org.apache.spark.sql.Column, cfg: Config)
+      : org.apache.spark.sql.Column =
+    q.getField("_1") >= cfg.minTokens &&
+      (q.getField("_2").cast("double") /
+        greatest(q.getField("_1"), lit(1)).cast("double")) <=
+        cfg.maxStopRatio
+
   def languageFiltered(docs: DataFrame, cfg: Config): DataFrame =
     docs.where(languagePredicate(cfg))
 

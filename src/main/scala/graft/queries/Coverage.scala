@@ -212,13 +212,19 @@ object Coverage {
     // collect — at scale the count is a job like any other and rides
     // the same DAG instead of serializing on the driver
     val nd = docs.agg(count(lit(1)).cast("double").as("_nd"))
-    val words = docs.select(
+    // ONE tokenize pass (r15): words reads the family-wide token memo,
+    // and the document-frequency table derives FROM the tf table —
+    // df(word) == countDistinct(doc_id) == the number of tf rows for
+    // the word, since tf is one row per (doc_id, word) by construction.
+    // The second full tokenize+explode+shuffle of every token instance
+    // is gone; the df aggregation reads |distinct (doc, word)| rows,
+    // and both consumers of tf reuse one exchange.
+    val words = TextQueries.tokenized(spark, dir).select(
       col("doc_id"),
-      explode(TextOps.tokens(col("text"))).as("word"))
+      explode(col("ws")).as("word"))
       .where(!col("word").isin(Stopwords.english: _*))
     val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val df = words.groupBy("word")
-      .agg(countDistinct(col("doc_id")).as("df"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val dfSide =
       if (graft.operators.Dedup.broadcastFits(df)) broadcast(df) else df
     val scored = tf.join(dfSide, "word").crossJoin(broadcast(nd))

@@ -25,7 +25,7 @@ object DedupQueries {
     * computes the expensive artifact once; clustering, survivors and
     * diagnostics derive from it).
     */
-  private[queries] def sharedPairs(spark: SparkSession, dir: String) =
+  private[graft] def sharedPairs(spark: SparkSession, dir: String) =
     // minShared=2 opted into HERE (not the API default): the documents
     // table has no 1-2-shingle docs, so the candidate cut is free; the
     // oracle's pairsCte carries the matching HAVING count(*) >= 2
@@ -127,7 +127,7 @@ object DedupQueries {
     */
   private val lshCache =
     new graft.SessionMemo[DataFrame](8)(graft.SessionMemo.free)
-  private def sharedLshPairs(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def sharedLshPairs(spark: SparkSession, dir: String): DataFrame =
     lshCache.getOrElseUpdate(spark, dir) {
       Dedup.minhashLshPairs(Tables(spark, dir, "documents"),
           "doc_id", "text", threshold = 0.5)

@@ -42,58 +42,62 @@ object SimilarityQueries {
     import graft.functions.VectorOps
     val emb = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
     val q = queriesSubset(spark, dir).select("vec_id", "embedding")
-    val full = Similarity.cosineTopK(emb, q, k = 5)
-      .select(col("qid"), col("vec_id")).localCheckpoint(true)
-    try {
-      val nQ = q.count()
-      def r4(x: Double) =
-        BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-      // ONE corpus pass serves all three truncation searches (round 14;
-      // was one broadcast scan + one count action PER dim — 4 corpus
-      // scans and ~29 stage-jobs for the query): every vector explodes
-      // into its three prefix slices and the bounded-heap top-k runs
-      // keyed by (dim, qid). Slicing, the parity-safe dot fold, the
-      // 6dp rounding and the (sim desc, vec_id) tie-break are the
-      // EXACT per-dim expressions, so each (dim, qid) group is the
-      // per-dim run's top-5 bit-for-bit — the oracle is unchanged.
-      val dims = Seq(8, 16, 32)
-      def sliced(df: DataFrame, idAs: String) = df
-        .select(explode(typedlit(dims)).as("dim"),
-          col("vec_id").as(idAs),
-          col("embedding"))
-        .select(col("dim"), col(idAs),
-          slice(col("embedding"), lit(1), col("dim")).as("embedding"))
-      val qs = sliced(q, "qid").select(
-        col("dim").as("qdim"), col("qid"),
-        col("embedding").as("qemb"),
-        VectorOps.norm(col("embedding")).as("qnrm"))
-      val cs = sliced(emb, "vec_id").select(
-        col("dim"), col("vec_id"), col("embedding"),
-        VectorOps.norm(col("embedding")).as("nrm"))
-      val sims = cs.join(broadcast(qs),
-          col("dim") === col("qdim") && col("vec_id") =!= col("qid"))
-        .select(col("dim"), col("qid"), col("vec_id"),
-          VectorOps.simRound6(
-            VectorOps.dot(col("qemb"), col("embedding")) /
-              (col("qnrm") * col("nrm"))).as("sim"))
-      val top = org.apache.spark.sql.graftx.TopKPerKey
-        .topK(sims.select("dim", "qid", "vec_id", "sim"),
-          keys = Seq("dim", "qid"),
-          order = Seq(("sim", true), ("vec_id", false)), k = 5)
-      val hitMap = full
-        .join(top.select("dim", "qid", "vec_id"), Seq("qid", "vec_id"))
-        .groupBy("dim").agg(count(lit(1)).as("hits"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      dims.map { d =>
-        val hits = hitMap.getOrElse(d, 0L)
-        (d.toLong, nQ, hits, r4(hits.toDouble / (5.0 * nQ)))
-      }.toDF("dim", "n_queries", "n_hits", "recall_at_5")
-        .orderBy("dim")
-    } finally
-      // the fused recall join has been COLLECTED above — the returned
-      // frame is a local Seq, so the checkpoint blocks can be freed
-      // here instead of leaking per invocation in a long-lived session
-      graft.SessionMemo.free(full)
+    val nQ = q.count()
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // ONE corpus pass serves the three truncation searches AND the
+    // full-dimension reference top-5 (round 15; round 14 had fused the
+    // three truncations into one exploded TopKPerKey pass but still
+    // ran a second corpus scan — a full-dim cosineTopK checkpoint —
+    // plus a hits-join and a groupBy collect): the full search is
+    // itself a prefix slice (the whole vector), so it rides the same
+    // pass as a fourth dim, and the recall readout becomes driver
+    // arithmetic over the one collected top table (<= 4 dims x |q| x 5
+    // rows — bounded). Slicing, the parity-safe dot fold, the 6dp
+    // rounding and the (sim desc, vec_id) tie-break are the EXACT
+    // per-dim / cosineTopK expressions (the full-dim branch passes the
+    // RAW embedding column, so parity with Similarity.cosineTopK holds
+    // whatever the array length) — the oracle is unchanged.
+    val dims = Seq(8, 16, 32)
+    val fullDim = 64
+    def sliced(df: DataFrame, idAs: String) = df
+      .select(explode(typedlit(dims :+ fullDim)).as("dim"),
+        col("vec_id").as(idAs),
+        col("embedding"))
+      .select(col("dim"), col(idAs),
+        when(col("dim") === lit(fullDim), col("embedding"))
+          .otherwise(slice(col("embedding"), lit(1), col("dim")))
+          .as("embedding"))
+    val qs = sliced(q, "qid").select(
+      col("dim").as("qdim"), col("qid"),
+      col("embedding").as("qemb"),
+      VectorOps.norm(col("embedding")).as("qnrm"))
+    val cs = sliced(emb, "vec_id").select(
+      col("dim"), col("vec_id"), col("embedding"),
+      VectorOps.norm(col("embedding")).as("nrm"))
+    val sims = cs.join(broadcast(qs),
+        col("dim") === col("qdim") && col("vec_id") =!= col("qid"))
+      .select(col("dim"), col("qid"), col("vec_id"),
+        VectorOps.simRound6(
+          VectorOps.dot(col("qemb"), col("embedding")) /
+            (col("qnrm") * col("nrm"))).as("sim"))
+    val top = org.apache.spark.sql.graftx.TopKPerKey
+      .topK(sims.select("dim", "qid", "vec_id", "sim"),
+        keys = Seq("dim", "qid"),
+        order = Seq(("sim", true), ("vec_id", false)), k = 5)
+      .select("dim", "qid", "vec_id")
+      .collect()
+    val fullSet = top.iterator.filter(_.getInt(0) == fullDim)
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    val hitMap = top.iterator.filter(_.getInt(0) != fullDim).toSeq
+      .groupBy(_.getInt(0))
+      .map { case (d, rs) =>
+        d -> rs.count(r => fullSet((r.getLong(1), r.getLong(2)))).toLong }
+    dims.map { d =>
+      val hits = hitMap.getOrElse(d, 0L)
+      (d.toLong, nQ, hits, r4(hits.toDouble / (5.0 * nQ)))
+    }.toDF("dim", "n_queries", "n_hits", "recall_at_5")
+      .orderBy("dim")
   }
 
   /** Full kNN graph over the embedding table via the shuffle-

@@ -88,7 +88,12 @@ object StatsExtra {
     // statistics are exact regardless of bracket width).
     val px = col("l_extendedprice").cast("double")
     val r = li.agg(count(px), min(px), max(px)).collect()(0)
-    val (n, lo, hi) = (r.getLong(0), r.getDouble(1), r.getDouble(2))
+    val n = r.getLong(0)
+    // empty-table guard BEFORE reading min/max (null on zero rows —
+    // getDouble would NPE): fail with the explicit message
+    // ExactQuantile's own require used to provide on this path
+    require(n > 0, "quantile of an empty column: lineitem has no rows")
+    val (lo, hi) = (r.getDouble(1), r.getDouble(2))
     val med = graft.operators.ExactQuantile.quantile(
       li, col("l_extendedprice"), 0.5, knownStats = Some((n, lo, hi)))
     val mad = graft.operators.ExactQuantile.quantile(

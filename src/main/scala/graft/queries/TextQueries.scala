@@ -20,6 +20,30 @@ object TextQueries {
   private val stop = Stopwords.english
   private val stopSql = Stopwords.sqlInList(stop)
 
+  /** ONE tokenize pass for the whole text family (r15, VERDICT r14
+    * task 5): the (doc_id, ws) token table, checkpointed once per
+    * (session, dir) and shared by every query whose tokenizer is
+    * exactly [[TextOps.tokens]] over `documents.text` — tf-idf,
+    * unigram/trigram logprob, PMI, Zipf, trigram novelty, hashed
+    * features, the ULM encode join, the line table and the BM25 base.
+    * At corpus scale tokenization IS the dominant cost of these
+    * queries; here each re-ran it per query. Token arrays are
+    * identical to inline tokenization by construction, so results are
+    * unchanged — the memo changes cost, never content (the
+    * bm25Base/trigramCache discipline: session-scoped, bounded,
+    * nothing persists across JVMs). Queries that need more than
+    * (doc_id, tokens) — raw text, lang/source — keep their own scans.
+    */
+  private val tokenCache =
+    new graft.SessionMemo[DataFrame](8)(graft.SessionMemo.free)
+  private[queries] def tokenized(spark: SparkSession, dir: String)
+      : DataFrame =
+    tokenCache.getOrElseUpdate(spark, dir) {
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+        .localCheckpoint(true)
+    }
+
   /** Flagship: corpus keyword frequency, top 100. The reference's
     * "inverted keyword index" (word_count.py:63-65) + the count its
     * README name promises, as one declarative plan.
@@ -144,19 +168,21 @@ object TextQueries {
     * broadcasts when it actually is.
     */
   def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
-    // barrier on the word key: the token table is tokenized ONCE and
-    // both consumers (frequency agg + probability join) read the same
-    // reused, already co-partitioned exchange
-    val tok = Tables(spark, dir, "documents")
-      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
+    // barrier on the word key: the token table comes from the shared
+    // family memo (tokenized ONCE per session+dir) and both consumers
+    // (frequency agg + probability join) read the same reused, already
+    // co-partitioned exchange
+    val tok = tokenized(spark, dir)
+      .select(col("doc_id"), explode(col("ws")).as("word"))
       .repartition(col("word"))
     val freq = tok.groupBy("word").agg(count(lit(1)).as("c"))
     // corpus token total == sum of freq counts, but computed as ONE
-    // row-local scan (sum of per-doc token counts) — the freq-side
-    // formulation re-ran the whole explode+shuffle as a separate job
-    // just to produce this scalar (round-11 tail shave, TIMEONE.md)
-    val total = Tables(spark, dir, "documents")
-      .agg(sum(size(TextOps.tokens(col("text"))).cast("long")))
+    // row-local scan (sum of per-doc token counts) over the memoized
+    // token table — the freq-side formulation re-ran the whole
+    // explode+shuffle as a separate job just to produce this scalar
+    // (round-11 tail shave, TIMEONE.md); r15 drops its re-tokenize too
+    val total = tokenized(spark, dir)
+      .agg(sum(size(col("ws")).cast("long")))
       .collect()(0).getLong(0)
     tok.join(freq, "word")
       .groupBy("doc_id")
@@ -188,9 +214,10 @@ object TextQueries {
   private def trigramScored(spark: SparkSession, dir: String): DataFrame =
     trigramCache.getOrElseUpdate(spark, dir) {
       import graft.operators.NgramLm
-      val toks = Tables(spark, dir, "documents")
-        .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
-        .localCheckpoint(true) // train + score share the tokenize pass
+      // train + score share the FAMILY-WIDE tokenize checkpoint (r15) —
+      // the LM build no longer re-tokenizes a corpus another text query
+      // already tokenized this session
+      val toks = tokenized(spark, dir)
       val lm = NgramLm.train(toks.where(pmod(col("doc_id"), lit(2)) === 0))
       NgramLm.score(toks.where(pmod(col("doc_id"), lit(2)) === 1), lm)
         .localCheckpoint(true)
@@ -218,8 +245,7 @@ object TextQueries {
     // Generate is an expression-inlining barrier, so exploding chunk
     // INDICES and slicing the carried token array above it keeps
     // tokenization linear in the corpus.
-    val toks = Tables(spark, dir, "documents")
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+    val toks = tokenized(spark, dir)
     toks
       .select(col("doc_id"), col("ws"),
         posexplode(concat(
@@ -450,8 +476,9 @@ object TextQueries {
   private def bm25Base(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame) =
     bm25BaseCache.getOrElseUpdate(spark, dir) {
-      val toks = Tables(spark, dir, "documents")
-        .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+      // the base reads the family-wide tokenize checkpoint (r15):
+      // one tokenize pass per session serves BM25 too
+      val toks = tokenized(spark, dir)
         .select(col("doc_id"), size(col("ws")).cast("double").as("dl"),
           filter(col("ws"), t => t.isInCollection(bm25Vocab)).as("qts"))
       val tf = toks
@@ -575,9 +602,10 @@ object TextQueries {
     * demonstrated there).
     */
   def pmiBigrams(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables(spark, dir, "documents")
-      .select(TextOps.tokens(col("text")).as("ws"))
-      .localCheckpoint(true) // bigram + unigram aggs share the pass
+    // bigram + unigram aggs + the scalar normalizers all read the
+    // family-wide tokenize checkpoint (r15 — was a private
+    // (ws)-only checkpoint, one more tokenize pass per session)
+    val toks = tokenized(spark, dir)
     val bg = toks
       .select(explode(when(size(col("ws")) < 2,
           array().cast("array<struct<w1:string,w2:string>>"))
@@ -619,8 +647,8 @@ object TextQueries {
     * production run swaps xxhash64 (same shape, no string digest).
     */
   def hashedFeatures(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
-      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+    tokenized(spark, dir)
+      .select(col("doc_id"), explode(col("ws")).as("w"))
       .withColumn("bucket",
         pmod(conv(substring(md5(col("w")), 1, 7), 16, 10).cast("long"),
           lit(16L)))
@@ -668,10 +696,10 @@ object TextQueries {
     val (vocab, words) = ulmVocabFor(spark, dir)
     val lp = vocab.map(v => (v._1, v._3)).toMap
     val seg = graft.operators.UnigramLm.segment(lp, maxPieceLen = 5)
-    val docs = Tables(spark, dir, "documents")
     val types = words
       .select(col("word"), size(seg(col("word"))).cast("long").as("_ns"))
-    docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
+    tokenized(spark, dir)
+      .select(col("doc_id"), explode(col("ws")).as("word"))
       .join(types, "word")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum("_ns").as("n_subwords"),
@@ -705,8 +733,7 @@ object TextQueries {
     // shuffle dedup of every trigram instance — with in-row work; the
     // (doc, gram) pairs are unique by construction since a doc's grams
     // dedup inside their own array
-    val types = Tables(spark, dir, "documents")
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+    val types = tokenized(spark, dir)
       .where(size(col("ws")) >= 3)
       .select(col("doc_id"), explode(array_distinct(expr(
         "transform(sequence(0, size(ws) - 3), " +
@@ -735,8 +762,8 @@ object TextQueries {
     */
   def zipfFit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ranked = Tables(spark, dir, "documents")
-      .select(explode(TextOps.tokens(col("text"))).as("w"))
+    val ranked = tokenized(spark, dir)
+      .select(explode(col("ws")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("w"))
       .limit(200)

@@ -152,24 +152,36 @@ object StreamingFunnel {
     val prevMax: Option[Long] = ingestSrc
       .flatMap(_.agg(max("max_id")).collect().headOption)
       .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
-    // the language-survivor count rides the SAME entry aggregation as
-    // the ordering stats (the filter is a row-local predicate): one
-    // batch scan instead of two, one driver round-trip fewer per
-    // micro-batch
-    val ord = batch.agg(
-      count(lit(1)), min("doc_id"), max("doc_id"),
-      coalesce(sum((col("doc_id") < lit(prevMax.getOrElse(Long.MinValue)))
-        .cast("long")), lit(0L)),
-      coalesce(sum(CorpusPipeline.languagePredicate(cfg).cast("long")),
-        lit(0L))).collect()(0)
+    // the language-survivor AND quality-survivor counts ride the SAME
+    // entry aggregation as the ordering stats (both filters are
+    // row-local predicates; the token-stats struct is computed once
+    // per row in the projection below, on language survivors only —
+    // r15, folding what was a dedicated checkpoint job plus a count()
+    // scan into this one action): one batch scan instead of three,
+    // three driver round-trips fewer per micro-batch
+    val ord = batch
+      .withColumn("_lq", when(CorpusPipeline.languagePredicate(cfg),
+        CorpusPipeline.tokenStats(col("text"))))
+      .agg(
+        count(lit(1)), min("doc_id"), max("doc_id"),
+        coalesce(sum((col("doc_id") < lit(prevMax.getOrElse(Long.MinValue)))
+          .cast("long")), lit(0L)),
+        coalesce(sum(CorpusPipeline.languagePredicate(cfg).cast("long")),
+          lit(0L)),
+        coalesce(sum(CorpusPipeline.qualityPredicate(col("_lq"), cfg)
+          .cast("long")), lit(0L))).collect()(0)
     val nInput = ord.getLong(0)
     val nOutOfOrder = if (prevMax.isEmpty) 0L else ord.getLong(3)
     val nLang = ord.getLong(4)
+    val nQuality = ord.getLong(5)
 
     val lang = CorpusPipeline.languageFiltered(batch, cfg)
+    // no checkpoint and no count() here (r15): nQuality came from the
+    // entry aggregation above, and the quality projection's only
+    // remaining consumer is the exact-dedup stage, whose persist() is
+    // the computed-once barrier — the eager checkpoint was a whole
+    // dedicated batch materialization job per micro-batch
     val qual = CorpusPipeline.qualityFiltered(lang, cfg)
-      .localCheckpoint(true) // one materialization feeds all dedup stages
-    val nQuality = qual.count()
 
     // exact dedup: min-id per digest within the batch, then anti-join
     // the persisted hash index (the O3 exists-check pattern — batch
@@ -185,6 +197,7 @@ object StreamingFunnel {
       .withColumn("_h", md5(col("text"))).persist()
     val hashRuns = RunManifest.read(spark, hashDir)
       .map(_.live.filterNot(_.id == batchId))
+    val exactObs = org.apache.spark.sql.Observation()
     val exact = (hashRuns match {
       case Some(runs) if runs.nonEmpty =>
         val bloom = RollingBloom.readBroadcast(spark,
@@ -231,13 +244,24 @@ object StreamingFunnel {
         }
         inBatch.join(idx.select("_h"), Seq("_h"), "left_anti")
       case None => inBatch
-    }).localCheckpoint(true)
-    // count first: the checkpoint makes it a cheap cached scan, and the
-    // exact count replaces writeHashBatch's own isEmpty probe job
-    val nExact = exact.count()
-    if (nExact > 0L)
-      writeHashBatch(exact.select("_h"), indexDir, batchId,
-        skipEmptyCheck = true)
+    }).observe(exactObs, count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    // the eager checkpoint IS the counting action (r15): the observed
+    // metric rides the checkpoint's own materialization job (the
+    // CollectMetrics node sits at the TOP of the checkpointed plan,
+    // never under a cache, so the action always reports it), replacing
+    // the dedicated cached-scan count() job; the exact count still
+    // replaces writeHashBatch's own isEmpty probe
+    val nExact = exactObs.get("n").asInstanceOf[Long]
+    // the hash-index write shares no state with the near-dedup stages
+    // below — overlap them (guide §2.6): submit it to the write pool
+    // and join before the batch commits
+    val hashWrite =
+      if (nExact > 0L) Some(submitIndexWrite(spark,
+        s"funnel: hash-index write batch=$batchId") {
+        writeHashBatch(exact.select("_h"), indexDir, batchId,
+          skipEmptyCheck = true)
+      }) else None
     val docs = exact.drop("_h")
 
     // near dedup: index-match pairs UNION the in-batch pair graph, one
@@ -274,16 +298,28 @@ object StreamingFunnel {
           .select(col("batch_id").as("ida"), col("corpus_id").as("idb"))
           .localCheckpoint(true) // feeds both the edge set and the anchors
       else spark.emptyDataset[(Long, Long)].toDF("ida", "idb")
-    val survivors = Dedup
-      .survivorsAgainstIndex(docs, "doc_id", inBatchPairs, idxPairs)
-      .localCheckpoint(true)
     // ALL exact-surviving docs enter the index (survivors-only appends
     // would blind later batches to dropped members' neighbors), into
     // this batch's own overwrite-on-replay subtree; nExact gates the
-    // emptiness contract, replacing the append's own isEmpty job
-    if (nExact > 0L)
-      Dedup.appendShingledToLshIndex(sh, lshDir, subdir = Some(batchId))
-    val nNear = survivors.count()
+    // emptiness contract, replacing the append's own isEmpty job.
+    // Submitted on the write pool HERE — after the idxPairs checkpoint
+    // above has materialized every index read the probe makes, so the
+    // append (a writer to the same lsh root) cannot race them — to
+    // overlap the survivor election and the batch's sinks below
+    // (guide §2.6); joined before the batch commits
+    val lshAppend =
+      if (nExact > 0L) Some(submitIndexWrite(spark,
+        s"funnel: lsh-index append batch=$batchId") {
+        Dedup.appendShingledToLshIndex(sh, lshDir, subdir = Some(batchId))
+      }) else None
+    val nearObs = org.apache.spark.sql.Observation()
+    val survivors = Dedup
+      .survivorsAgainstIndex(docs, "doc_id", inBatchPairs, idxPairs)
+      .observe(nearObs, count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    // same discipline as nExact: the survivor count rides the eager
+    // checkpoint's materialization instead of a dedicated count() job
+    val nNear = nearObs.get("n").asInstanceOf[Long]
     survivors.write.mode(SaveMode.Overwrite)
       .parquet(s"$survivorsDir/batch=$batchId")
     // the retrieval index rides the same batch: survivors only (the
@@ -295,9 +331,49 @@ object StreamingFunnel {
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$ingestDir/batch=$batchId")
     RunManifest.addRun(spark, ingestDir, Seq(""), batchId, None)
+    // a failed async index write must fail the trigger (the replay
+    // recomputes and overwrites), never be swallowed by the pool
+    awaitIndexWrites(hashWrite.toSeq ++ lshAppend.toSeq)
     BatchStats(batchId, nInput, nLang, nQuality, nExact, nNear,
       (System.nanoTime() - t0) / 1000000, nOutOfOrder)
   }
+
+  /** The pool behind the batch's two nExact-gated index writes (hash
+    * run + LSH append): both are independent of the near-dedup stages
+    * they overlap and of each other, so the only constraint is the
+    * join before the trigger commits ([[awaitIndexWrites]]). Two
+    * threads — exactly the two writes a batch can have in flight.
+    */
+  private lazy val indexWritePool =
+    java.util.concurrent.Executors.newFixedThreadPool(2, r => {
+      val t = new Thread(r, "graft-funnel-index-write")
+      t.setDaemon(true)
+      t
+    })
+
+  /** Submit one independent index write (guide §2.6 — the scheduler
+    * happily runs several jobs at once; actions are only sequential
+    * because driver code calls them sequentially). Job descriptions
+    * are thread-local, so the label tags exactly this write's jobs.
+    */
+  private def submitIndexWrite(spark: org.apache.spark.sql.SparkSession,
+      desc: String)(work: => Unit): java.util.concurrent.Future[_] =
+    indexWritePool.submit(new Runnable {
+      def run(): Unit = {
+        spark.sparkContext.setJobDescription(desc)
+        try work finally spark.sparkContext.setJobDescription(null)
+      }
+    })
+
+  private def awaitIndexWrites(
+      writes: Seq[java.util.concurrent.Future[_]]): Unit =
+    writes.foreach { f =>
+      try f.get()
+      catch {
+        case e: java.util.concurrent.ExecutionException =>
+          throw e.getCause
+      }
+    }
 
   /** Expected distinct documents for the hash index's rolling bloom —
     * `spark.graft.hash.bloomCapacity`, default AUTO (-1): the first
