@@ -554,7 +554,14 @@ object Dedup {
     }
     // first write of a new index: derive the modulus from the shingle
     // table's size estimate (same free Catalyst-stats source as
-    // [[lshPrefixesFor]]; both clamp to the same [16, 65536] band)
+    // [[lshPrefixesFor]]; both clamp to the same [16, 65536] band).
+    // NOTE (r14 refactor, r15 advisor): before the shingled() entry
+    // points this estimated the RAW batch text; shingle-array stats
+    // run larger, so a fresh index may start at a coarser modulus than
+    // pre-r14 builds. Correctness is unaffected (probes use the
+    // RECORDED meta, never the live estimate) and the drift is one
+    // clamp band at most; deployments that tuned the old sizing pin
+    // `spark.graft.lsh.indexPrefixes` explicitly, which always wins.
     val prefixes = meta.map(_.prefixes).getOrElse(lshPrefixesFor(sh))
     // uniform-depth guard: partition discovery cannot mix batch=<id>
     // subtrees with a flat bp= layout in one table — fail fast instead

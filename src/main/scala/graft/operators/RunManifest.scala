@@ -134,6 +134,7 @@ object RunManifest {
     val fs = fsOf(spark, ptr)
     var result: Option[Option[Manifest]] = None
     var tries = 0
+    var csTries = 0
     while (result.isEmpty) {
       try {
         val in = fs.open(ptr)
@@ -149,9 +150,12 @@ object RunManifest {
           // file and its .crc sidecar in TWO steps, so a read between
           // them sees new bytes under the old checksum. The window is
           // microseconds — retry; persistent mismatch (real corruption)
-          // still fails loudly after the bounded retries.
-          if (tries >= 6) throw e
-          tries += 1; Thread.sleep(50)
+          // still fails loudly after the bounded retries. Own counter
+          // (r15, advisor): sharing `tries` with the absent-file branch
+          // shrank whichever budget fired second when both races hit
+          // one read.
+          if (csTries >= 6) throw e
+          csTries += 1; Thread.sleep(50)
       }
     }
     result.get
